@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided TPC-H-ish tables (TESTDATA.md).
+  *
+  * Each table is a single parquet file under the scale-factor dir; reading
+  * through here (rather than ad-hoc paths) keeps every query's scan going
+  * through the vectorized parquet reader with pushdown/pruning intact, and
+  * gives one seam where a real deployment would swap in `s3a://` paths or a
+  * catalog. (Reference analog: the per-request `paths` list handed to the
+  * Lambda handlers — cmd/parquetgo-record-processor/handler.go:118.)
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Multi-path scan (union of files) — the Spark-idiomatic restatement of the
+    * reference's sequential per-file loop (SURVEY.md §2.7/X3).
+    */
+  def multi(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+}
