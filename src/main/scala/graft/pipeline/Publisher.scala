@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet → JSON → queue publisher: the Spark restatement of the reference's
+  * main path (cmd/parquetgo-record-processor/handler.go:104-252, SURVEY.md
+  * §3.1). The whole Lambda — download, batched reads, goroutine fan-out,
+  * SendMessageBatch — collapses to a declarative plan:
+  *
+  *   read(paths) → select(id, to_json(struct(*))) → mapPartitions(send in
+  *   batches of ≤10, retry failures, emit what still fails)
+  *
+  * Partition-level task parallelism replaces the errgroup fan-out
+  * (handler.go:194-229); the iterator pull model replaces the 500-row
+  * `ReadByNumber` batching; and unlike the reference (which only logs failed
+  * ids) messages that still fail after `maxAttempts` are RETURNED as a
+  * Dataset so callers can dead-letter them (redrive analog,
+  * template.yaml:10-12). Scale posture: no shuffle, no driver collection —
+  * the only driver-side values are two accumulator counters.
+  */
+object Publisher {
+
+  /** Job spec — the Lambda request shape {bucket, paths[]}
+    * (handler.go:29-32); bucket is folded into the path URIs.
+    */
+  case class PublishRequest(paths: Seq[String], idColumn: String = "id")
+
+  /** Echoes processed paths (fixing the reference quirk of returning an empty
+    * response — SURVEY.md §2.12) plus counters matching its `publishedRows`
+    * accounting (handler.go:231-239).
+    */
+  case class PublishResult(
+      paths: Seq[String],
+      publishedRows: Long,
+      failedRows: Long,
+      deadLetters: Seq[QueueMessage])
+
+  /** Serialize every column of `df` to one JSON object per row, key names =
+    * column names (the reference's tag-driven `json.Marshal`, handler.go:54).
+    */
+  def serialize(df: DataFrame, idColumn: String): Dataset[QueueMessage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      col(idColumn).cast("string").as("id"),
+      to_json(struct(df.columns.map(col): _*)).as("body")
+    ).as[QueueMessage]
+  }
+
+  /** Send one partition's messages in client-sized batches with bounded
+    * retries; returns the messages that still failed.
+    */
+  private[graft] def sendPartition(
+      it: Iterator[QueueMessage],
+      client: QueueClient,
+      maxAttempts: Int): Iterator[QueueMessage] =
+    it.grouped(client.maxBatchSize).flatMap { batch =>
+      var pending: Seq[QueueMessage] = batch
+      var attempt = 0
+      while (pending.nonEmpty && attempt < maxAttempts) {
+        val failedIds = client.send(pending).failedIds.toSet
+        pending = pending.filter(m => failedIds.contains(m.id))
+        attempt += 1
+      }
+      pending
+    }
+
+  def publish(
+      spark: SparkSession,
+      req: PublishRequest,
+      client: QueueClient,
+      maxAttempts: Int = 5): PublishResult = {
+    import spark.implicits._
+    val df = spark.read.parquet(req.paths: _*)
+    val messages = serialize(df, req.idColumn)
+    val sent = spark.sparkContext.longAccumulator("publishedRows")
+    val dead = messages.mapPartitions { it =>
+      var rows = 0L
+      val failed = sendPartition(
+        it.map { m => rows += 1; m }, client, maxAttempts).toVector
+      sent.add(rows - failed.size)
+      failed.iterator
+    }
+    // Dead letters are typically few (poison messages); collecting them is the
+    // driver-side DLQ hand-off, not a data-path collect.
+    val deadLetters = dead.collect().toSeq
+    PublishResult(req.paths, sent.value, deadLetters.size.toLong, deadLetters)
+  }
+}

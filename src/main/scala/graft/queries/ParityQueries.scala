@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.sources.DataGenerator
+
+/** Reference-parity operators (SURVEY.md §2.1/§2.2/§2.4/§2.6/§2.7): scans,
+  * identity projection, metadata count, row-range partitioning, JSON
+  * serialization, multi-path union, synthetic generation.
+  */
+object ParityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // P1: SELECT * identity scan (duckdb…/worker.go:14). Ordered by the PK so
+    // the dump is deterministic.
+    "scan_identity" -> ((s, dir) =>
+      t(s, dir, "customer").orderBy(col("c_custkey"))),
+
+    // A1/A2: COUNT(*) — answered from parquet footer metadata on both
+    // engines (duckdb…/handler.go:65-72; pr.GetNumRows() handler.go:173).
+    "count_star" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // O1: LIMIT/OFFSET row-range partition (duckdb…/worker.go:14,
+    // handler.go:75-95). Total order via the lineitem PK makes the range
+    // well-defined — the reference's version on an unordered file is not.
+    "range_partition" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .offset(2500).limit(1000)),
+
+    // F8/P2/S5: per-row JSON serialization (json.Marshal analog,
+    // parquetgo…/handler.go:54) — key order = column order on both engines.
+    "json_serialize" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          to_json(struct(col("c_custkey"), col("c_name"), col("c_acctbal")))
+            .as("js"))
+        .orderBy(col("c_custkey"))),
+
+    // X3/§2.7: multi-path scan = union-all of per-file scans
+    // (spark.read.parquet(paths: _*); reference loops files sequentially,
+    // parquetgo…/handler.go:118).
+    "multi_path_union" -> ((s, dir) =>
+      graft.Tables.multi(s, Seq(s"$dir/nation.parquet", s"$dir/nation.parquet"))
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_nationkey")).as("sum_key"))
+        .orderBy(col("n_regionkey"))),
+
+    // S7: deterministic synthetic Record generation (no SQL oracle — the
+    // driver records a rows-only check). Flattened: parquet dump of nested
+    // struct + arrays is exercised by the pipeline specs.
+    "gen_records" -> ((s, _) =>
+      DataGenerator.generate(s, 1000L, seed = 42L).toDF())
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_identity" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+    "count_star" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "range_partition" ->
+      """SELECT * FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber
+        |LIMIT 1000 OFFSET 2500""".stripMargin,
+    "json_serialize" ->
+      """SELECT c_custkey,
+        |  to_json(struct_pack(c_custkey := c_custkey, c_name := c_name,
+        |                      c_acctbal := c_acctbal))::VARCHAR AS js
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "multi_path_union" ->
+      """SELECT n_regionkey, count(*) AS cnt, sum(n_nationkey)::BIGINT AS sum_key
+        |FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+  )
+}
