@@ -17,7 +17,17 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs and
+      // convert with exact integer division (a double division would lose
+      // precision at 1e18 nanoseconds).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Multi-path scan (union of files) — the Spark-idiomatic restatement of the
     * reference's sequential per-file loop (SURVEY.md §2.7/X3).

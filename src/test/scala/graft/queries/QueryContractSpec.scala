@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Contract + physical-plan audits for the registered query inventory. */
+class QueryContractSpec extends SparkSpec {
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("every query runs at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      withClue(name) { assert(fn(spark, sfDir).count() >= 0L) }
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0L)
+  }
+
+  test("q6 filter is pushed down to the parquet scan") {
+    val plan = SparkEntry.queries("q6_filter_agg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    assert(plan.contains("l_shipdate"), plan.take(2000))
+    // column pruning: the scan must not read all 11 lineitem columns
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_returnflag"), "scan reads unneeded column")
+  }
+
+  test("q5 dimension joins broadcast (no shuffle join on small dims)") {
+    val plan = SparkEntry.queries("q5_join_agg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("count_star answers from metadata (no full column scan)") {
+    val plan = SparkEntry.queries("count_star")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // Parquet count(*) keeps an empty read schema — no data columns scanned
+    val exec = SparkEntry.queries("count_star")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("ReadSchema: struct<>") || exec.contains("struct<>"),
+      exec.take(2000))
+  }
+}
