@@ -23,10 +23,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ ParityQueries.queries
+    RelationalQueries.queries ++ ParityQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ ParityQueries.oracles
+    RelationalQueries.oracles ++ ParityQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExpressions
+
+/** Deduplication operators for training-data pipelines, each designed so the
+  * shuffle volume stays bounded at 100 TB:
+  *
+  *  - exact: one hash-shuffle on a 128-bit content key (never on raw text).
+  *  - MinHash+LSH: signatures computed scan-side; the only shuffle is on
+  *    (band, bandHash) keys whose cardinality ~ n·bands; exact Jaccard is
+  *    verified only for candidate pairs (≪ n²).
+  *  - SimHash: 64-bit fingerprints, blocked by 4×16-bit bands (any pair
+  *    within Hamming distance 3 must agree on at least one band), verified
+  *    with bit_count(xor).
+  *  - n-gram Jaccard: the exact quadratic form, for oracle verification on
+  *    bounded subsets only.
+  */
+object Dedup {
+
+  /** Word shingles (n-gram strings) of the text, deduplicated. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val ws = split(trim(lower(c)), "\\s+")
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+        i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
+  }
+
+  /** Exact dedup: keep the lowest `idCol` row per distinct content. Grouping
+    * key is md5(text) so the shuffle carries 16-byte keys, not document
+    * bodies; the oracle mirrors md5 exactly.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Exact Jaccard similarity of two (already distinct) shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Quadratic all-pairs n-gram Jaccard (oracle-checkable; use only on
+    * bounded subsets — the scale path is `minhashPairs`).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, nGram: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), nGram).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash signature: k permutation-minimums via salted xxhash64. */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shinglesCol, s => xxhash64(s, i))))
+
+  /** MinHash + LSH banding near-dup pairs with exact-Jaccard verification.
+    *
+    * Pipeline: shingle → k-hash signature (scan-side, no shuffle) → explode
+    * into `bands` (bandIdx, bandHash) keys → self-join on the band key →
+    * distinct candidate pairs → join signatures back → exact Jaccard filter.
+    * With k=64, bands=16 (r=4), a 0.95-Jaccard pair collides with
+    * probability ≈ 1 - (1-0.95⁴)¹⁶ ≈ 1.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 64, bands: Int = 16,
+      nGram: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sh = df
+      .select(col(idCol).as("id"), shingles(col(textCol), nGram).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r)), bi))))
+      .toDF("id", "band_idx", "band_hash")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(shA, "id_a").join(shB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-dup pairs: fingerprint via the native SimHash64 expression,
+    * block on 4×16-bit bands, verify with Hamming distance ≤ `maxHamming`
+    * (any pair with ≤3 differing bits shares at least one of 4 bands).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    HashExpressions.register(df.sparkSession)
+    val fp = df.select(col(idCol).as("id"),
+      expr(s"simhash64(split(trim(lower($textCol)), '\\\\s+'))").as("fp"))
+    val bandStructs = array((0 until 4).map { bi =>
+      struct(lit(bi).as("band_idx"),
+        shiftrightunsigned(col("fp"), bi * 16).bitwiseAND(0xffffL)
+          .as("band_key"))
+    }: _*)
+    val banded = fp.select(col("id"), col("fp"), explode(bandStructs).as("b"))
+      .select(col("id"), col("fp"),
+        col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding near-dup pairs by cosine similarity (exact quadratic form for
+    * bounded subsets; the ANN path lives in Similarity).
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline and the
+  *    right tool when the query set is small (broadcast the queries, stream
+  *    the corpus; no corpus shuffle).
+  *  - `srpTopK`: sign-random-projection LSH — each vector maps to a bucket
+  *    from `nBits` hyperplane signs; search only within the query's bucket.
+  *    At 100 TB the corpus is hash-partitioned by bucket so a query touches
+  *    one partition; an IVF (k-means-coarse) variant slots into the same
+  *    shape with learned centroids instead of random planes.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector (self excluded).
+    * Output: (qid, rank, nid, cos), deterministically ordered by the rounded
+    * similarity with id tie-break.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("v_n"))
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("v_q"))
+    val scored = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("v_q"), col("v_n")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Deterministic hyperplanes for SRP-LSH, seeded. */
+  private[operators] def planes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** SRP bucket id: one bit per hyperplane sign. */
+  def srpBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vecCol, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates share the query's SRP bucket. Trades
+    * recall for touching 1/2^nBits of the corpus per query; recall is
+    * measured against `bruteForceTopK` in the spec suite.
+    */
+  def srpTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nBits: Int = 8, seed: Long = 7L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val ps = planes(nBits, dim, seed)
+    val c = corpus.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("v_n"))
+      .withColumn("bucket", srpBucket(col("v_n"), ps))
+    val q = queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("v_q"))
+      .withColumn("bucket", srpBucket(col("v_q"), ps))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("v_q"), col("v_n")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

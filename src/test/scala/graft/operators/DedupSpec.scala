@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables.t
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps the lowest id per distinct content") {
+    val df = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"),
+      (4L, "gamma"), (5L, "delta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 3L, 5L))
+  }
+
+  test("jaccard pairs finds constructed near-duplicates, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base.replace("lazy", "sleepy")
+    val far = "completely different words that share nothing with that text"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("minhash LSH recovers every exact-jaccard pair on real documents") {
+    val docs = t(spark, sfDir, "documents")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain near-dups")
+    assert(lsh === exact,
+      s"missed=${exact -- lsh} spurious=${lsh -- exact}")
+  }
+
+  test("simhash pairs have small hamming distance for near-identical docs") {
+    val base = "spark query engine with columnar scans and hash joins for analytics"
+    val near = base + " extra"
+    val df = Seq((1L, base), (2L, near), (3L, "totally unrelated content here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("identical texts get identical simhash (hamming 0)") {
+    val df = Seq((1L, "same words here"), (2L, "same words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 0)
+    assert(out.count() === 1L)
+    assert(out.select("hamming").as[Int].head() === 0)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and thresholded") {
+    val emb = t(spark, sfDir, "embeddings").filter(col("vec_id") < 100)
+    val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.3).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getDouble(2) >= 0.3))
+  }
+}

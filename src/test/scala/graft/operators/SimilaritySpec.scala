@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables.t
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0, 0.0, 2.0), Seq(1.0, 0.0, 2.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    ).toDF("a", "b")
+    val cos = df.select(round(Similarity.cosine(col("a"), col("b")), 6))
+      .as[Double].collect()
+    assert(cos(0) === 1.0)
+    assert(cos(1) === 0.0)
+  }
+
+  test("brute-force top-k is self-excluding, ranked, and k-bounded") {
+    val emb = t(spark, sfDir, "embeddings")
+    val out = Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      .collect()
+    assert(out.length === 15)
+    assert(out.forall(r => r.getLong(0) != r.getLong(2))) // qid != nid
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
+      // similarity non-increasing with rank
+      assert(byRank.sliding(2).forall(p =>
+        p(0).getDouble(3) >= p(1).getDouble(3)))
+    }
+  }
+
+  test("SRP top-k candidates score identically to brute force (subset property)") {
+    val emb = t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 50)
+      .select("qid", "nid", "cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val srp = Similarity.srpTopK(emb, queries, "vec_id", "embedding", 5, nBits = 4)
+      .select("qid", "nid", "cos").as[(Long, Long, Double)].collect()
+    // every SRP result's cosine matches the exact computation when present
+    srp.foreach { case (q, n, c) =>
+      brute.get((q, n)).foreach(exact => assert(math.abs(exact - c) < 1e-9))
+    }
+    assert(srp.nonEmpty)
+  }
+
+  test("SRP recall against brute force is reasonable on real data") {
+    val emb = t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val srp = Similarity.srpTopK(emb, queries, "vec_id", "embedding", 5, nBits = 2)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (brute & srp).size.toDouble / brute.size
+    // random 64-d gaussian-ish vectors are a worst case for SRP; with 4
+    // buckets we still expect to recover a solid fraction of true neighbors
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+}

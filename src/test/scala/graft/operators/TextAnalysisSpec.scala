@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.HashExpressions
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace and bpe-ish") {
+    val df = Seq("the cat  sat", "a1 b2,c3!", "one").toDF("text")
+    val got = df.select(
+      TextAnalysis.tokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeishCount(col("text")).as("bpe"))
+      .as[(Int, Int)].collect()
+    assert(got(0) === ((3, 3)))
+    // "a1 b2,c3!" → a,1,b,2,",",c,3,"!" = 8 bpe-ish pieces, 2 ws tokens
+    assert(got(1) === ((2, 8)))
+    assert(got(2) === ((1, 1)))
+  }
+
+  test("language id picks the dominant function-word language") {
+    val df = Seq(
+      "the cat is in the house and it is warm",
+      "el perro y la casa en un dia que pasa",
+      "der hund und die katze ist ein tier zu hause",
+      "xyzzy qwerty plugh").toDF("text")
+    val got = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(got.toSeq === Seq("en", "es", "de", "und"))
+  }
+
+  test("quality score is within [0,1] and higher for richer text") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs to the hills in a day",
+      "x x x").toDF("text")
+    val got = df.select(TextAnalysis.qualityScore(col("text")))
+      .as[Double].collect()
+    assert(got.forall(s => s >= 0.0 && s <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("winnow fingerprint: shared substrings share hashes; short input is empty") {
+    HashExpressions.register(spark)
+    val df = Seq(
+      ("A", "the common long shared substring lives here untouched"),
+      ("B", "prefix then the common long shared substring lives here untouched"),
+      ("C", "nothing alike whatsoever in any way"),
+      ("D", "tiny")).toDF("id", "text")
+    val fp = df.select(col("id"),
+      expr("winnow_fingerprint(text, 8, 4)").as("fp"))
+      .as[(String, Seq[Long])].collect().toMap
+    val overlapAB = fp("A").toSet & fp("B").toSet
+    val overlapAC = fp("A").toSet & fp("C").toSet
+    assert(overlapAB.size > overlapAC.size)
+    assert(fp("D").isEmpty)
+  }
+
+  test("simhash64 registered function rejects wrong input type") {
+    HashExpressions.register(spark)
+    val err = intercept[Exception] {
+      Seq(1).toDF("x").select(expr("simhash64(x)")).collect()
+    }
+    assert(err.getMessage.contains("array<string>"))
+  }
+}
