@@ -24,11 +24,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ParityQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++ ExtendedQueries.queries ++
+      graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ ParityQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++ ExtendedQueries.oracles ++
+      graft.streaming.StreamingQueries.oracles
 }

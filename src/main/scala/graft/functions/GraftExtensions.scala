@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark-native plugin entry point: registers graft's Catalyst expressions
+  * into every session built with
+  *
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * so plain-SQL users (thriftserver, spark-sql, notebooks) get
+  * `simhash64`, `minhash_sig`, `word_shingles`, `winnow_fingerprint` without
+  * any imperative `register` call. `HashExpressions.register` remains for
+  * programmatic sessions; both routes build identical expression trees.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression): Int =
+    e.eval(InternalRow.empty).asInstanceOf[Number].intValue
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash fingerprint"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(array<string>, k) - k-minimum MinHash signature"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head, intArg(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(array<string>, n) - distinct word n-grams"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head, intArg(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
+      info("winnow_fingerprint", "winnow_fingerprint(string, k, w) - winnowing hashes"),
+      (exprs: Seq[Expression]) =>
+        WinnowFingerprint(exprs.head, intArg(exprs(1)), intArg(exprs(2)))))
+  }
+}

@@ -118,8 +118,124 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** Distinct word n-gram shingles of a token array: "w1 w2 w3" strings for
+  * each sliding window of `n` tokens; inputs shorter than `n` yield one
+  * shingle joining all tokens (matching the non-ANSI `concat_ws` +
+  * out-of-range `element_at` composition it replaces). First-occurrence
+  * order is preserved.
+  *
+  * Native because the HOF formulation (transform(sequence(...), i ->
+  * concat_ws(' ', element_at(ws, i)...))) is interpreted, and Catalyst's
+  * project-collapsing can re-inline the tokenizing `split` into every lambda
+  * element — re-splitting the document once per shingle term (O(tokens²)
+  * regex work observed at sf0.1).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires array<string>, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = child.nullable
+
+  private val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (m < n) {
+      val parts = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { parts(i) = arr.getUTF8String(i); i += 1 }
+      out.add(UTF8String.concatWs(space, parts: _*))
+    } else {
+      var i = 0
+      val parts = new Array[UTF8String](n)
+      while (i <= m - n) {
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        out.add(UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+    }
+    val res = new Array[Any](out.size())
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { res(o) = it.next(); o += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** MinHash signature: for each of `k` hash functions, the minimum hash over
+  * the token array. One pass per row: each token is base-hashed once, then
+  * `k` affine variants (odd multiplier + offset, SplitMix64-derived) update
+  * the running minima — O(|tokens|·k) long ops, no per-hash array
+  * materialization. The interpreted-HOF formulation of the same thing
+  * (transform(sequence(0,k-1), i -> array_min(transform(tokens, t ->
+  * xxhash64(t, i))))) costs two lambda dispatches and a k-element array per
+  * token and measured ~100× slower at sf0.1.
+  *
+  * Signature values only need to be a consistent hash family — near-dup
+  * recovery is verified against exact Jaccard in the spec suite.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = child.nullable
+
+  // Deterministic per-slot multipliers/offsets (SplitMix64 of the slot index;
+  // multiplier forced odd so it is a bijection on Z/2^64).
+  private lazy val mults: Array[Long] =
+    Array.tabulate(k)(i => HashExpressions.splitmix64(2L * i + 1L) | 1L)
+  private lazy val offs: Array[Long] =
+    Array.tabulate(k)(i => HashExpressions.splitmix64(2L * i + 2L))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = HashExpressions.hash64(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val v = mults(j) * h + offs(j)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
 /** Registration + shared hashing for graft's native expressions. */
 object HashExpressions {
+
+  /** SplitMix64 finalizer — cheap, well-mixed 64-bit hash of a long. */
+  private[functions] def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
 
   /** 64-bit hash of a UTF8String (two murmur3 passes with different seeds
     * combined — stable across JVMs, operates directly on the string's bytes).
@@ -145,5 +261,13 @@ object HashExpressions {
           e.eval(InternalRow.empty).asInstanceOf[Number].intValue
         WinnowFingerprint(exprs.head, intArg(exprs(1)), intArg(exprs(2)))
       }, "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSig(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue),
+      "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue),
+      "built-in")
   }
 }

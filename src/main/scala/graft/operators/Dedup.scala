@@ -21,12 +21,32 @@ import graft.functions.HashExpressions
   */
 object Dedup {
 
-  /** Word shingles (n-gram strings) of the text, deduplicated. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val ws = split(trim(lower(c)), "\\s+")
+  /** Word shingles (n-gram strings) from a materialized token-array column.
+    *
+    * `ws` MUST be a bound column (project `split(...)` into a column first),
+    * never an inline `split(...)` expression: higher-order lambdas are
+    * interpreted (CodegenFallback), and an inline subexpression is
+    * re-evaluated on every lambda invocation — turning shingling into
+    * O(tokens²) regex splits per row (measured 100× slowdown at sf0.1).
+    */
+  def shinglesFromTokens(ws: Column, n: Int = 3): Column =
     array_distinct(
       transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
         i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
+
+  /** Tokenize + shingle via the native `word_shingles` expression (one split
+    * + one tight loop per row). Output: (id, sh), repartitioned across all
+    * cores (a single local parquet file scans as one split; cluster scans
+    * arrive pre-split and the repartition collapses to a no-op cost-wise).
+    */
+  private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+      nGram: Int, numPartitions: Int): DataFrame = {
+    HashExpressions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        expr(s"word_shingles(split(trim(lower($textCol)), '\\\\s+'), $nGram)")
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .repartition(numPartitions, col("id"))
   }
 
   /** Exact dedup: keep the lowest `idCol` row per distinct content. Grouping
@@ -50,7 +70,8 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, nGram: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), nGram).as("sh"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh = shingleFrame(df, idCol, textCol, nGram, par).persist()
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, col("id_a") < col("id_b"))
@@ -60,32 +81,37 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** MinHash signature: k permutation-minimums via salted xxhash64. */
-  def minhashSignature(shinglesCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shinglesCol, s => xxhash64(s, i))))
-
   /** MinHash + LSH banding near-dup pairs with exact-Jaccard verification.
     *
-    * Pipeline: shingle → k-hash signature (scan-side, no shuffle) → explode
-    * into `bands` (bandIdx, bandHash) keys → self-join on the band key →
-    * distinct candidate pairs → join signatures back → exact Jaccard filter.
+    * Pipeline: shingle → k-hash signature (native `MinHashSig` expression,
+    * one pass per row, computed scan-side with no shuffle) → explode into
+    * `bands` (bandIdx, bandHash) keys → self-join on the band key →
+    * distinct candidate pairs → join shingles back → exact Jaccard filter.
     * With k=64, bands=16 (r=4), a 0.95-Jaccard pair collides with
     * probability ≈ 1 - (1-0.95⁴)¹⁶ ≈ 1.
+    *
+    * The shingle and banded frames are persisted: each feeds two branches
+    * (both sides of a self-join), and Spark would otherwise recompute the
+    * signatures per branch. At cluster scale the same role is played by
+    * writing the signature table once and joining against it.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 64, bands: Int = 16,
       nGram: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sh = df
-      .select(col(idCol).as("id"), shingles(col(textCol), nGram).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", minhashSignature(col("sh"), k))
+    HashExpressions.register(df.sparkSession)
+    // A single local parquet file scans as one split; spread the (cheap to
+    // shuffle, expensive to hash) raw text across all cores first. Cluster
+    // scans arrive pre-split and can skip this.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh = shingleFrame(df, idCol, textCol, nGram, par).persist()
+    val sig = sh.withColumn("sig", expr(s"minhash_sig(sh, $k)"))
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r)), bi))))
       .toDF("id", "band_idx", "band_hash")
+      .persist()
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -109,8 +135,11 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     HashExpressions.register(df.sparkSession)
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val fp = df.select(col(idCol).as("id"),
-      expr(s"simhash64(split(trim(lower($textCol)), '\\\\s+'))").as("fp"))
+        expr(s"simhash64(split(trim(lower($textCol)), '\\\\s+'))").as("fp"))
+      .repartition(par, col("id"))
+      .persist()
     val bandStructs = array((0 until 4).map { bi =>
       struct(lit(bi).as("band_idx"),
         shiftrightunsigned(col("fp"), bi * 16).bitwiseAND(0xffffL)

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators the reference lacks entirely (SURVEY.md §2.3/§2.5 mark
+  * joins and windows ABSENT) but any event-data engine needs: as-of join,
+  * range (interval) join, gap-based sessionization.
+  *
+  * Scale design notes (100 TB posture):
+  *
+  *  - `asOfJoin` deliberately avoids an inequality join (which Spark executes
+  *    as a broadcast-nested-loop or a cartesian — O(n·m) compares). Instead it
+  *    union-merges both sides and runs one `last(..., ignoreNulls)` window:
+  *    exactly one hash shuffle on the key plus an in-partition sort — the
+  *    same cost envelope as a sort-merge join, independent of how many right
+  *    rows precede each left row.
+  *  - `rangeJoin` broadcasts the interval table (dimension-sized by
+  *    assumption), so the fact side never shuffles.
+  *  - `sessionize` is two stacked windows over one shuffle on the
+  *    partition key.
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: for each left row, attach the payload of the
+    * latest right row with `rightTime <= leftTime` for the same key
+    * (ties at equal time resolve to the right row — i.e. `<=`, not `<`).
+    *
+    * The right side must be unique per (key, time); pre-aggregate it
+    * otherwise (e.g. `max_by(struct(...), tiebreak)`), or results would be
+    * nondeterministic in ANY engine.
+    *
+    * Output: all left columns, plus the right payload columns (null when no
+    * right row precedes the left row).
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lStruct = struct(leftCols.map(left(_)): _*)
+    val rStruct = struct(payload.map(right(_)): _*)
+    val rTagged = right.select(
+      right(rightKey).as("_k"), right(rightTime).as("_t"),
+      lit(0).as("_side"), rStruct.as("_r"))
+    // Left rows carry a typed-null right payload so the union lines up.
+    val rType = rTagged.schema("_r").dataType
+    val lTagged = left.select(
+      left(leftKey).as("_k"), left(leftTime).as("_t"),
+      lit(1).as("_side"), lit(null).cast(rType).as("_r"),
+      lStruct.as("_l"))
+    val merged = rTagged.withColumn("_l",
+        lit(null).cast(lTagged.schema("_l").dataType))
+      .unionByName(lTagged)
+    // _side=0 sorts before _side=1 at equal _t, so a right row exactly at the
+    // left row's time is visible to it (backward-inclusive semantics).
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(c => col(s"_l.$c").as(c)) ++
+        payload.map(c => col(s"_match.$c").as(c)): _*)
+  }
+
+  /** Range (interval) join: attach the dimension row whose [lo, hi) interval
+    * contains the fact's value. The ranges table is broadcast — the fact side
+    * keeps its partitioning and never shuffles.
+    */
+  def rangeJoin(fact: DataFrame, ranges: DataFrame, valueCol: String,
+      loCol: String, hiCol: String,
+      joinType: String = "inner"): DataFrame =
+    fact.join(broadcast(ranges),
+      fact(valueCol) >= ranges(loCol) && fact(valueCol) < ranges(hiCol),
+      joinType)
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same key exceeds `gapSeconds`. Adds
+    * `session_idx` (1-based per key) and `session_id` ("<key>#<idx>").
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      gapSeconds: Long, tiebreakCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("_prev_ts", lag(col(tsCol), 1).over(wOrd))
+      .withColumn("_new_session",
+        when(col("_prev_ts").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("_prev_ts")) >
+            gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("_new_session")).over(wRun))
+      .withColumn("session_id",
+        concat_ws("#", col(keyCol), col("session_idx")))
+      .drop("_prev_ts", "_new_session")
+  }
+}

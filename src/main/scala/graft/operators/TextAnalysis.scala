@@ -29,17 +29,17 @@ object TextAnalysis {
   val deStop = Seq("der", "die", "und", "das", "ist", "ein", "zu")
   val frStop = Seq("le", "les", "des", "et", "une", "est", "dans")
 
-  /** Count of tokens that appear in `words`. */
-  def stopHits(c: Column, words: Seq[String]): Column =
-    size(filter(tokens(c), w => w.isInCollection(words)))
+  /** Count of tokens (a materialized token-array column) in `words`. */
+  def stopHits(ws: Column, words: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(words)))
 
   /** Language-ID heuristic: score each candidate language by function-word
     * hits; deterministic priority chain (en > es > de > fr) breaks ties;
-    * 'und' when nothing matches.
+    * 'und' when nothing matches. `ws` is a materialized token column.
     */
-  def langId(c: Column): Column = {
-    val en = stopHits(c, enStop); val es = stopHits(c, esStop)
-    val de = stopHits(c, deStop); val fr = stopHits(c, frStop)
+  def langId(ws: Column): Column = {
+    val en = stopHits(ws, enStop); val es = stopHits(ws, esStop)
+    val de = stopHits(ws, deStop); val fr = stopHits(ws, frStop)
     when(en === 0 && es === 0 && de === 0 && fr === 0, "und")
       .when(en >= es && en >= de && en >= fr, "en")
       .when(es >= de && es >= fr, "es")
@@ -49,28 +49,35 @@ object TextAnalysis {
 
   /** Quality score in [0,1]: length factor, stopword density, and mean token
     * length, each capped. The exact arithmetic (including evaluation order
-    * and the final round) is mirrored in the oracle SQL.
+    * and the final round) is mirrored in the oracle SQL. `c` is the raw
+    * text, `ws` its materialized token column.
     */
-  def qualityScore(c: Column): Column = {
-    val nTokens = tokenCount(c).cast("double")
+  def qualityScore(c: Column, ws: Column): Column = {
+    val nTokens = size(ws).cast("double")
     val nonspace = length(regexp_replace(c, "\\s", "")).cast("double")
     val avgTok = nonspace / nTokens
-    val stopRatio = stopHits(c, enStop).cast("double") / nTokens
+    val stopRatio = stopHits(ws, enStop).cast("double") / nTokens
     round(
       least(nTokens / 100.0, lit(1.0)) * 0.4 +
       stopRatio * 0.3 +
       least(avgTok / 8.0, lit(1.0)) * 0.3, 6)
   }
 
-  /** Full per-document analysis projection used by the registered queries. */
+  /** Full per-document analysis projection used by the registered queries.
+    * Tokenizes ONCE into a bound column, then derives every measure from it —
+    * the stopword/langid lambdas are interpreted (CodegenFallback), and an
+    * inline `split` subexpression would be re-evaluated per lambda call.
+    */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
-    docs.select(
-      col("doc_id"),
-      tokenCount(c).as("n_tokens"),
-      bpeishCount(c).as("n_bpeish"),
-      length(c).as("n_chars_m"),
-      langId(c).as("lang_pred"),
-      qualityScore(c).as("quality"))
+    docs
+      .select(col("doc_id"), c, tokens(c).as("_ws"))
+      .select(
+        col("doc_id"),
+        size(col("_ws")).as("n_tokens"),
+        bpeishCount(c).as("n_bpeish"),
+        length(c).as("n_chars_m"),
+        langId(col("_ws")).as("lang_pred"),
+        qualityScore(c, col("_ws")).as("quality"))
   }
 }

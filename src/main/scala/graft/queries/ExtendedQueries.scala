@@ -1,0 +1,329 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.Aggregators
+import graft.operators.TemporalJoins
+
+/** Extended operator families: temporal joins (as-of / range / session),
+  * pivot, grouping sets, string/list aggregation, custom UDAF, statistical
+  * aggregates, approximate aggregates (tolerance-checked), and scalar
+  * function batteries (date / string / conditional / map / array / explode).
+  *
+  * Approx-aggregate oracle technique: the query returns the EXACT value plus
+  * a boolean `approx_ok` asserting the approximate form landed within
+  * tolerance; the oracle computes the exact value and a literal TRUE — so the
+  * hash compare verifies both the exact baseline and the sketch's bound.
+  */
+object ExtendedQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // --- Temporal joins -----------------------------------------------------
+    // For each click, the latest prior purchase of the same user. Right side
+    // is made unique per (user, ts) first (max event_id wins) so the result
+    // is deterministic in every engine.
+    "asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("ts"),
+          col("m.event_id").as("p_event_id"), col("m.value").as("p_value"))
+      TemporalJoins.asOfJoin(clicks, purchases,
+          "user_id", "user_id", "ts", "ts", Seq("p_event_id", "p_value"))
+        .select(col("event_id"), col("user_id"),
+          col("p_event_id"), round(col("p_value"), 2).as("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Broadcast interval join: band each event's value into literal buckets.
+    "range_join_bucket" -> ((s, dir) => {
+      val ranges = s.createDataFrame(Seq(
+        ("xs", 0.0, 50.0), ("s", 50.0, 150.0),
+        ("m", 150.0, 300.0), ("l", 300.0, 1000.0)))
+        .toDF("band", "lo", "hi")
+      TemporalJoins.rangeJoin(t(s, dir, "events"), ranges, "value", "lo", "hi")
+        .select(col("event_id"), col("band"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Gap-based sessionization (30-minute inactivity gap per user).
+    "sessionize" -> ((s, dir) =>
+      TemporalJoins.sessionize(t(s, dir, "events"),
+          "user_id", "ts", gapSeconds = 1800L, tiebreakCol = "event_id")
+        .select(col("event_id"), col("user_id"),
+          col("session_idx"), col("session_id"))
+        .orderBy(col("event_id"))),
+
+    // --- Pivot / grouping sets ---------------------------------------------
+    "pivot_status" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p")
+        .orderBy(col("o_orderpriority"))),
+
+    "grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    // --- String/list aggregation + custom UDAF + statistics -----------------
+    "str_agg" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",")
+          .as("names"))
+        .orderBy(col("s_nationkey"))),
+
+    // Custom typed Aggregator (two-phase mergeable; functions/Aggregators).
+    "udaf_geomean" -> ((s, dir) => {
+      Aggregators.register(s)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("geo_mean(l_extendedprice)"), 4).as("gm_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "corr_covar" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("qty_price_cov"))
+        .orderBy(col("l_returnflag"))),
+
+    // --- Approximate aggregates (tolerance-checked against exact) -----------
+    "approx_distinct_check" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count_distinct(col("l_partkey")).as("exact_nd"),
+        (abs(approx_count_distinct(col("l_partkey")) -
+            count_distinct(col("l_partkey"))).cast("double") <=
+          count_distinct(col("l_partkey")).cast("double") * 0.1)
+          .as("approx_ok"))),
+
+    "approx_median_check" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_median"),
+        (abs(expr("percentile_approx(l_extendedprice, 0.5, 10000)") -
+            expr("percentile(l_extendedprice, 0.5)")) <=
+          expr("percentile(l_extendedprice, 0.5)") * 0.01).as("approx_ok"))),
+
+    // --- Scalar function batteries ------------------------------------------
+    "date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          datediff(lit("2000-01-01").cast("date"),
+            col("o_orderdate").cast("date")).as("d_diff"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+          last_day(col("o_orderdate").cast("date")).as("eom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .orderBy(col("o_orderkey"))),
+
+    "string_funcs" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "(\\w+)$", 1).as("last_word"),
+          regexp_replace(col("p_type"), "[AEIOU]", "_").as("defanged"),
+          split(col("p_name"), " ").getItem(0).as("first_word"),
+          levenshtein(col("p_brand"), lit("Brand#1")).as("lev"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size4"),
+          reverse(col("p_name")).as("rev"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tr"))
+        .orderBy(col("p_partkey"))),
+
+    "cond_null_funcs" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+            lit("(redacted)")).as("seg"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_pos"),
+          least(col("c_acctbal"), lit(5000.0)).as("bal_cap"),
+          when(col("c_acctbal") < 0, "neg").otherwise("pos").as("sign"))
+        .orderBy(col("c_custkey"))),
+
+    "map_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          element_at(map(lit("s"), col("o_orderstatus"),
+            lit("p"), col("o_orderpriority")), "s").as("m_status"),
+          array_join(map_keys(map(lit("s"), col("o_orderstatus"),
+            lit("p"), col("o_orderpriority"))), ",").as("m_keys"),
+          element_at(str_to_map(
+            concat(lit("a:1,b:"), col("o_orderkey").cast("string"))), "b")
+            .as("m_b"))
+        .orderBy(col("o_orderkey"))),
+
+    "array_funcs" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(v, 1), 4).as("e1"),
+          round(aggregate(slice(array_sort(v), 1, 5), lit(0.0), _ + _), 4)
+            .as("sum_low5"),
+          round(aggregate(zip_with(v, v, _ * _), lit(0.0), _ + _), 4)
+            .as("norm_sq"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Lateral explode: token rows with positions (generator/UDTF family).
+    "explode_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+")))
+        .toDF("doc_id", "pos", "token")
+        .orderBy(col("doc_id"), col("pos")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS p_event_id,
+        |    arg_max(value, event_id) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |c AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, p.p_event_id,
+        |  round(p.p_value, 2) AS p_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "range_join_bucket" ->
+      """SELECT e.event_id, r.band
+        |FROM events e
+        |JOIN (VALUES ('xs', 0.0, 50.0), ('s', 50.0, 150.0),
+        |             ('m', 150.0, 300.0), ('l', 300.0, 1000.0)) r(band, lo, hi)
+        |  ON e.value >= r.lo AND e.value < r.hi
+        |ORDER BY e.event_id""".stripMargin,
+
+    "sessionize" ->
+      """SELECT event_id, user_id, session_idx,
+        |  user_id || '#' || session_idx AS session_id
+        |FROM (
+        |  SELECT event_id, user_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |      CASE WHEN lag(ts) OVER w IS NULL
+        |             OR epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+        |        AS is_new
+        |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+        |ORDER BY event_id""".stripMargin,
+
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "str_agg" ->
+      """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "udaf_geomean" ->
+      """SELECT l_returnflag,
+        |  round(exp(avg(ln(l_extendedprice))), 4) AS gm_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "corr_covar" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "approx_distinct_check" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_nd, TRUE AS approx_ok
+        |FROM lineitem""".stripMargin,
+
+    "approx_median_check" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
+        |  TRUE AS approx_ok
+        |FROM lineitem""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |  date_diff('day', o_orderdate::DATE, DATE '2000-01-01') AS d_diff,
+        |  (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus3m,
+        |  last_day(o_orderdate::DATE) AS eom,
+        |  dayofweek(o_orderdate)::INT + 1 AS dow,
+        |  quarter(o_orderdate)::INT AS qtr,
+        |  dayofyear(o_orderdate)::INT AS doy,
+        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "string_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '(\w+)$', 1) AS last_word,
+        |  regexp_replace(p_type, '[AEIOU]', '_', 'g') AS defanged,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  levenshtein(p_brand, 'Brand#1') AS lev,
+        |  lpad(p_size::VARCHAR, 4, '0') AS size4,
+        |  reverse(p_name) AS rev,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS tr
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "cond_null_funcs" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(redacted)') AS seg,
+        |  greatest(c_acctbal, 0.0) AS bal_pos,
+        |  least(c_acctbal, 5000.0) AS bal_cap,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "map_funcs" ->
+      """SELECT o_orderkey,
+        |  o_orderstatus AS m_status,
+        |  's,p' AS m_keys,
+        |  o_orderkey::VARCHAR AS m_b
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "array_funcs" ->
+      """SELECT vec_id,
+        |  len(embedding)::INT AS dim,
+        |  round(embedding[1]::DOUBLE, 4) AS e1,
+        |  round(list_sum(list_sort(embedding::DOUBLE[])[1:5]), 4) AS sum_low5,
+        |  round(list_inner_product(embedding::DOUBLE[],
+        |                           embedding::DOUBLE[]), 4) AS norm_sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "explode_tokens" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, i - 1 AS pos, ws[i] AS token
+        |FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)
+        |ORDER BY doc_id, pos""".stripMargin
+  )
+}

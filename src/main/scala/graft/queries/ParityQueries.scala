@@ -56,7 +56,24 @@ object ParityQueries {
     // driver records a rows-only check). Flattened: parquet dump of nested
     // struct + arrays is exercised by the pipeline specs.
     "gen_records" -> ((s, _) =>
-      DataGenerator.generate(s, 1000L, seed = 42L).toDF())
+      DataGenerator.generate(s, 1000L, seed = 42L).toDF()),
+
+    // S5+S6+F8/F9 end-to-end: the reference's whole pipeline — parquet scan →
+    // to_json → batched queue publish → consume → from_json — then an
+    // aggregate over the round-tripped rows. Matching the oracle run directly
+    // on the source table proves the transport is lossless.
+    "publish_roundtrip" -> ((s, dir) => {
+      val qn = s"roundtrip-${java.util.UUID.randomUUID()}"
+      graft.pipeline.Publisher.publish(s,
+        graft.pipeline.Publisher.PublishRequest(
+          Seq(s"$dir/customer.parquet"), idColumn = "c_custkey"),
+        new graft.pipeline.InMemoryQueueClient(qn))
+      val schema = s.read.parquet(s"$dir/customer.parquet").schema
+      graft.pipeline.Consumer.consume(s, qn, schema)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .orderBy(col("c_mktsegment"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -76,6 +93,9 @@ object ParityQueries {
     "multi_path_union" ->
       """SELECT n_regionkey, count(*) AS cnt, sum(n_nationkey)::BIGINT AS sum_key
         |FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)
-        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "publish_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+
+import graft.Tables
+
+/** Structured-Streaming operators run to completion over a bounded file
+  * source (`Trigger.AvailableNow`) so their final result is a plain
+  * DataFrame the driver can oracle-check: the same code shape runs unbounded
+  * in production — only the trigger and source change.
+  *
+  *  - event-time tumbling-window aggregation with a watermark;
+  *  - arbitrary stateful processing via `mapGroupsWithState` (per-key
+  *    running counts — state lives in the state store, partitioned by key,
+  *    which is what scales it: each executor holds only its keys' state).
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Streaming scan of the events table. Parquet TIMESTAMP(NANOS) is read as
+    * raw longs (same legacy conf as the batch path in Tables.t) and converted
+    * with exact integer division.
+    */
+  private def rawEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource wants a directory it can watch for arriving files;
+    // stage the bounded input into one (in production this IS the landing
+    // directory and the stream just keeps running).
+    val stage = Files.createTempDirectory("graft-stream-in-")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    s.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  private def runToTable(df: DataFrame, mode: String,
+      s: SparkSession): DataFrame = {
+    val qn = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val cp = Files.createTempDirectory("graft-ckpt-").toString
+    val q = df.writeStream.format("memory").queryName(qn)
+      .outputMode(mode)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qn)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling event-time window + watermark, run to completion. Identical
+    // results to the batch `time_window_agg` — which is exactly the point.
+    "streaming_window_agg" -> ((s, dir) => {
+      val agg = rawEvents(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n"), col("total"))
+      runToTable(agg, "complete", s)
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    // Arbitrary stateful: per-user running event count in GroupState. The
+    // memory sink (update mode) records one row per key per micro-batch;
+    // max(n) per key is the final count regardless of how the source was
+    // split into batches.
+    "streaming_stateful_count" -> ((s, dir) => {
+      import s.implicits._
+      val perKey = rawEvents(s, dir)
+        .select(col("user_id")).as[Long]
+        .groupByKey(identity)
+        .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            (uid, n)
+        }
+        .toDF("user_id", "n")
+      runToTable(perKey, "update", s)
+        .groupBy(col("user_id")).agg(max(col("n")).as("n"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "streaming_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "streaming_stateful_count" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("word_shingles: sliding n-grams, distinct, short-input join-all") {
+    HashExpressions.register(spark)
+    val got = Seq(
+      ("a b c d", 0), ("a b", 1), ("x", 2), ("a b a b a b", 3))
+      .toDF("text", "k")
+      .select(col("k"), expr("word_shingles(split(text, ' '), 3)").as("sh"))
+      .as[(Int, Seq[String])].collect().toMap
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq("a b"))
+    assert(got(2) === Seq("x"))
+    // duplicates collapse, first occurrence order kept
+    assert(got(3) === Seq("a b a", "b a b"))
+  }
+
+  test("minhash_sig: k values, deterministic, permutation-invariant-ish") {
+    HashExpressions.register(spark)
+    val df = Seq(
+      ("same", Seq("a", "b", "c")),
+      ("same2", Seq("c", "b", "a")),   // same set, different order
+      ("other", Seq("x", "y", "z"))
+    ).toDF("id", "toks")
+      .select(col("id"), expr("minhash_sig(toks, 16)").as("sig"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(df("same").length === 16)
+    // min over a set is order-invariant
+    assert(df("same") === df("same2"))
+    assert(df("same") !== df("other"))
+  }
+
+  test("GraftExtensions registers SQL functions via spark.sql.extensions") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // Reuses the already-running SparkContext; only the session (and its
+      // injected functions) is new. withExtensions is the builder-level
+      // route; spark.sql.extensions=graft.functions.GraftExtensions is the
+      // equivalent static conf on a fresh JVM (it is read at SparkContext
+      // creation, so it can't be exercised from this shared-context suite).
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val row = s2.sql(
+        """SELECT simhash64(array('a','b')) AS h,
+          |  size(minhash_sig(array('a'), 8)) AS k,
+          |  word_shingles(array('a','b','c'), 2) AS sh,
+          |  size(winnow_fingerprint('abcdefghijklmnop', 4, 3)) AS w
+          |""".stripMargin).head()
+      assert(row.getAs[Long]("h") !== 0L)
+      assert(row.getAs[Int]("k") === 8)
+      assert(row.getAs[Seq[String]]("sh") === Seq("a b", "b c"))
+      assert(row.getAs[Int]("w") > 0)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

@@ -26,7 +26,8 @@ class TextAnalysisSpec extends SparkSpec {
       "el perro y la casa en un dia que pasa",
       "der hund und die katze ist ein tier zu hause",
       "xyzzy qwerty plugh").toDF("text")
-    val got = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    val got = df.select(TextAnalysis.langId(TextAnalysis.tokens(col("text"))))
+      .as[String].collect()
     assert(got.toSeq === Seq("en", "es", "de", "und"))
   }
 
@@ -34,7 +35,8 @@ class TextAnalysisSpec extends SparkSpec {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog and runs to the hills in a day",
       "x x x").toDF("text")
-    val got = df.select(TextAnalysis.qualityScore(col("text")))
+    val got = df.select(TextAnalysis.qualityScore(col("text"),
+        TextAnalysis.tokens(col("text"))))
       .as[Double].collect()
     assert(got.forall(s => s >= 0.0 && s <= 1.0))
     assert(got(0) > got(1))

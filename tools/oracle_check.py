@@ -37,7 +37,7 @@ def main():
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
-        spark_glob = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        spark_glob = glob.glob(os.path.join(out_dir, name + ".parquet", "*.parquet"))
         if not spark_glob:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
