@@ -25,6 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ParityQueries.queries ++
       PipelineQueries.queries ++ ExtendedQueries.queries ++
+      FormatQueries.queries ++
       graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ ParityQueries.oracles ++
       PipelineQueries.oracles ++ ExtendedQueries.oracles ++
+      FormatQueries.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

@@ -57,6 +57,53 @@ object Similarity {
       when(dot(vecCol, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns every
+    * vector to its nearest of `nCentroids` centroid buckets; a query probes
+    * its `nProbe` closest buckets only.
+    *
+    * Centroids here are a deterministic hash-ordered sample of the corpus
+    * (k-means iterations would refine them, but the partitioning shape — the
+    * thing that matters for scale — is identical). At 100 TB the corpus is
+    * written bucket-partitioned, so a query reads `nProbe/nCentroids` of the
+    * data; assignment is scan-side column arithmetic with no shuffle, and
+    * only the (small) centroid table is broadcast — here as literals.
+    * Recall vs `bruteForceTopK` is asserted in the spec suite.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      seed: Long = 11L): DataFrame = {
+    val cent: Array[(Int, Seq[Double])] = corpus
+      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .orderBy(xxhash64(col("cid"), lit(seed)))
+      .limit(nCentroids)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    // Per-bucket scored array → sorted desc by similarity → ranked prefix.
+    def bucketScores(v: Column): Column =
+      sort_array(array(cent.map { case (i, cv) =>
+        struct(cosine(v, typedlit(cv)).as("sim"), lit(i).as("bucket"))
+      }: _*), asc = false)
+    val c = corpus.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("v_n"))
+      .withColumn("bucket", bucketScores(col("v_n")).getItem(0).getField("bucket"))
+    val q = queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("v_q"))
+      .select(col("qid"), col("v_q"),
+        explode(slice(bucketScores(col("v_q")), 1, nProbe)).as("probe"))
+      .select(col("qid"), col("v_q"), col("probe.bucket").as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("v_q"), col("v_n")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Approximate top-k: candidates share the query's SRP bucket. Trades
     * recall for touching 1/2^nBits of the corpus per query; recall is
     * measured against `bruteForceTopK` in the spec suite.

@@ -61,6 +61,19 @@ object ExtendedQueries {
           col("session_idx"), col("session_id"))
         .orderBy(col("event_id"))),
 
+    // Skew-resistant two-phase aggregation: pre-aggregate on (key, salt) so a
+    // hot key's rows spread over 8 reducers before the final per-key merge.
+    // Identical results to the direct groupBy — which is what the oracle
+    // checks; the payoff is at 100 TB when one user_id holds 1% of all rows.
+    "salted_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("_salt", pmod(col("event_id"), lit(8)))
+        .groupBy(col("user_id"), col("_salt"))
+        .agg(count(lit(1)).as("c"), sum(col("value")).as("v"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n"), round(sum(col("v")), 2).as("total"))
+        .orderBy(col("user_id"))),
+
     // --- Pivot / grouping sets ---------------------------------------------
     "pivot_status" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -232,6 +245,10 @@ object ExtendedQueries {
         |        AS is_new
         |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
         |ORDER BY event_id""".stripMargin,
+
+    "salted_agg" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "pivot_status" ->
       """SELECT o_orderpriority,

@@ -1,0 +1,118 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Source/sink format coverage beyond parquet (the reference reads and
+  * writes parquet only — SURVEY.md §2.1): CSV and JSON round-trips, a
+  * hive-style partitioned write scanned back with partition pruning, and a
+  * bucketed co-located join. Each query routes the data through the format
+  * under test and aggregates the round-tripped rows; the oracle runs on the
+  * original table, so a hash match proves the format path is lossless.
+  */
+object FormatQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val queries: Map[String, Q] = Map(
+    // CSV sink + source (schema-applied read; header mode).
+    "csv_roundtrip" -> ((s, dir) => {
+      val out = tmp("graft-csv-")
+      val nation = t(s, dir, "nation")
+      nation.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").schema(nation.schema).csv(out)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_nationkey")).as("sum_key"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // JSON-lines sink + source.
+    "json_roundtrip" -> ((s, dir) => {
+      val out = tmp("graft-json-")
+      val supplier = t(s, dir, "supplier")
+      supplier.write.mode("overwrite").json(out)
+      s.read.schema(supplier.schema).json(out)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s_acctbal")), 2).as("bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // Hive-style partitioned write, then a scan whose filter prunes to one
+    // partition directory (the plan's "partition filters" — at 100 TB this
+    // is the difference between reading one directory and the whole table).
+    "partitioned_write_scan" -> ((s, dir) => {
+      val out = tmp("graft-part-")
+      t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Bucketed tables joined on the bucket key: both sides pre-hashed into
+    // the same bucket layout, so the join plan has NO shuffle exchange —
+    // the on-disk analog of co-partitioning, and the way a 100 TB fact table
+    // joins a large dimension repeatedly without re-shuffling either side.
+    "bucketed_join" -> ((s, dir) => {
+      // DROP alone is not enough across JVMs: the in-memory catalog forgets
+      // the table but its warehouse directory survives and blocks the next
+      // saveAsTable, so remove the location too.
+      def dropManaged(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      dropManaged("graft_orders_b")
+      dropManaged("graft_customer_b")
+      t(s, dir, "orders").write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").mode("overwrite").saveAsTable("graft_orders_b")
+      t(s, dir, "customer").write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey").mode("overwrite").saveAsTable("graft_customer_b")
+      val o = s.table("graft_orders_b")
+      val c = s.table("graft_customer_b")
+      // merge hint: at test scale Catalyst would broadcast the small side,
+      // which hides what bucketing buys; the 100 TB case is two LARGE tables,
+      // where the sort-merge join below runs with ZERO exchanges because both
+      // sides are already bucket-partitioned (and sorted) on the join key.
+      o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "csv_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS cnt, sum(n_nationkey)::BIGINT AS sum_key
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "json_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "partitioned_write_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

@@ -77,6 +77,21 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5, nBits = 4)
     }),
 
+    // IVF coarse-quantizer ANN (no SQL oracle — recall vs brute force is
+    // asserted in SimilaritySpec; the driver records a rows-only check).
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+    }),
+
+    // Token frequency top-k over the whole corpus (explode → two-phase agg).
+    "token_freq_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)),
+
     // --- Text analysis ------------------------------------------------------
     "text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -97,6 +112,12 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "token_freq_topk" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
     "dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,

@@ -66,6 +66,21 @@ object StreamingQueries {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    // Streaming dedup: the source unioned with itself duplicates every event;
+    // dropDuplicates keys state on event_id so each survives once, and the
+    // downstream counts must equal the batch counts over the original table.
+    // (Unbounded dedup state here; production bounds it with
+    // dropDuplicatesWithinWatermark once ids can't recur past the watermark.)
+    "streaming_dedup" -> ((s, dir) => {
+      val ev = rawEvents(s, dir)
+      val deduped = ev.union(ev)
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToTable(deduped, "complete", s)
+        .orderBy(col("event_type"))
+    }),
+
     // Arbitrary stateful: per-user running event count in GroupState. The
     // memory sink (update mode) records one row per key per micro-batch;
     // max(n) per key is the final count regardless of how the source was
@@ -93,6 +108,10 @@ object StreamingQueries {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "streaming_dedup" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "streaming_stateful_count" ->
       """SELECT user_id, count(*) AS n FROM events

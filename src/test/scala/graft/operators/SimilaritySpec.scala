@@ -50,6 +50,29 @@ class SimilaritySpec extends SparkSpec {
     assert(srp.nonEmpty)
   }
 
+  test("IVF top-k: exact scores on probed buckets; recall beats single-probe") {
+    val emb = t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid", "cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nCentroids = 8, nProbe = 4)
+      .select("qid", "nid", "cos").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, n, c) =>
+      brute.get((q, n)).foreach(exact => assert(math.abs(exact - c) < 1e-9))
+    }
+    val recallWide = (brute.keySet & ivf.map(r => (r._1, r._2)).toSet).size
+      .toDouble / brute.size
+    val narrow = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nCentroids = 8, nProbe = 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recallNarrow = (brute.keySet & narrow).size.toDouble / brute.size
+    assert(recallWide >= recallNarrow)
+    assert(recallWide >= 0.4, s"recall=$recallWide")
+  }
+
   test("SRP recall against brute force is reasonable on real data") {
     val emb = t(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
