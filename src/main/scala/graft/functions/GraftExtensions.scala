@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("winnow_fingerprint", "winnow_fingerprint(string, k, w) - winnowing hashes"),
       (exprs: Seq[Expression]) =>
         WinnowFingerprint(exprs.head, intArg(exprs(1)), intArg(exprs(2)))))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(array<double>, array<double>) - dot product"),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -226,6 +226,43 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Dot product of two double arrays — the inner loop of every cosine /
+  * distance computation in the similarity family. Native because the
+  * functional formulation (aggregate(zip_with(a, b, *), 0.0, +)) allocates a
+  * zipped array and dispatches two interpreted lambdas per element; this is
+  * a single fused loop over the unsafe array data.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires (array<double>, array<double>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecDot = copy(left = l, right = r)
+}
+
 /** Registration + shared hashing for graft's native expressions. */
 object HashExpressions {
 
@@ -269,5 +306,7 @@ object HashExpressions {
       exprs => WordShingles(exprs.head,
         exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue),
       "built-in")
+    reg.createOrReplaceTempFunction("vec_dot",
+      exprs => VecDot(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -168,13 +168,17 @@ object Dedup {
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    HashExpressions.register(df.sparkSession)
+    // Norm computed once per vector; each pair costs one fused native dot.
     val v = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", sqrt(call_function("vec_dot", col("v"), col("v"))))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+        round(call_function("vec_dot", col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashExpressions
+
 /** Similarity search over an embedding column (array<float>).
   *
   *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline and the
@@ -11,9 +13,16 @@ import org.apache.spark.sql.functions._
   *    the corpus; no corpus shuffle).
   *  - `srpTopK`: sign-random-projection LSH — each vector maps to a bucket
   *    from `nBits` hyperplane signs; search only within the query's bucket.
-  *    At 100 TB the corpus is hash-partitioned by bucket so a query touches
-  *    one partition; an IVF (k-means-coarse) variant slots into the same
-  *    shape with learned centroids instead of random planes.
+  *  - `ivfTopK`: inverted-file ANN — coarse-quantizer buckets, query probes
+  *    its `nProbe` closest.
+  *    At 100 TB the corpus is hash/bucket-partitioned so a query touches its
+  *    probe set only; see SCALE.md.
+  *
+  * Hot-loop arithmetic uses the native `vec_dot` expression and per-vector
+  * precomputed norms: the pairwise score is then one fused array loop + one
+  * divide, instead of three interpreted aggregate/zip_with lambdas per pair.
+  * The HOF forms (`dot`/`norm`/`cosine`) remain as the readable reference
+  * implementation and for ad-hoc column use.
   */
 object Similarity {
 
@@ -24,19 +33,31 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native-dot cosine from precomputed norms. */
+  private def cosFast(va: Column, vb: Column, na: Column, nb: Column): Column =
+    call_function("vec_dot", va, vb) / (na * nb)
+
+  /** (id, vec, norm) projection with the norm computed once per vector. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, normAs: String): DataFrame = {
+    HashExpressions.register(df.sparkSession)
+    df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vecAs))
+      .withColumn(normAs,
+        sqrt(call_function("vec_dot", col(vecAs), col(vecAs))))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (self excluded).
     * Output: (qid, rank, nid, cos), deterministically ordered by the rounded
     * similarity with id tie-break.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"),
-      col(vecCol).cast("array<double>").as("v_n"))
-    val q = queries.select(col(idCol).as("qid"),
-      col(vecCol).cast("array<double>").as("v_q"))
+    val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n")
+    val q = withNorm(queries, idCol, vecCol, "qid", "v_q", "n_q")
     val scored = q.join(c, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        round(cosine(col("v_q"), col("v_n")), 6).as("cos"))
+        round(cosFast(col("v_q"), col("v_n"), col("n_q"), col("n_n")), 6)
+          .as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
@@ -54,8 +75,34 @@ object Similarity {
   /** SRP bucket id: one bit per hyperplane sign. */
   def srpBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vecCol, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(call_function("vec_dot", vecCol, typedlit(p)) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Approximate top-k: candidates share the query's SRP bucket. Trades
+    * recall for touching 1/2^nBits of the corpus per query; recall is
+    * measured against `bruteForceTopK` in the spec suite.
+    */
+  def srpTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nBits: Int = 8, seed: Long = 7L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val ps = planes(nBits, dim, seed)
+    val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n")
+      .withColumn("bucket", srpBucket(col("v_n"), ps))
+    val q = withNorm(queries, idCol, vecCol, "qid", "v_q", "n_q")
+      .withColumn("bucket", srpBucket(col("v_q"), ps))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosFast(col("v_q"), col("v_n"), col("n_q"), col("n_n")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
 
   /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns every
     * vector to its nearest of `nCentroids` centroid buckets; a query probes
@@ -72,56 +119,37 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       seed: Long = 11L): DataFrame = {
-    val cent: Array[(Int, Seq[Double])] = corpus
+    HashExpressions.register(corpus.sparkSession)
+    val cent: Array[(Int, Seq[Double], Double)] = corpus
       .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
       .orderBy(xxhash64(col("cid"), lit(seed)))
       .limit(nCentroids)
       .collect()
       .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+      .map { case (r, i) =>
+        val v = r.getSeq[Double](1)
+        (i, v, math.sqrt(v.map(x => x * x).sum))
+      }
     // Per-bucket scored array → sorted desc by similarity → ranked prefix.
-    def bucketScores(v: Column): Column =
-      sort_array(array(cent.map { case (i, cv) =>
-        struct(cosine(v, typedlit(cv)).as("sim"), lit(i).as("bucket"))
+    def bucketScores(v: Column, n: Column): Column =
+      sort_array(array(cent.map { case (i, cv, cn) =>
+        struct((call_function("vec_dot", v, typedlit(cv)) / (n * cn))
+          .as("sim"), lit(i).as("bucket"))
       }: _*), asc = false)
-    val c = corpus.select(col(idCol).as("nid"),
-        col(vecCol).cast("array<double>").as("v_n"))
-      .withColumn("bucket", bucketScores(col("v_n")).getItem(0).getField("bucket"))
-    val q = queries.select(col(idCol).as("qid"),
-        col(vecCol).cast("array<double>").as("v_q"))
-      .select(col("qid"), col("v_q"),
-        explode(slice(bucketScores(col("v_q")), 1, nProbe)).as("probe"))
-      .select(col("qid"), col("v_q"), col("probe.bucket").as("bucket"))
+    val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n")
+      .withColumn("bucket",
+        bucketScores(col("v_n"), col("n_n")).getItem(0).getField("bucket"))
+    val q = withNorm(queries, idCol, vecCol, "qid", "v_q", "n_q")
+      .select(col("qid"), col("v_q"), col("n_q"),
+        explode(slice(bucketScores(col("v_q"), col("n_q")), 1, nProbe))
+          .as("probe"))
+      .select(col("qid"), col("v_q"), col("n_q"),
+        col("probe.bucket").as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        round(cosine(col("v_q"), col("v_n")), 6).as("cos"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cos"))
-      .orderBy(col("qid"), col("rank"))
-  }
-
-  /** Approximate top-k: candidates share the query's SRP bucket. Trades
-    * recall for touching 1/2^nBits of the corpus per query; recall is
-    * measured against `bruteForceTopK` in the spec suite.
-    */
-  def srpTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nBits: Int = 8, seed: Long = 7L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    val ps = planes(nBits, dim, seed)
-    val c = corpus.select(col(idCol).as("nid"),
-        col(vecCol).cast("array<double>").as("v_n"))
-      .withColumn("bucket", srpBucket(col("v_n"), ps))
-    val q = queries.select(col(idCol).as("qid"),
-        col(vecCol).cast("array<double>").as("v_q"))
-      .withColumn("bucket", srpBucket(col("v_q"), ps))
-    val scored = q.join(c, Seq("bucket"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        round(cosine(col("v_q"), col("v_n")), 6).as("cos"))
+        round(cosFast(col("v_q"), col("v_n"), col("n_q"), col("n_n")), 6)
+          .as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))

@@ -66,6 +66,30 @@ object StreamingQueries {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    // Stream-stream interval join: clicks joined to same-user purchases that
+    // happen within 10 minutes after the click. Watermarks + the time-range
+    // predicate bound both join states, which is what lets two unbounded
+    // streams join with finite memory.
+    "streaming_stream_join" -> ((s, dir) => {
+      val clicks = rawEvents(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = rawEvents(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("click_id"), col("purchase_id"))
+      runToTable(joined, "append", s)
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // Streaming dedup: the source unioned with itself duplicates every event;
     // dropDuplicates keys state on event_id so each survives once, and the
     // downstream counts must equal the batch counts over the original table.
@@ -108,6 +132,14 @@ object StreamingQueries {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "streaming_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "streaming_dedup" ->
       """SELECT event_type, count(*) AS n FROM events

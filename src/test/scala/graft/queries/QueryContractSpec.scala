@@ -36,6 +36,22 @@ class QueryContractSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("bucketed join: sort-merge with no shuffle under the join") {
+    // Tree text prints children below their parent, so any exchange feeding
+    // the join would appear after the SortMergeJoin line. (AQE wraps the
+    // plan in an adaptive node whose subtree collect() can't traverse, so
+    // the audit reads the rendered plan.)
+    val text = SparkEntry.queries("bucketed_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val idx = text.indexOf("SortMergeJoin")
+    assert(idx >= 0, text.take(2000))
+    val below = text.substring(idx)
+    assert(!below.contains("Exchange"),
+      "bucketed SMJ should read pre-bucketed files without shuffling:\n" +
+        below.take(2000))
+    assert(below.contains("Bucketed: true"))
+  }
+
   test("count_star answers from metadata (no full column scan)") {
     val plan = SparkEntry.queries("count_star")(spark, sfDir)
       .queryExecution.optimizedPlan.toString
