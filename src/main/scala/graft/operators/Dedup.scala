@@ -163,6 +163,59 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Connected components over an undirected pair list — the step that turns
+    * near-dup PAIRS into dedup CLUSTERS (keep one representative per
+    * component). Iterative min-label propagation: every node starts labeled
+    * with itself; each round takes the min of its own and its neighbors'
+    * labels; converges in O(component diameter) rounds. Each round is one
+    * join + one aggregate, and `localCheckpoint` truncates the lineage so
+    * the plan doesn't grow with iterations.
+    *
+    * Near-dup components are overwhelmingly tiny (pairs/triples), so the
+    * loop converges in 2-3 rounds; a graph with giant components would swap
+    * this for the alternating large-star/small-star formulation — same
+    * join-aggregate building blocks.
+    *
+    * Output: (id, cluster) for every node appearing in `pairs`, where
+    * cluster = min node id of the component.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val viaNeighbors = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("lbl"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") < col("prev")).isEmpty
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Near-duplicate removal end-to-end: given the corpus and its near-dup
+    * pair list, keep only cluster representatives (the min-id member of each
+    * component; documents in no pair survive untouched).
+    */
+  def keepRepresentatives(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val dropIds = clusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id"))
+    df.join(dropIds, df(idCol) === dropIds("id"), "left_anti")
+  }
+
   /** Embedding near-dup pairs by cosine similarity (exact quadratic form for
     * bounded subsets; the ANN path lives in Similarity).
     */

@@ -45,6 +45,26 @@ object PipelineQueries {
         t(s, dir, "documents").filter(col("doc_id") < 300),
         "doc_id", "text", threshold = 0.3)),
 
+    // Pairs → clusters: connected components over the exact-Jaccard edge set
+    // (bounded subset so the recursive-CTE oracle stays cheap); each node
+    // reports the min doc_id of its component.
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+        Dedup.jaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", threshold = 0.3))
+        .orderBy(col("id"))),
+
+    // The complete near-dup removal: corpus minus non-representative cluster
+    // members, using the exact-Jaccard edge set on the bounded subset.
+    "dedup_near_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      Dedup.keepRepresentatives(docs,
+          Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash+LSH near-dup pairs on the FULL table — the scale path. The
     // spec suite asserts it finds exactly the pairs the exact form finds.
     "dedup_minhash_pairs" -> ((s, dir) =>
@@ -146,6 +166,54 @@ object PipelineQueries {
         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
         |        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_near_keep" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(ws)-1, 2)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents WHERE doc_id < 300)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |drop_ids AS (
+        |  SELECT src AS id FROM reach GROUP BY src
+        |  HAVING src != least(src, min(dst)))
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 300 AND doc_id NOT IN (SELECT id FROM drop_ids)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(ws)-1, 2)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents WHERE doc_id < 300)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        |SELECT src AS id, least(src, min(dst))::BIGINT AS cluster
+        |FROM reach GROUP BY src ORDER BY id""".stripMargin,
 
     "dedup_embedding_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -64,4 +64,14 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(r => r.getDouble(2) >= 0.3))
   }
+
+  test("clusters: chain components collapse to the min id") {
+    // components: {1,2,3,4} (a chain, converges over >1 round), {10,11}
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
 }
