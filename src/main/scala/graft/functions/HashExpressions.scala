@@ -4,11 +4,22 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
+
+/** graft's native Catalyst expressions. Each one:
+  *
+  *  - evaluates through a shared static kernel (`NativeKernels`) — a tight
+  *    loop over unsafe `ArrayData`/`UTF8String`, no row boxing;
+  *  - implements `doGenCode` as a call to that same kernel, so the
+  *    expression participates in whole-stage codegen instead of forcing a
+  *    per-row interpreted detour (`CodegenFallback`);
+  *  - exists because the equivalent built-in formulation is interpreted
+  *    (higher-order lambdas) and measurably quadratic or constant-factor
+  *    slow in the dedup/similarity hot paths (see Scaladoc per class).
+  */
 
 /** 64-bit SimHash over a token array (near-duplicate fingerprinting).
   *
@@ -17,12 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * documents' fingerprints differ in few bits iff their token multisets are
   * similar, so Hamming distance on the result is a near-dup measure that
   * needs only a 4×16-bit band self-join at scale (no n² pairs).
-  *
-  * Implemented as a native Catalyst Expression rather than a Scala UDF so the
-  * per-token loop runs over UTF8String bytes with no row boxing/decoding.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -32,27 +39,11 @@ case class SimHash64(child: Expression)
   }
   override def nullable: Boolean = child.nullable
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val tally = new Array[Int](64)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = HashExpressions.hash64(s)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (tally(b) > 0) out |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(out)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.simhash64($c)")
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
@@ -66,7 +57,7 @@ case class SimHash64(child: Expression)
   * Returns array<bigint>; empty array for inputs shorter than `k` bytes.
   */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -76,43 +67,12 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   }
   override def nullable: Boolean = child.nullable
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val n = bytes.length - k + 1
-    if (n <= 0) return new GenericArrayData(Array.empty[Long])
-    // polynomial rolling hash with 64-bit wraparound: h_i+1 = (h_i - b_i*B^(k-1))*B + b_i+k
-    val B = 1000003L
-    var pow = 1L
-    var j = 1
-    while (j < k) { pow *= B; j += 1 }
-    val grams = new Array[Long](n)
-    var h = 0L
-    var i = 0
-    while (i < k) { h = h * B + (bytes(i) & 0xff); i += 1 }
-    grams(0) = h
-    i = 1
-    while (i < n) {
-      h = (h - (bytes(i - 1) & 0xff) * pow) * B + (bytes(i + k - 1) & 0xff)
-      grams(i) = h
-      i += 1
-    }
-    val selected = new java.util.TreeSet[java.lang.Long]()
-    var start = 0
-    val lastStart = math.max(n - w, 0)
-    while (start <= lastStart) {
-      var m = grams(start)
-      var jj = start + 1
-      val end = math.min(start + w, n)
-      while (jj < end) { if (grams(jj) < m) m = grams(jj); jj += 1 }
-      selected.add(m)
-      start += 1
-    }
-    val out = new Array[Long](selected.size())
-    val it = selected.iterator()
-    var o = 0
-    while (it.hasNext) { out(o) = it.next(); o += 1 }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.winnowFingerprint(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeKernels.winnowFingerprint($c, $k, $w)")
 
   override protected def withNewChildInternal(c: Expression): WinnowFingerprint =
     copy(child = c)
@@ -130,8 +90,7 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   * element — re-splitting the document once per shingle term (O(tokens²)
   * regex work observed at sf0.1).
   */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -141,33 +100,12 @@ case class WordShingles(child: Expression, n: Int)
   }
   override def nullable: Boolean = child.nullable
 
-  private val space = UTF8String.fromString(" ")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.wordShingles(input.asInstanceOf[ArrayData], n)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val m = arr.numElements()
-    val out = new java.util.LinkedHashSet[UTF8String]()
-    if (m < n) {
-      val parts = new Array[UTF8String](m)
-      var i = 0
-      while (i < m) { parts(i) = arr.getUTF8String(i); i += 1 }
-      out.add(UTF8String.concatWs(space, parts: _*))
-    } else {
-      var i = 0
-      val parts = new Array[UTF8String](n)
-      while (i <= m - n) {
-        var j = 0
-        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
-        out.add(UTF8String.concatWs(space, parts: _*))
-        i += 1
-      }
-    }
-    val res = new Array[Any](out.size())
-    val it = out.iterator()
-    var o = 0
-    while (it.hasNext) { res(o) = it.next(); o += 1 }
-    new GenericArrayData(res)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeKernels.wordShingles($c, $n)")
 
   override protected def withNewChildInternal(c: Expression): WordShingles =
     copy(child = c)
@@ -185,8 +123,7 @@ case class WordShingles(child: Expression, n: Int)
   * Signature values only need to be a consistent hash family — near-dup
   * recovery is verified against exact Jaccard in the spec suite.
   */
-case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -198,28 +135,19 @@ case class MinHashSig(child: Expression, k: Int)
 
   // Deterministic per-slot multipliers/offsets (SplitMix64 of the slot index;
   // multiplier forced odd so it is a bijection on Z/2^64).
-  private lazy val mults: Array[Long] =
-    Array.tabulate(k)(i => HashExpressions.splitmix64(2L * i + 1L) | 1L)
-  private lazy val offs: Array[Long] =
-    Array.tabulate(k)(i => HashExpressions.splitmix64(2L * i + 2L))
+  @transient private lazy val mults: Array[Long] =
+    Array.tabulate(k)(i => NativeKernels.splitmix64(2L * i + 1L) | 1L)
+  @transient private lazy val offs: Array[Long] =
+    Array.tabulate(k)(i => NativeKernels.splitmix64(2L * i + 2L))
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val h = HashExpressions.hash64(arr.getUTF8String(i))
-        var j = 0
-        while (j < k) {
-          val v = mults(j) * h + offs(j)
-          if (v < mins(j)) mins(j) = v
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.minhashSig(input.asInstanceOf[ArrayData], mults, offs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val multsRef = ctx.addReferenceObj("mults", mults, "long[]")
+    val offsRef = ctx.addReferenceObj("offs", offs, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeKernels.minhashSig($c, $multsRef, $offsRef)")
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSig =
@@ -233,7 +161,7 @@ case class MinHashSig(child: Expression, k: Int)
   * a single fused loop over the unsafe array data.
   */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -246,18 +174,12 @@ case class VecDot(left: Expression, right: Expression)
     }
   override def nullable: Boolean = left.nullable || right.nullable
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += x.getDouble(i) * y.getDouble(i)
-      i += 1
-    }
-    acc
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.NativeKernels.vecDot($a, $b)")
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): VecDot = copy(left = l, right = r)
@@ -266,46 +188,28 @@ case class VecDot(left: Expression, right: Expression)
 /** Registration + shared hashing for graft's native expressions. */
 object HashExpressions {
 
-  /** SplitMix64 finalizer — cheap, well-mixed 64-bit hash of a long. */
-  private[functions] def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  private[functions] def splitmix64(x: Long): Long = NativeKernels.splitmix64(x)
 
-  /** 64-bit hash of a UTF8String (two murmur3 passes with different seeds
-    * combined — stable across JVMs, operates directly on the string's bytes).
-    */
-  private[functions] def hash64(s: UTF8String): Long = {
-    val lo = Murmur3_x86_32.hashUnsafeBytes(
-      s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
-    val hi = Murmur3_x86_32.hashUnsafeBytes(
-      s.getBaseObject, s.getBaseOffset, s.numBytes, 0x9747b28c)
-    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
-  }
+  private[functions] def hash64(s: UTF8String): Long = NativeKernels.hash64(s)
 
-  /** Register SQL-callable forms: simhash64(arr), winnow_fingerprint(str,k,w).
+  /** Register SQL-callable forms: simhash64(arr), winnow_fingerprint(str,k,w),
+    * minhash_sig(arr,k), word_shingles(arr,n), vec_dot(a,b).
     * Idempotent; call once per session before using `expr`/`call_function`.
+    * (`GraftExtensions` registers the same set via spark.sql.extensions.)
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def intArg(e: Expression): Int =
+      e.eval(InternalRow.empty).asInstanceOf[Number].intValue
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
-      exprs => {
-        def intArg(e: Expression): Int =
-          e.eval(InternalRow.empty).asInstanceOf[Number].intValue
-        WinnowFingerprint(exprs.head, intArg(exprs(1)), intArg(exprs(2)))
-      }, "built-in")
+      exprs => WinnowFingerprint(exprs.head, intArg(exprs(1)), intArg(exprs(2))),
+      "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
-      exprs => MinHashSig(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue),
-      "built-in")
+      exprs => MinHashSig(exprs.head, intArg(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
-      exprs => WordShingles(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue),
-      "built-in")
+      exprs => WordShingles(exprs.head, intArg(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
       exprs => VecDot(exprs.head, exprs(1)), "built-in")
   }

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hot-loop kernels shared by the interpreted (`nullSafeEval`) and
+  * generated-code (`doGenCode`) paths of graft's Catalyst expressions.
+  *
+  * Scala object methods get static forwarders, so whole-stage-generated Java
+  * calls `graft.functions.NativeKernels.vecDot(a, b)` directly — the
+  * expressions stay inside the codegen'd stage (no per-row fallback through
+  * an interpreted Expression reference).
+  */
+object NativeKernels {
+
+  /** 64-bit hash of a UTF8String (two murmur3 passes with different seeds
+    * combined — stable across JVMs, operates directly on the string's bytes).
+    */
+  def hash64(s: UTF8String): Long = {
+    val lo = Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+    val hi = Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 0x9747b28c)
+    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  }
+
+  /** SplitMix64 finalizer — cheap, well-mixed 64-bit hash of a long. */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def simhash64(arr: ArrayData): Long = {
+    val tally = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = hash64(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (tally(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def minhashSig(arr: ArrayData, mults: Array[Long], offs: Array[Long]): ArrayData = {
+    val k = mults.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = hash64(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val v = mults(j) * h + offs(j)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def wordShingles(arr: ArrayData, n: Int): ArrayData = {
+    val space = UTF8String.fromString(" ")
+    val m = arr.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (m < n) {
+      val parts = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { parts(i) = arr.getUTF8String(i); i += 1 }
+      out.add(UTF8String.concatWs(space, parts: _*))
+    } else {
+      var i = 0
+      val parts = new Array[UTF8String](n)
+      while (i <= m - n) {
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        out.add(UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+    }
+    val res = new Array[Any](out.size())
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { res(o) = it.next(); o += 1 }
+    new GenericArrayData(res)
+  }
+
+  def winnowFingerprint(input: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = input.getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    // polynomial rolling hash with 64-bit wraparound:
+    // h_{i+1} = (h_i - b_i*B^(k-1))*B + b_{i+k}
+    val B = 1000003L
+    var pow = 1L
+    var j = 1
+    while (j < k) { pow *= B; j += 1 }
+    val grams = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    grams(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - (bytes(i - 1) & 0xff) * pow) * B + (bytes(i + k - 1) & 0xff)
+      grams(i) = h
+      i += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    val lastStart = math.max(n - w, 0)
+    while (start <= lastStart) {
+      var m = grams(start)
+      var jj = start + 1
+      val end = math.min(start + w, n)
+      while (jj < end) { if (grams(jj) < m) m = grams(jj); jj += 1 }
+      selected.add(m)
+      start += 1
+    }
+    val out = new Array[Long](selected.size())
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  def vecDot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
