@@ -34,4 +34,12 @@ object Tables {
     */
   def multi(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.parquet(paths: _*)
+
+  /** Register every table as a temp view so `spark.sql` can run arbitrary
+    * multi-table SQL against the scale dir — the catalog-shaped entry point
+    * (the reference's SQL surface is one DuckDB string per file;
+    * duckdb…/worker.go:14).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -263,7 +263,20 @@ object RelationalQueries {
 
     // SQL-over-path (SELECT … FROM '<file>' — duckdb…/worker.go:14 analog).
     "sql_count_path" -> ((s, dir) =>
-      s.sql(s"SELECT count(*) AS cnt FROM parquet.`$dir/lineitem.parquet`"))
+      s.sql(s"SELECT count(*) AS cnt FROM parquet.`$dir/lineitem.parquet`")),
+
+    // Catalog-shaped SQL: every table registered as a view, arbitrary
+    // multi-table SQL on top (graft.Tables.registerAll).
+    "sql_over_views" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT r_name, count(*) AS n_suppliers,
+          |  round(sum(s_acctbal), 2) AS bal
+          |FROM supplier
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -425,6 +438,14 @@ object RelationalQueries {
         |ORDER BY o_orderkey""".stripMargin,
 
     "sql_count_path" ->
-      "SELECT count(*) AS cnt FROM lineitem"
+      "SELECT count(*) AS cnt FROM lineitem",
+
+    "sql_over_views" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        |  round(sum(s_acctbal), 2) AS bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin
   )
 }

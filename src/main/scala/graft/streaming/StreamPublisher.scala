@@ -44,4 +44,22 @@ object StreamPublisher {
       }
       .start()
   }
+
+  /** Redrive: re-publish dead-lettered messages (the SQS DLQ "start redrive"
+    * operation, applied to our parquet DLQ). Returns the messages that STILL
+    * fail, so the caller can re-dead-letter or alert; an empty result means
+    * the queue drained clean.
+    */
+  def redrive(
+      spark: org.apache.spark.sql.SparkSession,
+      dlqPath: String,
+      client: QueueClient,
+      maxAttempts: Int = 5): Dataset[QueueMessage] = {
+    import spark.implicits._
+    spark.read
+      .schema(org.apache.spark.sql.Encoders.product[QueueMessage].schema)
+      .parquet(dlqPath)
+      .as[QueueMessage]
+      .mapPartitions(it => Publisher.sendPartition(it, client, maxAttempts))
+  }
 }

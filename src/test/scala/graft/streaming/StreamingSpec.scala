@@ -33,6 +33,29 @@ class StreamingSpec extends SparkSpec {
     assert(deadIds === poison)
   }
 
+  test("redrive re-publishes dead letters once the fault clears") {
+    val dir = tmpDir("redrivesrc")
+    DataGenerator.generate(spark, 20L, seed = 13L)
+      .write.mode("overwrite").parquet(dir)
+    val poison = spark.read.parquet(dir).select("id")
+      .limit(4).collect().map(_.getString(0)).toSet
+
+    InMemoryQueue.clear("sq2")
+    val dlq = tmpDir("dlq2")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    StreamPublisher.start(stream,
+      new InMemoryQueueClient("sq2", poisonIds = poison),
+      dlqPath = dlq, checkpoint = tmpDir("ckpt3")).awaitTermination()
+    assert(InMemoryQueue.size("sq2") === 20 - poison.size)
+
+    // fault cleared: a fresh client with no poison — redrive drains the DLQ
+    val stillFailing = StreamPublisher.redrive(spark, dlq,
+      new InMemoryQueueClient("sq2")).count()
+    assert(stillFailing === 0L)
+    assert(InMemoryQueue.size("sq2") === 20)
+  }
+
   test("stream consumer logs per-batch counts (reference stub behavior)") {
     val dir = tmpDir("consrc")
     DataGenerator.generate(spark, 25L, seed = 12L)
