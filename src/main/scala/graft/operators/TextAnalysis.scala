@@ -57,10 +57,14 @@ object TextAnalysis {
     val nonspace = length(regexp_replace(c, "\\s", "")).cast("double")
     val avgTok = nonspace / nTokens
     val stopRatio = stopHits(ws, enStop).cast("double") / nTokens
-    round(
-      least(nTokens / 100.0, lit(1.0)) * 0.4 +
+    val q = least(nTokens / 100.0, lit(1.0)) * 0.4 +
       stopRatio * 0.3 +
-      least(avgTok / 8.0, lit(1.0)) * 0.3, 6)
+      least(avgTok / 8.0, lit(1.0)) * 0.3
+    // floor(q*1e6 + 0.5)/1e6, not round(q, 6): engines disagree on exact
+    // half-way doubles (Spark rounds via decimal HALF_UP, DuckDB on the
+    // double's shortest repr); the floor formulation is pure IEEE double
+    // arithmetic, bit-identical everywhere.
+    floor(q * 1e6 + 0.5) / 1e6
   }
 
   /** Full per-document analysis projection used by the registered queries.

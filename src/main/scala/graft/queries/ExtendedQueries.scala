@@ -186,14 +186,16 @@ object ExtendedQueries {
             .as("m_b"))
         .orderBy(col("o_orderkey"))),
 
+    // `+ 0.0` after round: both engines may round a tiny negative to -0.0 or
+    // 0.0 differently; IEEE -0.0 + 0.0 = +0.0 normalizes the sign on both.
     "array_funcs" -> ((s, dir) => {
       val v = col("embedding").cast("array<double>")
       t(s, dir, "embeddings")
         .select(col("vec_id"),
           size(col("embedding")).as("dim"),
-          round(element_at(v, 1), 4).as("e1"),
-          round(aggregate(slice(array_sort(v), 1, 5), lit(0.0), _ + _), 4)
-            .as("sum_low5"),
+          (round(element_at(v, 1), 4) + 0.0).as("e1"),
+          (round(aggregate(slice(array_sort(v), 1, 5), lit(0.0), _ + _), 4)
+            + 0.0).as("sum_low5"),
           round(aggregate(zip_with(v, v, _ * _), lit(0.0), _ + _), 4)
             .as("norm_sq"))
         .orderBy(col("vec_id"))
@@ -329,8 +331,9 @@ object ExtendedQueries {
     "array_funcs" ->
       """SELECT vec_id,
         |  len(embedding)::INT AS dim,
-        |  round(embedding[1]::DOUBLE, 4) AS e1,
-        |  round(list_sum(list_sort(embedding::DOUBLE[])[1:5]), 4) AS sum_low5,
+        |  round(embedding[1]::DOUBLE, 4) + 0.0 AS e1,
+        |  round(list_sum(list_sort(embedding::DOUBLE[])[1:5]), 4) + 0.0
+        |    AS sum_low5,
         |  round(list_inner_product(embedding::DOUBLE[],
         |                           embedding::DOUBLE[]), 4) AS norm_sq
         |FROM embeddings ORDER BY vec_id""".stripMargin,

@@ -249,8 +249,9 @@ object PipelineQueries {
         |    WHEN es >= de AND es >= fr THEN 'es'
         |    WHEN de >= fr THEN 'de'
         |    ELSE 'fr' END AS lang_pred,
-        |  round(least(nt / 100.0, 1.0) * 0.4 + (en / nt) * 0.3 +
-        |        least((ns / nt) / 8.0, 1.0) * 0.3, 6) AS quality
+        |  floor((least(nt / 100.0, 1.0) * 0.4 + (en / nt) * 0.3 +
+        |         least((ns / nt) / 8.0, 1.0) * 0.3) * 1e6 + 0.5) / 1e6
+        |    AS quality
         |FROM (
         |  SELECT doc_id, text,
         |    len(string_split_regex(trim(lower(text)), '\s+'))::DOUBLE AS nt,
