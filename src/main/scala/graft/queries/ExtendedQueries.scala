@@ -74,6 +74,28 @@ object ExtendedQueries {
         .agg(sum(col("c")).as("n"), round(sum(col("v")), 2).as("total"))
         .orderBy(col("user_id"))),
 
+    // Time-series resample with gap fill: the full hour × event_type grid
+    // (sequence + explode + cross join — both dimension sides are tiny) left-
+    // joined to actual hourly counts, empty buckets zero-filled. The grid is
+    // generated, never scanned, so the fact side still reads once.
+    "resample_fill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val hours = bounds.select(explode(expr(
+        "sequence(lo, hi, interval 1 hour)")).as("hour_start"))
+      val types = ev.select(col("event_type")).distinct()
+      val grid = hours.crossJoin(types)
+      val actual = ev.groupBy(
+          date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      grid.join(actual, Seq("hour_start", "event_type"), "left_outer")
+        .select(col("hour_start"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
     // --- Pivot / grouping sets ---------------------------------------------
     "pivot_status" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -251,6 +273,23 @@ object ExtendedQueries {
     "salted_agg" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "resample_fill" ->
+      """WITH hours AS (
+        |  SELECT unnest(generate_series(
+        |    date_trunc('hour', (SELECT min(ts) FROM events)),
+        |    date_trunc('hour', (SELECT max(ts) FROM events)),
+        |    INTERVAL 1 HOUR)) AS hour_start),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |actual AS (
+        |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT h.hour_start, t.event_type, coalesce(a.n, 0) AS n
+        |FROM hours h CROSS JOIN types t
+        |LEFT JOIN actual a
+        |  ON a.hour_start = h.hour_start AND a.event_type = t.event_type
+        |ORDER BY h.hour_start, t.event_type""".stripMargin,
 
     "pivot_status" ->
       """SELECT o_orderpriority,
