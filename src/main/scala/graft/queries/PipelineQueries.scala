@@ -128,7 +128,16 @@ object PipelineQueries {
     // --- Multimodal (binary columns; decode stubbed, plumbing real) --------
     "multimodal_features" -> ((s, _) =>
       Multimodal.extractFeatures(Multimodal.generate(s, 200L))
-        .toDF().orderBy(col("media_id")))
+        .toDF().orderBy(col("media_id"))),
+
+    // Frame sampling: payload → per-frame binary slices; output is the frame
+    // inventory (sizes, not bytes) so the dump stays small and deterministic.
+    "multimodal_frames" -> ((s, _) =>
+      Multimodal.frameSample(Multimodal.generate(s, 50L), nFrames = 4)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).as("frame_bytes"))
+        .orderBy(col("media_id"), col("frame_idx")))
   )
 
   val oracles: Map[String, String] = Map(
