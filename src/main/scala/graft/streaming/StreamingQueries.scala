@@ -43,12 +43,23 @@ object StreamingQueries {
       s: SparkSession): DataFrame = {
     val qn = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val cp = Files.createTempDirectory("graft-ckpt-").toString
-    val q = df.writeStream.format("memory").queryName(qn)
-      .outputMode(mode)
-      .option("checkpointLocation", cp)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful operators pay per state-store-partition commit overhead every
+    // micro-batch; at local bench scale 8 partitions beats 32 (a cluster
+    // deployment sizes this to keyspace × executor count instead). The
+    // partition count is baked into the query's checkpoint at first start,
+    // so set it only for this launch and restore after.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(qn)
+        .outputMode(mode)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     s.table(qn)
   }
 
