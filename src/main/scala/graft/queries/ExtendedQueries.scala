@@ -160,6 +160,19 @@ object ExtendedQueries {
             expr("percentile(l_extendedprice, 0.5)")) <=
           expr("percentile(l_extendedprice, 0.5)") * 0.01).as("approx_ok"))),
 
+    // Exact decimal arithmetic: money-typed aggregation is exact (no float
+    // summation-order drift), which is why the oracle needs no round() on
+    // the sum — a capability doubles cannot offer.
+    "decimal_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price_dec"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("price_dec")).as("total_dec"),
+          round(avg(col("price_dec")), 2).as("avg_dec"),
+          max(col("price_dec")).as("max_dec"))
+        .orderBy(col("o_orderstatus"))),
+
     // --- Scalar function batteries ------------------------------------------
     "date_funcs" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -329,6 +342,13 @@ object ExtendedQueries {
       """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
         |  TRUE AS approx_ok
         |FROM lineitem""".stripMargin,
+
+    "decimal_agg" ->
+      """SELECT o_orderstatus,
+        |  sum(o_totalprice::DECIMAL(18,2)) AS total_dec,
+        |  round(avg(o_totalprice::DECIMAL(18,2)), 2) AS avg_dec,
+        |  max(o_totalprice::DECIMAL(18,2)) AS max_dec
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "date_funcs" ->
       """SELECT o_orderkey,
