@@ -24,13 +24,15 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      name -> (((System.nanoTime() - t0) / 1e9, rows))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rows = results.map { case (k, (_, r)) => s"\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -61,6 +61,20 @@ object ExtendedQueries {
           col("session_idx"), col("session_id"))
         .orderBy(col("event_id"))),
 
+    // Salted shuffle join: hot fact keys spread over 8 reducers, dim side
+    // replicated to match — output identical to the plain join (which is
+    // exactly what the oracle checks).
+    "salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(ev, cust,
+          "user_id", "c_custkey", col("event_id"), salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Skew-resistant two-phase aggregation: pre-aggregate on (key, salt) so a
     // hot key's rows spread over 8 reducers before the final per-key merge.
     // Identical results to the direct groupBy — which is what the oracle
@@ -286,6 +300,11 @@ object ExtendedQueries {
     "salted_agg" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "resample_fill" ->
       """WITH hours AS (

@@ -58,6 +58,18 @@ object ParityQueries {
     "gen_records" -> ((s, _) =>
       DataGenerator.generate(s, 1000L, seed = 42L).toDF()),
 
+    // S7 as a pluggable DataSource V2 (format("graft-records")): source-level
+    // partition planning + column pruning; determinism across partitionings
+    // is asserted in RecordDataSourceSpec (no SQL oracle — rows-only check).
+    "v2_source_records" -> ((s, _) =>
+      s.read.format("graft-records")
+        .option("rows", 1000).option("seed", 42).option("partitions", 8)
+        .load()
+        .groupBy(col("account_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("account_balance")), 2).as("bal"))
+        .orderBy(col("account_type"))),
+
     // S5+S6+F8/F9 end-to-end: the reference's whole pipeline — parquet scan →
     // to_json → batched queue publish → consume → from_json — then an
     // aggregate over the round-tripped rows. Matching the oracle run directly

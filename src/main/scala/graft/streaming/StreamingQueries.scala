@@ -116,6 +116,21 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Bounded-state streaming dedup: dropDuplicatesWithinWatermark evicts
+    // dedup state once the watermark passes an id's event time — the
+    // production form when duplicates can only arrive within a known delay
+    // (unbounded dropDuplicates state is the alternative above).
+    "streaming_dedup_watermark" -> ((s, dir) => {
+      val ev = rawEvents(s, dir)
+      val deduped = ev.union(ev)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToTable(deduped, "complete", s)
+        .orderBy(col("event_type"))
+    }),
+
     // Arbitrary stateful: per-user running event count in GroupState. The
     // memory sink (update mode) records one row per key per micro-batch;
     // max(n) per key is the final count regardless of how the source was
@@ -153,6 +168,10 @@ object StreamingQueries {
         |ORDER BY click_id, purchase_id""".stripMargin,
 
     "streaming_dedup" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "streaming_dedup_watermark" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
