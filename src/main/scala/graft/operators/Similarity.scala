@@ -116,11 +116,49 @@ object Similarity {
     * only the (small) centroid table is broadcast — here as literals.
     * Recall vs `bruteForceTopK` is asserted in the spec suite.
     */
+  /** `trainIters` Lloyd iterations over the corpus: assign → element-wise
+    * mean per bucket. Each iteration is one scan + one small aggregate
+    * (nCentroids×dim rows); the centroid table never leaves dimension size,
+    * so training cost is iterations × one corpus pass — the shape that holds
+    * at 100 TB (and is usually run on a sample there).
+    */
+  private def refineCentroids(
+      c: DataFrame, init: Array[(Int, Seq[Double], Double)],
+      trainIters: Int): Array[(Int, Seq[Double], Double)] = {
+    var cent = init
+    (0 until trainIters).foreach { _ =>
+      val centLocal = cent
+      def score(v: Column, n: Column): Column =
+        sort_array(array(centLocal.map { case (i, cv, cn) =>
+          struct((call_function("vec_dot", v, typedlit(cv)) / (n * cn))
+            .as("sim"), lit(i).as("bucket"))
+        }: _*), asc = false)
+      val means = c
+        .withColumn("bucket",
+          score(col("v_n"), col("n_n")).getItem(0).getField("bucket"))
+        .select(col("bucket"), posexplode(col("v_n")))
+        .groupBy(col("bucket"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("bucket"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("bucket"), expr("transform(pm, x -> x.m)").as("cv"))
+        .collect()
+      // empty buckets keep their previous centroid
+      val updated = means.map { r =>
+        val v = r.getSeq[Double](1)
+        r.getInt(0) -> ((v, math.sqrt(v.map(x => x * x).sum)))
+      }.toMap
+      cent = cent.map { case (i, cv, cn) =>
+        updated.get(i).map { case (v, n) => (i, v, n) }.getOrElse((i, cv, cn))
+      }
+    }
+    cent
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-      seed: Long = 11L): DataFrame = {
+      seed: Long = 11L, trainIters: Int = 0): DataFrame = {
     HashExpressions.register(corpus.sparkSession)
-    val cent: Array[(Int, Seq[Double], Double)] = corpus
+    val init: Array[(Int, Seq[Double], Double)] = corpus
       .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
       .orderBy(xxhash64(col("cid"), lit(seed)))
       .limit(nCentroids)
@@ -130,13 +168,23 @@ object Similarity {
         val v = r.getSeq[Double](1)
         (i, v, math.sqrt(v.map(x => x * x).sum))
       }
+    // Persist while training: each Lloyd iteration re-reads the normed
+    // corpus (assignment scan + mean aggregate), and the final bucket
+    // assignment reads it once more.
+    lazy val corpusNormed = {
+      val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n")
+      if (trainIters > 0) c.persist() else c
+    }
+    val cent =
+      if (trainIters <= 0) init
+      else refineCentroids(corpusNormed, init, trainIters)
     // Per-bucket scored array → sorted desc by similarity → ranked prefix.
     def bucketScores(v: Column, n: Column): Column =
       sort_array(array(cent.map { case (i, cv, cn) =>
         struct((call_function("vec_dot", v, typedlit(cv)) / (n * cn))
           .as("sim"), lit(i).as("bucket"))
       }: _*), asc = false)
-    val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n")
+    val c = corpusNormed
       .withColumn("bucket",
         bucketScores(col("v_n"), col("n_n")).getItem(0).getField("bucket"))
     val q = withNorm(queries, idCol, vecCol, "qid", "v_q", "n_q")

@@ -102,7 +102,8 @@ object PipelineQueries {
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
+        trainIters = 2)
     }),
 
     // Token frequency top-k over the whole corpus (explode → two-phase agg).

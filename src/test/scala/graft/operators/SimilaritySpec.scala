@@ -73,6 +73,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recallWide >= 0.4, s"recall=$recallWide")
   }
 
+  test("IVF with Lloyd-refined centroids keeps exact scores and sane recall") {
+    val emb = t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val trained = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nCentroids = 8, nProbe = 4, trainIters = 2)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (brute & trained).size.toDouble / brute.size
+    assert(recall >= 0.4, s"trained recall=$recall")
+  }
+
   test("SRP recall against brute force is reasonable on real data") {
     val emb = t(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
