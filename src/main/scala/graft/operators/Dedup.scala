@@ -204,6 +204,53 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
+  /** Containment pairs via winnowing fingerprints: documents sharing long
+    * byte substrings (quotes, boilerplate, wrapped copies) share winnow
+    * hashes, so the pair's containment score is
+    * |shared hashes| / min(|fp_a|, |fp_b|) — near 1.0 when one document
+    * contains the other, regardless of how much extra text surrounds it
+    * (which Jaccard-style whole-document similarity misses).
+    *
+    * Scale shape: fingerprint scan-side (native expression), explode to
+    * (hash, id), drop ultra-common hashes (`maxDocFreq` — boilerplate shared
+    * by everything would otherwise quadratically blow up the self-join),
+    * then join-count on the hash. Shuffle volume is O(total fingerprints),
+    * join fan-out is bounded by maxDocFreq per hash.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, threshold: Double = 0.5,
+      maxDocFreq: Int = 100): DataFrame = {
+    HashExpressions.register(df.sparkSession)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val fp = df.select(col(idCol).as("id"),
+        expr(s"winnow_fingerprint($textCol, $k, $w)").as("fp"))
+      .filter(size(col("fp")) > 0)
+      .repartition(par, col("id"))
+      .persist()
+    val ex = fp.select(col("id"), explode(col("fp")).as("h"))
+    val rare = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("h"))
+    val exRare = ex.join(rare, "h").persist()
+    // containment is scored over the RETAINED hash universe: sizes must be
+    // post-filter, or common-hash-heavy documents (small vocabulary corpora)
+    // can never reach the threshold.
+    val sizes = exRare.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+    val shared = exRare.as("a")
+      .join(exRare.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("nfp").as("nfp_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nfp").as("nfp_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("shared").cast("double") /
+          least(col("nfp_a"), col("nfp_b")), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Near-duplicate removal end-to-end: given the corpus and its near-dup
     * pair list, keep only cluster representatives (the min-id member of each
     * component; documents in no pair survive untouched).

@@ -71,6 +71,13 @@ object PipelineQueries {
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.3)),
 
+    // Substring-containment pairs via winnowing fingerprints, full table
+    // (no SQL oracle — the winnow hash family is native; ContainmentSpec
+    // asserts wrapped-copy recovery; driver records a rows-only check).
+    "winnow_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.6)),
+
     // SimHash banding + Hamming verification (native Catalyst expression).
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",

@@ -65,6 +65,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getDouble(2) >= 0.3))
   }
 
+  test("containment: wrapped copies are found; unrelated docs are not") {
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen wizards brew quartz potions under a crimson sky"
+    val docs = Seq(
+      (1L, base),
+      (2L, "PREFIX PREFIX " + base + " SUFFIX SUFFIX"),     // contains doc 1
+      (3L, "completely different words about gardens and rivers and " +
+        "mountains flowing through quiet valleys at dawn light")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.6)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 >= 0.9)
+  }
+
   test("clusters: chain components collapse to the min id") {
     // components: {1,2,3,4} (a chain, converges over >1 round), {10,11}
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
