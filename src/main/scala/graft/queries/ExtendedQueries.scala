@@ -110,6 +110,54 @@ object ExtendedQueries {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    // Analytic window battery: ntile/percent_rank/cume_dist/first/last over
+    // a per-group frame.
+    "window_analytics" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal"), col("s_suppkey"))
+      val wFrame = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          first(col("s_suppkey")).over(wFrame).as("poorest"),
+          last(col("s_suppkey")).over(wFrame).as("richest"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Linear-regression aggregates (slope/intercept/r2).
+    "regr_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4)
+            .as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
+            .as("intercept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))
+        .orderBy(col("l_returnflag"))),
+
+    // Blocking-based fuzzy join: candidate pairs share a cheap blocking key
+    // (first word of the name) and are verified with edit distance — the
+    // classic entity-resolution shape; blocking bounds the pair fan-out the
+    // way LSH bands do for minhash.
+    "fuzzy_name_join" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_partkey") < 500)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      p.as("a").join(p.as("b"),
+          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          levenshtein(col("a.name"), col("b.name")).as("dist"))
+        .filter(col("dist") <= 3 && col("dist") > 0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // --- Pivot / grouping sets ---------------------------------------------
     "pivot_status" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -322,6 +370,38 @@ object ExtendedQueries {
         |LEFT JOIN actual a
         |  ON a.hour_start = h.hour_start AND a.event_type = t.event_type
         |ORDER BY h.hour_start, t.event_type""".stripMargin,
+
+    "window_analytics" ->
+      """SELECT s_suppkey, s_nationkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  first_value(s_suppkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS poorest,
+        |  last_value(s_suppkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS richest
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "regr_agg" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "fuzzy_name_join" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS id, p_name AS name,
+        |    string_split(p_name, ' ')[1] AS blk
+        |  FROM part WHERE p_partkey < 500)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  levenshtein(a.name, b.name) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |  AND levenshtein(a.name, b.name) > 0
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "pivot_status" ->
       """SELECT o_orderpriority,
