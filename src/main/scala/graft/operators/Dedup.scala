@@ -188,6 +188,12 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
+    // Labels only ever decrease, so sum(lbl) is a strictly decreasing
+    // convergence witness — one scalar aggregate per round instead of a
+    // join-based changed-rows check.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val viaNeighbors = edges
@@ -196,8 +202,9 @@ object Dedup {
       val next = labels.unionByName(viaNeighbors)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") < col("prev")).isEmpty
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
     }
     edges.unpersist()
