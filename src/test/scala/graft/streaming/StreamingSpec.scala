@@ -56,6 +56,28 @@ class StreamingSpec extends SparkSpec {
     assert(InMemoryQueue.size("sq2") === 20)
   }
 
+  test("idempotent sink: a full replay produces no duplicate rows") {
+    val dir = tmpDir("idemsrc")
+    DataGenerator.generate(spark, 30L, seed = 14L)
+      .write.mode("overwrite").parquet(dir)
+    val out = tmpDir("idemout")
+    def run(ckpt: String): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+      IdempotentSink.start(stream, out, checkpoint = ckpt).awaitTermination()
+    }
+    run(tmpDir("idemckpt1"))
+    assert(spark.read.parquet(out).count() === 30L)
+    // fresh checkpoint = the source replays everything from scratch; batch
+    // ids restart at 0, each batch overwrites its own directory → no dupes
+    run(tmpDir("idemckpt2"))
+    val replayed = spark.read.parquet(out)
+    assert(replayed.count() === 30L)
+    assert(replayed.select("id").distinct().count() === 30L)
+  }
+
   test("stream consumer logs per-batch counts (reference stub behavior)") {
     val dir = tmpDir("consrc")
     DataGenerator.generate(spark, 25L, seed = 12L)
