@@ -88,6 +88,19 @@ object ExtendedQueries {
         .agg(sum(col("c")).as("n"), round(sum(col("v")), 2).as("total"))
         .orderBy(col("user_id"))),
 
+    // Native session windows: events within a 30-minute inactivity gap merge
+    // into one [start, last+gap) window per user. The oracle reconstructs
+    // identical sessions with lag/cumsum (new session iff gap >= 30 min,
+    // matching session_window's ts >= lastEnd semantics).
+    "session_window_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("user_id"),
+          col("n"), col("total"))
+        .orderBy(col("user_id"), col("s_start"))),
+
     // Time-series resample with gap fill: the full hour × event_type grid
     // (sequence + explode + cross join — both dimension sides are tiny) left-
     // joined to actual hourly counts, empty buckets zero-filled. The grid is
@@ -353,6 +366,23 @@ object ExtendedQueries {
       """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "session_window_agg" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts - lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END
+        |      AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+        |  user_id, count(*) AS n, round(sum(value), 2) AS total
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
 
     "resample_fill" ->
       """WITH hours AS (
