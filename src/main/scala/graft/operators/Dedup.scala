@@ -32,7 +32,10 @@ object Dedup {
   def shinglesFromTokens(ws: Column, n: Int = 3): Column =
     array_distinct(
       transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
-        i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
+        // try_element_at: inputs shorter than n index past the end, and
+        // under ANSI mode (Spark 4 default) plain element_at would throw
+        // instead of yielding the null that concat_ws skips.
+        i => concat_ws(" ", (0 until n).map(o => try_element_at(ws, i + o)): _*)))
 
   /** Tokenize + shingle via the native `word_shingles` expression (one split
     * + one tight loop per row). Output: (id, sh), repartitioned across all

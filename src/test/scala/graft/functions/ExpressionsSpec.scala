@@ -37,6 +37,21 @@ class ExpressionsSpec extends SparkSpec {
     assert(df("same") !== df("other"))
   }
 
+  test("native word_shingles matches the HOF reference implementation") {
+    HashExpressions.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", "one", "x y z x y z x y z", "  spaced   out   tokens  ")
+      .toDF("text")
+      .select(split(trim(lower(col("text"))), "\\s+").as("ws"))
+    val native = texts.select(expr("word_shingles(ws, 3)"))
+      .as[Seq[String]].collect()
+    val reference = texts
+      .select(graft.operators.Dedup.shinglesFromTokens(col("ws"), 3))
+      .as[Seq[String]].collect()
+    native.zip(reference).foreach { case (n, r) => assert(n === r) }
+  }
+
   test("GraftExtensions registers SQL functions via spark.sql.extensions") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession

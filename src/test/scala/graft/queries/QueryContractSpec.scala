@@ -10,6 +10,15 @@ class QueryContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every registered query is documented in SURVEY.md §8") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")))
+    val undocumented = SparkEntry.queries.keySet
+      .filterNot(name => survey.contains(s"`$name`"))
+    assert(undocumented.isEmpty,
+      s"queries missing from the SURVEY.md coverage matrix: $undocumented")
+  }
+
   test("every query runs at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       withClue(name) { assert(fn(spark, sfDir).count() >= 0L) }
