@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
 
 import graft.Tables
 
@@ -63,7 +63,58 @@ object StreamingQueries {
     s.table(qn)
   }
 
+  /** transformWithState processor: per-user running (count, sum) in a
+    * ValueState. The v2 arbitrary-state API (Spark 4): typed state handles
+    * with optional TTL, timers, and RocksDB-backed stores — the successor to
+    * mapGroupsWithState used below.
+    */
+  private class UserStats
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var state: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState("stats",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, s) = if (state.exists()) state.get() else (0L, 0.0)
+      rows.foreach { case (_, v) => n += 1; s += v }
+      state.update((n, s))
+      Iterator.single((key, n, s))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    // Arbitrary stateful v2 (transformWithState + RocksDB state store):
+    // per-user running count/sum; max(n) per key is the final value
+    // regardless of batching, and must equal the batch aggregate.
+    "streaming_tws_stats" -> ((s, dir) => {
+      import s.implicits._
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val perKey = rawEvents(s, dir)
+          .select(col("user_id"), col("value")).as[(Long, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new UserStats, TimeMode.None(),
+            OutputMode.Update())
+          .toDF("user_id", "n", "sum_v")
+        runToTable(perKey, "update", s)
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n"),
+            round(max(col("sum_v")), 2).as("total"))
+          .orderBy(col("user_id"))
+      } finally {
+        prev match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
     // Tumbling event-time window + watermark, run to completion. Identical
     // results to the batch `time_window_agg` — which is exactly the point.
     "streaming_window_agg" -> ((s, dir) => {
@@ -174,6 +225,10 @@ object StreamingQueries {
     "streaming_dedup_watermark" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "streaming_tws_stats" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "streaming_stateful_count" ->
       """SELECT user_id, count(*) AS n FROM events
