@@ -56,6 +56,36 @@ class StreamingSpec extends SparkSpec {
     assert(InMemoryQueue.size("sq2") === 20)
   }
 
+  test("queue-backed streaming source: published messages flow end to end") {
+    import org.apache.spark.sql.Encoders
+    import graft.pipeline.Publisher
+    val dir = tmpDir("qssrc")
+    DataGenerator.generate(spark, 35L, seed = 15L)
+      .write.mode("overwrite").parquet(dir)
+    InMemoryQueue.clear("qs1")
+    Publisher.publish(spark, Publisher.PublishRequest(Seq(dir)),
+      new InMemoryQueueClient("qs1"))
+    assert(InMemoryQueue.size("qs1") === 35)
+
+    val qs = new QueueStream(spark, "qs1")
+    // parse bodies back to typed rows inside the stream (consumer side)
+    val schema = Encoders.product[graft.model.Record].schema
+    val parsed = qs.stream.select(
+      org.apache.spark.sql.functions.from_json(
+        org.apache.spark.sql.functions.col("body"), schema).as("r"))
+      .select("r.*")
+    val q = parsed.writeStream.format("memory").queryName("qs_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("qsckpt"))
+      .start()
+    assert(qs.pump() === 35)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("qs_out")
+    assert(out.count() === 35L)
+    assert(out.exceptAll(spark.read.parquet(dir)).isEmpty)
+  }
+
   test("idempotent sink: a full replay produces no duplicate rows") {
     val dir = tmpDir("idemsrc")
     DataGenerator.generate(spark, 30L, seed = 14L)
