@@ -22,6 +22,9 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => }
     }
+    // Drop warm-up caches (dedup/similarity operators persist intermediate
+    // frames): timed queries rebuild their own, and the heap starts clean.
+    spark.catalog.clearCache()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
