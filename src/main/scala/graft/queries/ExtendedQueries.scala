@@ -61,6 +61,30 @@ object ExtendedQueries {
           col("session_idx"), col("session_id"))
         .orderBy(col("event_id"))),
 
+    // Full outer join: unmatched rows survive from BOTH sides (users with
+    // no orders and orders with out-of-range users).
+    "join_full_outer" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val orders = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      cust.join(orders, cust("c_custkey") === orders("o_custkey"),
+          "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          coalesce(col("c_mktsegment"), lit("(none)")).as("seg"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("k"))
+    }),
+
+    // Fixed-width histogram of a continuous column.
+    "histogram_value" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("mean_v"))
+        .orderBy(col("bucket"))),
+
     // Salted shuffle join: hot fact keys spread over 8 reducers, dim side
     // replicated to match — output identical to the plain join (which is
     // exactly what the oracle checks).
@@ -361,6 +385,21 @@ object ExtendedQueries {
     "salted_agg" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS k,
+        |  coalesce(c_mktsegment, '(none)') AS seg,
+        |  coalesce(n_orders, 0) AS n_orders
+        |FROM customer
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY k""".stripMargin,
+
+    "histogram_value" ->
+      """SELECT floor(value / 50.0)::BIGINT AS bucket, count(*) AS n,
+        |  round(avg(value), 4) AS mean_v
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "salted_join" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total

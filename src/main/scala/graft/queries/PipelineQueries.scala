@@ -124,6 +124,22 @@ object PipelineQueries {
     "text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    // Readability-style metrics (sentence marks, words/sentence, mean word
+    // length) — the cheap quality filters a corpus pipeline runs per doc.
+    "text_readability" -> ((s, dir) => {
+      val ws = split(trim(lower(col("text"))), "\\s+")
+      val nTok = size(ws).cast("double")
+      val nonspace = length(regexp_replace(col("text"), "\\s", ""))
+        .cast("double")
+      val marks = regexp_count(col("text"), lit("[.!?]+")).cast("double")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          marks.cast("long").as("n_sent_marks"),
+          round(nTok / greatest(marks, lit(1.0)), 4).as("words_per_sent"),
+          round(nonspace / nTok, 4).as("mean_word_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_fingerprint" -> ((s, dir) => {
       HashExpressions.register(s)
       t(s, dir, "documents")
@@ -253,6 +269,17 @@ object PipelineQueries {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "text_readability" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sent_marks,
+        |  round(len(string_split_regex(trim(lower(text)), '\s+'))::DOUBLE /
+        |    greatest(len(regexp_extract_all(text, '[.!?]+'))::DOUBLE, 1.0), 4)
+        |    AS words_per_sent,
+        |  round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
+        |    len(string_split_regex(trim(lower(text)), '\s+')), 4)
+        |    AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_analysis" ->
       """SELECT doc_id,
