@@ -1,4 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
+// Keep sbt's "[success] Total time…" trailer off stdout: the bench
+// driver parses the LAST stdout line as JSON (round-1 lesson:
+// the trailer made BENCH_r01.json unparseable).
+Global / showSuccess := false
 ThisBuild / version := "0.1.0"
 name := "pocparquetpublisherspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):

@@ -35,7 +35,14 @@ object Bench {
     val rows = results.map { case (k, (_, r)) => s"\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"sf":"$sfDir"}"""
+    // Mirror the result to a stable file so it survives any log noise on
+    // stdout, then print it as the (intended) last stdout line.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+    catch { case _: Throwable => }
     spark.stop()
+    println(json)
   }
 }

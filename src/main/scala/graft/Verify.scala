@@ -22,9 +22,32 @@ object Verify {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // The driver canonicalizes dumps with pandas (sort + hash), which
+        // crashes on struct/array/map cells — flatten any to JSON text.
+        // Queries should already emit scalar columns (their oracles must
+        // match); this guard keeps one schema slip from zeroing a round.
+        import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+        import org.apache.spark.sql.functions.{col, to_json}
+        val nonScalar = df.schema.fields.filter(_.dataType match {
+          case _: StructType | _: ArrayType | _: MapType => true
+          case _ => false
+        })
+        val flat =
+          if (nonScalar.isEmpty) df
+          else {
+            System.err.println(
+              s"[verify] $name: flattening non-scalar columns " +
+                nonScalar.map(_.name).mkString(", "))
+            df.select(df.schema.fields.map { f =>
+              if (nonScalar.exists(_.name == f.name)) to_json(col(f.name)).as(f.name)
+              else col(f.name)
+            }.toSeq: _*)
+          }
+        flat.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -40,7 +63,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver's checker keys results by output directory name
+    // ("<name>.parquet") while queries are registered by bare name; emit
+    // every oracle under BOTH keys so either lookup convention matches
+    // (round-1 lesson: bare-name-only keys → 87× "no_oracle").
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Cache discipline for operators that persist intermediate frames feeding
+  * multiple branches (both sides of a self-join, Lloyd iterations, ...).
+  *
+  * A bare `.persist()` with no matching unpersist leaks: across a long
+  * sweep (the 87-query verify/bench run) cached blocks accumulate on the
+  * heap until eviction pressure sets in. The operators instead materialize
+  * their (small) result with an eager `localCheckpoint` — the intermediates
+  * are consumed exactly once, then released immediately.
+  *
+  * The results this is applied to are pair lists / top-k tables, orders of
+  * magnitude smaller than the corpus-sized intermediates being released, so
+  * the checkpoint itself is cheap. On a cluster the same role is played by
+  * writing the result table once and reading it back.
+  */
+private[operators] object Caching {
+
+  /** Eagerly compute `result`, then unpersist every frame in `cached`. */
+  def materializeThenRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint() // eager: intermediates consumed here
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
+}

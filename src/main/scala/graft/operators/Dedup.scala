@@ -77,11 +77,12 @@ object Dedup {
     val sh = shingleFrame(df, idCol, textCol, nGram, par).persist()
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
+    Caching.materializeThenRelease(pairs, sh)
   }
 
   /** MinHash + LSH banding near-dup pairs with exact-Jaccard verification.
@@ -124,11 +125,12 @@ object Dedup {
       .distinct()
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    cand.join(shA, "id_a").join(shB, "id_b")
+    val pairs = cand.join(shA, "id_a").join(shB, "id_b")
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
+    Caching.materializeThenRelease(pairs, sh, banded)
   }
 
   /** SimHash near-dup pairs: fingerprint via the native SimHash64 expression,
@@ -159,11 +161,12 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .distinct()
-    cand
+    val pairs = cand
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
+    Caching.materializeThenRelease(pairs, fp)
   }
 
   /** Connected components over an undirected pair list — the step that turns
@@ -251,7 +254,7 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
-    shared
+    val pairs = shared
       .join(sizes.select(col("id").as("id_a"), col("nfp").as("nfp_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("nfp").as("nfp_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -259,6 +262,7 @@ object Dedup {
           least(col("nfp_a"), col("nfp_b")), 6).as("containment"))
       .filter(col("containment") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
+    Caching.materializeThenRelease(pairs, fp, exRare)
   }
 
   /** Near-duplicate removal end-to-end: given the corpus and its near-dup

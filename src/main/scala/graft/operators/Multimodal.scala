@@ -92,10 +92,13 @@ object Multimodal {
     ds.flatMap { r =>
       val step = math.max(r.payload.length / nFrames, 1)
       (0 until nFrames).iterator.map { f =>
-        val from = f * step
+        // Both bounds clamp to payload.length: with payloads shorter than
+        // nFrames, step clamps to 1 and f*step can run past the end —
+        // trailing frames come back empty instead of throwing.
+        val from = math.min(f * step, r.payload.length)
         val until = math.min(from + step, r.payload.length)
         MediaFrame(r.media_id, f,
-          java.util.Arrays.copyOfRange(r.payload, from, math.max(until, from)))
+          java.util.Arrays.copyOfRange(r.payload, from, until))
       }
     }
   }

@@ -200,9 +200,11 @@ object Similarity {
           .as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
+    val topk = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
       .orderBy(col("qid"), col("rank"))
+    if (trainIters > 0) Caching.materializeThenRelease(topk, corpusNormed)
+    else topk
   }
 }

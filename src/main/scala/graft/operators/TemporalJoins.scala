@@ -42,12 +42,16 @@ object TemporalJoins {
     val leftCols = left.columns.toSeq
     val lStruct = struct(leftCols.map(left(_)): _*)
     val rStruct = struct(payload.map(right(_)): _*)
-    val rTagged = right.select(
+    // Null-keyed right rows are dropped and null-keyed left rows pass
+    // through with a null payload (below): equi-join semantics, where NULL
+    // never matches NULL. Without the filters the window's _k partition
+    // would happily pair null-keyed rows with each other.
+    val rTagged = right.filter(right(rightKey).isNotNull).select(
       right(rightKey).as("_k"), right(rightTime).as("_t"),
       lit(0).as("_side"), rStruct.as("_r"))
     // Left rows carry a typed-null right payload so the union lines up.
     val rType = rTagged.schema("_r").dataType
-    val lTagged = left.select(
+    val lTagged = left.filter(left(leftKey).isNotNull).select(
       left(leftKey).as("_k"), left(leftTime).as("_t"),
       lit(1).as("_side"), lit(null).cast(rType).as("_r"),
       lStruct.as("_l"))
@@ -59,11 +63,19 @@ object TemporalJoins {
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    merged
+    val matched = merged
       .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(leftCols.map(c => col(s"_l.$c").as(c)) ++
         payload.map(c => col(s"_match.$c").as(c)): _*)
+    // Null-keyed left rows bypass the window (null payload, straight
+    // passthrough): correct equi-join semantics AND no single hot null
+    // partition in the shuffle.
+    val rFields = rType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val nullKeyed = left.filter(left(leftKey).isNull)
+      .select(leftCols.map(left(_)) ++
+        payload.map(c => lit(null).cast(rFields(c).dataType).as(c)): _*)
+    matched.unionByName(nullKeyed)
   }
 
   /** Range (interval) join: attach the dimension row whose [lo, hi) interval

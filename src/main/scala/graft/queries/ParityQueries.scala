@@ -53,10 +53,23 @@ object ParityQueries {
         .orderBy(col("n_regionkey"))),
 
     // S7: deterministic synthetic Record generation (no SQL oracle — the
-    // driver records a rows-only check). Flattened: parquet dump of nested
-    // struct + arrays is exercised by the pipeline specs.
-    "gen_records" -> ((s, _) =>
-      DataGenerator.generate(s, 1000L, seed = 42L).toDF()),
+    // driver records a rows-only check). Non-scalar columns (address struct,
+    // preference/tag arrays) are dumped as JSON text: the driver's pandas
+    // canonicalizer can only sort/hash scalar columns (round-1 lesson — the
+    // nested dump crashed it). The nested shapes themselves are exercised by
+    // the pipeline specs.
+    "gen_records" -> ((s, _) => {
+      val df = DataGenerator.generate(s, 1000L, seed = 42L).toDF()
+      df.select(df.schema.fields.map { f =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.StructType |
+               _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType =>
+            to_json(col(f.name)).as(f.name)
+          case _ => col(f.name)
+        }
+      }.toSeq: _*)
+    }),
 
     // S7 as a pluggable DataSource V2 (format("graft-records")): source-level
     // partition planning + column pruning; determinism across partitionings

@@ -186,9 +186,10 @@ object PipelineQueries {
 
     "ngram_jaccard_pairs" ->
       """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(ws)-1, 2)),
-        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
         |  FROM (SELECT doc_id,
         |          string_split_regex(trim(lower(text)), '\s+') AS ws
         |        FROM documents WHERE doc_id < 300))
@@ -202,9 +203,10 @@ object PipelineQueries {
 
     "dedup_near_keep" ->
       """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(ws)-1, 2)),
-        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
         |  FROM (SELECT doc_id,
         |          string_split_regex(trim(lower(text)), '\s+') AS ws
         |        FROM documents WHERE doc_id < 300)),
@@ -228,9 +230,10 @@ object PipelineQueries {
 
     "dedup_clusters" ->
       """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(ws)-1, 2)),
-        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
         |  FROM (SELECT doc_id,
         |          string_split_regex(trim(lower(text)), '\s+') AS ws
         |        FROM documents WHERE doc_id < 300)),

@@ -29,6 +29,9 @@ def main():
     only = set(sys.argv[3:])
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    # Verify emits each oracle under both "<name>" and "<name>.parquet"
+    # (driver lookup convention); check each query once, by bare name.
+    oracles = {k: v for k, v in oracles.items() if not k.endswith(".parquet")}
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
