@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Cache discipline for operators that persist intermediate frames feeding
   * multiple branches (both sides of a self-join, Lloyd iterations, ...).
@@ -16,7 +16,7 @@ import org.apache.spark.sql.DataFrame
   * the checkpoint itself is cheap. On a cluster the same role is played by
   * writing the result table once and reading it back.
   */
-private[operators] object Caching {
+object Caching {
 
   /** Eagerly compute `result`, then unpersist every frame in `cached`. */
   def materializeThenRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
@@ -24,4 +24,15 @@ private[operators] object Caching {
     cached.foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** Drop EVERY persisted RDD in the context — including the (small) local
+    * checkpoints `materializeThenRelease` leaves behind, which
+    * `spark.catalog.clearCache()` does not reach (they live in the block
+    * manager until the RDD is GC'd). For sweep harnesses (Verify/Bench)
+    * between queries, so a long session accumulates no net-new blocks; NOT
+    * for sessions whose caches must survive the call.
+    */
+  def releaseAllRdds(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
 }

@@ -12,7 +12,8 @@ import graft.functions.HashExpressions
   *    right tool when the query set is small (broadcast the queries, stream
   *    the corpus; no corpus shuffle).
   *  - `srpTopK`: sign-random-projection LSH — each vector maps to a bucket
-  *    from `nBits` hyperplane signs; search only within the query's bucket.
+  *    from `nBits` hyperplane signs; search the query's bucket plus
+  *    `nProbe-1` margin-guided bit-flip probes (multi-probe LSH).
   *  - `ivfTopK`: inverted-file ANN — coarse-quantizer buckets, query probes
   *    its `nProbe` closest.
   *    At 100 TB the corpus is hash/bucket-partitioned so a query touches its
@@ -79,18 +80,53 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Approximate top-k: candidates share the query's SRP bucket. Trades
-    * recall for touching 1/2^nBits of the corpus per query; recall is
-    * measured against `bruteForceTopK` in the spec suite.
+  /** Approximate top-k: candidates share one of the query's `nProbe` probe
+    * buckets. The first probe is the query's own SRP bucket; subsequent
+    * probes flip the hyperplane bits with the SMALLEST margin |v·p| —
+    * margin-guided multi-probe (Lv et al., VLDB'07): a near-zero margin
+    * means the true neighbors straddle that hyperplane, so those are the
+    * flips most likely to recover them. Touches nProbe/2^nBits of the
+    * corpus per query; only the (small) query side fans out, the corpus
+    * keeps one bucket per vector — the shape that holds at 100 TB with a
+    * bucket-partitioned corpus layout. Recall is measured against
+    * `bruteForceTopK` in the spec suite and the driver contract row.
     */
   def srpTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nBits: Int = 8, seed: Long = 7L): DataFrame = {
+      vecCol: String, k: Int, nBits: Int = 8, seed: Long = 7L,
+      nProbe: Int = 1): DataFrame = {
+    // Perturbation sets are all 1- and 2-bit flips: nBits + C(nBits,2)
+    // candidate masks — O(nBits²) regardless of 2^nBits, so the probe
+    // machinery itself scales to wide codes (nBits=16 → 136 masks).
+    val masks: Seq[Int] =
+      (0 until nBits).map(1 << _) ++
+        (for (i <- 0 until nBits; j <- i + 1 until nBits)
+          yield (1 << i) | (1 << j))
+    require(nProbe >= 1 && nProbe <= 1 + masks.size,
+      s"nProbe must be in [1, ${1 + masks.size}] for nBits=$nBits, got $nProbe")
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val ps = planes(nBits, dim, seed)
     val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n")
       .withColumn("bucket", srpBucket(col("v_n"), ps))
-    val q = withNorm(queries, idCol, vecCol, "qid", "v_q", "n_q")
-      .withColumn("bucket", srpBucket(col("v_q"), ps))
+    // Signed margins once per (query, plane); the base bucket and every
+    // probe's cost both derive from `dv`, so each dot product is computed
+    // exactly once. A mask's cost is the summed |margin| of its flipped
+    // planes — the flips most likely to recover straddling neighbors sort
+    // first.
+    val q0 = withNorm(queries, idCol, vecCol, "qid", "v_q", "n_q")
+      .withColumn("dv", array(ps.map(p =>
+        call_function("vec_dot", col("v_q"), typedlit(p))): _*))
+    val base = (0 until nBits).map(i =>
+      when(col("dv")(i) >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val maskArr = array(masks.map { m =>
+      val cost = (0 until nBits).filter(i => (m & (1 << i)) != 0)
+        .map(i => abs(col("dv")(i))).reduce(_ + _)
+      struct(cost.as("c"), lit(m.toLong).as("mask"))
+    }: _*)
+    val q = q0.withColumn("bkt0", base)
+      .withColumn("bucket", explode(concat(array(col("bkt0")),
+        transform(slice(array_sort(maskArr), 1, nProbe - 1),
+          x => col("bkt0").bitwiseXOR(x.getField("mask"))))))
+      .drop("dv", "bkt0")
     val scored = q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),

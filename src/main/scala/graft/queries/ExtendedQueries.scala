@@ -260,16 +260,20 @@ object ExtendedQueries {
           expr("percentile(l_extendedprice, 0.5)") * 0.01).as("approx_ok"))),
 
     // Exact decimal arithmetic: money-typed aggregation is exact (no float
-    // summation-order drift), which is why the oracle needs no round() on
-    // the sum — a capability doubles cannot offer.
+    // summation-order drift). The aggregation runs in decimal; the OUTPUT is
+    // cast to double+round so both engines dump one concrete representation —
+    // Spark's sum(decimal(18,2)) widens to decimal(28,2) while DuckDB widens
+    // to DECIMAL(38,2) (and its avg returns DOUBLE), and the driver's hash is
+    // sensitive to that representation even when values stringify identically.
+    // The exactness claim itself is asserted in DecimalAggSpec.
     "decimal_agg" -> ((s, dir) =>
       t(s, dir, "orders")
         .select(col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").as("price_dec"))
         .groupBy(col("o_orderstatus"))
-        .agg(sum(col("price_dec")).as("total_dec"),
-          round(avg(col("price_dec")), 2).as("avg_dec"),
-          max(col("price_dec")).as("max_dec"))
+        .agg(round(sum(col("price_dec")).cast("double"), 2).as("total_dec"),
+          round(avg(col("price_dec")).cast("double"), 2).as("avg_dec"),
+          round(max(col("price_dec")).cast("double"), 2).as("max_dec"))
         .orderBy(col("o_orderstatus"))),
 
     // --- Scalar function batteries ------------------------------------------
@@ -513,9 +517,9 @@ object ExtendedQueries {
 
     "decimal_agg" ->
       """SELECT o_orderstatus,
-        |  sum(o_totalprice::DECIMAL(18,2)) AS total_dec,
-        |  round(avg(o_totalprice::DECIMAL(18,2)), 2) AS avg_dec,
-        |  max(o_totalprice::DECIMAL(18,2)) AS max_dec
+        |  round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS total_dec,
+        |  round(avg(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS avg_dec,
+        |  round(max(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS max_dec
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "date_funcs" ->

@@ -52,36 +52,67 @@ object ParityQueries {
         .agg(count(lit(1)).as("cnt"), sum(col("n_nationkey")).as("sum_key"))
         .orderBy(col("n_regionkey"))),
 
-    // S7: deterministic synthetic Record generation (no SQL oracle — the
-    // driver records a rows-only check). Non-scalar columns (address struct,
-    // preference/tag arrays) are dumped as JSON text: the driver's pandas
-    // canonicalizer can only sort/hash scalar columns (round-1 lesson — the
-    // nested dump crashed it). The nested shapes themselves are exercised by
-    // the pipeline specs.
+    // S7: deterministic synthetic Record generation, driver-checked via a
+    // contract row (see Contracts): every reference value-domain constraint
+    // (cmd/create-test-data/main.go:97-177 — enum domains, email/phone/DOB
+    // formats, balance range, array arities, 1000-char body) holds on every
+    // row, ids are unique, and the output is bit-identical under a different
+    // partitioning — the determinism guarantee the reference's unseeded
+    // generator lacks and a distributed re-run needs.
     "gen_records" -> ((s, _) => {
+      import graft.model.Domains._
       val df = DataGenerator.generate(s, 1000L, seed = 42L).toDF()
-      df.select(df.schema.fields.map { f =>
-        f.dataType match {
-          case _: org.apache.spark.sql.types.StructType |
-               _: org.apache.spark.sql.types.ArrayType |
-               _: org.apache.spark.sql.types.MapType =>
-            to_json(col(f.name)).as(f.name)
-          case _ => col(f.name)
-        }
-      }.toSeq: _*)
+        .localCheckpoint()
+      val df8 = DataGenerator.generate(s, 1000L, seed = 42L,
+        numPartitions = 8).toDF()
+      val domainsOk = Contracts.forAll(df,
+        col("account_type").isin(accountTypes: _*) &&
+          col("account_status").isin(accountStatuses: _*) &&
+          col("language").isin(languages: _*) &&
+          col("email").rlike("^[a-z]+\\.[a-z]+@[a-z0-9.]+$") &&
+          col("phone_number").rlike("^\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}$") &&
+          col("date_of_birth")
+            .rlike("^19[5-9][0-9]-(0[1-9]|1[0-2])-(0[1-9]|1[0-9]|2[0-8])$") &&
+          col("account_balance") >= 0.0 && col("account_balance") < 10000.0 &&
+          size(col("communication_preferences")).between(1, 4) &&
+          size(col("tags")).between(0, 3) &&
+          length(col("body")) === bodyLength &&
+          col("id").rlike("^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-" +
+            "[0-9a-f]{4}-[0-9a-f]{12}$"))
+      Contracts.row(s,
+        "n_rows" -> df.count(),
+        "domains_ok" -> domainsOk,
+        "distinct_ids_ok" ->
+          (df.select(col("id")).distinct().count() == 1000L),
+        "partition_invariant_ok" ->
+          (Contracts.checksum(df) == Contracts.checksum(df8)))
     }),
 
-    // S7 as a pluggable DataSource V2 (format("graft-records")): source-level
-    // partition planning + column pruning; determinism across partitionings
-    // is asserted in RecordDataSourceSpec (no SQL oracle — rows-only check).
-    "v2_source_records" -> ((s, _) =>
-      s.read.format("graft-records")
-        .option("rows", 1000).option("seed", 42).option("partitions", 8)
+    // S7 as a pluggable DataSource V2 (format("graft-records")): the
+    // contract row proves source-level partition planning is semantically
+    // invisible (2-partition and 8-partition reads are bit-identical), the
+    // full row count arrives, and a pruned single-column read aggregates to
+    // the same distribution as the full-schema read (column pruning returns
+    // the same data, just narrower).
+    "v2_source_records" -> ((s, _) => {
+      def rd(parts: Int) = s.read.format("graft-records")
+        .option("rows", 1000).option("seed", 42).option("partitions", parts)
         .load()
-        .groupBy(col("account_type"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("account_balance")), 2).as("bal"))
-        .orderBy(col("account_type"))),
+      val v8 = rd(8).localCheckpoint()
+      val prunedAgg = rd(8).select(col("account_type"))
+        .groupBy(col("account_type")).agg(count(lit(1)).as("n"))
+      val fullAgg = v8.groupBy(col("account_type")).agg(count(lit(1)).as("n"))
+      Contracts.row(s,
+        "n_rows" -> v8.count(),
+        "partition_invariant_ok" ->
+          (Contracts.checksum(v8) == Contracts.checksum(rd(2))),
+        "pruned_read_matches_ok" ->
+          Contracts.sameKeys(prunedAgg, fullAgg, Seq("account_type", "n")),
+        "domains_ok" -> Contracts.forAll(v8,
+          col("account_type").isin(graft.model.Domains.accountTypes: _*) &&
+            col("account_balance") >= 0.0 &&
+            col("account_balance") < 10000.0))
+    }),
 
     // S5+S6+F8/F9 end-to-end: the reference's whole pipeline — parquet scan →
     // to_json → batched queue publish → consume → from_json — then an
@@ -121,6 +152,18 @@ object ParityQueries {
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "publish_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Contract rows (see Contracts): the Spark side proves the generator /
+    // V2-source invariants distributed; the oracle contributes the literal
+    // expectations, making each boolean a hard driver pass/fail.
+    "gen_records" ->
+      """SELECT 1000::BIGINT AS n_rows, TRUE AS domains_ok,
+        |  TRUE AS distinct_ids_ok,
+        |  TRUE AS partition_invariant_ok""".stripMargin,
+
+    "v2_source_records" ->
+      """SELECT 1000::BIGINT AS n_rows, TRUE AS partition_invariant_ok,
+        |  TRUE AS pruned_read_matches_ok, TRUE AS domains_ok""".stripMargin
   )
 }

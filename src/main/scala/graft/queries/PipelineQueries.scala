@@ -13,8 +13,12 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   *
   * Oracle scoping: the quadratic exact forms (all-pairs Jaccard / cosine) are
   * restricted to id < 300 so the DuckDB oracle stays cheap at every sf; the
-  * LSH forms run on the full table — they are the 100 TB path and are
-  * verified against the exact forms in the spec suite instead of SQL.
+  * LSH/ANN forms run on the full table — they are the 100 TB path — and are
+  * verified through scalar-boolean CONTRACT rows (see `Contracts`): the
+  * query proves its invariants distributed (subset equality vs the exact
+  * form, recall floors, determinism) and dumps one row of booleans whose
+  * oracle is literal TRUE, making them driver-checkable rather than
+  * spec-only.
   */
 object PipelineQueries {
 
@@ -66,22 +70,75 @@ object PipelineQueries {
     }),
 
     // MinHash+LSH near-dup pairs on the FULL table — the scale path. The
-    // spec suite asserts it finds exactly the pairs the exact form finds.
-    "dedup_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.3)),
+    // contract row makes the spec's equivalence claim driver-checkable:
+    // restricted to the bounded subset, the LSH pair set must EQUAL the
+    // exact-Jaccard pair set (precision is guaranteed — candidates are
+    // verified with exact Jaccard; recall is the banding claim under test).
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
+      val exact = Dedup.jaccardPairs(docs.filter(col("doc_id") < 300),
+        "doc_id", "text", threshold = 0.3)
+      val mhSub = mh.filter(col("id_a") < 300 && col("id_b") < 300)
+      Contracts.row(s,
+        "n_docs" -> docs.count(),
+        "pairs_found_ok" -> (mh.count() >= 1L),
+        "ids_ordered_ok" -> Contracts.forAll(mh, col("id_a") < col("id_b")),
+        "subset_equals_exact_ok" ->
+          Contracts.sameKeys(mhSub, exact, Seq("id_a", "id_b")))
+    }),
 
-    // Substring-containment pairs via winnowing fingerprints, full table
-    // (no SQL oracle — the winnow hash family is native; ContainmentSpec
-    // asserts wrapped-copy recovery; driver records a rows-only check).
-    "winnow_containment_pairs" -> ((s, dir) =>
-      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.6)),
+    // Substring-containment via winnowing fingerprints. Contract: on the
+    // full table the pair list is well-formed and non-empty; and for a
+    // planted wrapped-copy corpus (every doc embedded in fresh pre/suffix
+    // text under shifted ids) the operator recovers every (original,
+    // wrapped) pair at the threshold — the defining containment property,
+    // which whole-document Jaccard misses.
+    "winnow_containment_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cp = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.6)
+      val base = docs.filter(col("doc_id") < 50 && length(col("text")) >= 200)
+        .select(col("doc_id"), col("text"))
+      val wrapped = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("aurora vat "), col("text"), lit(" mox zephyr")).as("text"))
+      val planted = Dedup.containmentPairs(base.union(wrapped),
+        "doc_id", "text", threshold = 0.6)
+      val expected = base.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000L).as("id_b"))
+      val recovered = expected.join(planted, Seq("id_a", "id_b"), "left_anti")
+        .isEmpty && !expected.isEmpty
+      Contracts.row(s,
+        "n_docs" -> docs.count(),
+        "pairs_found_ok" -> (cp.count() >= 1L),
+        "scores_in_range_ok" -> Contracts.forAll(cp,
+          col("containment") > 0.0 && col("containment") <= 1.0 &&
+            col("id_a") < col("id_b")),
+        "wrapped_copies_recovered_ok" -> recovered)
+    }),
 
-    // SimHash banding + Hamming verification (native Catalyst expression).
-    "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)),
+    // SimHash banding + Hamming verification. 4×16-bit banding guarantees
+    // recall 1.0 for Hamming ≤ 3 (pigeonhole: ≤3 differing bits leave ≥1
+    // band intact), so the banded pair set must EQUAL the brute-force
+    // all-pairs Hamming scan on the bounded subset — checked exactly.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      graft.functions.HashExpressions.register(s)
+      val fp = docs.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("id"),
+          expr("simhash64(split(trim(lower(text)), '\\\\s+'))").as("fp"))
+      val brute = fp.as("a").join(fp.as("b"), col("a.id") < col("b.id"))
+        .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 3)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val shSub = sh.filter(col("id_a") < 300 && col("id_b") < 300)
+      Contracts.row(s,
+        "n_docs" -> docs.count(),
+        "pairs_found_ok" -> (sh.count() >= 1L),
+        "hamming_bounded_ok" -> Contracts.forAll(sh,
+          col("hamming") >= 0 && col("hamming") <= 3),
+        "subset_equals_bruteforce_ok" ->
+          Contracts.sameKeys(shSub, brute, Seq("id_a", "id_b")))
+    }),
 
     // Embedding cosine near-dup pairs, bounded subset (oracle-checkable).
     "dedup_embedding_pairs" -> ((s, dir) =>
@@ -98,19 +155,41 @@ object PipelineQueries {
 
     // nBits sizes the bucket count to the corpus: 2^4 here (hundreds of
     // vectors); a 100 TB corpus would use 2^16+ and partition by bucket.
+    // nProbe=6 margin-guided probes touch 6/16 buckets (~37% of the corpus;
+    // measured recall 0.54 on this gaussian worst-case data, monotone in
+    // nProbe: 0.14/1 → 0.42/4 → 0.66/8). Contract: well-formed ranks, every
+    // returned score matches an exact recomputation through the interpreted
+    // HOF path (cross-implementation check of the native vec_dot kernel),
+    // and recall@5 vs brute force clears the floor for this geometry.
     "sim_srp_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.srpTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nBits = 4)
+      val q = emb.filter(col("vec_id") < 10)
+      val srp = Similarity.srpTopK(emb, q, "vec_id", "embedding",
+        k = 5, nBits = 4, nProbe = 6).localCheckpoint()
+      val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        k = 5).localCheckpoint()
+      Contracts.row(s,
+        "n_queries" -> q.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(srp, "qid", "rank", 5),
+        "scores_exact_ok" -> scoresMatchExact(srp, emb),
+        "recall_ok" -> (Contracts.recall(srp, brute) >= 0.4))
     }),
 
-    // IVF coarse-quantizer ANN (no SQL oracle — recall vs brute force is
-    // asserted in SimilaritySpec; the driver records a rows-only check).
+    // IVF coarse-quantizer ANN with Lloyd refinement. Same contract shape;
+    // nProbe=4 of 16 centroids touches ~25% of the corpus, so the recall
+    // floor is higher than SRP's single-bucket probe.
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
-        trainIters = 2)
+      val q = emb.filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4, trainIters = 2)
+      val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        k = 5).localCheckpoint()
+      Contracts.row(s,
+        "n_queries" -> q.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(ivf, "qid", "rank", 5),
+        "scores_exact_ok" -> scoresMatchExact(ivf, emb),
+        "recall_ok" -> (Contracts.recall(ivf, brute) >= 0.5))
     }),
 
     // Token frequency top-k over the whole corpus (explode → two-phase agg).
@@ -140,31 +219,154 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Document fingerprinting (simhash64 + winnow_fingerprint natives).
+    // Contract: duplicate texts fingerprint identically, winnow output is
+    // sorted/distinct/non-empty for fingerprintable docs, and the whole
+    // fingerprint table is bit-identical under a different partitioning
+    // (the determinism a cluster re-run relies on).
     "text_fingerprint" -> ((s, dir) => {
       HashExpressions.register(s)
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("simhash64(split(trim(lower(text)), '\\\\s+'))").as("simhash"),
-          expr("size(winnow_fingerprint(text, 8, 4))").as("n_fingerprints"))
-        .orderBy(col("doc_id"))
+      val docs = t(s, dir, "documents")
+      def fpOf(d: org.apache.spark.sql.DataFrame) = d.select(
+        col("doc_id"), col("text"),
+        expr("simhash64(split(trim(lower(text)), '\\\\s+'))").as("simhash"),
+        expr("winnow_fingerprint(text, 8, 4)").as("wfp"))
+      val fp = fpOf(docs).localCheckpoint()
+      val dupsConsistent = Contracts.forAll(
+        fp.groupBy(md5(col("text")).as("key"))
+          .agg(count_distinct(col("simhash")).as("nd_sim"),
+            count_distinct(xxhash64(col("wfp"))).as("nd_wfp")),
+        col("nd_sim") === 1 && col("nd_wfp") === 1)
+      val wellFormed = Contracts.forAll(fp,
+        length(col("text")) < 8 ||
+          (size(col("wfp")) >= 1 &&
+            col("wfp") === array_sort(col("wfp")) &&
+            size(array_distinct(col("wfp"))) === size(col("wfp"))))
+      val stable = Contracts.checksum(fp.drop("text")) ==
+        Contracts.checksum(fpOf(docs.repartition(7)).drop("text"))
+      Contracts.row(s,
+        "n_docs" -> docs.count(),
+        "dup_text_same_fp_ok" -> dupsConsistent,
+        "winnow_well_formed_ok" -> wellFormed,
+        "partition_invariant_ok" -> stable)
     }),
 
     // --- Multimodal (binary columns; decode stubbed, plumbing real) --------
-    "multimodal_features" -> ((s, _) =>
-      Multimodal.extractFeatures(Multimodal.generate(s, 200L))
-        .toDF().orderBy(col("media_id"))),
+    // Contract: one feature row per media item, features join back to their
+    // source metadata exactly (n_bytes = payload length, aspect = w/h, kind
+    // preserved), brightness lands in [0,1], and the batched mapPartitions
+    // path is deterministic (two runs checksum-identical).
+    "multimodal_features" -> ((s, _) => {
+      val media = Multimodal.generate(s, 200L)
+      val feats = Multimodal.extractFeatures(media).toDF().localCheckpoint()
+      val src = media.toDF().select(col("media_id"),
+        col("kind").as("src_kind"), length(col("payload")).as("plen"),
+        (col("meta.width").cast("double") / col("meta.height").cast("double"))
+          .as("src_aspect"))
+      val joined = feats.join(src, "media_id")
+      Contracts.row(s,
+        "n_media" -> feats.count(),
+        "one_row_per_media_ok" ->
+          (feats.select(col("media_id")).distinct().count() == 200L),
+        "features_match_source_ok" -> Contracts.forAll(joined,
+          col("n_bytes") === col("plen") && col("kind") === col("src_kind") &&
+            col("aspect") === col("src_aspect") &&
+            col("brightness") >= 0.0 && col("brightness") <= 1.0),
+        "deterministic_ok" -> (Contracts.checksum(feats) ==
+          Contracts.checksum(Multimodal.extractFeatures(media).toDF())))
+    }),
 
-    // Frame sampling: payload → per-frame binary slices; output is the frame
-    // inventory (sizes, not bytes) so the dump stays small and deterministic.
-    "multimodal_frames" -> ((s, _) =>
-      Multimodal.frameSample(Multimodal.generate(s, 50L), nFrames = 4)
-        .toDF()
-        .select(col("media_id"), col("frame_idx"),
-          length(col("frame")).as("frame_bytes"))
-        .orderBy(col("media_id"), col("frame_idx")))
+    // Frame sampling contract: every media item yields exactly nFrames
+    // slices, and concatenating them in frame order reassembles the original
+    // payload byte-for-byte — the lossless-slicing property a real keyframe
+    // sampler must also preserve for its covered ranges.
+    "multimodal_frames" -> ((s, _) => {
+      val media = Multimodal.generate(s, 50L)
+      val frames = Multimodal.frameSample(media, nFrames = 4).toDF()
+      val reassembled = frames
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("frame_idx"), col("frame")))),
+              x => x.getField("frame")),
+            lit(Array.empty[Byte]),
+            (acc, x) => concat(acc, x)).as("rebuilt"))
+      val joined = reassembled.join(
+        media.toDF().select(col("media_id"), col("payload")), "media_id")
+      Contracts.row(s,
+        "n_media" -> frames.select(col("media_id")).distinct().count(),
+        "frames_per_media_ok" -> Contracts.forAll(reassembled,
+          col("n_frames") === 4),
+        "reassembles_payload_ok" -> Contracts.forAll(joined,
+          col("rebuilt") === col("payload")))
+    })
   )
 
+  /** Every (qid, nid, cos) in a top-k result matches an exact cosine
+    * recomputed from the raw embeddings through the interpreted HOF path —
+    * an independent implementation of the native `vec_dot` kernel.
+    */
+  private def scoresMatchExact(topk: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame): Boolean = {
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val joined = topk
+      .join(v.select(col("vec_id").as("qid"), col("v").as("v_q")), "qid")
+      .join(v.select(col("vec_id").as("nid"), col("v").as("v_n")), "nid")
+      .withColumn("exact_cos",
+        round(Similarity.cosine(col("v_q"), col("v_n")), 6))
+    Contracts.forAll(joined, abs(col("cos") - col("exact_cos")) <= 1e-9)
+  }
+
   val oracles: Map[String, String] = Map(
+    // Contract-row oracles: the boolean columns are invariants the Spark
+    // side PROVES distributed (set equality vs an exact baseline, recall
+    // floors, reassembly byte-equality, ...); the oracle contributes the
+    // literal TRUE plus an independently-computed row count over the same
+    // parquet tables, so the driver's hash compare turns each invariant
+    // into a hard pass/fail.
+    "dedup_minhash_pairs" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  TRUE AS pairs_found_ok, TRUE AS ids_ordered_ok,
+        |  TRUE AS subset_equals_exact_ok""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  TRUE AS pairs_found_ok, TRUE AS hamming_bounded_ok,
+        |  TRUE AS subset_equals_bruteforce_ok""".stripMargin,
+
+    "winnow_containment_pairs" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  TRUE AS pairs_found_ok, TRUE AS scores_in_range_ok,
+        |  TRUE AS wrapped_copies_recovered_ok""".stripMargin,
+
+    "sim_srp_topk" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+        |    AS n_queries,
+        |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,
+        |  TRUE AS recall_ok""".stripMargin,
+
+    "sim_ivf_topk" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+        |    AS n_queries,
+        |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,
+        |  TRUE AS recall_ok""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  TRUE AS dup_text_same_fp_ok, TRUE AS winnow_well_formed_ok,
+        |  TRUE AS partition_invariant_ok""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT 200::BIGINT AS n_media, TRUE AS one_row_per_media_ok,
+        |  TRUE AS features_match_source_ok,
+        |  TRUE AS deterministic_ok""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT 50::BIGINT AS n_media, TRUE AS frames_per_media_ok,
+        |  TRUE AS reassembles_payload_ok""".stripMargin,
+
     "token_freq_topk" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

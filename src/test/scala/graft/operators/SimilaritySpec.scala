@@ -97,4 +97,23 @@ class SimilaritySpec extends SparkSpec {
     // buckets we still expect to recover a solid fraction of true neighbors
     assert(recall >= 0.3, s"recall=$recall")
   }
+
+  test("multi-probe SRP: recall is monotone in nProbe and beats single-probe") {
+    val emb = t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recallAt(nProbe: Int): Double = {
+      val srp = Similarity
+        .srpTopK(emb, queries, "vec_id", "embedding", 5, nBits = 4,
+          nProbe = nProbe)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+      (brute & srp).size.toDouble / brute.size
+    }
+    val r = Seq(1, 4, 8).map(recallAt)
+    // margin-guided bit flips only ADD probe buckets, so recall can only grow
+    assert(r(0) <= r(1) && r(1) <= r(2), s"recalls=$r")
+    assert(r(2) > r(0), s"multi-probe added nothing: recalls=$r")
+    assert(r(2) >= 0.5, s"recall@nProbe=8 too low: ${r(2)}")
+  }
 }
