@@ -48,6 +48,41 @@ object Publisher {
     ).as[QueueMessage]
   }
 
+  /** Byte-parity variant of `serialize`: the emitted JSON is identical to Go
+    * `json.Marshal` of the reference's Record (internal/models/record.go:7-34)
+    * for the value domains the pipeline carries. The three representation
+    * gaps between Jackson (Spark's to_json) and Go's encoder are closed here:
+    *
+    *  - timestamps: Go RFC3339 omits the fractional second when it is zero
+    *    ("...T00:00:00Z"); Jackson's default pattern always writes ".SSS".
+    *    The pipeline's timestamps are second-resolution (DataGenerator casts
+    *    from whole seconds), so a seconds-only pattern is exact. Sub-second
+    *    data would need Go's trim-trailing-zeros rendering and is rejected
+    *    by the golden spec rather than silently mis-encoded.
+    *  - floats: Go writes the shortest round-trip decimal, so whole doubles
+    *    drop the point ("100", not "100.0"). Jackson writes Java's
+    *    Double.toString. For finite non-scientific values the two agree
+    *    except for the trailing ".0", which the regex strips.
+    *  - key order / empty arrays: already aligned — struct field order
+    *    matches the Go struct, and Spark empty arrays render "[]" exactly
+    *    like Go's non-nil empty slices.
+    *
+    * (Go also HTML-escapes < > & by default; no pipeline domain contains
+    * them — asserted in the golden spec.)
+    */
+  def serializeGoCompat(df: DataFrame, idColumn: String): Dataset[QueueMessage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val js = to_json(
+      struct(df.columns.map(col): _*),
+      Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ssXXX",
+          "timeZone" -> "UTC"))
+    df.select(
+      col(idColumn).cast("string").as("id"),
+      regexp_replace(js, """(":-?\d+)\.0([,}\]])""", "$1$2").as("body")
+    ).as[QueueMessage]
+  }
+
   /** Send one partition's messages in client-sized batches with bounded
     * retries; returns the messages that still failed.
     */

@@ -129,6 +129,36 @@ object ParityQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // F8 Go-parity: serializeGoCompat's JSON is byte-compatible with Go
+    // json.Marshal of the reference Record (internal/models/record.go:7-34).
+    // Contract: RFC3339 seconds-resolution timestamps with no fractional
+    // part, no Jackson-style trailing ".0" on whole floats anywhere in the
+    // payload, and a full from_json round-trip reconstructs the source
+    // frame bit-for-bit (checksum over all columns). The byte-level golden
+    // lines themselves are asserted in GoJsonParitySpec.
+    "gojson_parity" -> ((s, _) => {
+      val df = DataGenerator.generate(s, 500L, seed = 42L).toDF()
+        .localCheckpoint()
+      val ser = graft.pipeline.Publisher.serializeGoCompat(df, "id")
+        .toDF().localCheckpoint()
+      val back = ser
+        .select(from_json(col("body"), df.schema,
+          Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ssXXX",
+              "timeZone" -> "UTC")).as("r"))
+        .select("r.*")
+      Contracts.row(s,
+        "n_msgs" -> ser.count(),
+        "rfc3339_seconds_ok" -> Contracts.forAll(ser,
+          col("body").rlike(
+            "\"created_at\":\"\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z\"") &&
+            col("body").rlike(
+              "\"last_login_date\":\"\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z\"")),
+        "whole_floats_go_style_ok" -> Contracts.forAll(ser,
+          !col("body").rlike("\":-?\\d+\\.0[,}]")),
+        "roundtrip_ok" ->
+          (Contracts.checksum(back) == Contracts.checksum(df)))
     })
   )
 
@@ -164,6 +194,10 @@ object ParityQueries {
 
     "v2_source_records" ->
       """SELECT 1000::BIGINT AS n_rows, TRUE AS partition_invariant_ok,
-        |  TRUE AS pruned_read_matches_ok, TRUE AS domains_ok""".stripMargin
+        |  TRUE AS pruned_read_matches_ok, TRUE AS domains_ok""".stripMargin,
+
+    "gojson_parity" ->
+      """SELECT 500::BIGINT AS n_msgs, TRUE AS rfc3339_seconds_ok,
+        |  TRUE AS whole_floats_go_style_ok, TRUE AS roundtrip_ok""".stripMargin
   )
 }
