@@ -1,0 +1,152 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pipeline.InMemoryQueue
+
+/** Kafka-shaped streaming connector over the queue transport:
+  *
+  *   spark.readStream.format("graft-queue").option("queue", name).load()
+  *
+  * The reference wires its queue to compute with an SQS event-source mapping
+  * (template.yaml:82-86); this is that wiring as a first-class Structured
+  * Streaming source. The in-memory queue is treated as an APPEND LOG —
+  * exactly Kafka's model: offsets are positions in the log, a micro-batch is
+  * the [start, end) slice, commits do not delete (retention is independent
+  * of consumers), and replay from any retained offset is possible, which is
+  * what gives checkpoint-restart its exactly-once story. `spark.read` (batch)
+  * on the same format snapshots the current log.
+  *
+  * Local scope: executors see the log because local[n] shares one JVM — the
+  * same reason InMemoryQueue works for the batch pipeline. A cluster swaps
+  * this for the real Kafka/Kinesis connector; the query shape is identical.
+  */
+class QueueDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-queue"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    QueueDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new QueueSourceTable(Option(properties.get("queue")).getOrElse(
+      throw new IllegalArgumentException("option 'queue' is required")))
+}
+
+object QueueDataSource {
+  /** One row per message — the QueueMessage shape. */
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("body", StringType, nullable = false)))
+}
+
+private[v2] class QueueSourceTable(queueName: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_queue($queueName)"
+  override def schema(): StructType = QueueDataSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new QueueScan(queueName)
+    }
+}
+
+private[v2] class QueueScan(queueName: String) extends Scan {
+  override def readSchema(): StructType = QueueDataSource.schema
+  override def description(): String = s"graft-queue queue=$queueName"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new QueueMicroBatchStream(queueName)
+  override def toBatch: Batch = new Batch {
+    // Batch read = snapshot of the log at planning time.
+    private val end = InMemoryQueue.size(queueName)
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(QueueSlice(queueName, 0, end))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new QueueReaderFactory
+  }
+}
+
+/** Log offset: count of messages before this position. */
+private[v2] case class QueueOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private[v2] case class QueueSlice(queueName: String, start: Long, end: Long)
+    extends InputPartition
+
+private[v2] class QueueMicroBatchStream(queueName: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // AvailableNow pins the target offset at query start so the run is bounded
+  // even while producers keep appending.
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(InMemoryQueue.size(queueName).toLong)
+
+  override def initialOffset(): Offset = QueueOffset(0L)
+
+  override def latestOffset(): Offset =
+    QueueOffset(availableNowCap
+      .getOrElse(InMemoryQueue.size(queueName).toLong))
+
+  // SupportsAdmissionControl surface (via SupportsTriggerAvailableNow):
+  // this source does not rate-limit, so the limited form delegates.
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def deserializeOffset(json: String): Offset =
+    QueueOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[QueueOffset].n
+    val e = end.asInstanceOf[QueueOffset].n
+    if (e <= s) Array.empty
+    else Array(QueueSlice(queueName, s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new QueueReaderFactory
+
+  /** Kafka semantics: committing a consumer offset never deletes log data —
+    * retention is a broker concern (here: process lifetime).
+    */
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+private[v2] class QueueReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val slice = partition.asInstanceOf[QueueSlice]
+    // ConcurrentLinkedQueue iterates head→tail and is append-only under this
+    // source (nothing drains), so index slicing is stable across batches.
+    val msgs = InMemoryQueue.all(slice.queueName)
+      .slice(slice.start.toInt, slice.end.toInt)
+    new PartitionReader[InternalRow] {
+      private val it = msgs.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val m = it.next()
+        cur = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(m.id), UTF8String.fromString(m.body)))
+        true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

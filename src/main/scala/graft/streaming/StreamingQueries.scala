@@ -201,6 +201,28 @@ object StreamingQueries {
       runToTable(perKey, "update", s)
         .groupBy(col("user_id")).agg(max(col("n")).as("n"))
         .orderBy(col("user_id"))
+    }),
+
+    // The reference's full event flow as ONE streaming query: parquet →
+    // publish to queue → format("graft-queue") micro-batch source →
+    // from_json → aggregate. Matching the oracle run directly on the source
+    // table proves the queue + streaming-source transport is lossless
+    // end to end (SQS event-source-mapping analog, template.yaml:82-86).
+    "streaming_queue_source" -> ((s, dir) => {
+      val qn = s"stream-src-${java.util.UUID.randomUUID()}"
+      graft.pipeline.Publisher.publish(s,
+        graft.pipeline.Publisher.PublishRequest(
+          Seq(s"$dir/customer.parquet"), idColumn = "c_custkey"),
+        new graft.pipeline.InMemoryQueueClient(qn))
+      val schema = s.read.parquet(s"$dir/customer.parquet").schema
+      val parsed = s.readStream.format("graft-queue").option("queue", qn)
+        .load()
+        .select(from_json(col("body"), schema).as("r"))
+        .select("r.*")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+      runToTable(parsed, "complete", s)
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -232,6 +254,10 @@ object StreamingQueries {
 
     "streaming_stateful_count" ->
       """SELECT user_id, count(*) AS n FROM events
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "streaming_queue_source" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }
