@@ -101,6 +101,14 @@ object Publisher {
       pending
     }
 
+  /** Name of the `observe` metric group `publish` attaches; rows/bytes land
+    * in every `QueryExecutionListener` and `StreamingQueryListener` the
+    * session has registered (A3 parity, SURVEY §2.4 — the reference logs its
+    * `publishedRows` counter at handler.go:231-239, visible only in logs;
+    * observed metrics are the queryable analog).
+    */
+  val ObservationName = "graft_publish"
+
   def publish(
       spark: SparkSession,
       req: PublishRequest,
@@ -109,6 +117,13 @@ object Publisher {
     import spark.implicits._
     val df = spark.read.parquet(req.paths: _*)
     val messages = serialize(df, req.idColumn)
+      // Plan-level metrics: counted inside the same job that publishes (no
+      // second scan), delivered through listener callbacks when the action
+      // completes. Accumulators below remain the mid-job progress signal.
+      .observe(ObservationName,
+        count(lit(1)).as("attempted_rows"),
+        sum(length(col("body"))).cast("long").as("attempted_bytes"))
+      .as[QueueMessage]
     val sent = spark.sparkContext.longAccumulator("publishedRows")
     val dead = messages.mapPartitions { it =>
       var rows = 0L
@@ -122,4 +137,45 @@ object Publisher {
     val deadLetters = dead.collect().toSeq
     PublishResult(req.paths, sent.value, deadLetters.size.toLong, deadLetters)
   }
+}
+
+/** Session-registerable sink for the publisher's observed metrics:
+  *
+  *   val m = new PublishMetricsListener
+  *   spark.listenerManager.register(m)
+  *   Publisher.publish(...)
+  *   m.await() // (rows, bytes) of the last completed publish
+  *
+  * Listener callbacks are delivered asynchronously after the action
+  * completes, hence the bounded-wait accessor.
+  */
+class PublishMetricsListener
+    extends org.apache.spark.sql.util.QueryExecutionListener {
+
+  @volatile private var last: Option[(Long, Long)] = None
+
+  override def onSuccess(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution,
+      durationNs: Long): Unit =
+    qe.observedMetrics.get(Publisher.ObservationName).foreach { row =>
+      last = Some((row.getAs[Long]("attempted_rows"),
+        row.getAs[Long]("attempted_bytes")))
+    }
+
+  override def onFailure(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution,
+      exception: Exception): Unit = ()
+
+  /** Last observed (attempted_rows, attempted_bytes), waiting up to
+    * `timeoutMs` for the async callback to land.
+    */
+  def await(timeoutMs: Long = 10000): (Long, Long) = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (last.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    last.getOrElse(throw new IllegalStateException(
+      "no publish metrics observed within timeout"))
+  }
+
+  def clear(): Unit = last = None
 }
