@@ -24,11 +24,17 @@ object Bench {
     }
     // Drop warm-up caches (dedup/similarity operators persist intermediate
     // frames): timed queries rebuild their own, and the heap starts clean.
+    // releaseAllRdds also reaches the localCheckpoint blocks that
+    // clearCache() cannot (they live in the block manager until GC).
     spark.catalog.clearCache()
+    graft.operators.Caching.releaseAllRdds(spark)
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      name -> (((System.nanoTime() - t0) / 1e9, rows))
+      val sec = (System.nanoTime() - t0) / 1e9
+      // outside the timer: no net-new blocks accumulate across the sweep
+      graft.operators.Caching.releaseAllRdds(spark)
+      name -> ((sec, rows))
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -36,12 +42,37 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val nQueries = results.size
+    // IVF recall/latency sweep (untimed extra): how the ANN quality/cost
+    // trade-off moves across the (nCentroids, nProbe) grid on this scale
+    // factor's embeddings. Recorded in the bench file only.
+    val sweep = if (args.isEmpty) {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.t(spark, sfDir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = graft.operators.Similarity
+        .bruteForceTopK(emb, q, "vec_id", "embedding", k = 5).localCheckpoint()
+      val grid = Seq((8, 1), (8, 2), (16, 1), (16, 4), (32, 4), (32, 8))
+      val entries = grid.map { case (nc, np) =>
+        val t0 = System.nanoTime()
+        val ivf = graft.operators.Similarity.ivfTopK(emb, q, "vec_id",
+          "embedding", k = 5, nCentroids = nc, nProbe = np, trainIters = 2)
+          .localCheckpoint()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = graft.queries.Contracts.recall(ivf, brute)
+        // release THIS round's result only — a blanket release would also
+        // drop `brute`, whose truncated lineage cannot be recomputed
+        ivf.unpersist(blocking = false)
+        f"""{"nCentroids":$nc,"nProbe":$np,"sec":$sec%.3f,"recall":$recall%.3f}"""
+      }
+      graft.operators.Caching.releaseAllRdds(spark)
+      entries.mkString("[", ",", "]")
+    } else "[]"
     // Full per-query detail goes to a stable file; stdout gets a COMPACT
     // final line only. The driver parses the last line of a bounded stdout
     // tail window — the full 87-query map is ~4 KB and lands mid-line in
     // that window, so the parseable contract line must stay short.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"ivf_sweep":$sweep,"sf":"$sfDir"}"""
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nQueries,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

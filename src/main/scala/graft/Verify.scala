@@ -49,6 +49,10 @@ object Verify {
           .parquet(s"$outDir/$name.parquet")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // includes localCheckpoint blocks clearCache() can't reach — the
+        // sweep accumulates no net-new cached blocks across 88 queries
+        graft.operators.Caching.releaseAllRdds(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -68,7 +72,12 @@ object Verify {
     // every oracle under BOTH keys so either lookup convention matches
     // (round-1 lesson: bare-name-only keys → 87× "no_oracle").
     val json = SparkEntry.oracleSql
-      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
+      .flatMap { case (k, v) =>
+        // guard against a query name already ending in .parquet — the
+        // unconditional suffix would emit duplicate JSON keys
+        if (k.endsWith(".parquet")) Seq(k -> v)
+        else Seq(k -> v, s"$k.parquet" -> v)
+      }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
