@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions.HashExpressions
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (builder mandate + SURVEY.md §7.3):
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
@@ -199,6 +199,39 @@ object PipelineQueries {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(20)),
 
+    // --- Curation: sampling / packing / decontamination ---------------------
+    // Deterministic stratified sampling (training-mix reweighting): keep
+    // 75% of BUILDING, 50% of AUTOMOBILE, 25% of the rest, selected by an
+    // md5-prefix threshold — partition-invariant, shuffle-free, and exactly
+    // reproducible by the oracle since both engines share md5.
+    "stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "customer"), "c_custkey",
+          "c_mktsegment", Map("BUILDING" -> 0.75, "AUTOMOBILE" -> 0.5),
+          defaultRate = 0.25, salt = "mix1")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))),
+
+    // Sequence packing: docs → fixed-token-budget packs, sharded so each
+    // shard packs independently (no global sort). Per-doc assignment is the
+    // dump — the oracle re-derives every pack id from the same cumulative
+    // token sums.
+    "seq_pack" -> ((s, dir) =>
+      Packing.packSequences(t(s, dir, "documents"), "doc_id",
+          size(split(trim(col("text")), "\\s+")), budget = 2048L, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("n_tokens"), col("pack"))
+        .orderBy(col("doc_id"))),
+
+    // Benchmark decontamination: docs sharing any verbatim 8-gram with the
+    // eval slice (doc_id < 20). The oracle rebuilds the n-gram overlap in
+    // SQL; testdata plants a contaminated doc, so the result is non-empty.
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.contaminated(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "doc_id", "text", n = 8, minOverlap = 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Text analysis ------------------------------------------------------
     "text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -366,6 +399,45 @@ object PipelineQueries {
     "multimodal_frames" ->
       """SELECT 50::BIGINT AS n_media, TRUE AS frames_per_media_ok,
         |  TRUE AS reassembles_payload_ok""".stripMargin,
+
+    "stratified_sample" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE substr(md5(c_custkey::VARCHAR || 'mix1'), 1, 4) <
+        |  CASE c_mktsegment WHEN 'BUILDING' THEN 'c000'
+        |                    WHEN 'AUTOMOBILE' THEN '8000'
+        |                    ELSE '4000' END
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  ((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048)::BIGINT AS pack
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t)-7, 1))) AS i
+        |  FROM toks
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(t) < 8 THEN array_to_string(t, ' ')
+        |         ELSE array_to_string(t[i:i+7], ' ') END AS g
+        |  FROM idx
+        |), ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20)
+        |SELECT c.doc_id, count(DISTINCT c.g) AS n_overlap
+        |FROM grams c JOIN ev ON c.g = ev.g
+        |WHERE c.doc_id >= 20
+        |GROUP BY c.doc_id HAVING count(DISTINCT c.g) >= 1
+        |ORDER BY c.doc_id""".stripMargin,
 
     "token_freq_topk" ->
       """SELECT token, count(*) AS n FROM (

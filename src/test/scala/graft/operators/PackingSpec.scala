@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val budget = 512L
+
+  private lazy val docs = spark.range(0, 3000).toDF("doc")
+    // deterministic pseudo-random token counts in [1, 400]
+    .withColumn("toks", pmod(xxhash64(col("doc")), lit(400L)) + 1L)
+
+  private lazy val packed =
+    Packing.packSequences(docs, "doc", col("toks"), budget, nShards = 8)
+      .localCheckpoint()
+
+  test("token totals are conserved and every doc is assigned exactly once") {
+    assert(packed.count() == 3000)
+    val in = docs.agg(sum("toks")).head().getLong(0)
+    val out = packed.agg(sum("n_tokens")).head().getLong(0)
+    assert(in == out)
+  }
+
+  test("packs within a shard are contiguous from 0 with no gaps") {
+    val ok = packed.groupBy("shard")
+      .agg(min("pack").as("lo"), max("pack").as("hi"),
+        count_distinct(col("pack")).as("nd"))
+      .filter(col("lo") =!= 0 || col("nd") =!= col("hi") + 1)
+    assert(ok.isEmpty)
+  }
+
+  test("greedy-fill contract: overflow is bounded by one document tail") {
+    val stats = Packing.packStats(packed, budget)
+    // a pack exceeds the budget only because its LAST doc straddles the
+    // boundary, so the overflow is strictly less than that doc's length
+    assert(stats.filter(col("over_budget") >= col("max_doc_tokens")).isEmpty)
+    // and every pack except a shard's last is filled past nothing-fits:
+    // its start offset is < budget by construction
+    val nonTrivial = stats.filter(col("pack_tokens") > 0)
+    assert(nonTrivial.count() > 0)
+  }
+
+  test("assignment is deterministic under repartitioning") {
+    val again = Packing.packSequences(docs.repartition(17), "doc",
+      col("toks"), budget, nShards = 8)
+    assert(packed.select("doc", "shard", "pack")
+      .exceptAll(again.select("doc", "shard", "pack")).isEmpty)
+  }
+
+  test("the plan shuffles once (by shard) — no global sort") {
+    val plan = Packing.packSequences(docs, "doc", col("toks"), budget, 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+}
