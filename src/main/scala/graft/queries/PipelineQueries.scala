@@ -259,6 +259,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The full curation flow COMPOSED: quality floor → exact dedup →
+    // deterministic sample → sequence packing, one declarative plan (Catalyst
+    // pipelines the filter stages into the dedup shuffle's map side). The
+    // per-doc dump pins every stage at once — a doc appears iff it survived
+    // all four, with the pack id its cumulative position implies.
+    "curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))))
+      val quality = docs.filter(col("n_tok") >= 30)
+      val deduped = Dedup.exact(quality, "text", "doc_id")
+      val sampled = Sampling.sample(deduped, "doc_id", 0.5, salt = "cur")
+      Packing.packSequences(sampled, "doc_id", col("n_tok"),
+          budget = 512L, nShards = 4)
+        .select(col("doc_id"), col("n_tokens"), col("shard"), col("pack"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Text analysis ------------------------------------------------------
     "text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -459,6 +476,26 @@ object PipelineQueries {
         |)
         |SELECT doc_id, rank, term, tf, df, tfidf FROM scored
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "curation_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_tok
+        |  FROM documents
+        |), quality AS (SELECT * FROM base WHERE n_tok >= 30),
+        |dedup AS (
+        |  SELECT doc_id, n_tok FROM (
+        |    SELECT doc_id, n_tok,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM quality) WHERE rn = 1
+        |), sampled AS (
+        |  SELECT doc_id, n_tok FROM dedup
+        |  WHERE substr(md5(doc_id::VARCHAR || 'cur'), 1, 4) < '8000'
+        |)
+        |SELECT doc_id, n_tok AS n_tokens, doc_id % 4 AS shard,
+        |  ((sum(n_tok) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) - n_tok) // 512)::BIGINT AS pack
+        |FROM sampled ORDER BY doc_id""".stripMargin,
 
     "stratified_sample" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer
