@@ -70,4 +70,16 @@ class QueryContractSpec extends SparkSpec {
     assert(exec.contains("ReadSchema: struct<>") || exec.contains("struct<>"),
       exec.take(2000))
   }
+
+  test("curation pipeline runs in two shuffles (dedup + packing), no sort") {
+    // quality filter and sample predicate must pipeline into the shuffles'
+    // map sides, not stage extra exchanges; and nothing may plan a global
+    // (range-partitioned) sort except the final oracle-dump orderBy
+    val plan = SparkEntry.queries("curation_pipeline")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 2, s"expected 2 hash exchanges:\n${plan.take(3000)}")
+    val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(rangeExchanges <= 1, "only the dump orderBy may range-partition")
+  }
 }

@@ -71,4 +71,24 @@ class QueueDataSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("queue"))
   }
+
+  test("restart from checkpoint resumes at the committed offset: exactly once") {
+    val q = s"qds-restart-${java.util.UUID.randomUUID()}"
+    val cp = tmpDir("qds-ckpt")
+    val out = tmpDir("qds-out")
+    def runOnce(): Unit = {
+      val sq = spark.readStream.format("graft-queue").option("queue", q).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+    }
+    put(q, 0 until 6)
+    runOnce() // consumes [0, 6), commits offset 6 to the checkpoint
+    put(q, 6 until 10)
+    runOnce() // a NEW query instance must resume at 6, not replay [0, 6)
+    val got = spark.read.parquet(out)
+      .select(col("id").cast("int")).collect().map(_.getInt(0)).sorted
+    assert(got.toSeq == (0 until 10), s"got ${got.toSeq}")
+  }
 }
