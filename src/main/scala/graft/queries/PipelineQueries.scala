@@ -280,6 +280,33 @@ object PipelineQueries {
     "text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    // Gopher-style quality-rule battery: within-doc repetition (duplicate
+    // bigram ratio — the classic repeated-n-gram filter), alphabetic-token
+    // ratio, and mean token length, plus the composed keep flag. All
+    // scan-side column arithmetic; ratios floor-rounded for engine-exact
+    // comparison, and the keep thresholds chosen so this corpus exercises
+    // both branches.
+    "quality_rules" -> ((s, dir) => {
+      HashExpressions.register(s)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      val nTok = size(col("t"))
+      val rep = floor((lit(1.0) -
+        size(expr("word_shingles(t, 2)")).cast("double") /
+          greatest(nTok - 1, lit(1)).cast("double")) * 1e6 + 0.5) / 1e6
+      val alphaRaw = size(filter(col("t"), x => x.rlike("^[a-z]+$")))
+        .cast("double") / nTok
+      val meanTok = length(regexp_replace(concat_ws(" ", col("t")), "\\s", ""))
+        .cast("double") / nTok
+      base.select(col("doc_id"),
+          rep.as("rep_ratio"),
+          (floor(alphaRaw * 1e6 + 0.5) / 1e6).as("alpha_ratio"),
+          (floor(meanTok * 1e6 + 0.5) / 1e6).as("mean_tok_len"),
+          (rep <= 0.02 && alphaRaw >= 0.6 &&
+            meanTok.between(2.0, 12.0)).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF top-3 distinctive terms per doc. Integer-only ranking (tf desc,
     // df asc, term asc) keeps the order engine-exact; the score column uses
     // the floor-round trick shared with qualityScore.
@@ -456,6 +483,40 @@ object PipelineQueries {
       """SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
         |  TRUE AS pairs_well_formed_ok, TRUE AS precision_exact_ok,
         |  TRUE AS recall_ok""".stripMargin,
+
+    "quality_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t)-1, 1))) AS i
+        |  FROM toks
+        |), grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 2 THEN array_to_string(t, ' ')
+        |         ELSE array_to_string(t[i:i+1], ' ') END AS g
+        |  FROM idx
+        |), rep AS (
+        |  SELECT doc_id,
+        |    floor((1.0 - count(DISTINCT g)::DOUBLE / count(*)) * 1e6 + 0.5)
+        |      / 1e6 AS rep_ratio
+        |  FROM grams GROUP BY doc_id
+        |), feats AS (
+        |  SELECT doc_id,
+        |    len(list_filter(t, x -> regexp_full_match(x, '[a-z]+')))::DOUBLE
+        |      / len(t) AS alpha_raw,
+        |    length(regexp_replace(array_to_string(t, ' '), '\s', '', 'g'))
+        |      ::DOUBLE / len(t) AS mean_raw
+        |  FROM toks
+        |)
+        |SELECT r.doc_id, r.rep_ratio,
+        |  floor(f.alpha_raw * 1e6 + 0.5) / 1e6 AS alpha_ratio,
+        |  floor(f.mean_raw * 1e6 + 0.5) / 1e6 AS mean_tok_len,
+        |  (r.rep_ratio <= 0.02 AND f.alpha_raw >= 0.6
+        |   AND f.mean_raw BETWEEN 2.0 AND 12.0) AS keep
+        |FROM rep r JOIN feats f ON r.doc_id = f.doc_id
+        |ORDER BY r.doc_id""".stripMargin,
 
     "tfidf_topk" ->
       """WITH tok AS (
