@@ -86,8 +86,14 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(idCol).as("doc"),
       explode(tokens(col(textCol))).as("term"))
+    // Materialized: tf feeds BOTH the score join and the df aggregate, and
+    // without a cut Catalyst plans the (doc, term) aggregation — a full pass
+    // over every exploded token — twice (verified in the plan audit). On a
+    // cluster this persist targets disk for a 100 TB corpus; the sweep
+    // harnesses release the blocks between queries.
     val tf = tok.groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.count().toDouble
     val w = Window.partitionBy(col("doc"))
