@@ -67,12 +67,32 @@ object Bench {
       graft.operators.Caching.releaseAllRdds(spark)
       entries.mkString("[", ",", "]")
     } else "[]"
+    // Publish-envelope throughput (untimed extra): the reference's only
+    // published number is ~1 GiB serialized+published in 900 s on a 512 MB
+    // Lambda (BASELINE.md). Same work here: scan → to_json → ≤10-message
+    // batches → send, measured through the observe() metrics; the discard
+    // client isolates compute from queue memory.
+    val envelope = if (args.isEmpty) {
+      val m = new graft.pipeline.PublishMetricsListener
+      spark.listenerManager.register(m)
+      try {
+        val t0 = System.nanoTime()
+        graft.pipeline.Publisher.publish(spark,
+          graft.pipeline.Publisher.PublishRequest(
+            Seq(s"$sfDir/lineitem.parquet"), idColumn = "l_orderkey"),
+          new graft.pipeline.DiscardQueueClient)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (prows, pbytes) = m.await()
+        val mbps = pbytes / 1e6 / sec
+        f"""{"rows":$prows,"bytes":$pbytes,"sec":$sec%.3f,"mb_per_sec":$mbps%.1f}"""
+      } finally spark.listenerManager.unregister(m)
+    } else "{}"
     // Full per-query detail goes to a stable file; stdout gets a COMPACT
     // final line only. The driver parses the last line of a bounded stdout
     // tail window — the full 87-query map is ~4 KB and lands mid-line in
     // that window, so the parseable contract line must stay short.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"ivf_sweep":$sweep,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"ivf_sweep":$sweep,"publish_envelope":$envelope,"sf":"$sfDir"}"""
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nQueries,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -49,6 +49,18 @@ object InMemoryQueue {
   def all(name: String): Seq[QueueMessage] = queue(name).iterator().asScala.toSeq
 }
 
+/** Accept-everything sink that never stores: the dry-run / throughput-
+  * measurement client (compute cost of serialize+batch+send without queue
+  * memory growth). Batch-size contract still enforced.
+  */
+class DiscardQueueClient extends QueueClient {
+  override def send(batch: Seq[QueueMessage]): BatchSendResult = {
+    require(batch.size <= maxBatchSize,
+      s"batch of ${batch.size} exceeds maxBatchSize=$maxBatchSize")
+    BatchSendResult(Seq.empty)
+  }
+}
+
 /** In-memory client with deterministic fault injection: message ids in
   * `failFirstAttempts` fail until they have been attempted that many times
   * (exercises the retry path); ids in `poisonIds` always fail (exercises the

@@ -76,9 +76,12 @@ object PipelineQueries {
     // verified with exact Jaccard; recall is the banding claim under test).
     "dedup_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // operator outputs are materialized ONCE (each contract boolean
+      // below re-reads them; without the cut every scalar re-runs the plan)
       val mh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
+        .localCheckpoint()
       val exact = Dedup.jaccardPairs(docs.filter(col("doc_id") < 300),
-        "doc_id", "text", threshold = 0.3)
+        "doc_id", "text", threshold = 0.3).localCheckpoint()
       val mhSub = mh.filter(col("id_a") < 300 && col("id_b") < 300)
       Contracts.row(s,
         "n_docs" -> docs.count(),
@@ -97,6 +100,7 @@ object PipelineQueries {
     "winnow_containment_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cp = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.6)
+        .localCheckpoint()
       val base = docs.filter(col("doc_id") < 50 && length(col("text")) >= 200)
         .select(col("doc_id"), col("text"))
       val wrapped = base.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -123,6 +127,7 @@ object PipelineQueries {
     "dedup_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .localCheckpoint()
       graft.functions.HashExpressions.register(s)
       val fp = docs.filter(col("doc_id") < 300)
         .select(col("doc_id").as("id"),
@@ -130,6 +135,7 @@ object PipelineQueries {
       val brute = fp.as("a").join(fp.as("b"), col("a.id") < col("b.id"))
         .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 3)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .localCheckpoint()
       val shSub = sh.filter(col("id_a") < 300 && col("id_b") < 300)
       Contracts.row(s,
         "n_docs" -> docs.count(),
@@ -155,7 +161,7 @@ object PipelineQueries {
     "dedup_embedding_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding",
-        threshold = 0.4, nBits = 3, nTables = 8)
+        threshold = 0.4, nBits = 3, nTables = 8).localCheckpoint()
       val lshSub = lsh.filter(col("id_a") < 300 && col("id_b") < 300)
         .localCheckpoint()
       val exact = Dedup.embeddingPairs(emb.filter(col("vec_id") < 300),
@@ -209,7 +215,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
       val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
-        k = 5, nCentroids = 16, nProbe = 4, trainIters = 2)
+        k = 5, nCentroids = 16, nProbe = 4, trainIters = 2).localCheckpoint()
       val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
         k = 5).localCheckpoint()
       Contracts.row(s,
