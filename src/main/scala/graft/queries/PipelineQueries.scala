@@ -208,14 +208,16 @@ object PipelineQueries {
         "recall_ok" -> (Contracts.recall(srp, brute) >= 0.4))
     }),
 
-    // IVF coarse-quantizer ANN with Lloyd refinement. Same contract shape;
-    // nProbe=4 of 16 centroids touches ~25% of the corpus, so the recall
-    // floor is higher than SRP's single-bucket probe.
+    // IVF coarse-quantizer ANN with Lloyd refinement. Same contract shape.
+    // On structureless gaussian data IVF recall ≈ the probed corpus
+    // fraction, so nProbe=6 of 16 (~37%) is what keeps the floor
+    // scale-stable: measured recall 0.62 at sf0.01 AND 0.66 at sf0.1
+    // (nProbe=4 sat at 0.48-0.50 — under the floor at the larger scale).
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
       val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
-        k = 5, nCentroids = 16, nProbe = 4, trainIters = 2).localCheckpoint()
+        k = 5, nCentroids = 16, nProbe = 6, trainIters = 2).localCheckpoint()
       val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
         k = 5).localCheckpoint()
       Contracts.row(s,
