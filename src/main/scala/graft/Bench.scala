@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Locale-fixed decimal rendering: the `f` interpolator formats through
+    * the JVM default locale, which under comma-decimal locales would emit
+    * `59,244` and break the JSON contract line.
+    */
+  private def jnum(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+      Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -54,15 +62,14 @@ object Bench {
       val grid = Seq((8, 1), (8, 2), (16, 1), (16, 4), (32, 4), (32, 8))
       val entries = grid.map { case (nc, np) =>
         val t0 = System.nanoTime()
+        // consumed exactly once (by the recall join) — no checkpoint needed,
+        // and Dataset.unpersist would not release checkpoint blocks anyway
         val ivf = graft.operators.Similarity.ivfTopK(emb, q, "vec_id",
           "embedding", k = 5, nCentroids = nc, nProbe = np, trainIters = 2)
-          .localCheckpoint()
         val sec = (System.nanoTime() - t0) / 1e9
         val recall = graft.queries.Contracts.recall(ivf, brute)
-        // release THIS round's result only — a blanket release would also
-        // drop `brute`, whose truncated lineage cannot be recomputed
-        ivf.unpersist(blocking = false)
-        f"""{"nCentroids":$nc,"nProbe":$np,"sec":$sec%.3f,"recall":$recall%.3f}"""
+        s"""{"nCentroids":$nc,"nProbe":$np,"sec":${jnum(sec, 3)},""" +
+          s""""recall":${jnum(recall, 3)}}"""
       }
       graft.operators.Caching.releaseAllRdds(spark)
       entries.mkString("[", ",", "]")
@@ -84,7 +91,8 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         val (prows, pbytes) = m.await()
         val mbps = pbytes / 1e6 / sec
-        f"""{"rows":$prows,"bytes":$pbytes,"sec":$sec%.3f,"mb_per_sec":$mbps%.1f}"""
+        s"""{"rows":$prows,"bytes":$pbytes,"sec":${jnum(sec, 3)},""" +
+          s""""mb_per_sec":${jnum(mbps, 1)}}"""
       } finally spark.listenerManager.unregister(m)
     } else "{}"
     // Full per-query detail goes to a stable file; stdout gets a COMPACT
@@ -94,7 +102,8 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"ivf_sweep":$sweep,"publish_envelope":$envelope,"sf":"$sfDir"}"""
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nQueries,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec",""" +
+        s""""n_queries":$nQueries,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full)
     catch { case _: Throwable => }

@@ -27,6 +27,13 @@ object Packing {
   def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
       budget: Long, nShards: Int): DataFrame = {
     require(budget > 0 && nShards > 0)
+    // A non-integral id would cast to NULL, collapsing every row into one
+    // NULL shard — a silent single-partition sequential pack. Fail instead.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"packSequences needs an integral id column for sharding; " +
+        s"'$idCol' is ${idType.catalogString} — hash it to a long first")
     val shard = pmod(col(idCol).cast("long"), lit(nShards)).as("shard")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 4-hex-digit threshold for `rate`; rows keep iff prefix < threshold. */
+  /** 4-hex-digit threshold for `rate`; rows keep iff prefix < threshold.
+    * Clamped to 0xffff: a rate within half a granule of 1.0 would otherwise
+    * round to 65536 → the FIVE-digit string "10000", which compares
+    * lexicographically below almost every 4-hex prefix and would collapse a
+    * ~100% sample to ~6%.
+    */
   private[operators] def thresholdHex(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    f"${math.round(rate * 65536.0).toInt}%04x"
+    f"${math.min(math.round(rate * 65536.0).toInt, 0xffff)}%04x"
   }
 
   /** Keep-condition for one rate. `rate >= 1.0` keeps everything (the

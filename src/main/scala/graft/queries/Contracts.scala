@@ -31,9 +31,13 @@ object Contracts {
 
   /** TRUE iff `cond` holds on every row (FALSE on an empty frame — an
     * operator that produced nothing has not demonstrated its invariant).
+    * A row where `cond` evaluates to NULL counts as FAILING: `bool_and` is
+    * a SQL aggregate that skips NULL inputs, so without the inner coalesce a
+    * NULL field would silently exempt its row from the invariant.
     */
   def forAll(df: DataFrame, cond: Column): Boolean =
-    df.agg(coalesce(bool_and(cond), lit(false))).head().getBoolean(0)
+    df.agg(coalesce(bool_and(coalesce(cond, lit(false))), lit(false)))
+      .head().getBoolean(0)
 
   /** TRUE iff the two frames hold the same key set (both directions empty
     * after anti-joins). `cols` must exist in both.
@@ -45,15 +49,28 @@ object Contracts {
       pb.join(pa, cols, "left_anti").isEmpty
   }
 
-  /** Order-insensitive 64-bit content checksum of the whole frame: xor of
-    * per-row hashes over every column. Struct/array/timestamp columns hash
-    * natively; two frames with equal checksums are (modulo xxhash collision)
-    * row-set identical — the distributed analog of "dump both and diff".
+  /** Order-insensitive 64-bit content checksum of the whole frame, mixing
+    * (count, sum, xor) of per-row hashes over every column. Struct/array/
+    * timestamp columns hash natively; two frames with equal checksums are
+    * (modulo hash collision) multiset-identical — the distributed analog of
+    * "dump both and diff". XOR alone is NOT enough: any even-multiplicity
+    * row difference cancels (h ^ h = 0), so a bug duplicating one row twice
+    * would pass; the count and sum components break that cancellation. The
+    * sum runs in decimal because ANSI mode makes long-sum overflow throw.
     */
-  def checksum(df: DataFrame): Long =
-    df.select(xxhash64(df.columns.map(col).toSeq: _*).as("h"))
-      .agg(coalesce(expr("bit_xor(h)"), lit(0L)))
-      .head().getLong(0)
+  def checksum(df: DataFrame): Long = {
+    val r = df.select(xxhash64(df.columns.map(col).toSeq: _*).as("h"))
+      .agg(count(lit(1)),
+        coalesce(sum(col("h").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)),
+        coalesce(expr("bit_xor(h)"), lit(0L)))
+      .head()
+    val n = r.getLong(0)
+    val s = r.getDecimal(1).toBigInteger.longValue()
+    val x = r.getLong(2)
+    java.lang.Long.rotateLeft(n * 0x9E3779B97F4A7C15L, 17) ^
+      (s * 0xC2B2AE3D27D4EB4FL) ^ x
+  }
 
   /** Per-query rank column is exactly 1..count(qid) — the well-formedness of
     * any top-k output (no gaps, no duplicates, starts at 1).

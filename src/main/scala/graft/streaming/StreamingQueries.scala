@@ -221,8 +221,13 @@ object StreamingQueries {
         .select("r.*")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
-      runToTable(parsed, "complete", s)
+      val result = runToTable(parsed, "complete", s)
         .orderBy(col("c_mktsegment"))
+      // the memory sink now holds the result; drop the queue's copy of the
+      // table so repeated sweeps don't accumulate driver heap (the queue
+      // registry is a process-lifetime static map)
+      graft.pipeline.InMemoryQueue.clear(qn)
+      result
     })
   )
 

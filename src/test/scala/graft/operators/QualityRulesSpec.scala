@@ -12,7 +12,6 @@ class QualityRulesSpec extends SparkSpec {
   import spark.implicits._
 
   private def rules(df: org.apache.spark.sql.DataFrame) = {
-    df.createOrReplaceTempView("quality_probe_docs")
     // run the registered query body against a temp dir holding the frame
     val dir = tmpDir("qr")
     df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
