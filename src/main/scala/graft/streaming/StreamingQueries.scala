@@ -228,6 +228,45 @@ object StreamingQueries {
       // registry is a process-lifetime static map)
       graft.pipeline.InMemoryQueue.clear(qn)
       result
+    }),
+
+    // Event-time windowed aggregation THROUGH the queue transport: generate
+    // records (deterministic timestamps spanning a year) → publish → stream
+    // from format("graft-queue") → from_json → watermark + 7-day windows.
+    // Contract: the streamed window set is checksum-identical to the same
+    // aggregation computed in batch directly on the generated frame — the
+    // end-to-end claim that transport + parse + event-time windowing lose
+    // and invent nothing — and every published record lands in some window.
+    "streaming_queue_window" -> ((s, dir) => {
+      val qn = s"stream-win-${java.util.UUID.randomUUID()}"
+      val stage = Files.createTempDirectory("graft-qwin-").toString
+      graft.sources.DataGenerator.generate(s, 2000L, seed = 7L).toDF()
+        .write.mode("overwrite").parquet(s"$stage/records.parquet")
+      graft.pipeline.Publisher.publish(s,
+        graft.pipeline.Publisher.PublishRequest(
+          Seq(s"$stage/records.parquet"), idColumn = "id"),
+        new graft.pipeline.InMemoryQueueClient(qn))
+      val schema = s.read.parquet(s"$stage/records.parquet").schema
+      def winAgg(df: DataFrame): DataFrame = df
+        .groupBy(window(col("created_at"), "7 days"), col("account_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("account_balance")), 2).as("bal"))
+        .select(col("window.start").as("win_start"), col("account_type"),
+          col("n"), col("bal"))
+      val streamed = runToTable(
+        winAgg(s.readStream.format("graft-queue").option("queue", qn).load()
+          .select(from_json(col("body"), schema).as("r")).select("r.*")
+          .withWatermark("created_at", "1 day")),
+        "complete", s).localCheckpoint()
+      val batch = winAgg(s.read.parquet(s"$stage/records.parquet"))
+      graft.pipeline.InMemoryQueue.clear(qn)
+      graft.queries.Contracts.row(s,
+        "n_records" -> streamed.agg(coalesce(sum(col("n")), lit(0L)))
+          .head().getLong(0),
+        "windows_found_ok" -> (streamed.count() >= 2L),
+        "streaming_equals_batch_ok" ->
+          (graft.queries.Contracts.checksum(streamed) ==
+            graft.queries.Contracts.checksum(batch)))
     })
   )
 
@@ -263,6 +302,10 @@ object StreamingQueries {
 
     "streaming_queue_source" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "streaming_queue_window" ->
+      """SELECT 2000::BIGINT AS n_records, TRUE AS windows_found_ok,
+        |  TRUE AS streaming_equals_batch_ok""".stripMargin
   )
 }
