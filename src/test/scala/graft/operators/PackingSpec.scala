@@ -50,6 +50,32 @@ class PackingSpec extends SparkSpec {
       .exceptAll(again.select("doc", "shard", "pack")).isEmpty)
   }
 
+  test("conservation and overflow bound hold across generated distributions") {
+    // uniform-small, heavy-tailed, constant, and budget-sized token counts
+    val shapes = Seq[(String, org.apache.spark.sql.Column)](
+      "uniform" -> (pmod(xxhash64(col("doc"), lit(1)), lit(50L)) + 1L),
+      "heavy" -> (pmod(xxhash64(col("doc"), lit(2)), lit(3L)) * 200L + 1L),
+      "constant" -> lit(37L),
+      "budget-sized" -> lit(512L))
+    for ((name, toks) <- shapes) {
+      val df = spark.range(0, 500).toDF("doc").withColumn("toks", toks)
+      val p = Packing.packSequences(df, "doc", col("toks"), budget, 4)
+      val in = df.agg(sum("toks")).head().getLong(0)
+      assert(p.agg(sum("n_tokens")).head().getLong(0) == in, name)
+      val stats = Packing.packStats(p, budget)
+      assert(stats.filter(col("over_budget") >= col("max_doc_tokens")).isEmpty,
+        s"$name: overflow exceeded one doc tail")
+    }
+  }
+
+  test("non-integral id column is rejected, not silently mono-sharded") {
+    val df = Seq(("a", 10L), ("b", 20L)).toDF("doc", "toks")
+    val e = intercept[IllegalArgumentException] {
+      Packing.packSequences(df, "doc", col("toks"), 100L, 4)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("the plan shuffles once (by shard) — no global sort") {
     val plan = Packing.packSequences(docs, "doc", col("toks"), budget, 8)
       .queryExecution.executedPlan.toString

@@ -50,6 +50,18 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(got("odd") / 10000.0 - 0.1) < 0.03)
   }
 
+  test("thresholdHex: always 4 hex chars, monotone, clamped at the top") {
+    val rates = ((0 to 1000).map(_ / 1000.0) ++
+      Seq(0.9999, 0.99999, 0.999999, 1.0 - 1e-12)).sorted
+    val hexes = rates.map(Sampling.thresholdHex)
+    assert(hexes.forall(_.length == 4), "5-digit threshold would break the " +
+      "lexicographic compare")
+    assert(hexes == hexes.sorted, "threshold must be monotone in rate")
+    // the near-1.0 band must keep ~everything, not collapse to prefix<'10000'
+    val n = Sampling.sample(ids, "id", 1.0 - 1e-9).count()
+    assert(n >= 19990, s"near-1.0 rate kept only $n of 20000")
+  }
+
   test("sampling is a scan-side filter (no shuffle, no rand)") {
     val plan = Sampling.sample(ids, "id", 0.5).queryExecution
       .executedPlan.toString
