@@ -19,9 +19,26 @@ class QueryContractSpec extends SparkSpec {
       s"queries missing from the SURVEY.md coverage matrix: $undocumented")
   }
 
-  test("every query runs at sf0.001") {
+  // Queries whose plan INTENTIONALLY contains a broadcast nested-loop join:
+  // the bounded quadratic oracle baselines (non-equi all-pairs with one tiny
+  // broadcast side IS the right physical plan there), the broadcast interval
+  // join, and the generated hours×types fill grid. Anything else acquiring
+  // one is a plan regression.
+  private val bnljByDesign = Set("dedup_embedding_pairs", "range_join_bucket",
+    "resample_fill", "sim_bruteforce_topk")
+
+  test("every query runs at sf0.001 with no rogue join in its plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      withClue(name) { assert(fn(spark, sfDir).count() >= 0L) }
+      withClue(name) {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          "unbroadcast cross product — would shuffle-explode at scale")
+        if (!bnljByDesign(name))
+          assert(!plan.contains("BroadcastNestedLoopJoin"),
+            "nested-loop join outside the audited whitelist")
+        assert(df.count() >= 0L)
+      }
     }
   }
 
