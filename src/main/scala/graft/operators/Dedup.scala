@@ -45,11 +45,16 @@ object Dedup {
   private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
       nGram: Int, numPartitions: Int): DataFrame = {
     HashExpressions.register(df.sparkSession)
-    df.select(col(idCol).as("id"),
-        expr(s"word_shingles(split(trim(lower($textCol)), '\\\\s+'), $nGram)")
+    // Repartition the RAW text, then shingle: a single local parquet file
+    // scans as one split, and an exchange placed after the projection would
+    // leave the expensive kernel running on that one core. (Cheap to
+    // shuffle bodies once; the kernel then runs on every core.)
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(numPartitions, col("id"))
+      .select(col("id"),
+        expr(s"word_shingles(split(trim(lower(__text)), '\\\\s+'), $nGram)")
           .as("sh"))
       .filter(size(col("sh")) > 0)
-      .repartition(numPartitions, col("id"))
   }
 
   /** Exact dedup: keep the lowest `idCol` row per distinct content. Grouping
@@ -141,9 +146,11 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     HashExpressions.register(df.sparkSession)
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val fp = df.select(col(idCol).as("id"),
-        expr(s"simhash64(split(trim(lower($textCol)), '\\\\s+'))").as("fp"))
+    // exchange BEFORE the kernel — see shingleFrame
+    val fp = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(par, col("id"))
+      .select(col("id"),
+        expr("simhash64(split(trim(lower(__text)), '\\\\s+'))").as("fp"))
       .persist()
     val bandStructs = array((0 until 4).map { bi =>
       struct(lit(bi).as("band_idx"),
@@ -235,10 +242,12 @@ object Dedup {
       maxDocFreq: Int = 100): DataFrame = {
     HashExpressions.register(df.sparkSession)
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val fp = df.select(col(idCol).as("id"),
-        expr(s"winnow_fingerprint($textCol, $k, $w)").as("fp"))
-      .filter(size(col("fp")) > 0)
+    // exchange BEFORE the kernel — see shingleFrame
+    val fp = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(par, col("id"))
+      .select(col("id"),
+        expr(s"winnow_fingerprint(__text, $k, $w)").as("fp"))
+      .filter(size(col("fp")) > 0)
       .persist()
     val ex = fp.select(col("id"), explode(col("fp")).as("h"))
     val rare = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
