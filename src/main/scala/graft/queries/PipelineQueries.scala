@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions.HashExpressions
-import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (builder mandate + SURVEY.md §7.3):
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
@@ -291,6 +291,38 @@ object PipelineQueries {
       Packing.packSequences(sampled, "doc_id", col("n_tok"),
           budget = 512L, nShards = 4)
         .select(col("doc_id"), col("n_tokens"), col("shard"), col("pack"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sliding-window chunking (window=64 tokens, stride=48 → 16-token
+    // overlap): the corpus → training-example splitter. The oracle rebuilds
+    // every chunk boundary and window md5 from the same integer formula.
+    "doc_chunks" -> ((s, dir) =>
+      Chunking.chunk(t(s, dir, "documents"), "doc_id", "text",
+          window = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // PII redaction: counts per category on the raw text, then the masked
+    // text's md5. The documents corpus is word-soup with no organic PII, so
+    // the query plants deterministic PII derived from doc_id on BOTH sides
+    // — every count is thereby non-zero and the masking provably fired
+    // (the md5 differs from the unmasked text's md5 iff rules applied).
+    "pii_redact" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail.example.com via http://example.com/d/"),
+        col("doc_id").cast("string"),
+        lit(" from 10.0."), (col("doc_id") % 250).cast("string"),
+        lit(".7 tel 303-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("a"))
+        .select(col("doc_id"),
+          Redaction.countOf(col("a"), Redaction.urlRe).as("n_url"),
+          Redaction.countOf(col("a"), Redaction.emailRe).as("n_email"),
+          Redaction.countOf(col("a"), Redaction.ipRe).as("n_ip"),
+          Redaction.countOf(col("a"), Redaction.phoneRe).as("n_phone"),
+          md5(Redaction.redact(col("a"))).as("redacted_md5"))
         .orderBy(col("doc_id"))
     }),
 
@@ -722,6 +754,47 @@ object PipelineQueries {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), nn AS (SELECT doc_id, t, len(t) AS n FROM d),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END))
+        |      AS chunk_id
+        |  FROM nn)
+        |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+        |  len(t[chunk_id*48+1 : chunk_id*48+64])::BIGINT AS n_chunk_tokens,
+        |  md5(array_to_string(t[chunk_id*48+1 : chunk_id*48+64], ' '))
+        |    AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' reach user' || doc_id ||
+        |    '@mail.example.com via http://example.com/d/' || doc_id ||
+        |    ' from 10.0.' || (doc_id % 250) || '.7 tel 303-555-' ||
+        |    lpad((doc_id % 10000)::VARCHAR, 4, '0') AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(a, 'https?://[^ \t\n]+'))::BIGINT AS n_url,
+        |  len(regexp_extract_all(a,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_email,
+        |  len(regexp_extract_all(a,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT
+        |    AS n_ip,
+        |  len(regexp_extract_all(a,
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))::BIGINT AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(a,
+        |    'https?://[^ \t\n]+', '[URL]', 'g'),
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g')) AS redacted_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
 
     "text_readability" ->
       """SELECT doc_id,
