@@ -84,7 +84,102 @@ object StreamingQueries {
     }
   }
 
+  /** Custom session accumulator for the flatMapGroupsWithState emitter:
+    * (startMicros, lastMicros, n, sum). Sessions close on a >= `gap` silence,
+    * mirroring the `session_window` rule (and the batch oracle's `>= 1800s`).
+    */
+  private[streaming] val SessionGapMicros = 30L * 60 * 1000 * 1000
+
+  private[streaming] def foldSessions(
+      open: Option[(Long, Long, Long, Double)],
+      rows: Seq[(Long, Double)]): (Seq[(Long, Long, Long, Double)],
+        Option[(Long, Long, Long, Double)]) = {
+    var closed = List.empty[(Long, Long, Long, Double)]
+    var cur = open
+    rows.sortBy(_._1).foreach { case (ts, v) =>
+      cur match {
+        case Some((st, last, n, sum)) if ts - last < SessionGapMicros =>
+          cur = Some((st, ts, n + 1, sum + v))
+        case Some(done) =>
+          closed ::= done; cur = Some((ts, ts, 1L, v))
+        case None =>
+          cur = Some((ts, ts, 1L, v))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
+  /** The flatMapGroupsWithState sessionizer over (user_id, ts, value): emits
+    * every session a gap closes plus the still-open session provisionally,
+    * keyed state = the one open session. Input must be a stream with those
+    * three columns; output rows are (user_id, start_m, last_m, n, sum_v).
+    */
+  private[streaming] def sessionizeStream(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Double),
+          (Long, Long, Long, Long, Double)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Double)],
+            state: GroupState[(Long, Long, Long, Double)]) =>
+          val (closed, open) = foldSessions(state.getOption,
+            rows.map(r => (r._2, r._3)).toSeq)
+          open.foreach(state.update)
+          (closed ++ open.toList).iterator.map { case (st, last, n, sum) =>
+            (uid, st, last, n, sum)
+          }
+      }
+      .toDF("user_id", "start_m", "last_m", "n", "sum_v")
+  }
+
+  /** Collapse the update-mode emission log to final sessions: the latest
+    * emission per (user, session start) wins — n grows monotonically as a
+    * session extends across batches.
+    */
+  private[streaming] def collapseSessions(emitted: DataFrame): DataFrame =
+    emitted
+      .groupBy(col("user_id"), col("start_m"))
+      .agg(max(col("n")).as("n"),
+        max_by(col("last_m"), col("n")).as("last_m"),
+        round(max_by(col("sum_v"), col("n")), 2).as("total"))
+      .select(timestamp_micros(col("start_m")).as("s_start"),
+        timestamp_micros(col("last_m") + SessionGapMicros).as("s_end"),
+        col("user_id"), col("n"), col("total"))
+      .orderBy(col("user_id"), col("s_start"))
+
   val queries: Map[String, Q] = Map(
+    // Custom session emitter via flatMapGroupsWithState: per-user state holds
+    // the one OPEN session; each batch merges its rows in event-time order,
+    // emits every session a >= 30 min gap closes, and re-emits the still-open
+    // session provisionally. Update mode forbids post-state aggregation
+    // inside the stream, so the final collapse (latest emission per session
+    // start wins — n grows monotonically) happens on the sink table, same as
+    // `streaming_stateful_count`. Production swaps the provisional re-emit
+    // for GroupStateTimeout.EventTimeTimeout(last + gap): on an unbounded
+    // stream the watermark DOES eventually pass a session's close time; on
+    // this bounded harness it never can (watermark stops at max(ts) - delay),
+    // which is exactly why the flush must not depend on it here.
+    "streaming_sessionize" -> ((s, dir) =>
+      collapseSessions(runToTable(
+        sessionizeStream(rawEvents(s, dir)), "update", s))),
+
+    // The SAME sessionization through the built-in streaming session_window
+    // operator (merging-window state store path) — custom state above, native
+    // operator here, one oracle for both.
+    "streaming_session_window" -> ((s, dir) => {
+      val agg = rawEvents(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("user_id"),
+          col("n"), col("total"))
+      runToTable(agg, "complete", s)
+        .orderBy(col("user_id"), col("s_start"))
+    }),
     // Arbitrary stateful v2 (transformWithState + RocksDB state store):
     // per-user running count/sum; max(n) per key is the final value
     // regardless of batching, and must equal the batch aggregate.
@@ -270,7 +365,30 @@ object StreamingQueries {
     })
   )
 
+  /** Shared session oracle: lag-gap sessionization, identical to the batch
+    * `session_window_agg` oracle in ExtendedQueries.
+    */
+  private val sessionOracle =
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts - lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END
+      |      AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+      |  user_id, count(*) AS n, round(sum(value), 2) AS total
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "streaming_sessionize" -> sessionOracle,
+    "streaming_session_window" -> sessionOracle,
+
     "streaming_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total

@@ -108,6 +108,57 @@ class StreamingSpec extends SparkSpec {
     assert(replayed.select("id").distinct().count() === 30L)
   }
 
+  test("foldSessions closes on the 30-minute boundary and carries open state") {
+    val m = 60L * 1000 * 1000 // one minute in micros
+    // 29:59.999999 extends a session; exactly 30:00 starts a new one
+    val (closed, open) = StreamingQueries.foldSessions(None,
+      Seq((0L, 1.0), (30 * m - 1, 2.0), (60 * m - 2, 4.0), (90 * m - 2, 8.0)))
+    assert(closed == Seq((0L, 60 * m - 2, 3L, 7.0)))
+    assert(open.contains((90 * m - 2, 90 * m - 2, 1L, 8.0)))
+    // a later batch extends the carried open session
+    val (closed2, open2) = StreamingQueries.foldSessions(open,
+      Seq((91 * m, 16.0)))
+    assert(closed2.isEmpty &&
+      open2.contains((90 * m - 2, 91 * m, 2L, 24.0)))
+    // exact-boundary gap: 30:00 after the open session's last event closes it
+    val (closed3, open3) = StreamingQueries.foldSessions(open2,
+      Seq((121 * m, 32.0)))
+    assert(closed3 == Seq((90 * m - 2, 91 * m, 2L, 24.0)))
+    assert(open3.contains((121 * m, 121 * m, 1L, 32.0)))
+  }
+
+  test("sessionize emits identical sessions when batches split mid-session") {
+    import org.apache.spark.sql.functions._
+    // events for one user, 10-minute cadence => one session; split the file
+    // so the session spans two micro-batches (maxFilesPerTrigger=1) and the
+    // provisional re-emit + collapse must still converge to the batch truth.
+    val events = spark.range(12).select(
+      lit(7L).as("user_id"),
+      timestamp_micros(col("id") * 10L * 60 * 1000 * 1000).as("ts"),
+      (col("id") + 1).cast("double").as("value"))
+    val dir = tmpDir("sesssrc")
+    events.filter(col("value") <= 6).coalesce(1)
+      .write.parquet(s"$dir/f1.parquet")
+    events.filter(col("value") > 6).coalesce(1)
+      .write.parquet(s"$dir/f2.parquet")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet")
+    val qn = "sess_multibatch"
+    val q = StreamingQueries.sessionizeStream(stream)
+      .writeStream.format("memory").queryName(qn).outputMode("update")
+      .option("checkpointLocation", tmpDir("sessckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // two provisional emissions for the same session start => collapse keeps
+    // the later (larger n) one only
+    assert(spark.table(qn).count() >= 2)
+    val out = StreamingQueries.collapseSessions(spark.table(qn)).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(2) == 7L && r.getLong(3) == 12L &&
+      r.getDouble(4) == 78.0)
+  }
+
   test("stream consumer logs per-batch counts (reference stub behavior)") {
     val dir = tmpDir("consrc")
     DataGenerator.generate(spark, 25L, seed = 12L)
