@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout (Z-ordering). Sorting a table by the Morton
+  * interleave of two key columns clusters rows so that EVERY file's min/max
+  * range is tight in BOTH dimensions at once — parquet min/max stats (and
+  * any data-skipping index over them) then prune files for predicates on
+  * either key, where a linear sort only prunes its leading column. This is
+  * the layout move behind Delta/Iceberg OPTIMIZE ZORDER, built here from
+  * plain column arithmetic so it works on any Spark table.
+  *
+  * The bit-spread ladder is the classic branch-free Morton encoding; every
+  * step is shifts/ands on longs, so the whole key stays inside whole-stage
+  * codegen and the identical expression runs in ANSI SQL for the oracle.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `c` so bit i lands at position 2i. */
+  private def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton code interleaving the low 16 bits of two long columns
+    * (x in even bit positions, y in odd).
+    */
+  def morton16(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Rewrite `df` into `nFiles` files z-ordered on (xCol, yCol):
+    * range-partition by the Morton key (contiguous curve segments per file)
+    * and sort within each partition. One range shuffle — same cost envelope
+    * as any global sort — paid once at layout time.
+    */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+      nFiles: Int): Unit = {
+    val keyed = df.withColumn("_zkey", morton16(col(xCol), col(yCol)))
+    keyed.repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+}

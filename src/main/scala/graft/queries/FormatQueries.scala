@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
+import graft.operators.Layout
 
 /** Source/sink format coverage beyond parquet (the reference reads and
   * writes parquet only — SURVEY.md §2.1): CSV and JSON round-trips, a
@@ -44,6 +45,28 @@ object FormatQueries {
           round(sum(col("s_acctbal")), 2).as("bal"))
         .orderBy(col("s_nationkey"))
     }),
+
+    // ORC sink + source (the other columnar format Spark ships natively).
+    "orc_roundtrip" -> ((s, dir) => {
+      val out = tmp("graft-orc-")
+      val part = t(s, dir, "part")
+      part.write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("p_retailprice")), 2).as("retail"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Z-order key: the Morton interleave each row would sort by under
+    // OPTIMIZE ZORDER(o_custkey, o_orderkey). The layout effect itself
+    // (tight per-file min/max in both dims → file skipping on either key)
+    // is asserted in LayoutSpec; this query pins the curve arithmetic
+    // bit-for-bit against the oracle's identical shift/and ladder.
+    "zorder_key" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+          Layout.morton16(col("o_custkey"), col("o_orderkey")).as("zkey"))
+        .orderBy(col("o_orderkey"))),
 
     // Hive-style partitioned write, then a scan whose filter prunes to one
     // partition directory (the plan's "partition filters" — at 100 TB this
@@ -102,6 +125,25 @@ object FormatQueries {
     "json_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS retail
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "zorder_key" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey & 65535 AS x, o_orderkey & 65535 AS y
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey, (x | (x << 8)) & 16711935 AS x,
+        |         (y | (y << 8)) & 16711935 AS y FROM b),
+        |s2 AS (SELECT o_orderkey, (x | (x << 4)) & 252645135 AS x,
+        |         (y | (y << 4)) & 252645135 AS y FROM s1),
+        |s3 AS (SELECT o_orderkey, (x | (x << 2)) & 858993459 AS x,
+        |         (y | (y << 2)) & 858993459 AS y FROM s2),
+        |s4 AS (SELECT o_orderkey, (x | (x << 1)) & 1431655765 AS x,
+        |         (y | (y << 1)) & 1431655765 AS y FROM s3)
+        |SELECT o_orderkey, (x | (y << 1))::BIGINT AS zkey FROM s4
+        |ORDER BY o_orderkey""".stripMargin,
 
     "partitioned_write_scan" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("morton16 interleaves bits (known values)") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
+      (3L, 5L)).toDF("x", "y")
+      .select(Layout.morton16(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // x fills even bits, y odd: (3,5) = x bits {0,1}, y bits {0,2}
+    //  -> z bits {0,2} ∪ {1,5} = 0b100111 = 39
+    assert(rows == Seq(0L, 1L, 2L, 0x55555555L, 0xAAAAAAAAL, 39L))
+  }
+
+  test("morton16 is monotone within a fixed quadrant split") {
+    // within the same high-bit prefix, larger (x, y) never lowers the key
+    val z = (a: Long, b: Long) => Seq((a, b)).toDF("x", "y")
+      .select(Layout.morton16(col("x"), col("y"))).head().getLong(0)
+    assert(z(10, 10) < z(200, 200))
+    assert(z(0, 100) < z(0, 200) && z(100, 0) < z(200, 0))
+  }
+
+  /** Files whose [min,max] box on (xCol, yCol) intersects the query box —
+    * the files a min/max-stats pruner must actually read.
+    */
+  private def filesTouching(path: String, xCol: String, yCol: String,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): Long =
+    spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg(min(col(xCol)).as("xmin"), max(col(xCol)).as("xmax"),
+        min(col(yCol)).as("ymin"), max(col(yCol)).as("ymax"))
+      .filter(col("xmax") >= xLo && col("xmin") <= xHi &&
+        col("ymax") >= yLo && col("ymin") <= yHi)
+      .count()
+
+  test("z-ordered layout skips more files than a linear sort for 2-D boxes") {
+    // synthetic uniform grid: both dims matter, no correlation
+    val df = spark.range(1 << 14).select(
+      (col("id") % 128).as("a"), (col("id") / 128).cast("long").as("b"))
+    val nFiles = 16
+    val zdir = tmpDir("zorder")
+    val ldir = tmpDir("linear")
+    Layout.zorderWrite(df, "a", "b", zdir, nFiles)
+    df.repartitionByRange(nFiles, col("a"), col("b"))
+      .sortWithinPartitions(col("a"), col("b"))
+      .write.mode("overwrite").parquet(ldir)
+    // boxes selective in BOTH dims; linear sort only prunes on leading `a`
+    val boxes = Seq((0L, 15L, 0L, 15L), (64L, 79L, 64L, 79L),
+      (112L, 127L, 0L, 15L), (32L, 47L, 96L, 111L))
+    val (zTouch, lTouch) = boxes.map { case (xl, xh, yl, yh) =>
+      (filesTouching(zdir, "a", "b", xl, xh, yl, yh),
+        filesTouching(ldir, "a", "b", xl, xh, yl, yh))
+    }.reduce((p, q) => (p._1 + q._1, p._2 + q._2))
+    assert(zTouch < lTouch,
+      s"z-order touched $zTouch files vs linear $lTouch")
+    // and the layout rewrite loses nothing
+    assert(spark.read.parquet(zdir).count() == (1 << 14).toLong)
+  }
+}
