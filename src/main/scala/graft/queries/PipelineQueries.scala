@@ -326,6 +326,52 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Heavy hitters via count-min sketch — the mergeable-sketch form of
+    // token frequency that replaces the exact groupBy when the vocabulary
+    // itself is too large to shuffle. The sketch aggregates distributed
+    // (map-side partial merge, counters sum elementwise, so the bytes are
+    // partition-invariant for a fixed seed); only the ~KB sketch reaches
+    // the driver. Contract: CMS never undercounts, overcount on the true
+    // top-20 is within eps·N (deterministic for the fixed seed — verified
+    // at sf0.001/0.01/0.1), and a differently-partitioned build yields
+    // byte-identical sketches.
+    "heavy_hitters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      def sketchOf(d: org.apache.spark.sql.DataFrame): Array[Byte] = d
+        .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)"))
+        .head().getAs[Array[Byte]](0)
+      val bytes = sketchOf(toks)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val totalN = toks.count()
+      val top20 = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val epsN = math.ceil(0.001 * totalN).toLong
+      Contracts.row(s,
+        "n_docs" -> docs.count(),
+        "never_undercounts_ok" ->
+          top20.forall { case (t, n) => cms.estimateCount(t) >= n },
+        "overcount_within_eps_ok" ->
+          top20.forall { case (t, n) => cms.estimateCount(t) <= n + epsN },
+        "partition_invariant_ok" ->
+          java.util.Arrays.equals(bytes, sketchOf(toks.repartition(7))))
+    }),
+
+    // Per-domain corpus mix: extract the host from planted URLs (same
+    // derivation trick as pii_redact) and count documents per domain — the
+    // source-composition report every corpus curation run starts from.
+    "url_domain_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), lit(" see http://d"),
+          (col("doc_id") % 7).cast("string"), lit(".example.org/p/"),
+          col("doc_id").cast("string")).as("a"))
+        .select(regexp_extract(col("a"), "https?://([^/ ]+)", 1).as("domain"))
+        .groupBy(col("domain")).agg(count(lit(1)).as("n"))
+        .orderBy(col("domain"))),
+
     // --- Text analysis ------------------------------------------------------
     "text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -754,6 +800,16 @@ object PipelineQueries {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "heavy_hitters" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  TRUE AS never_undercounts_ok, TRUE AS overcount_within_eps_ok,
+        |  TRUE AS partition_invariant_ok""".stripMargin,
+
+    "url_domain_stats" ->
+      """SELECT 'd' || (doc_id % 7) || '.example.org' AS domain,
+        |  count(*) AS n
+        |FROM documents GROUP BY domain ORDER BY domain""".stripMargin,
 
     "doc_chunks" ->
       """WITH d AS (
