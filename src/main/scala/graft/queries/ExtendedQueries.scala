@@ -346,7 +346,55 @@ object ExtendedQueries {
         .select(col("doc_id"),
           posexplode(split(trim(lower(col("text"))), "\\s+")))
         .toDF("doc_id", "pos", "token")
-        .orderBy(col("doc_id"), col("pos")))
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // CDC upsert (MERGE INTO semantics without a table format): a derived
+    // changeset — balance updates for custkey%10=0, deletes for %17=0 (when
+    // not updated), fresh inserts above the key range — applied to the
+    // customer snapshot. One anti-join + union; the oracle rebuilds the
+    // same next-snapshot in SQL.
+    "cdc_upsert" -> ((s, dir) => {
+      val snap = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val updates = snap.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"), lit("U").as("op"))
+      val deletes = snap
+        .filter(col("c_custkey") % 17 === 0 && col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          lit("D").as("op"))
+      val inserts = snap.filter(col("c_custkey") % 100 === 7)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          lit("MACHINERY").as("c_mktsegment"), lit(0.0).as("c_acctbal"),
+          lit("I").as("op"))
+      graft.operators.Cdc.applyChanges(snap,
+          updates.union(deletes).union(inserts), "c_custkey", "op")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Parquet schema evolution: two generations of a table written with
+    // different schemas (the second adds a column), read back as ONE table
+    // with mergeSchema — old rows surface NULL for the new column. The
+    // schema-drift posture every long-lived 100 TB dataset needs; merging
+    // happens at footer level, scans stay columnar.
+    "schema_evolution" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-evolve-").toString
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderpriority")).as("n_with_priority"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -568,6 +616,26 @@ object ExtendedQueries {
         |  round(list_inner_product(embedding::DOUBLE[],
         |                           embedding::DOUBLE[]), 4) AS norm_sq
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "cdc_upsert" ->
+      """WITH snap AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer)
+        |SELECT c_custkey, c_mktsegment, c_acctbal FROM snap
+        |WHERE NOT (c_custkey % 10 = 0
+        |           OR (c_custkey % 17 = 0 AND c_custkey % 10 != 0))
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 FROM snap
+        |WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey + 10000000, 'MACHINERY', 0.0 FROM snap
+        |WHERE c_custkey % 100 = 7
+        |ORDER BY c_custkey""".stripMargin,
+
+    "schema_evolution" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_with_priority,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "explode_tokens" ->
       """WITH w AS (
