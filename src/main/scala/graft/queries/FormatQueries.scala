@@ -83,6 +83,35 @@ object FormatQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Backfill via dynamic partition overwrite: rewrite ONE hive partition
+    // (status 'F' gets a derived price bump) without touching the others —
+    // the idempotent-backfill primitive for a partitioned 100 TB table
+    // (static overwrite mode would truncate every partition first).
+    "dynamic_partition_overwrite" -> ((s, dir) => {
+      val out = tmp("graft-dynpart-")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      orders.write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(out)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        orders.filter(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      } finally prev match {
+        case Some(p) =>
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+        case None =>
+          s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Bucketed tables joined on the bucket key: both sides pre-hashed into
     // the same bucket layout, so the join plan has NO shuffle exchange —
     // the on-disk analog of co-partitioning, and the way a 100 TB fact table
@@ -150,6 +179,13 @@ object FormatQueries {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "dynamic_partition_overwrite" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice
+        |            + CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END),
+        |        2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -298,6 +298,52 @@ object StreamingQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Incremental materialized-view maintenance via foreachBatch: each
+    // micro-batch's partial aggregate merges into a parquet MV (union +
+    // re-aggregate → write aside → atomic-ish swap), so the MV converges to
+    // the batch answer without ever re-reading the source history — the
+    // streaming upkeep pattern for a 100 TB fact table's rollups. The input
+    // is staged as TWO files with maxFilesPerTrigger=1, so the merge path
+    // (read-MV → combine → swap) provably executes more than once.
+    "streaming_incremental_agg" -> ((s, dir) => {
+      val stage = Files.createTempDirectory("graft-minc-").toString
+      val ev = Tables.t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$stage/in/f0.parquet")
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.parquet(s"$stage/in/f1.parquet")
+      val mvDir = new org.apache.hadoop.fs.Path(s"$stage/mv")
+      val fs = mvDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stage/in/*.parquet")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val agg = b.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+          val merged =
+            if (fs.exists(mvDir))
+              s.read.parquet(mvDir.toString).unionByName(agg)
+                .groupBy(col("event_type"))
+                .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+            else agg
+          val next = new org.apache.hadoop.fs.Path(s"$stage/mv-next-$id")
+          merged.write.mode("overwrite").parquet(next.toString)
+          fs.delete(mvDir, true)
+          fs.rename(next, mvDir)
+          ()
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-minc-ckpt-").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(mvDir.toString)
+        .select(col("event_type"), col("n"),
+          round(col("sv"), 2).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
     // The reference's full event flow as ONE streaming query: parquet →
     // publish to queue → format("graft-queue") micro-batch source →
     // from_json → aggregate. Matching the oracle run directly on the source
@@ -405,6 +451,10 @@ object StreamingQueries {
     "streaming_dedup" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "streaming_incremental_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "streaming_dedup_watermark" ->
       """SELECT event_type, count(*) AS n FROM events
