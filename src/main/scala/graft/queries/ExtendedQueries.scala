@@ -348,6 +348,22 @@ object ExtendedQueries {
         .toDF("doc_id", "pos", "token")
         .orderBy(col("doc_id"), col("pos"))),
 
+    // SCD type-2 history: each per-customer order version carries its
+    // validity interval — valid_from = its date, valid_to = the next
+    // version's date (open/current when none). One window shuffle on the
+    // key; the dimension-history pattern every warehouse keeps.
+    "scd2_history" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+    }),
+
     // CDC upsert (MERGE INTO semantics without a table format): a derived
     // changeset — balance updates for custkey%10=0, deletes for %17=0 (when
     // not updated), fresh inserts above the key range — applied to the
@@ -616,6 +632,16 @@ object ExtendedQueries {
         |  round(list_inner_product(embedding::DOUBLE[],
         |                           embedding::DOUBLE[]), 4) AS norm_sq
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "scd2_history" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
 
     "cdc_upsert" ->
       """WITH snap AS (

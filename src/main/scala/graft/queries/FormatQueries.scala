@@ -83,6 +83,26 @@ object FormatQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Small-file compaction as a driver-checkable contract: fragment the
+    // table into 40 files, compact toward the target size, and prove the
+    // file count dropped while the data stayed multiset-identical
+    // (checksum) — the maintenance pass that keeps a streaming sink's
+    // output scannable (Maintenance.compactParquet).
+    "compact_files" -> ((s, dir) => {
+      val out = tmp("graft-compact-")
+      t(s, dir, "orders").repartition(40)
+        .write.mode("overwrite").parquet(out)
+      val before = Contracts.checksum(s.read.parquet(out))
+      val (nBefore, nAfter) = graft.sources.Maintenance
+        .compactParquet(s, out, targetFileBytes = 512L * 1024 * 1024)
+      Contracts.row(s,
+        "n_rows" -> s.read.parquet(out).count(),
+        "fragmented_ok" -> (nBefore == 40),
+        "files_reduced_ok" -> (nAfter < nBefore),
+        "data_identical_ok" ->
+          (Contracts.checksum(s.read.parquet(out)) == before))
+    }),
+
     // Backfill via dynamic partition overwrite: rewrite ONE hive partition
     // (status 'F' gets a derived price bump) without touching the others —
     // the idempotent-backfill primitive for a partitioned 100 TB table
@@ -179,6 +199,11 @@ object FormatQueries {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "compact_files" ->
+      """SELECT (SELECT count(*) FROM orders) AS n_rows,
+        |  TRUE AS fragmented_ok, TRUE AS files_reduced_ok,
+        |  TRUE AS data_identical_ok""".stripMargin,
 
     "dynamic_partition_overwrite" ->
       """SELECT o_orderstatus, count(*) AS n,
