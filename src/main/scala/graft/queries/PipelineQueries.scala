@@ -302,6 +302,19 @@ object PipelineQueries {
           window = 64, stride = 48)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Boilerplate detection: non-overlapping chunks (window = stride = 32)
+    // repeated across distinct documents — headers/footers/licenses in a
+    // real corpus, the planted duplicate docs here. Chunk md5s shuffle, not
+    // bodies; two-phase agg, HAVING on distinct-doc count.
+    "boilerplate_chunks" -> ((s, dir) =>
+      Chunking.chunk(t(s, dir, "documents"), "doc_id", "text",
+          window = 32, stride = 32)
+        .groupBy(col("chunk_md5"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("chunk_md5"))),
+
     // PII redaction: counts per category on the raw text, then the masked
     // text's md5. The documents corpus is word-soup with no organic PII, so
     // the query plants deterministic PII derived from doc_id on BOTH sides
@@ -827,6 +840,24 @@ object PipelineQueries {
         |  md5(array_to_string(t[chunk_id*48+1 : chunk_id*48+64], ' '))
         |    AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "boilerplate_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), nn AS (SELECT doc_id, t, len(t) AS n FROM d),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 31) // 32 END))
+        |      AS chunk_id
+        |  FROM nn)
+        |SELECT md5(array_to_string(t[chunk_id*32+1 : chunk_id*32+32], ' '))
+        |    AS chunk_md5,
+        |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM c
+        |GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, chunk_md5""".stripMargin,
 
     "pii_redact" ->
       """WITH aug AS (
