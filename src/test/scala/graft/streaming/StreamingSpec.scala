@@ -159,6 +159,31 @@ class StreamingSpec extends SparkSpec {
       r.getDouble(4) == 78.0)
   }
 
+  test("incremental MV merge is replay-safe: re-delivered batches are no-ops") {
+    import org.apache.spark.sql.functions._
+    val stage = tmpDir("mvsrc")
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$stage/in/f0.parquet")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$stage/in/f1.parquet")
+    val mv = s"$stage/mv"
+    val first = StreamingQueries.runIncrementalMv(spark, ev.schema,
+      s"$stage/in/*.parquet", mv, tmpDir("mvckpt1")).collect().toSeq
+    // fresh checkpoint = the file source replays EVERY batch from id 0; the
+    // _last_applied watermark inside the MV directory must reject them all,
+    // or the non-idempotent merge would double every count
+    val replayed = StreamingQueries.runIncrementalMv(spark, ev.schema,
+      s"$stage/in/*.parquet", mv, tmpDir("mvckpt2")).collect().toSeq
+    assert(replayed == first)
+    // and the MV equals the batch aggregate over the original table
+    val batch = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(first == batch)
+  }
+
   test("stream consumer logs per-batch counts (reference stub behavior)") {
     val dir = tmpDir("consrc")
     DataGenerator.generate(spark, 25L, seed = 12L)
