@@ -45,4 +45,19 @@ object Layout {
       .drop("_zkey")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Count of files whose [min,max] box on (xCol, yCol) intersects the
+    * query box — exactly the files a min/max-stats pruner must read. The
+    * layout quality metric `zorder_layout` and LayoutSpec grade with.
+    */
+  def filesTouching(spark: org.apache.spark.sql.SparkSession, path: String,
+      xCol: String, yCol: String,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): Long =
+    spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg(min(col(xCol)).as("xmin"), max(col(xCol)).as("xmax"),
+        min(col(yCol)).as("ymin"), max(col(yCol)).as("ymax"))
+      .filter(col("xmax") >= xLo && col("xmin") <= xHi &&
+        col("ymax") >= yLo && col("ymin") <= yHi)
+      .count()
 }

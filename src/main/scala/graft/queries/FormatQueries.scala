@@ -83,6 +83,44 @@ object FormatQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Z-order layout effect as a driver-checkable contract: rewrite orders
+    // z-ordered on (o_custkey, o_orderkey) vs linearly sorted, then count
+    // the files whose min/max boxes intersect 2-D query boxes — the
+    // z-ordered layout must touch no more files on every box, strictly
+    // fewer in total, and lose no rows. (The curve arithmetic itself is
+    // hash-checked per-row by `zorder_key`.)
+    "zorder_layout" -> ((s, dir) => {
+      // keys scaled into the 16-bit Morton domain first (raw o_orderkey
+      // exceeds 65535 past sf0.01 and would wrap, shredding locality)
+      val raw = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"))
+      val bounds = raw.agg(max(col("o_custkey")), max(col("o_orderkey")))
+        .head()
+      val (xMax, yMax) = (bounds.getLong(0), bounds.getLong(1))
+      val orders = raw.select(
+        (col("o_custkey") * 65535L / xMax).cast("long").as("x"),
+        (col("o_orderkey") * 65535L / yMax).cast("long").as("y"))
+      val zdir = tmp("graft-zlay-")
+      val ldir = tmp("graft-llay-")
+      val nFiles = 16
+      Layout.zorderWrite(orders, "x", "y", zdir, nFiles)
+      orders.repartitionByRange(nFiles, col("x"), col("y"))
+        .sortWithinPartitions(col("x"), col("y"))
+        .write.mode("overwrite").parquet(ldir)
+      // four boxes, each 1/8 of the scaled range in BOTH dims
+      val boxes = for (i <- Seq(0L, 3L, 5L, 7L)) yield (
+        i * 8192L, i * 8192L + 8191L, i * 8192L, i * 8192L + 8191L)
+      val touched = boxes.map { case (xl, xh, yl, yh) =>
+        (Layout.filesTouching(s, zdir, "x", "y", xl, xh, yl, yh),
+          Layout.filesTouching(s, ldir, "x", "y", xl, xh, yl, yh))
+      }
+      Contracts.row(s,
+        "n_rows" -> s.read.parquet(zdir).count(),
+        "never_worse_ok" -> touched.forall { case (z, l) => z <= l },
+        "strictly_better_ok" ->
+          (touched.map(_._1).sum < touched.map(_._2).sum))
+    }),
+
     // Small-file compaction as a driver-checkable contract: fragment the
     // table into 40 files, compact toward the target size, and prove the
     // file count dropped while the data stayed multiset-identical
@@ -199,6 +237,10 @@ object FormatQueries {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "zorder_layout" ->
+      """SELECT (SELECT count(*) FROM orders) AS n_rows,
+        |  TRUE AS never_worse_ok, TRUE AS strictly_better_ok""".stripMargin,
 
     "compact_files" ->
       """SELECT (SELECT count(*) FROM orders) AS n_rows,

@@ -26,18 +26,9 @@ class LayoutSpec extends SparkSpec {
     assert(z(0, 100) < z(0, 200) && z(100, 0) < z(200, 0))
   }
 
-  /** Files whose [min,max] box on (xCol, yCol) intersects the query box —
-    * the files a min/max-stats pruner must actually read.
-    */
   private def filesTouching(path: String, xCol: String, yCol: String,
       xLo: Long, xHi: Long, yLo: Long, yHi: Long): Long =
-    spark.read.parquet(path)
-      .groupBy(input_file_name())
-      .agg(min(col(xCol)).as("xmin"), max(col(xCol)).as("xmax"),
-        min(col(yCol)).as("ymin"), max(col(yCol)).as("ymax"))
-      .filter(col("xmax") >= xLo && col("xmin") <= xHi &&
-        col("ymax") >= yLo && col("ymin") <= yHi)
-      .count()
+    Layout.filesTouching(spark, path, xCol, yCol, xLo, xHi, yLo, yHi)
 
   test("z-ordered layout skips more files than a linear sort for 2-D boxes") {
     // synthetic uniform grid: both dims matter, no correlation
