@@ -85,10 +85,14 @@ object FormatQueries {
 
     // Z-order layout effect as a driver-checkable contract: rewrite orders
     // z-ordered on (o_custkey, o_orderkey) vs linearly sorted, then count
-    // the files whose min/max boxes intersect 2-D query boxes — the
-    // z-ordered layout must touch no more files on every box, strictly
-    // fewer in total, and lose no rows. (The curve arithmetic itself is
-    // hash-checked per-row by `zorder_key`.)
+    // the files whose min/max boxes intersect 2-D query boxes. The claim is
+    // AGGREGATE (z-order touches strictly fewer files summed over the
+    // boxes, and loses no rows) — a per-box "never worse" is not guaranteed
+    // because repartitionByRange SAMPLES its boundaries, so individual file
+    // boxes jitter run to run (observed: a sweep-context run flipped one
+    // box while the totals stayed 2× apart). AQE partition coalescing is
+    // pinned off for the two writes so both layouts get their full nFiles.
+    // (The curve arithmetic itself is hash-checked per-row by `zorder_key`.)
     "zorder_layout" -> ((s, dir) => {
       // keys scaled into the 16-bit Morton domain first (raw o_orderkey
       // exceeds 65535 past sf0.01 and would wrap, shredding locality)
@@ -103,10 +107,16 @@ object FormatQueries {
       val zdir = tmp("graft-zlay-")
       val ldir = tmp("graft-llay-")
       val nFiles = 16
-      Layout.zorderWrite(orders, "x", "y", zdir, nFiles)
-      orders.repartitionByRange(nFiles, col("x"), col("y"))
-        .sortWithinPartitions(col("x"), col("y"))
-        .write.mode("overwrite").parquet(ldir)
+      val prevCoalesce =
+        s.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+      try {
+        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        Layout.zorderWrite(orders, "x", "y", zdir, nFiles)
+        orders.repartitionByRange(nFiles, col("x"), col("y"))
+          .sortWithinPartitions(col("x"), col("y"))
+          .write.mode("overwrite").parquet(ldir)
+      } finally s.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
       // four boxes, each 1/8 of the scaled range in BOTH dims
       val boxes = for (i <- Seq(0L, 3L, 5L, 7L)) yield (
         i * 8192L, i * 8192L + 8191L, i * 8192L, i * 8192L + 8191L)
@@ -116,7 +126,6 @@ object FormatQueries {
       }
       Contracts.row(s,
         "n_rows" -> s.read.parquet(zdir).count(),
-        "never_worse_ok" -> touched.forall { case (z, l) => z <= l },
         "strictly_better_ok" ->
           (touched.map(_._1).sum < touched.map(_._2).sum))
     }),
@@ -240,7 +249,7 @@ object FormatQueries {
 
     "zorder_layout" ->
       """SELECT (SELECT count(*) FROM orders) AS n_rows,
-        |  TRUE AS never_worse_ok, TRUE AS strictly_better_ok""".stripMargin,
+        |  TRUE AS strictly_better_ok""".stripMargin,
 
     "compact_files" ->
       """SELECT (SELECT count(*) FROM orders) AS n_rows,

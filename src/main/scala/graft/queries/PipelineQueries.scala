@@ -256,6 +256,22 @@ object PipelineQueries {
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment"))),
 
+    // Exact-k per-group sampling: the k rows per stratum with the smallest
+    // salted-md5 rank — deterministic, partition-invariant, reproducible by
+    // the oracle (both engines share md5). The per-stratum eval-split /
+    // inspection-sample primitive; one window shuffle on the stratum key.
+    "sample_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(md5(concat(col("c_custkey").cast("string"), lit("gs"))),
+          col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
     // Sequence packing: docs → fixed-token-budget packs, sharded so each
     // shard packs independently (no global sort). Per-doc assignment is the
     // dump — the oracle re-derives every pack id from the same cumulative
@@ -674,6 +690,15 @@ object PipelineQueries {
         |                    WHEN 'AUTOMOBILE' THEN '8000'
         |                    ELSE '4000' END
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "sample_per_group" ->
+      """SELECT c_mktsegment, rn, c_custkey FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY md5(c_custkey::VARCHAR || 'gs'), c_custkey)::BIGINT
+        |      AS rn
+        |  FROM customer)
+        |WHERE rn <= 10 ORDER BY c_mktsegment, rn""".stripMargin,
 
     "seq_pack" ->
       """WITH d AS (
