@@ -40,5 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(array<double>, array<double>) - dot product"),
       (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("ngram_gen"),
+      info("ngram_gen", "ngram_gen(array<string>, n) - one row per n-gram window"),
+      (exprs: Seq[Expression]) => NgramGenerate(exprs.head, intArg(exprs(1)))))
   }
 }

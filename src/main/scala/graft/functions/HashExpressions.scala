@@ -212,5 +212,7 @@ object HashExpressions {
       exprs => WordShingles(exprs.head, intArg(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
       exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("ngram_gen",
+      exprs => NgramGenerate(exprs.head, intArg(exprs(1))), "built-in")
   }
 }

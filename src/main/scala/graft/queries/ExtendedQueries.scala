@@ -85,6 +85,28 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("mean_v"))
         .orderBy(col("bucket"))),
 
+    // Dataset profiling (the df.describe / SUMMARIZE analog): per-column
+    // row/null/distinct counts and min/max. stack() unpivots map-side (a
+    // narrow 4× row expansion, no join), then one shuffle on col_name;
+    // count(DISTINCT) rides Spark's expand + partial aggregation. Columns
+    // are profiled through their string form so both engines compare the
+    // same representation (dates/ints format identically; doubles would
+    // not, so none are profiled here).
+    "profile_columns" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .selectExpr(
+          """stack(4,
+            |  'o_orderstatus', o_orderstatus,
+            |  'o_orderpriority', o_orderpriority,
+            |  'o_custkey', cast(o_custkey AS string),
+            |  'o_orderdate', cast(o_orderdate AS string)
+            |) AS (col_name, v)""".stripMargin)
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_vals"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("col_name"))),
+
     // Salted shuffle join: hot fact keys spread over 8 reducers, dim side
     // replicated to match — output identical to the plain join (which is
     // exactly what the oracle checks).
@@ -348,6 +370,19 @@ object ExtendedQueries {
         .toDF("doc_id", "pos", "token")
         .orderBy(col("doc_id"), col("pos"))),
 
+    // UDTF surface (§2.10): the native `NgramGenerate` Generator streams
+    // one row per bigram window out of the token array under GenerateExec —
+    // no per-row n-gram array materialized, unlike the
+    // transform(sequence(...))+explode formulation.
+    "udtf_ngrams" -> ((s, dir) => {
+      graft.functions.HashExpressions.register(s)
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          expr("ngram_gen(split(trim(lower(text)), '\\\\s+'), 2)"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // SCD type-2 history: each per-customer order version carries its
     // validity interval — valid_from = its date, valid_to = the next
     // version's date (open/current when none). One window shuffle on the
@@ -463,6 +498,20 @@ object ExtendedQueries {
         |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
         |  ON c_custkey = o_custkey
         |ORDER BY k""".stripMargin,
+
+    "profile_columns" ->
+      """WITH u AS (
+        |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders)
+        |SELECT col_name, count(*) AS n_rows, count(v) AS n_vals,
+        |  count(DISTINCT v) AS n_distinct,
+        |  min(v) AS min_v, max(v) AS max_v
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
 
     "histogram_value" ->
       """SELECT floor(value / 50.0)::BIGINT AS bucket, count(*) AS n,
@@ -669,6 +718,14 @@ object ExtendedQueries {
         |  FROM documents WHERE doc_id < 20)
         |SELECT doc_id, i - 1 AS pos, ws[i] AS token
         |FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "udtf_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, i - 1 AS pos, ws[i] || ' ' || ws[i + 1] AS ngram
+        |FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
         |ORDER BY doc_id, pos""".stripMargin
   )
 }

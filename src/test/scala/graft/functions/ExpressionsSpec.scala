@@ -52,6 +52,35 @@ class ExpressionsSpec extends SparkSpec {
     native.zip(reference).foreach { case (n, r) => assert(n === r) }
   }
 
+  test("ngram_gen: one row per window, position-tagged, edge cases empty") {
+    HashExpressions.register(spark)
+    val rows = Seq(
+      (0, "a b c d"), (1, "a b"), (2, "x"), (3, ""))
+      .toDF("id", "text")
+      .select(col("id"),
+        expr("ngram_gen(split(trim(text), '\\\\s+'), 2)"))
+      .as[(Int, Int, String)].collect().toSeq.sorted
+    assert(rows.filter(_._1 == 0) ===
+      Seq((0, 0, "a b"), (0, 1, "b c"), (0, 2, "c d")))
+    assert(rows.filter(_._1 == 1) === Seq((1, 0, "a b")))
+    // shorter than the window → zero rows, not null rows
+    assert(!rows.exists(_._1 == 2))
+    // split('') yields [""] — a single sub-window token, still no bigram
+    assert(!rows.exists(_._1 == 3))
+    // generator output matches the explode(transform(sequence)) formulation
+    val hof = Seq("the quick brown fox the quick").toDF("text")
+      .select(expr(
+        """explode(transform(sequence(0, size(split(text,' ')) - 2),
+          |  i -> struct(i AS pos,
+          |    concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1]) AS ngram)))
+          |""".stripMargin))
+      .select("col.pos", "col.ngram").as[(Int, String)].collect().toSeq
+    val native = Seq("the quick brown fox the quick").toDF("text")
+      .select(expr("ngram_gen(split(text, ' '), 2)"))
+      .as[(Int, String)].collect().toSeq
+    assert(native === hof)
+  }
+
   test("GraftExtensions registers SQL functions via spark.sql.extensions") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
@@ -78,6 +107,7 @@ class ExpressionsSpec extends SparkSpec {
       assert(row.getAs[Int]("k") === 8)
       assert(row.getAs[Seq[String]]("sh") === Seq("a b", "b c"))
       assert(row.getAs[Int]("w") > 0)
+      assert(s2.sql("SELECT ngram_gen(array('a','b','c'), 2)").count() === 2L)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
