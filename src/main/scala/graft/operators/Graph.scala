@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph propagation (PageRank power iteration).
+  *
+  * Each iteration is one key-partitioned join (rank onto out-edges) plus one
+  * aggregation (contributions by destination) — the same shuffle shape at
+  * 5 nodes or 50 M domains; nothing is collected to the driver except the
+  * node count (one long, needed for the teleport term). Lineage is truncated
+  * with `localCheckpoint` every iteration so a deep iteration count does not
+  * stack a linearly growing plan (same discipline as
+  * [[Dedup.clusterPairs]]'s label propagation).
+  *
+  * Precondition: every node has at least one out-edge (holds for transition
+  * graphs, where a node exists because an event left it). Dangling-mass
+  * redistribution is deliberately out of scope — callers with sink nodes
+  * should self-loop them first, which keeps the iteration join-shaped
+  * instead of adding a per-iteration global scalar pass.
+  */
+object Graph {
+
+  /** Ranks after `iters` power iterations at the given damping.
+    * `edges` carries one row per edge (`src`, `dst`; duplicates = weight).
+    * Returns (`node`, `rank`) with sum(rank) ~= 1.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85)
+  : DataFrame = {
+    val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(out, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("outdeg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inbound"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            lit(damping) * coalesce(col("inbound"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -537,6 +537,50 @@ object PipelineQueries {
           col("n_frames") === 4),
         "reassembles_payload_ok" -> Contracts.forAll(joined,
           col("rebuilt") === col("payload")))
+    }),
+
+    // PageRank over the per-user event-type transition graph (the domain-
+    // authority scoring a curation pipeline runs over its link graph, here
+    // on the testdata's only natural directed graph). One window to derive
+    // edges, then `Graph.pageRank`: per iteration one key join + one agg —
+    // the same plan at 50 M domain nodes. 3 iterations, damping 0.85;
+    // the oracle unrolls the identical power iteration as chained CTEs.
+    "pagerank_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("event_type").as("src"), col("nxt").as("dst"))
+      graft.operators.Graph.pageRank(edges, iters = 3)
+        .select(col("node"),
+          (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
+        .orderBy(col("node"))
+    }),
+
+    // Deterministic train/val/test assignment: bucket = a 4-char fold of
+    // md5(doc_id) mod 100 (90/5/5). Pure column math on both engines — the
+    // same document lands in the same split on any cluster, any partition
+    // count, any run; the property that makes splits reproducible and
+    // decontamination auditable at 100 TB.
+    "split_assign" -> ((s, dir) => {
+      val h = md5(col("doc_id").cast("string"))
+      val fold = ((ascii(substring(h, 1, 1)) * 31
+        + ascii(substring(h, 2, 1))) * 31
+        + ascii(substring(h, 3, 1))) * 31 + ascii(substring(h, 4, 1))
+      t(s, dir, "documents")
+        .withColumn("bucket", fold % 100)
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))
     })
   )
 
@@ -947,6 +991,56 @@ object PipelineQueries {
         |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |      w -> w IN ('le','les','des','et','une','est','dans'))) AS fr
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "pagerank_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |edges AS (SELECT event_type AS src, nxt AS dst
+        |          FROM seq WHERE nxt IS NOT NULL),
+        |outd AS (SELECT src, count(*)::DOUBLE AS outdeg
+        |         FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges
+        |          UNION SELECT DISTINCT dst FROM edges),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        |r1 AS (
+        |  SELECT v.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce((
+        |    SELECT sum(r.rank / o.outdeg)
+        |    FROM edges e JOIN outd o USING (src) JOIN r0 r ON r.node = e.src
+        |    WHERE e.dst = v.node), 0) AS rank
+        |  FROM nodes v),
+        |r2 AS (
+        |  SELECT v.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce((
+        |    SELECT sum(r.rank / o.outdeg)
+        |    FROM edges e JOIN outd o USING (src) JOIN r1 r ON r.node = e.src
+        |    WHERE e.dst = v.node), 0) AS rank
+        |  FROM nodes v),
+        |r3 AS (
+        |  SELECT v.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce((
+        |    SELECT sum(r.rank / o.outdeg)
+        |    FROM edges e JOIN outd o USING (src) JOIN r2 r ON r.node = e.src
+        |    WHERE e.dst = v.node), 0) AS rank
+        |  FROM nodes v)
+        |SELECT node, floor(rank * 1e6 + 0.5) / 1e6 AS rank
+        |FROM r3 ORDER BY node""".stripMargin,
+
+    "split_assign" ->
+      """WITH b AS (
+        |  SELECT *,
+        |    ((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |      + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) * 31
+        |      + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1))) * 31
+        |      + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) AS fold
+        |  FROM documents)
+        |SELECT CASE WHEN fold % 100 < 90 THEN 'train'
+        |            WHEN fold % 100 < 95 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b GROUP BY split ORDER BY split""".stripMargin
   )
 }
