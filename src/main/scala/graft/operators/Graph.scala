@@ -25,9 +25,14 @@ object Graph {
     * `edges` carries one row per edge (`src`, `dst`; duplicates = weight).
     * Returns (`node`, `rank`) with sum(rank) ~= 1.
     */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85)
+  def pageRank(edgesIn: DataFrame, iters: Int, damping: Double = 0.85)
   : DataFrame = {
+    // Materialize the edge list once: without this, every iteration replays
+    // the caller's derivation (for a transition graph, a scan + window per
+    // iteration). On a cluster the analog is staging edges to a table.
+    val edges = edgesIn.localCheckpoint()
     val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint()

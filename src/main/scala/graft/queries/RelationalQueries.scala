@@ -244,6 +244,24 @@ object RelationalQueries {
           get_json_object(col("props"), "$.k").cast("int").as("k_val"))
         .orderBy(col("event_id"))),
 
+    // Corrupt-tolerant ingestion: a deterministic 1-in-7 slice of the JSON
+    // column is truncated mid-token, then parsed PERMISSIVE — bad records
+    // become NULL rows to account for, not task failures (the posture that
+    // keeps a 100 TB ingest alive when a few files are mangled). The oracle
+    // applies the same corruption and gates extraction on json_valid.
+    "corrupt_json_tolerance" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("event_id") % 7 === 0, substring(col("props"), 1, 4))
+            .otherwise(col("props")).as("raw"))
+        .withColumn("k",
+          from_json(col("raw"),
+            StructType(Seq(StructField("k", LongType)))).getField("k"))
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_parsed"),
+          sum(col("k")).as("sum_k"))
+    }),
+
     // --- Event-time windowing (batch form of the streaming tumbling agg) ----
     "time_window_agg" -> ((s, dir) =>
       t(s, dir, "events")
@@ -426,6 +444,19 @@ object RelationalQueries {
     "json_extract" ->
       """SELECT event_id, json_extract_string(props, '$.k')::INT AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "corrupt_json_tolerance" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 4)
+        |              ELSE props END AS raw
+        |  FROM events),
+        |p AS (
+        |  SELECT CASE WHEN json_valid(raw)
+        |              THEN CAST(json_extract(raw, '$.k') AS BIGINT) END AS k
+        |  FROM e)
+        |SELECT count(*) AS n, count(k) AS n_parsed,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM p""".stripMargin,
 
     "time_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
