@@ -560,6 +560,40 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
+    // Distribution-based outlier trim: keep documents inside the exact
+    // [p5, p95] length band. `percentile` here is the exact interpolated
+    // form ((n-1)*p position, same definition as DuckDB's quantile_cont);
+    // it buffers the column per group, so at 100 TB the drop-in is
+    // approx_percentile (same plan, sketch state) — the tolerance pattern
+    // approx_median_check already pins.
+    "length_trim_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bounds = docs.agg(
+        expr("percentile(n_chars, 0.05)").as("lo"),
+        expr("percentile(n_chars, 0.95)").as("hi"))
+      docs.crossJoin(broadcast(bounds))
+        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        .groupBy(round(col("lo"), 2).as("lo"), round(col("hi"), 2).as("hi"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("n_chars")).as("min_c"), max(col("n_chars")).as("max_c"))
+        .select(col("n_kept"), col("min_c"), col("max_c"),
+          col("lo"), col("hi"))
+    }),
+
+    // Per-group feature normalization: z-score of event value within its
+    // event_type. One window (= one shuffle on the group key); the same
+    // avg/stddev_samp frame both engines define identically.
+    "zscore_normalize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      t(s, dir, "events")
+        .filter(col("event_id") < 10000)
+        .select(col("event_id"), col("event_type"),
+          (round((col("value") - avg(col("value")).over(w))
+            / stddev_samp(col("value")).over(w), 4) + 0.0).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // Deterministic train/val/test assignment: bucket = a 4-char fold of
     // md5(doc_id) mod 100 (90/5/5). Pure column math on both engines — the
     // same document lands in the same split on any cluster, any partition
@@ -1041,6 +1075,25 @@ object PipelineQueries {
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM b GROUP BY split ORDER BY split""".stripMargin
+        |FROM b GROUP BY split ORDER BY split""".stripMargin,
+
+    "length_trim_stats" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(n_chars, 0.05) AS lo,
+        |         quantile_cont(n_chars, 0.95) AS hi
+        |  FROM documents)
+        |SELECT count(*) AS n_kept, min(n_chars) AS min_c,
+        |  max(n_chars) AS max_c, round(q.lo, 2) AS lo, round(q.hi, 2) AS hi
+        |FROM documents, q
+        |WHERE n_chars >= q.lo AND n_chars <= q.hi
+        |GROUP BY q.lo, q.hi""".stripMargin,
+
+    "zscore_normalize" ->
+      """SELECT event_id, event_type,
+        |  round((value - avg(value) OVER w)
+        |    / stddev_samp(value) OVER w, 4) + 0.0 AS z
+        |FROM events WHERE event_id < 10000
+        |WINDOW w AS (PARTITION BY event_type)
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -24,8 +24,11 @@ class QueryContractSpec extends SparkSpec {
   // broadcast side IS the right physical plan there), the broadcast interval
   // join, and the generated hours×types fill grid. Anything else acquiring
   // one is a plan regression.
+  // (length_trim_stats: its BNLJ broadcasts a ONE-row percentile-bounds
+  // frame onto the corpus scan — the non-equi filter against a scalar pair
+  // has no equi-join form.)
   private val bnljByDesign = Set("dedup_embedding_pairs", "range_join_bucket",
-    "resample_fill", "sim_bruteforce_topk")
+    "resample_fill", "sim_bruteforce_topk", "length_trim_stats")
 
   test("every query runs at sf0.001 with no rogue join in its plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
