@@ -181,6 +181,22 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Trailing event-time window: per-user 1-hour rolling sum via a RANGE
+    // frame on epoch seconds — interval-bounded (not row-count) trailing
+    // aggregates, the time-series form tumbling windows can't express.
+    // RANGE includes all order-value peers, so second-level ties get the
+    // same frame on both engines (ROWS frames would be tie-ambiguous).
+    "rolling_window_agg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3599, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          (round(sum(col("value")).over(w), 2) + 0.0).as("trailing_1h"),
+          count(lit(1)).over(w).as("n_trailing"))
+        .orderBy(col("event_id"))
+    }),
+
     // --- Sort / limit family ------------------------------------------------
     "topk_orders" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -398,6 +414,16 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
         |    AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "rolling_window_agg" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER w, 2) + 0.0 AS trailing_1h,
+        |  count(*) OVER w AS n_trailing
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
