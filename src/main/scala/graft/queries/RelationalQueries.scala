@@ -181,6 +181,21 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Schema-drift-tolerant union: generational frames with different
+    // column sets align BY NAME, absent columns null-filled — the read-side
+    // companion to `schema_evolution` (which exercises the same drift at
+    // the parquet layer via mergeSchema).
+    "union_by_name" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val gen1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val gen2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      gen1.unionByName(gen2, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Trailing event-time window: per-user 1-hour rolling sum via a RANGE
     // frame on epoch seconds — interval-bounded (not row-count) trailing
     // aggregates, the time-series form tumbling windows can't express.
@@ -414,6 +429,15 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
         |    AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "union_by_name" ->
+      """SELECT o_orderkey, o_orderstatus, NULL AS o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL BY NAME
+        |SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2)
+        |  AS o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
 
     "rolling_window_agg" ->
       """SELECT event_id, user_id,
