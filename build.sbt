@@ -15,6 +15,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the forked run's LAST stdout line as JSON.
+// sbt's default logger prefixes every forked-run line with "[info] ",
+// which defeats a strict JSON parse (rounds 1-3 lesson). StdoutOutput
+// passes the child's stdout through verbatim.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
