@@ -28,6 +28,15 @@ object SparkEntry {
       FormatQueries.queries ++
       graft.streaming.StreamingQueries.queries
 
+  /** Timing view for Bench: identical to `queries` except that contract
+    * queries (whose full form runs its own verification baselines) are
+    * overridden by a plain-output form of the same operator invocation.
+    * Correctness always runs the contract form via `queries` (Verify);
+    * this view exists so bench numbers track operators, not QA harness.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ PipelineQueries.timed
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
