@@ -504,12 +504,15 @@ object PipelineQueries {
         "partition_invariant_ok" -> stable)
     }),
 
-    // --- Multimodal (binary columns; decode stubbed, plumbing real) --------
+    // --- Multimodal (binary columns; image decode REAL — PPM P6) -----------
     // Contract: one feature row per media item, features join back to their
     // source metadata exactly (n_bytes = payload length, aspect = w/h, kind
-    // preserved), brightness lands in [0,1], and the batched mapPartitions
-    // path is deterministic (two runs checksum-identical).
+    // preserved), brightness lands in [0,1], image brightness equals the
+    // raster pixel mean recomputed by an INDEPENDENT path (newline-scan
+    // header skip, no shared parse with the decoder), and the batched
+    // mapPartitions path is deterministic (two runs checksum-identical).
     "multimodal_features" -> ((s, _) => {
+      import s.implicits._
       val media = Multimodal.generate(s, 200L)
       val feats = Multimodal.extractFeatures(media).toDF().localCheckpoint()
       val src = media.toDF().select(col("media_id"),
@@ -517,6 +520,22 @@ object PipelineQueries {
         (col("meta.width").cast("double") / col("meta.height").cast("double"))
           .as("src_aspect"))
       val joined = feats.join(src, "media_id")
+      // Independent raster mean: skip the P6 header by scanning to its 3rd
+      // newline ("P6\n", "<w> <h>\n", "255\n") — no width/height arithmetic
+      // shared with decodePpm — then average the remaining bytes.
+      val pixelMeans = media.map { r =>
+        if (r.kind != "image") (r.media_id, -1.0)
+        else {
+          var nl = 0; var i = 0
+          while (nl < 3 && i < r.payload.length) {
+            if (r.payload(i) == '\n') nl += 1
+            i += 1
+          }
+          var sum = 0L; var j = i
+          while (j < r.payload.length) { sum += (r.payload(j) & 0xff); j += 1 }
+          (r.media_id, sum.toDouble / (r.payload.length - i) / 255.0)
+        }
+      }.toDF("media_id", "pix_mean")
       Contracts.row(s,
         "n_media" -> feats.count(),
         "one_row_per_media_ok" ->
@@ -525,6 +544,10 @@ object PipelineQueries {
           col("n_bytes") === col("plen") && col("kind") === col("src_kind") &&
             col("aspect") === col("src_aspect") &&
             col("brightness") >= 0.0 && col("brightness") <= 1.0),
+        "brightness_matches_pixels_ok" -> Contracts.forAll(
+          feats.join(pixelMeans, "media_id"),
+          col("kind") =!= "image" ||
+            abs(col("brightness") - col("pix_mean")) <= lit(1e-12)),
         "deterministic_ok" -> (Contracts.checksum(feats) ==
           Contracts.checksum(Multimodal.extractFeatures(media).toDF())))
     }),
@@ -738,6 +761,7 @@ object PipelineQueries {
     "multimodal_features" ->
       """SELECT 200::BIGINT AS n_media, TRUE AS one_row_per_media_ok,
         |  TRUE AS features_match_source_ok,
+        |  TRUE AS brightness_matches_pixels_ok,
         |  TRUE AS deterministic_ok""".stripMargin,
 
     "multimodal_frames" ->

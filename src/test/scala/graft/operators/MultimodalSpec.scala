@@ -27,24 +27,63 @@ class MultimodalSpec extends SparkSpec {
     assert(schema("meta").dataType.typeName === "struct")
   }
 
-  test("feature extraction computes exact stub features per batch") {
+  test("feature extraction decodes PPM images and stubs other kinds") {
     val ds = Multimodal.generate(spark, 70L) // spans multiple decode batches
+    val recs = ds.collect().sortBy(_.media_id)
     val feats = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
     assert(feats.length === 70)
     assert(feats.forall(f => f.brightness > 0.0 && f.brightness < 1.0))
-    assert(feats.forall(_.n_bytes === 4096))
-    // spot-check one value against a local recomputation
-    val r0 = ds.filter(_.media_id == 0L).head()
-    val expected = r0.payload.map(_ & 0xff).sum.toDouble / r0.payload.length / 255.0
+    // non-images keep the fixed opaque payload; images are header + raster
+    feats.zip(recs).foreach { case (f, r) =>
+      assert(f.n_bytes === r.payload.length)
+      if (r.kind == "image")
+        assert(f.n_bytes === s"P6\n${r.meta.width} ${r.meta.height}\n255\n"
+          .length + r.meta.width * r.meta.height * 3)
+      else assert(f.n_bytes === 4096)
+    }
+    // image brightness is the RASTER mean — recompute locally by skipping
+    // the header (3rd newline), not via the decoder
+    val r0 = recs(0) // media_id 0 is an image
+    assert(r0.kind === "image")
+    val rasterFrom = {
+      var nl = 0; var i = 0
+      while (nl < 3) { if (r0.payload(i) == '\n') nl += 1; i += 1 }
+      i
+    }
+    val raster = r0.payload.drop(rasterFrom)
+    val expected = raster.map(_ & 0xff).sum.toDouble / raster.length / 255.0
     assert(math.abs(feats(0).brightness - expected) < 1e-12)
+    // aspect comes from the decoded header and equals the metadata ratio
+    assert(feats(0).aspect === r0.meta.width.toDouble / r0.meta.height)
   }
 
-  test("frame sampling slices every payload into n frames") {
+  test("decodePpm parses header and rejects malformed input") {
+    val img = Multimodal.generate(spark, 3L).filter(_.kind == "image").head()
+    val Some((w, h, mean)) = Multimodal.decodePpm(img.payload)
+    assert(w === img.meta.width && h === img.meta.height)
+    assert(mean > 0.0 && mean < 1.0)
+    // comments in the header are legal PPM
+    val tiny = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, -1, -1, -1) // one black + one white pixel
+    assert(Multimodal.decodePpm(tiny) === Some((2, 1, 0.5)))
+    assert(Multimodal.decodePpm("P5\n2 1\n255\n".getBytes("US-ASCII")) === None)
+    assert(Multimodal.decodePpm("P6\n2 1\n255\n".getBytes("US-ASCII")) === None)
+    assert(Multimodal.decodePpm(Array[Byte]()) === None)
+  }
+
+  test("frame sampling slices every payload into n frames that reassemble") {
     val ds = Multimodal.generate(spark, 10L)
     val frames = Multimodal.frameSample(ds, 4).collect()
     assert(frames.length === 40)
     assert(frames.groupBy(_.media_id).forall(_._2.map(_.frame_idx).sorted
       .sameElements(0 until 4)))
-    assert(frames.forall(_.frame.length === 1024))
+    // concatenating frames in order reassembles the payload byte-for-byte
+    // (the last frame absorbs the division remainder — PPM payload sizes
+    // are not multiples of 4)
+    val payloads = ds.collect().map(r => r.media_id -> r.payload).toMap
+    frames.groupBy(_.media_id).foreach { case (id, fs) =>
+      val rebuilt = fs.sortBy(_.frame_idx).flatMap(_.frame)
+      assert(java.util.Arrays.equals(rebuilt, payloads(id)))
+    }
   }
 }
