@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * stack a linearly growing plan (same discipline as
   * [[Dedup.clusterPairs]]'s label propagation).
   *
-  * Precondition: every node has at least one out-edge (holds for transition
-  * graphs, where a node exists because an event left it). Dangling-mass
-  * redistribution is deliberately out of scope — callers with sink nodes
-  * should self-loop them first, which keeps the iteration join-shaped
-  * instead of adding a per-iteration global scalar pass.
+  * With `redistributeDangling = false` (default) every node must have at
+  * least one out-edge (holds for transition graphs, where a node exists
+  * because an event left it) — the iteration stays purely join-shaped.
+  * With it on, the mass sitting on sink nodes is summed (one scalar
+  * aggregate per iteration — a single double to the driver) and spread
+  * uniformly, the standard PageRank dangling-node correction a web/link
+  * corpus needs; sum(rank) stays 1 either way.
   */
 object Graph {
 
@@ -25,8 +27,8 @@ object Graph {
     * `edges` carries one row per edge (`src`, `dst`; duplicates = weight).
     * Returns (`node`, `rank`) with sum(rank) ~= 1.
     */
-  def pageRank(edgesIn: DataFrame, iters: Int, damping: Double = 0.85)
-  : DataFrame = {
+  def pageRank(edgesIn: DataFrame, iters: Int, damping: Double = 0.85,
+      redistributeDangling: Boolean = false): DataFrame = {
     // Materialize the edge list once: without this, every iteration replays
     // the caller's derivation (for a transition graph, a scan + window per
     // iteration). On a cluster the analog is staging edges to a table.
@@ -46,10 +48,24 @@ object Graph {
         .select(col("dst").as("node"),
           (col("rank") / col("outdeg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inbound"))
+      // Mass currently on sink nodes (no out-edges): one anti-join + one
+      // scalar aggregate; redistributed uniformly so sum(rank) stays 1.
+      val danglingShare =
+        if (!redistributeDangling) 0.0
+        else {
+          val d = ranks
+            .join(out.select(col("src").as("node")), Seq("node"), "left_anti")
+            .agg(sum(col("rank"))).head().getAs[Any](0) match {
+              case null => 0.0
+              case v: Double => v
+            }
+          d / n
+        }
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) +
-            lit(damping) * coalesce(col("inbound"), lit(0.0))).as("rank"))
+          (lit(teleport) + lit(damping) *
+            (coalesce(col("inbound"), lit(0.0)) + lit(danglingShare)))
+            .as("rank"))
         .localCheckpoint()
     }
     ranks
