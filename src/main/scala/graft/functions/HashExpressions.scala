@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -199,6 +199,9 @@ object HashExpressions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // Re-registering logs a "function replaced" WARN per function per call;
+    // a 123-query sweep calls this once per query, so skip when already bound.
+    if (reg.functionExists(FunctionIdentifier("vec_dot"))) return
     def intArg(e: Expression): Int =
       e.eval(InternalRow.empty).asInstanceOf[Number].intValue
     reg.createOrReplaceTempFunction("simhash64",

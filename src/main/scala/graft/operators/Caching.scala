@@ -35,4 +35,22 @@ object Caching {
   def releaseAllRdds(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+
+  /** Run `body`, then unpersist every persistent RDD it created (net-new vs
+    * the snapshot at entry) — including the local-checkpoint blocks
+    * `materializeThenRelease` leaves behind, which `clearCache()` cannot
+    * reach. Scoped complement to the sweeping `releaseAllRdds`, for library
+    * users whose sessions hold caches that must survive.
+    *
+    * The body must fully consume its Spark-side data (write, collect, or
+    * reduce to a scalar) before returning: a frame still backed by a block
+    * released here would recompute from lineage — correct for cached frames,
+    * invalid for checkpointed ones whose lineage was truncated.
+    */
+  def withReleased[T](spark: SparkSession)(body: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally spark.sparkContext.getPersistentRDDs
+      .foreach { case (id, rdd) => if (!before(id)) rdd.unpersist(blocking = false) }
+  }
 }

@@ -58,6 +58,36 @@ object FormatQueries {
         .orderBy(col("p_brand"))
     }),
 
+    // PERMISSIVE CSV ingestion — the file-reader twin of
+    // corrupt_json_tolerance: a deterministic 1-in-7 slice of rows gets a
+    // non-numeric value field before the CSV is written, and the read-back
+    // routes malformed fields to NULL plus an accountable raw line in the
+    // corrupt-record column instead of failing the task. Well-formed fields
+    // in the same row (event_id) survive — sum_id proves no row was dropped.
+    // The oracle applies the same 1-in-7 predicate to the source table.
+    "csv_malformed_tolerance" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      val out = tmp("graft-csvbad-")
+      t(s, dir, "events")
+        .select(concat_ws(",", col("event_id"),
+          when(col("event_id") % 7 === 0, lit("not-a-number"))
+            .otherwise(col("value").cast("string"))).as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("value", DoubleType),
+        StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+        .agg(count(lit(1)).as("n"),
+          count(col("value")).as("n_parsed"),
+          count(col("_corrupt")).as("n_corrupt"),
+          sum(col("event_id")).as("sum_id"),
+          round(sum(col("value")), 2).as("sum_val"))
+    }),
+
     // Z-order key: the Morton interleave each row would sort by under
     // OPTIMIZE ZORDER(o_custkey, o_orderkey). The layout effect itself
     // (tight per-file min/max in both dims → file skipping on either key)
@@ -225,6 +255,14 @@ object FormatQueries {
     "orc_roundtrip" ->
       """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS retail
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "csv_malformed_tolerance" ->
+      """SELECT count(*) AS n,
+        |  count(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS n_parsed,
+        |  count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS n_corrupt,
+        |  sum(event_id)::BIGINT AS sum_id,
+        |  round(sum(CASE WHEN event_id % 7 <> 0 THEN value END), 2) AS sum_val
+        |FROM events""".stripMargin,
 
     "zorder_key" ->
       """WITH b AS (
