@@ -176,6 +176,61 @@ object Dedup {
     Caching.materializeThenRelease(pairs, fp)
   }
 
+  /** Duplicated-substring spans — the distributed form of what suffix-array
+    * exact-substring dedup computes (dedup of long verbatim repeats ACROSS
+    * documents, not whole-document near-dup): every k-token window whose
+    * text occurs in ≥ `minDocs` distinct documents is a duplicated window,
+    * and per document, overlapping duplicated windows merge into maximal
+    * token spans `[span_start, span_end)` to cut or audit. Any verbatim
+    * cross-document repeat of ≥ k tokens is covered end-to-end by its
+    * k-windows, so the merged span recovers the full repeat; repeats
+    * < k tokens are invisible (the standard length threshold).
+    *
+    * Scale shape: windows stream out of the native `ngram_gen` Generator
+    * (no per-row n-gram array materialization); the global frequency pass
+    * and the join back both shuffle 8-byte xxhash64 keys, never gram text —
+    * O(total windows · 8 B) each, vs the single-machine super-linear suffix
+    * array this approximates. Span merging is one window function
+    * partitioned by document. At 100 TB the frequency pass's skew (a
+    * boilerplate window shared by millions of docs) is absorbed by the
+    * two-phase aggregate; a CMS prefilter can replace the exact counts when
+    * only high-multiplicity spans matter.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    HashExpressions.register(df.sparkSession)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // exchange BEFORE the kernel — see shingleFrame
+    val win = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(par, col("id"))
+      .select(col("id"),
+        expr(s"ngram_gen(split(trim(lower(__text)), '\\\\s+'), $k)"))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("ngram")).as("gh"))
+      .persist()
+    val dup = win.groupBy(col("gh"))
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gh"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val flagged = win.join(dup, "gh")
+      .withColumn("prev_end",
+        max(col("pos") + k).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("span_no", sum(col("new_span")).over(w))
+    val spans = flagged.groupBy(col("id"), col("span_no"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_tokens"),
+        col("n_windows"))
+      .orderBy(col(idCol), col("span_start"))
+    Caching.materializeThenRelease(spans, win)
+  }
+
   /** Connected components over an undirected pair list — the step that turns
     * near-dup PAIRS into dedup CLUSTERS (keep one representative per
     * component). Iterative min-label propagation: every node starts labeled

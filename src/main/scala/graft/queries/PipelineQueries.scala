@@ -81,6 +81,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicated-substring spans over the full corpus: maximal per-doc runs
+    // of 8-token windows whose text recurs in ≥2 distinct documents — the
+    // distributed form of suffix-array substring dedup, emitted as a
+    // per-document cut list. The oracle rebuilds the identical spans in SQL
+    // from the gram strings (frequency pass + gaps-and-islands merge), so
+    // this is a FULL row/hash equality check, not a contract row.
+    "dedup_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minDocs = 2)),
+
     // MinHash+LSH near-dup pairs on the FULL table — the scale path. The
     // contract claims are the ones banding can actually GUARANTEE:
     // precision is deterministic (candidates are verified with exact
@@ -913,6 +923,35 @@ object PipelineQueries {
         |  min(doc_id) AS keep_id
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)),
+        |dup AS (
+        |  SELECT gram FROM win GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (gram)),
+        |flg AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM dw),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_no
+        |  FROM flg)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |  (max(pos) + 8)::BIGINT AS span_end,
+        |  (max(pos) + 8 - min(pos))::BIGINT AS n_tokens,
+        |  count(*)::BIGINT AS n_windows
+        |FROM isl GROUP BY doc_id, span_no
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "ngram_jaccard_pairs" ->
       """WITH sh AS (

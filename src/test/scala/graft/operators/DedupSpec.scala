@@ -28,6 +28,43 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("repeated spans recover a planted cross-document verbatim repeat") {
+    // 12 shared tokens planted mid-document in docs 1 and 2; doc 3 clean.
+    val repeat = (1 to 12).map(i => s"rep$i").mkString(" ")
+    val filler = (n: Int, tag: String) =>
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val df = Seq(
+      (1L, s"${filler(10, "a")} $repeat ${filler(10, "b")}"),
+      (2L, s"${filler(7, "c")} $repeat ${filler(15, "d")}"),
+      (3L, filler(40, "e"))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "doc_id", "text", k = 8, minDocs = 2)
+      .select("doc_id", "span_start", "span_end", "n_tokens", "n_windows")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // the merged span covers exactly the 12 planted tokens: 5 dup windows
+    // (12 - 8 + 1) starting at the plant offset in each doc
+    assert(spans === Set(
+      (1L, 10L, 22L, 12L, 5L),
+      (2L, 7L, 19L, 12L, 5L)))
+  }
+
+  test("repeated spans merge overlapping and keep disjoint repeats separate") {
+    val r1 = (1 to 9).map(i => s"x$i").mkString(" ")
+    val r2 = (1 to 8).map(i => s"y$i").mkString(" ")
+    val mid = (1 to 6).map(i => s"m$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$r1 $mid $r2"),
+      (2L, s"$r1 ${(1 to 20).map(i => s"z$i").mkString(" ")} $r2")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "doc_id", "text", k = 8, minDocs = 2)
+      .select("doc_id", "span_start", "span_end").as[(Long, Long, Long)]
+      .collect().toSet
+    // doc 1: [0,9) and [15,23); doc 2: [0,9) and [29,37) — two islands each
+    assert(spans === Set(
+      (1L, 0L, 9L), (1L, 15L, 23L),
+      (2L, 0L, 9L), (2L, 29L, 37L)))
+  }
+
   test("minhash LSH recovers every exact-jaccard pair on real documents") {
     val docs = t(spark, sfDir, "documents")
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3)
