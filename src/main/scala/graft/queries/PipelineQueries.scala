@@ -319,6 +319,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sketch-path decontamination: the eval set folds into a Bloom filter
+    // probed scan-side (native codegen'd expression), survivors verified
+    // against the exact set. Contract: the bloom-exact path returns the
+    // IDENTICAL (doc, n_overlap) table the exact path does; the bloom-only
+    // path (no verify) never misses a truly contaminated doc (one-sided
+    // error). Oracle contributes the independent contaminated-doc count.
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") >= 20)
+      val evalSet = docs.filter(col("doc_id") < 20)
+      val ex = Decontaminate.contaminated(corpus, evalSet,
+        "doc_id", "text", n = 8, minOverlap = 1).localCheckpoint()
+      val bl = Decontaminate.contaminatedBloom(corpus, evalSet,
+        "doc_id", "text", n = 8, minOverlap = 1, fpp = 0.01,
+        exact = true).localCheckpoint()
+      val blOnly = Decontaminate.contaminatedBloom(corpus, evalSet,
+        "doc_id", "text", n = 8, minOverlap = 1, fpp = 0.01,
+        exact = false).localCheckpoint()
+      Contracts.row(s,
+        "n_contaminated" -> ex.count(),
+        "bloom_equals_exact_ok" ->
+          Contracts.sameKeys(bl, ex, Seq("doc_id", "n_overlap")),
+        "no_false_negatives_ok" ->
+          ex.select(col("doc_id"))
+            .join(blOnly, Seq("doc_id"), "left_anti").isEmpty)
+    }),
+
     // The full curation flow COMPOSED: quality floor → exact dedup →
     // deterministic sample → sequence packing, one declarative plan (Catalyst
     // pipelines the filter stages into the dedup shuffle's map side). The
@@ -711,6 +738,12 @@ object PipelineQueries {
       t(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("cms"))),
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.contaminatedBloom(docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), "doc_id", "text",
+        n = 8, minOverlap = 1, fpp = 0.01, exact = true)
+    }),
   )
 
   /** Every (qid, nid, cos) in a top-k result matches an exact cosine
@@ -904,6 +937,27 @@ object PipelineQueries {
         |WHERE c.doc_id >= 20
         |GROUP BY c.doc_id HAVING count(DISTINCT c.g) >= 1
         |ORDER BY c.doc_id""".stripMargin,
+
+    "decontaminate_bloom" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t)-7, 1))) AS i
+        |  FROM toks
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(t) < 8 THEN array_to_string(t, ' ')
+        |         ELSE array_to_string(t[i:i+7], ' ') END AS g
+        |  FROM idx
+        |), ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20)
+        |SELECT count(*)::BIGINT AS n_contaminated,
+        |  TRUE AS bloom_equals_exact_ok, TRUE AS no_false_negatives_ok
+        |FROM (
+        |  SELECT c.doc_id FROM grams c JOIN ev ON c.g = ev.g
+        |  WHERE c.doc_id >= 20
+        |  GROUP BY c.doc_id HAVING count(DISTINCT c.g) >= 1)""".stripMargin,
 
     "token_freq_topk" ->
       """SELECT token, count(*) AS n FROM (

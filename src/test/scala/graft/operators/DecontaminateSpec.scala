@@ -56,6 +56,29 @@ class DecontaminateSpec extends SparkSpec {
     assert(!loose.isEmpty && strict.isEmpty)
   }
 
+  test("bloom path equals the exact path on real documents") {
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val ev = docs.filter(col("doc_id") < 20)
+    val exact = Decontaminate.contaminated(corpus, ev, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = Decontaminate.contaminatedBloom(corpus, ev, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain a planted contamination")
+    assert(bloom === exact)
+  }
+
+  test("bloom-only mode never misses a contaminated doc (no false negatives)") {
+    val corpus = df(
+      10L -> ("intro words here the quick brown fox jumps over the lazy dog " +
+        "near the river bank and then some trailing commentary"),
+      11L -> "a completely unrelated document about spark shuffle mechanics")
+    val flagged = Decontaminate.contaminatedBloom(corpus, evalSet,
+        "doc_id", "text", exact = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.contains(10L))
+  }
+
   test("eval shingles broadcast; corpus is never shuffled wholesale") {
     val corpus = df((0L until 50L).map(i =>
       i -> s"document number $i with some words for shingling tests"): _*)
