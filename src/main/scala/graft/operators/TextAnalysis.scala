@@ -107,6 +107,50 @@ object TextAnalysis {
         col("df"), col("tfidf"))
   }
 
+  /** Per-document mean log-probability under an add-one-smoothed bigram
+    * language model trained on `ref` (the corpus itself by default) — the
+    * statistical quality score that separates fluent text from gibberish the
+    * heuristic ratios miss: score(d) = avg over d's bigrams (w1 w2) of
+    * ln((c(w1 w2) + 1) / (c(w1) + V)).
+    *
+    * Two-phase shape: the model IS two count aggregates (unigram, bigram —
+    * map-side combined), and scoring is two key-joins of the corpus bigram
+    * stream against them, then a per-doc avg. Bigrams stream from the native
+    * `ngram_gen` Generator; nothing driver-side except the vocabulary-size
+    * scalar. At 100 TB the count tables are vocabulary-sized (≪ corpus);
+    * Zipf skew on the join key ("the …") is AQE skew-split territory, and a
+    * reference model would be trained ONCE and reused across scoring runs.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+      ref: Option[DataFrame] = None): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val refWs = ref.getOrElse(docs).select(tokens(col(textCol)).as("ws"))
+    // feeds the vocabulary-size scalar AND the scoring join
+    val uni = refWs.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .persist()
+    val vocab = uni.count().toDouble
+    val bi = refWs.select(expr("ngram_gen(ws, 2)"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cb"))
+    val docBi = docs
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
+      .select(col("doc"), expr("ngram_gen(ws, 2)"))
+      .select(col("doc"), col("ngram").as("bg"),
+        substring_index(col("ngram"), " ", 1).as("w1"))
+    val scored = docBi
+      .join(bi.select(col("ngram").as("bg"), col("cb")), Seq("bg"), "left")
+      .join(uni.select(col("w").as("w1"), col("cw")), Seq("w1"), "left")
+      .withColumn("lp", log((coalesce(col("cb"), lit(0L)) + 1.0) /
+        (coalesce(col("cw"), lit(0L)) + vocab)))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        // floor-round, not round() — see qualityScore
+        (floor(avg(col("lp")) * 1e4 + 0.5) / 1e4).as("lm_score"))
+      .select(col("doc").as(idCol), col("n_bigrams"), col("lm_score"))
+      .orderBy(col(idCol))
+    Caching.materializeThenRelease(scored, uni)
+  }
+
   /** Full per-document analysis projection used by the registered queries.
     * Tokenizes ONCE into a bound column, then derives every measure from it —
     * the stopword/langid lambdas are interpreted (CodegenFallback), and an

@@ -485,6 +485,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Statistical quality scoring: per-doc mean log-probability under an
+    // add-one-smoothed bigram LM trained on the corpus itself — two count
+    // aggregates (the model) + two key-joins (the scoring). Full SQL
+    // oracle: DuckDB retrains the identical model and re-derives every
+    // score.
+    "quality_lm_score" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")),
+
     // TF-IDF top-3 distinctive terms per doc. Integer-only ranking (tf desc,
     // df asc, term asc) keeps the order engine-exact; the score column uses
     // the floor-round trick shared with qualityScore.
@@ -849,6 +857,24 @@ object PipelineQueries {
         |   AND f.mean_raw BETWEEN 2.0 AND 12.0) AS keep
         |FROM rep r JOIN feats f ON r.doc_id = f.doc_id
         |ORDER BY r.doc_id""".stripMargin,
+
+    "quality_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |uc AS (
+        |  SELECT w, count(*) AS cw
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |v AS (SELECT count(*)::DOUBLE AS vs FROM uc),
+        |big AS (
+        |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+        |bc AS (SELECT bg, count(*) AS cb FROM big GROUP BY bg)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  floor(avg(ln((cb + 1.0) / (cw + vs))) * 1e4 + 0.5) / 1e4
+        |    AS lm_score
+        |FROM big JOIN bc USING (bg) JOIN uc ON big.w1 = uc.w CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "tfidf_topk" ->
       """WITH tok AS (

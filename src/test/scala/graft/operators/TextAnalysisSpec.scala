@@ -58,6 +58,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp("D").isEmpty)
   }
 
+  test("bigram LM score ranks fluent text above gibberish") {
+    val fluent = "the cat sat on the mat and the cat sat on the mat again"
+    val df = Seq(
+      (1L, fluent), (2L, fluent), (3L, fluent),
+      (4L, "zq xv wk jy qn bv td pm lr cx fh gw")
+    ).toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramLmScore(df, "doc_id", "text")
+      .select("doc_id", "lm_score").as[(Long, Double)].collect().toMap
+    // the fluent docs share every bigram (high counts); the gibberish doc's
+    // bigrams each occur once against the full vocabulary denominator
+    assert(scores(1L) > scores(4L),
+      s"fluent=${scores(1L)} gibberish=${scores(4L)}")
+    assert(scores(1L) == scores(2L) && scores(2L) == scores(3L))
+  }
+
+  test("bigram LM score can score against a separate reference corpus") {
+    val ref = Seq((10L, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma"),   // in-model bigrams
+      (2L, "delta epsilon zeta")  // all unseen
+    ).toDF("doc_id", "text")
+    val scores = TextAnalysis
+      .bigramLmScore(docs, "doc_id", "text", ref = Some(ref))
+      .select("doc_id", "lm_score").as[(Long, Double)].collect().toMap
+    assert(scores(1L) > scores(2L))
+  }
+
   test("simhash64 registered function rejects wrong input type") {
     HashExpressions.register(spark)
     val err = intercept[Exception] {
