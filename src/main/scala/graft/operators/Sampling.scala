@@ -64,4 +64,42 @@ object Sampling {
     }.otherwise(keepCond(col(idCol), defaultRate, salt))
     df.filter(cond)
   }
+
+  /** Resample to a TARGET domain mix (the "40% web, 30% code, …" recipe a
+    * training run specifies), downsampling only: the largest total
+    * N = min over domains of floor(count_d / p_d) is achievable without
+    * upsampling any domain, and each domain then keeps its
+    * k_d = floor(p_d · N) smallest salted-md5 ranks — deterministic,
+    * coordinated (a re-run or a grown corpus keeps prior picks stable in
+    * each domain up to rank k_d), and within one row of the exact target
+    * proportion per domain. Domains absent from `targets` are dropped.
+    *
+    * Shape: one count aggregate (domain-cardinality rows), one scalar to
+    * the driver (N), a broadcast join of per-domain quotas, and one window
+    * shuffle on the domain key for the ranks. The output carries `rn` (the
+    * per-domain rank) alongside the source columns.
+    */
+  def mixToTarget(df: DataFrame, idCol: String, domainCol: String,
+      targets: Map[String, Double], salt: String = ""): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(p => p > 0.0),
+      "targets must be non-empty with positive proportions")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.toDF("__dom", "__p")
+    val quotas = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+      .join(broadcast(tgt), "__dom")
+    // N is one row per domain reduced to a scalar — bounded driver traffic
+    val nTotal = quotas
+      .agg(min(floor(col("__n") / col("__p")))).head().getLong(0)
+    val kd = broadcast(quotas.select(col("__dom"),
+      floor(col("__p") * nTotal).as("__kd")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .join(kd, col(domainCol) === col("__dom"))
+      .filter(col("rn") <= col("__kd"))
+      .drop("__dom", "__kd")
+  }
 }

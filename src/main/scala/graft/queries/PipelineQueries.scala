@@ -282,6 +282,19 @@ object PipelineQueries {
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment"))),
 
+    // Target-mix resampling: hit exact 50/30/20 proportions across three
+    // segments, downsampling only — N = min floor(count_d / p_d), each
+    // domain keeps its floor(p_d·N) smallest salted-md5 ranks. The oracle
+    // re-derives N, every quota, and every rank, so the exact selected row
+    // set is pinned.
+    "mix_resample" -> ((s, dir) =>
+      Sampling.mixToTarget(t(s, dir, "customer"), "c_custkey",
+          "c_mktsegment",
+          Map("BUILDING" -> 0.5, "AUTOMOBILE" -> 0.3, "MACHINERY" -> 0.2),
+          salt = "mt1")
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"))
+        .orderBy(col("c_mktsegment"), col("rn"))),
+
     // Exact-k per-group sampling: the k rows per stratum with the smallest
     // salted-md5 rank — deterministic, partition-invariant, reproducible by
     // the oracle (both engines share md5). The per-stratum eval-split /
@@ -923,6 +936,26 @@ object PipelineQueries {
         |                    WHEN 'AUTOMOBILE' THEN '8000'
         |                    ELSE '4000' END
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "mix_resample" ->
+      """WITH tgt(dom, p) AS (VALUES
+        |    ('BUILDING', 0.5::DOUBLE), ('AUTOMOBILE', 0.3::DOUBLE),
+        |    ('MACHINERY', 0.2::DOUBLE)),
+        |j AS (
+        |  SELECT c_mktsegment AS dom, count(*) AS n, p
+        |  FROM customer JOIN tgt ON c_mktsegment = dom
+        |  GROUP BY c_mktsegment, p),
+        |nn AS (SELECT min(floor(n / p))::BIGINT AS nt FROM j),
+        |k AS (SELECT dom, floor(p * nt)::BIGINT AS kd FROM j CROSS JOIN nn),
+        |r AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY md5(c_custkey::VARCHAR || 'mt1'), c_custkey)::BIGINT
+        |      AS rn
+        |  FROM customer)
+        |SELECT r.c_mktsegment, r.rn, r.c_custkey
+        |FROM r JOIN k ON r.c_mktsegment = k.dom AND r.rn <= k.kd
+        |ORDER BY r.c_mktsegment, r.rn""".stripMargin,
 
     "sample_per_group" ->
       """SELECT c_mktsegment, rn, c_custkey FROM (

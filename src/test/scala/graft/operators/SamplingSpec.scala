@@ -62,6 +62,34 @@ class SamplingSpec extends SparkSpec {
     assert(n >= 19990, s"near-1.0 rate kept only $n of 20000")
   }
 
+  test("mixToTarget hits target proportions within one row per domain") {
+    // 12000 / 6000 / 2000 rows; targets 50/30/20 → the scarce domain (c)
+    // binds: N = floor(2000/0.2) = 10000 → quotas 5000/3000/2000
+    val df = ids.withColumn("dom",
+      when(col("id") % 10 < 6, "a").when(col("id") % 10 < 9, "b")
+        .otherwise("c"))
+    val got = Sampling.mixToTarget(df, "id", "dom",
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), salt = "mx")
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 5000L, "b" -> 3000L, "c" -> 2000L), got.toString)
+  }
+
+  test("mixToTarget picks are coordinated (stable under corpus growth)") {
+    val df = ids.withColumn("dom", lit("a"))
+    val small = df.filter(col("id") < 10000)
+    val pickSmall = Sampling.mixToTarget(small, "id", "dom",
+        Map("a" -> 1.0), salt = "mx").filter(col("rn") <= 100)
+      .select("id").as[Long].collect().toSet
+    val pickBig = Sampling.mixToTarget(df, "id", "dom",
+        Map("a" -> 1.0), salt = "mx").filter(col("rn") <= 100)
+      .select("id").as[Long].collect().toSet
+    // the first 100 ranks of the grown corpus are drawn from the same
+    // md5 order — overlap is high by construction (only ids whose hashes
+    // land ahead of the old picks displace them)
+    assert((pickSmall & pickBig).size >= 40, s"overlap=${(pickSmall & pickBig).size}")
+  }
+
   test("sampling is a scan-side filter (no shuffle, no rand)") {
     val plan = Sampling.sample(ids, "id", 0.5).queryExecution
       .executedPlan.toString
