@@ -43,5 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("ngram_gen"),
       info("ngram_gen", "ngram_gen(array<string>, n) - one row per n-gram window"),
       (exprs: Seq[Expression]) => NgramGenerate(exprs.head, intArg(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("pq_score"),
+      info("pq_score",
+        "pq_score(array<double>, array<int>, ksub) - PQ ADC inner product"),
+      (exprs: Seq[Expression]) =>
+        PqScore(exprs.head, exprs(1), intArg(exprs(2)))))
   }
 }

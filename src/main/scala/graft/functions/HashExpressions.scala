@@ -185,6 +185,38 @@ case class VecDot(left: Expression, right: Expression)
       l: Expression, r: Expression): VecDot = copy(left = l, right = r)
 }
 
+/** PQ asymmetric-distance score — approximate inner product of a query
+  * against a product-quantized vector: `left` is the query's flattened
+  * m×`ksub` lookup table of subspace dot products, `right` the vector's m
+  * codes. One fused loop of m table reads per candidate (the whole point of
+  * PQ: candidate scoring never touches vector arithmetic).
+  */
+case class PqScore(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_score requires (array<double>, array<int>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.pqScore(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.NativeKernels.pqScore($a, $b, $ksub)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqScore = copy(left = l, right = r)
+}
+
 /** Registration + shared hashing for graft's native expressions. */
 object HashExpressions {
 
@@ -217,5 +249,7 @@ object HashExpressions {
       exprs => VecDot(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("ngram_gen",
       exprs => NgramGenerate(exprs.head, intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("pq_score",
+      exprs => PqScore(exprs.head, exprs(1), intArg(exprs(2))), "built-in")
   }
 }

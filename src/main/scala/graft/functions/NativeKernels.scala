@@ -147,4 +147,20 @@ object NativeKernels {
     }
     acc
   }
+
+  /** PQ asymmetric-distance score: `lut` is the query's flattened
+    * m×ksub table of subspace dot products, `codes` a vector's m PQ codes;
+    * the approximate inner product is Σ_j lut[j·ksub + codes[j]] — m array
+    * reads and adds per candidate, no vector arithmetic at all.
+    */
+  def pqScore(lut: ArrayData, codes: ArrayData, ksub: Int): Double = {
+    var acc = 0.0
+    var j = 0
+    val m = codes.numElements()
+    while (j < m) {
+      acc += lut.getDouble(j * ksub + codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
 }

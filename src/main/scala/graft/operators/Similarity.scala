@@ -190,6 +190,127 @@ object Similarity {
     cent
   }
 
+  /** Local per-subspace Lloyd iterations over a driver-side sample — PQ
+    * codebooks are trained offline on a bounded sample in every production
+    * system; nothing here scales with corpus size. Returns
+    * codebook(j)(k) = the k-th centroid of subspace j (`sub` doubles).
+    */
+  private def trainPqCodebook(sample: Array[Array[Double]], m: Int, ksub: Int,
+      sub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    Array.tabulate(m) { j =>
+      val xs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      // deterministic init: first ksub distinct subvectors (cycled if scarce)
+      val distinct = xs.distinct
+      var cent = Array.tabulate(ksub)(i => distinct(i % distinct.length).clone())
+      def nearest(x: Array[Double]): Int = {
+        var best = 0; var bd = Double.MaxValue; var kk = 0
+        while (kk < ksub) {
+          var d = 0.0; var i = 0
+          while (i < sub) { val t = x(i) - cent(kk)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = kk }
+          kk += 1
+        }
+        best
+      }
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(ksub)(new Array[Double](sub))
+        val counts = new Array[Int](ksub)
+        xs.foreach { x =>
+          val a = nearest(x); counts(a) += 1
+          var i = 0; while (i < sub) { sums(a)(i) += x(i); i += 1 }
+        }
+        cent = Array.tabulate(ksub) { kk =>
+          if (counts(kk) == 0) cent(kk) // empty cluster keeps its centroid
+          else { val c = sums(kk); var i = 0
+            while (i < sub) { c(i) /= counts(kk); i += 1 }; c }
+        }
+      }
+      cent
+    }
+  }
+
+  /** Product-quantization top-k (Jégou et al., PAMI 2011): each corpus
+    * vector compresses to `m` byte codes (its nearest centroid per
+    * subspace); a query scores candidates via a lookup table of subspace
+    * dot products — the native `pq_score` expression, m table reads per
+    * candidate, no vector arithmetic — then the top `shortlistFactor·k`
+    * shortlist re-ranks with exact cosine.
+    *
+    * Scale shape: the codes table is m bytes + id per vector (vs dim·4
+    * bytes raw — 32× smaller at dim=64/m=8), so the exhaustive candidate
+    * scan that dominates ANN cost runs over a compressed table that fits
+    * where the raw vectors do not; only the shortlist join touches raw
+    * embeddings (shuffle bounded by queries·shortlist). Codebooks are
+    * trained on a deterministic bounded sample driver-side and ride into
+    * the plan as literals; encoding is scan-side native arithmetic.
+    * Vectors are L2-normalized before encoding so the ADC score
+    * approximates cosine directly. Recall vs `bruteForceTopK` is asserted
+    * in the spec suite and the driver contract row.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+      seed: Long = 23L, shortlistFactor: Int = 4,
+      trainIters: Int = 4, sampleN: Int = 256): DataFrame = {
+    HashExpressions.register(corpus.sparkSession)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    def unit(v: Column, n: Column): Column = transform(v, x => x / n)
+    val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n")
+      .withColumn("u", unit(col("v_n"), col("n_n")))
+      .persist() // feeds codebook sample, encoding, and the re-rank join
+    val sample = c.orderBy(xxhash64(col("nid"), lit(seed))).limit(sampleN)
+      .select(col("u")).collect().map(_.getSeq[Double](0).toArray)
+    val codebook = trainPqCodebook(sample, m, ksub, sub, trainIters)
+    // encoding: argmin_k ||u_j − c_jk||²; the ranking needs only
+    // ||c_jk||² − 2·u_j·c_jk (the ||u_j||² term is constant per row)
+    val codesCol = array((0 until m).map { j =>
+      val xj = slice(col("u"), j * sub + 1, sub)
+      sort_array(array((0 until ksub).map { kk =>
+        val cv = codebook(j)(kk)
+        val cn2 = cv.map(x => x * x).sum
+        struct(
+          (lit(cn2) - lit(2.0) * call_function("vec_dot", xj,
+            typedlit(cv.toSeq))).as("d"),
+          lit(kk).as("code"))
+      }: _*)).getItem(0).getField("code")
+    }: _*)
+    // the codes table is intentionally NARROW (id + m codes): at scale it
+    // is the only thing the exhaustive scan reads
+    val codes = c.select(col("nid"), codesCol.as("codes"))
+    val q = withNorm(queries, idCol, vecCol, "qid", "v_q", "n_q")
+      .withColumn("uq", unit(col("v_q"), col("n_q")))
+      .withColumn("lut", array((0 until m).flatMap { j =>
+        val qj = slice(col("uq"), j * sub + 1, sub)
+        (0 until ksub).map { kk =>
+          call_function("vec_dot", qj, typedlit(codebook(j)(kk).toSeq)) }
+      }: _*))
+      .persist() // small; feeds the ADC scan and the re-rank join
+    val scored = q.select(col("qid"), col("lut")).join(codes,
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        call_function("pq_score", col("lut"), col("codes"), lit(ksub))
+          .as("pq"))
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy(col("pq").desc, col("nid"))
+    val shortlist = scored.withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlistFactor * k)
+      .select(col("qid"), col("nid"))
+    val reranked = shortlist
+      .join(c.select(col("nid"), col("v_n"), col("n_n")), "nid")
+      .join(q.select(col("qid"), col("v_q"), col("n_q")), "qid")
+      .select(col("qid"), col("nid"),
+        round(cosFast(col("v_q"), col("v_n"), col("n_q"), col("n_n")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val topk = reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+    Caching.materializeThenRelease(topk, c, q)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       seed: Long = 11L, trainIters: Int = 0): DataFrame = {

@@ -263,6 +263,24 @@ object PipelineQueries {
         "recall_ok" -> (Contracts.recall(ivf, brute) >= 0.5))
     }),
 
+    // PQ (product-quantization) top-k: 16-byte codes + native ADC scoring
+    // + exact re-rank of the 8k-shortlist. Params swept at sf0.001/0.01/0.1
+    // via graft.tools.PqSweep (recall 0.88/0.82/0.84, floor 0.6 — the
+    // round-2 lesson: statistical floors are scale-dependent, sweep first).
+    "sim_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+        k = 5, m = 16, shortlistFactor = 8).localCheckpoint()
+      val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        k = 5).localCheckpoint()
+      Contracts.row(s,
+        "n_queries" -> q.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(pq, "qid", "rank", 5),
+        "scores_exact_ok" -> scoresMatchExact(pq, emb),
+        "recall_ok" -> (Contracts.recall(pq, brute) >= 0.6))
+    }),
+
     // Token frequency top-k over the whole corpus (explode → two-phase agg).
     "token_freq_topk" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -749,6 +767,11 @@ object PipelineQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, nCentroids = 16, nProbe = 6, trainIters = 2)
     }),
+    "sim_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, m = 16, shortlistFactor = 8)
+    }),
     "text_fingerprint" -> ((s, dir) => {
       HashExpressions.register(s)
       t(s, dir, "documents").select(col("doc_id"),
@@ -812,6 +835,12 @@ object PipelineQueries {
         |  TRUE AS recall_ok""".stripMargin,
 
     "sim_ivf_topk" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+        |    AS n_queries,
+        |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,
+        |  TRUE AS recall_ok""".stripMargin,
+
+    "sim_pq_topk" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
         |    AS n_queries,
         |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,

@@ -116,4 +116,34 @@ class SimilaritySpec extends SparkSpec {
     assert(r(2) > r(0), s"multi-probe added nothing: recalls=$r")
     assert(r(2) >= 0.5, s"recall@nProbe=8 too low: ${r(2)}")
   }
+
+  test("PQ top-k: re-ranked scores are exact; recall clears the swept floor") {
+    val emb = t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val bruteMap = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 100)
+      .select("qid", "nid", "cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 5,
+      m = 16, shortlistFactor = 8)
+    val rows = pq.select("qid", "nid", "cos").as[(Long, Long, Double)]
+      .collect()
+    // after the exact re-rank, every emitted score IS the exact cosine
+    rows.foreach { case (q, n, c) =>
+      bruteMap.get((q, n)).foreach(e => assert(math.abs(e - c) < 1e-9))
+    }
+    val recall = graft.queries.Contracts.recall(pq, brute)
+    assert(recall >= 0.6, s"recall=$recall under the swept floor")
+  }
+
+  test("PQ codes table is narrow and the codebook is deterministic") {
+    val emb = t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    def run() = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        k = 3, m = 8, shortlistFactor = 4)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSeq
+    assert(run() == run(), "PQ pipeline must be re-run deterministic")
+  }
 }
