@@ -163,4 +163,53 @@ object NativeKernels {
     }
     acc
   }
+
+  /** PQ encoding: nearest codebook entry (L2) per subspace of `v/n`.
+    * `cb` is the flattened codebook, cb[(j·ksub + k)·sub + i]; one fused
+    * loop replaces m·ksub interpreted struct+sort expressions per row.
+    */
+  def pqEncode(v: ArrayData, n: Double, cb: Array[Double], m: Int,
+      ksub: Int, sub: Int): ArrayData = {
+    val codes = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      var best = 0; var bd = Double.MaxValue; var kk = 0
+      while (kk < ksub) {
+        var d = 0.0; var i = 0
+        val base = (j * ksub + kk) * sub
+        while (i < sub) {
+          val t = v.getDouble(j * sub + i) / n - cb(base + i)
+          d += t * t; i += 1
+        }
+        if (d < bd) { bd = d; best = kk }
+        kk += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** PQ lookup table for a query `v/n`: flattened m×ksub subspace dot
+    * products against the codebook (layout matches [[pqScore]]).
+    */
+  def pqLut(v: ArrayData, n: Double, cb: Array[Double], m: Int,
+      ksub: Int, sub: Int): ArrayData = {
+    val lut = new Array[Any](m * ksub)
+    var j = 0
+    while (j < m) {
+      var kk = 0
+      while (kk < ksub) {
+        var acc = 0.0; var i = 0
+        val base = (j * ksub + kk) * sub
+        while (i < sub) {
+          acc += v.getDouble(j * sub + i) / n * cb(base + i); i += 1
+        }
+        lut(j * ksub + kk) = acc
+        kk += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(lut)
+  }
 }

@@ -251,40 +251,32 @@ object Similarity {
       vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
       seed: Long = 23L, shortlistFactor: Int = 4,
       trainIters: Int = 4, sampleN: Int = 256): DataFrame = {
-    HashExpressions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    HashExpressions.register(spark)
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    def unit(v: Column, n: Column): Column = transform(v, x => x / n)
     val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n")
-      .withColumn("u", unit(col("v_n"), col("n_n")))
       .persist() // feeds codebook sample, encoding, and the re-rank join
     val sample = c.orderBy(xxhash64(col("nid"), lit(seed))).limit(sampleN)
-      .select(col("u")).collect().map(_.getSeq[Double](0).toArray)
-    val codebook = trainPqCodebook(sample, m, ksub, sub, trainIters)
-    // encoding: argmin_k ||u_j − c_jk||²; the ranking needs only
-    // ||c_jk||² − 2·u_j·c_jk (the ||u_j||² term is constant per row)
-    val codesCol = array((0 until m).map { j =>
-      val xj = slice(col("u"), j * sub + 1, sub)
-      sort_array(array((0 until ksub).map { kk =>
-        val cv = codebook(j)(kk)
-        val cn2 = cv.map(x => x * x).sum
-        struct(
-          (lit(cn2) - lit(2.0) * call_function("vec_dot", xj,
-            typedlit(cv.toSeq))).as("d"),
-          lit(kk).as("code"))
-      }: _*)).getItem(0).getField("code")
-    }: _*)
-    // the codes table is intentionally NARROW (id + m codes): at scale it
-    // is the only thing the exhaustive scan reads
-    val codes = c.select(col("nid"), codesCol.as("codes"))
+      .select(transform(col("v_n"), x => x / col("n_n")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cbFlat: Array[Double] = {
+      val cb = trainPqCodebook(sample, m, ksub, sub, trainIters)
+      cb.flatMap(_.flatMap(_.toSeq))
+    }
+    // encoding + table building are the fused PqEncode/PqLut kernels (the
+    // codebook rides as a referenced flat array): one loop per row inside
+    // whole-stage codegen, replacing m·ksub interpreted exprs per row. The
+    // codes table is intentionally NARROW (id + m codes): at scale it is
+    // the only thing the exhaustive scan reads.
+    val codes = c.select(col("nid"),
+      graft.functions.PqExpressions.pqEncode(spark, col("v_n"), col("n_n"),
+        cbFlat, m, ksub, sub).as("codes"))
     val q = withNorm(queries, idCol, vecCol, "qid", "v_q", "n_q")
-      .withColumn("uq", unit(col("v_q"), col("n_q")))
-      .withColumn("lut", array((0 until m).flatMap { j =>
-        val qj = slice(col("uq"), j * sub + 1, sub)
-        (0 until ksub).map { kk =>
-          call_function("vec_dot", qj, typedlit(codebook(j)(kk).toSeq)) }
-      }: _*))
+      .withColumn("lut",
+        graft.functions.PqExpressions.pqLut(spark, col("v_q"), col("n_q"),
+          cbFlat, m, ksub, sub))
       .persist() // small; feeds the ADC scan and the re-rank join
     val scored = q.select(col("qid"), col("lut")).join(codes,
         col("qid") =!= col("nid"))
