@@ -231,6 +231,36 @@ object Dedup {
     Caching.materializeThenRelease(spans, win)
   }
 
+  /** Apply a [[repeatedSpans]] cut-list: drop every token inside a flagged
+    * span and re-join the survivors — the "deduplicate the substring, keep
+    * the document" form of substring dedup. Output is (id, cleaned,
+    * n_tokens_cut) for EVERY input document (docs with no spans pass
+    * through with whitespace-normalized text, 0 cut).
+    *
+    * Shape: spans collapse to one array per affected document (their count
+    * per doc is small — merged islands), broadcast-joined back onto the
+    * corpus scan; the cut itself is a per-row token filter. No shuffle
+    * carries document bodies beyond the span join's build side.
+    */
+  def cutSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    // original-case tokens align 1:1 with the lowered tokens the spans were
+    // computed on (lowering never changes token boundaries)
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.join(broadcast(sp), Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", filter(toks, (tok, i) =>
+          col("sp").isNull || !exists(col("sp"), s =>
+            i >= s.getField("span_start") && i < s.getField("span_end"))))
+          .as("cleaned"),
+        coalesce(aggregate(col("sp"), lit(0L),
+            (acc, s) => acc + (s.getField("span_end") -
+              s.getField("span_start"))), lit(0L))
+          .as("n_tokens_cut"))
+  }
+
   /** Connected components over an undirected pair list — the step that turns
     * near-dup PAIRS into dedup CLUSTERS (keep one representative per
     * component). Iterative min-label propagation: every node starts labeled

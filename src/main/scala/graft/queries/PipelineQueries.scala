@@ -91,6 +91,17 @@ object PipelineQueries {
       Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
         k = 8, minDocs = 2)),
 
+    // The cut-list APPLIED: every token inside a duplicated span is
+    // dropped and survivors re-join — per-doc cleaned text + tokens-cut
+    // accounting, full row/hash equality vs the oracle's composed
+    // spans+cut SQL.
+    "dedup_span_cut" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spans = Dedup.repeatedSpans(docs, "doc_id", "text",
+        k = 8, minDocs = 2)
+      Dedup.cutSpans(docs, "doc_id", "text", spans).orderBy(col("doc_id"))
+    }),
+
     // MinHash+LSH near-dup pairs on the FULL table — the scale path. The
     // contract claims are the ones banding can actually GUARANTEE:
     // precision is deterministic (candidates are verified with exact
@@ -1094,6 +1105,50 @@ object PipelineQueries {
         |  count(*)::BIGINT AS n_windows
         |FROM isl GROUP BY doc_id, span_no
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "dedup_span_cut" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t,
+        |         string_split_regex(trim(text), '\s+') AS o
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)),
+        |dup AS (
+        |  SELECT gram FROM win GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (gram)),
+        |flg AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM dw),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_no
+        |  FROM flg),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+        |  FROM isl GROUP BY doc_id, span_no),
+        |pos AS (
+        |  SELECT doc_id, i, o[i] AS tok
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(o))) AS i)),
+        |keep AS (
+        |  SELECT p.doc_id, p.i, p.tok FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = p.doc_id AND p.i - 1 >= s.s AND p.i - 1 < s.e)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS cleaned
+        |  FROM keep GROUP BY doc_id),
+        |cut AS (SELECT doc_id, sum(e - s) AS c FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.cleaned, '') AS cleaned,
+        |  coalesce(c.c, 0)::BIGINT AS n_tokens_cut
+        |FROM documents d
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |LEFT JOIN cut c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "ngram_jaccard_pairs" ->
       """WITH sh AS (

@@ -65,6 +65,23 @@ class DedupSpec extends SparkSpec {
       (2L, 0L, 9L), (2L, 29L, 37L)))
   }
 
+  test("cutSpans removes exactly the flagged tokens and accounts the cut") {
+    val repeat = (1 to 12).map(i => s"rep$i").mkString(" ")
+    val df = Seq(
+      (1L, s"a1 a2 $repeat b1 b2"),
+      (2L, s"c1 $repeat d1"),
+      (3L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "doc_id", "text", k = 8, minDocs = 2)
+    val out = Dedup.cutSpans(df, "doc_id", "text", spans)
+      .select("doc_id", "cleaned", "n_tokens_cut")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(1L) == (("a1 a2 b1 b2", 12L)))
+    assert(out(2L) == (("c1 d1", 12L)))
+    assert(out(3L) == (("e1 e2 e3 e4 e5 e6 e7 e8 e9 e10", 0L)))
+  }
+
   test("minhash LSH recovers every exact-jaccard pair on real documents") {
     val docs = t(spark, sfDir, "documents")
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3)
