@@ -76,6 +76,34 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pqScore equals the naive lookup sum; encode picks the argmin code") {
+    val vec: Gen[List[Double]] =
+      Gen.listOfN(8, Gen.choose(-1.0, 1.0))
+    val m = 4; val ksub = 4; val sub = 2
+    samples(Gen.zip(vec, Gen.listOfN(m * ksub * sub, Gen.choose(-1.0, 1.0))),
+      200).foreach { case (v, cbList) =>
+      val cb = cbList.toArray
+      val va = new GenericArrayData(v.toArray[Any])
+      val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-12)
+      val codes = NativeKernels.pqEncode(va, n, cb, m, ksub, sub)
+      val lut = NativeKernels.pqLut(va, n, cb, m, ksub, sub)
+      (0 until m).foreach { j =>
+        val c = codes.getInt(j)
+        assert(c >= 0 && c < ksub)
+        // argmin property: the chosen code's L2 distance is minimal
+        def dist(k: Int): Double = (0 until sub).map { i =>
+          val t = v(j * sub + i) / n - cb((j * ksub + k) * sub + i)
+          t * t
+        }.sum
+        (0 until ksub).foreach(k =>
+          assert(dist(c) <= dist(k) + 1e-12, s"j=$j c=$c k=$k"))
+      }
+      // score = sum of looked-up cells, exactly
+      val naive = (0 until m).map(j => lut.getDouble(j * ksub + codes.getInt(j))).sum
+      assert(NativeKernels.pqScore(lut, codes, ksub) === naive)
+    }
+  }
+
   test("winnowFingerprint: a shared long substring implies shared hashes") {
     val text = Gen.listOfN(32, Gen.alphaNumChar).map(_.mkString)
     val prefix = Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString)
