@@ -39,6 +39,17 @@ object StreamingQueries {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Streaming scan of the documents table (same staging pattern as
+    * [[rawEvents]]).
+    */
+  private def rawDocs(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stage = Files.createTempDirectory("graft-stream-docs-")
+    Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    s.readStream.schema(schema).parquet(stage.toString)
+  }
+
   private def runToTable(df: DataFrame, mode: String,
       s: SparkSession): DataFrame = {
     val qn = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -319,6 +330,25 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // The curation funnel RUN AS A STREAM: quality floor → stateful exact
+    // dedup on (lang, content-key) → per-lang corpus stats, continuous over
+    // arriving document files. The doubled source proves the dedup state
+    // actually dedupes across micro-batch boundaries; the oracle is the
+    // batch funnel over the same table — streaming/batch parity for the
+    // curation path.
+    "streaming_curation" -> ((s, dir) => {
+      val docs = rawDocs(s, dir)
+      val funnel = docs.union(docs)
+        .withColumn("n_tok",
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+        .filter(col("n_tok") >= 20)
+        .withColumn("k", md5(col("text")))
+        .dropDuplicates("lang", "k")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tokens"))
+      runToTable(funnel, "complete", s).orderBy(col("lang"))
+    }),
+
     // Bounded-state streaming dedup: dropDuplicatesWithinWatermark evicts
     // dedup state once the watermark passes an id's event time — the
     // production form when duplicates can only arrive within a known delay
@@ -491,6 +521,16 @@ object StreamingQueries {
     "streaming_dedup_watermark" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "streaming_curation" ->
+      """WITH d AS (
+        |  SELECT lang, md5(text) AS k,
+        |    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT
+        |      AS n_tok
+        |  FROM documents),
+        |f AS (SELECT DISTINCT lang, k, n_tok FROM d WHERE n_tok >= 20)
+        |SELECT lang, count(*)::BIGINT AS n, sum(n_tok)::BIGINT AS tokens
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     "streaming_tws_stats" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
