@@ -303,6 +303,92 @@ object Similarity {
     Caching.materializeThenRelease(topk, c, q)
   }
 
+  /** IVF-PQ composition (the standard billion-vector ANN architecture):
+    * IVF coarse buckets bound WHICH vectors a query touches
+    * (`nProbe/nCentroids` of the corpus), PQ codes bound WHAT the scan
+    * reads per touched vector (m bytes, native ADC scoring), and the
+    * shortlist re-ranks with exact cosine. Training both quantizers and
+    * the probe/score/re-rank machinery reuse [[ivfTopK]]'s centroids and
+    * [[pqTopK]]'s codebook kernels.
+    *
+    * At 100 TB: corpus written bucket-partitioned with its codes inline —
+    * a query reads nProbe partitions of an m-bytes/vector table; raw
+    * embeddings are touched only for queries·shortlist rows.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 6,
+      m: Int = 16, ksub: Int = 16, seed: Long = 11L,
+      shortlistFactor: Int = 8, trainIters: Int = 4,
+      sampleN: Int = 256): DataFrame = {
+    val spark = corpus.sparkSession
+    HashExpressions.register(spark)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n").persist()
+    // coarse quantizer: deterministic hash-ordered corpus sample
+    val coarse: Array[(Int, Seq[Double], Double)] = c
+      .orderBy(xxhash64(col("nid"), lit(seed)))
+      .limit(nCentroids)
+      .select(col("v_n")).collect().zipWithIndex
+      .map { case (r, i) =>
+        val v = r.getSeq[Double](0)
+        (i, v, math.sqrt(v.map(x => x * x).sum))
+      }
+    def bucketScores(v: Column, n: Column): Column =
+      sort_array(array(coarse.map { case (i, cv, cn) =>
+        struct((call_function("vec_dot", v, typedlit(cv)) / (n * cn))
+          .as("sim"), lit(i).as("bucket"))
+      }: _*), asc = false)
+    // PQ codebook on the same sample mechanism as pqTopK
+    val sample = c.orderBy(xxhash64(col("nid"), lit(seed + 1)))
+      .limit(sampleN)
+      .select(transform(col("v_n"), x => x / col("n_n")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cbFlat = trainPqCodebook(sample, m, ksub, sub, trainIters)
+      .flatMap(_.flatMap(_.toSeq))
+    // the scan table: (bucket, id, codes) — nCentroids-partitionable,
+    // m bytes of payload per vector
+    val codes = c.select(
+      bucketScores(col("v_n"), col("n_n")).getItem(0).getField("bucket")
+        .as("bucket"),
+      col("nid"),
+      graft.functions.PqExpressions.pqEncode(spark, col("v_n"), col("n_n"),
+        cbFlat, m, ksub, sub).as("codes"))
+    val q = withNorm(queries, idCol, vecCol, "qid", "v_q", "n_q")
+      .withColumn("lut",
+        graft.functions.PqExpressions.pqLut(spark, col("v_q"), col("n_q"),
+          cbFlat, m, ksub, sub))
+      .persist()
+    val probes = q.select(col("qid"), col("lut"),
+        explode(slice(bucketScores(col("v_q"), col("n_q")), 1, nProbe))
+          .as("probe"))
+      .select(col("qid"), col("lut"), col("probe.bucket").as("bucket"))
+    val scored = probes.join(codes, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        call_function("pq_score", col("lut"), col("codes"), lit(ksub))
+          .as("pq"))
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy(col("pq").desc, col("nid"))
+    val shortlist = scored.withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlistFactor * k)
+      .select(col("qid"), col("nid"))
+    val reranked = shortlist
+      .join(c.select(col("nid"), col("v_n"), col("n_n")), "nid")
+      .join(q.select(col("qid"), col("v_q"), col("n_q")), "qid")
+      .select(col("qid"), col("nid"),
+        round(cosFast(col("v_q"), col("v_n"), col("n_q"), col("n_n")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val topk = reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+    Caching.materializeThenRelease(topk, c, q)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       seed: Long = 11L, trainIters: Int = 0): DataFrame = {

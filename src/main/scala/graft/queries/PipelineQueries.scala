@@ -292,6 +292,26 @@ object PipelineQueries {
         "recall_ok" -> (Contracts.recall(pq, brute) >= 0.6))
     }),
 
+    // IVF-PQ composition: coarse buckets bound WHICH vectors a query
+    // touches, PQ codes bound WHAT the scan reads per vector. Both
+    // approximations compound, so the floor sits under the plain-IVF and
+    // plain-PQ floors (PqSweep: 0.54/0.70/0.58 at nProbe=8, m=16 across
+    // sfs; floor 0.4).
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val ivfpq = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 8, m = 16, shortlistFactor = 8)
+        .localCheckpoint()
+      val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        k = 5).localCheckpoint()
+      Contracts.row(s,
+        "n_queries" -> q.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(ivfpq, "qid", "rank", 5),
+        "scores_exact_ok" -> scoresMatchExact(ivfpq, emb),
+        "recall_ok" -> (Contracts.recall(ivfpq, brute) >= 0.4))
+    }),
+
     // Token frequency top-k over the whole corpus (explode → two-phase agg).
     "token_freq_topk" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -783,6 +803,12 @@ object PipelineQueries {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, m = 16, shortlistFactor = 8)
     }),
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, nCentroids = 16, nProbe = 8, m = 16,
+        shortlistFactor = 8)
+    }),
     "text_fingerprint" -> ((s, dir) => {
       HashExpressions.register(s)
       t(s, dir, "documents").select(col("doc_id"),
@@ -852,6 +878,12 @@ object PipelineQueries {
         |  TRUE AS recall_ok""".stripMargin,
 
     "sim_pq_topk" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+        |    AS n_queries,
+        |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,
+        |  TRUE AS recall_ok""".stripMargin,
+
+    "sim_ivfpq_topk" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
         |    AS n_queries,
         |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,

@@ -38,6 +38,15 @@ object PqSweep {
         println(f"sweep dir=$dir n=$n m=$m shortlist=${slf}x " +
           f"recall=$recall%.3f sec=$sec%.2f")
       }
+      for ((np, m) <- Seq((4, 16), (6, 16), (8, 16))) {
+        val t0 = System.nanoTime()
+        val ivfpq = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+          k = 5, nCentroids = 16, nProbe = np, m = m, shortlistFactor = 8)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = Contracts.recall(ivfpq, brute)
+        println(f"sweep dir=$dir n=$n ivfpq nProbe=$np m=$m " +
+          f"recall=$recall%.3f sec=$sec%.2f")
+      }
       graft.operators.Caching.releaseAllRdds(spark)
     }
     spark.stop()
