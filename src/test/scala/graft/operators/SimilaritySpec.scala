@@ -138,6 +138,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall under the swept floor")
   }
 
+  test("IVF-PQ: exact re-ranked scores; recall clears the compounded floor") {
+    val emb = t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 5)
+    val bruteMap = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 100)
+      .select("qid", "nid", "cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 8, m = 16, shortlistFactor = 8)
+    val rows = ivfpq.select("qid", "nid", "cos").as[(Long, Long, Double)]
+      .collect()
+    rows.foreach { case (q, n, c) =>
+      bruteMap.get((q, n)).foreach(e => assert(math.abs(e - c) < 1e-9))
+    }
+    val recall = graft.queries.Contracts.recall(ivfpq, brute)
+    assert(recall >= 0.4, s"recall=$recall under the swept floor")
+  }
+
   test("PQ codes table is narrow and the codebook is deterministic") {
     val emb = t(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 3)
