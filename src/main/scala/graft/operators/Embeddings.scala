@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExpressions
+
+/** PCA / whitening over an embedding column — the dimensionality-reduction
+  * and decorrelation step an embedding pipeline runs before indexing or
+  * clustering.
+  *
+  * Shape at 100 TB: the fit is ONE typed-Aggregator pass (map-side partial
+  * buffers of d + d(d+1)/2 doubles merge associatively — the shuffle carries
+  * a few KB per partition, never vectors); the eigendecomposition runs on
+  * the driver over the d×d covariance (microseconds at embedding dims); the
+  * projection is scan-side column arithmetic with the components as
+  * literals — v·c − mean·c per component via the native `vec_dot`, no
+  * per-row mean subtraction and no shuffle.
+  */
+object Embeddings {
+
+  /** Accumulates n, Σv, and the upper triangle of Σ v vᵀ. (Not private:
+    * ExpressionEncoder derivation needs the class accessible.)
+    */
+  case class CovBuf(n: Long, sums: Array[Double], prods: Array[Double])
+
+  private class CovAgg(d: Int)
+      extends Aggregator[Seq[Double], CovBuf, CovBuf] {
+    override def zero: CovBuf =
+      CovBuf(0L, new Array[Double](d), new Array[Double](d * (d + 1) / 2))
+    override def reduce(b: CovBuf, v: Seq[Double]): CovBuf = {
+      val a = v.toArray
+      var i = 0
+      var t = 0
+      while (i < d) {
+        b.sums(i) += a(i)
+        var j = i
+        while (j < d) { b.prods(t) += a(i) * a(j); t += 1; j += 1 }
+        i += 1
+      }
+      CovBuf(b.n + 1, b.sums, b.prods)
+    }
+    override def merge(x: CovBuf, y: CovBuf): CovBuf = {
+      var i = 0
+      while (i < x.sums.length) { x.sums(i) += y.sums(i); i += 1 }
+      var t = 0
+      while (t < x.prods.length) { x.prods(t) += y.prods(t); t += 1 }
+      CovBuf(x.n + y.n, x.sums, x.prods)
+    }
+    override def finish(b: CovBuf): CovBuf = b
+    override def bufferEncoder: Encoder[CovBuf] = ExpressionEncoder[CovBuf]()
+    override def outputEncoder: Encoder[CovBuf] = ExpressionEncoder[CovBuf]()
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (driver-side;
+    * d is embedding-dimension small). Returns (eigenvalues, eigenvectors)
+    * sorted by eigenvalue descending; eigenvectors are rows.
+    */
+  private[operators] def jacobiEigen(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (off() > 1e-18 && sweep < 100) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                case x => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => (0 until d).map(r => v(r)(i)).toArray).toArray)
+  }
+
+  /** Fitted PCA: `components(i)` is the i-th principal axis (unit norm),
+    * `eigenvalues(i)` its variance along that axis.
+    */
+  case class PcaModel(n: Long, mean: Array[Double],
+      components: Array[Array[Double]], eigenvalues: Array[Double]) {
+    def totalVariance: Double = eigenvalues.sum
+  }
+
+  /** One distributed pass → covariance → driver eigendecomposition. */
+  def fitPca(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    val d = df.select(size(col(vecCol))).head().getInt(0)
+    require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
+    val agg = udaf(new CovAgg(d), ExpressionEncoder[Seq[Double]]())
+    val buf = df.select(agg(col(vecCol).cast("array<double>")).as("b"))
+      .head().getStruct(0)
+    val n = buf.getLong(0)
+    require(n > 1, s"need more than one vector to fit PCA, got $n")
+    val sums = buf.getSeq[Double](1).toArray
+    val prods = buf.getSeq[Double](2).toArray
+    val mean = sums.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0
+    var t = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = prods(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        t += 1; j += 1
+      }
+      i += 1
+    }
+    val (eig, vecs) = jacobiEigen(cov)
+    PcaModel(n, mean, vecs.take(k), eig.take(k))
+  }
+
+  /** Scan-side projection onto the model's components:
+    * out[i] = (v − mean)·cᵢ = v·cᵢ − mean·cᵢ (the mean dot folds into a
+    * literal, so no per-element centering runs per row). `whiten = true`
+    * additionally divides by √eigenvalueᵢ (unit variance per coordinate).
+    */
+  def project(df: DataFrame, vecCol: String, model: PcaModel,
+      outCol: String = "pc", whiten: Boolean = false): DataFrame = {
+    HashExpressions.register(df.sparkSession)
+    val v = col(vecCol).cast("array<double>")
+    val coords = model.components.zipWithIndex.map { case (c, i) =>
+      val centered = call_function("vec_dot", v, typedlit(c.toSeq)) -
+        lit(c.zip(model.mean).map { case (a, b) => a * b }.sum)
+      if (whiten) centered / lit(math.sqrt(math.max(model.eigenvalues(i), 1e-300)))
+      else centered
+    }
+    df.withColumn(outCol, array(coords: _*))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions.HashExpressions
-import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Chunking, Decontaminate, Dedup, Embeddings, Multimodal, Packing, Redaction, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (builder mandate + SURVEY.md §7.3):
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
@@ -290,6 +290,51 @@ object PipelineQueries {
         "ranks_ok" -> Contracts.ranksWellFormed(pq, "qid", "rank", 5),
         "scores_exact_ok" -> scoresMatchExact(pq, emb),
         "recall_ok" -> (Contracts.recall(pq, brute) >= 0.6))
+    }),
+
+    // PCA / whitening: one typed-Aggregator covariance pass (KB buffers
+    // shuffle, never vectors), driver-side Jacobi eigendecomposition,
+    // literal-component projection. Contract: components orthonormal,
+    // eigenvalues decreasing, DISTRIBUTED projected variance per coordinate
+    // equals its eigenvalue, whitening normalizes it to 1, and the
+    // projection is partition-invariant (rounded checksum).
+    "embedding_pca" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val k = 8
+      val model = Embeddings.fitPca(emb, "embedding", k)
+      def rounded(df: org.apache.spark.sql.DataFrame) =
+        Embeddings.project(df, "embedding", model)
+          .select(col("vec_id"),
+            expr("transform(pc, x -> round(x, 6))").as("pcr"))
+      val proj = Embeddings.project(emb, "embedding", model)
+        .localCheckpoint()
+      val ortho = model.components.indices.forall { i =>
+        model.components.indices.forall { j =>
+          val d = model.components(i).zip(model.components(j))
+            .map { case (a, b) => a * b }.sum
+          math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-8
+        }
+      }
+      val decreasing = model.eigenvalues.sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1) - 1e-12)
+      val vrow = proj
+        .select((0 until k).map(i => var_pop(col("pc")(i))): _*).head()
+      val varMatch = (0 until k).forall(i =>
+        math.abs(vrow.getDouble(i) - model.eigenvalues(i)) <=
+          1e-6 * math.max(model.eigenvalues(i), 1.0))
+      val wrow = Embeddings.project(emb, "embedding", model, whiten = true)
+        .select((0 until k).map(i => var_pop(col("pc")(i))): _*).head()
+      val whiteOk = (0 until k).forall(i =>
+        math.abs(wrow.getDouble(i) - 1.0) < 1e-6)
+      Contracts.row(s,
+        "n_vectors" -> model.n,
+        "components_orthonormal_ok" -> ortho,
+        "eigen_decreasing_ok" -> decreasing,
+        "projected_variance_matches_ok" -> varMatch,
+        "whitened_unit_variance_ok" -> whiteOk,
+        "projection_partition_invariant_ok" ->
+          (Contracts.checksum(rounded(emb)) ==
+            Contracts.checksum(rounded(emb.repartition(13)))))
     }),
 
     // IVF-PQ composition: coarse buckets bound WHICH vectors a query
@@ -809,6 +854,11 @@ object PipelineQueries {
         "embedding", k = 5, nCentroids = 16, nProbe = 8, m = 16,
         shortlistFactor = 8)
     }),
+    "embedding_pca" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Embeddings.project(emb, "embedding",
+        Embeddings.fitPca(emb, "embedding", k = 8))
+    }),
     "text_fingerprint" -> ((s, dir) => {
       HashExpressions.register(s)
       t(s, dir, "documents").select(col("doc_id"),
@@ -888,6 +938,13 @@ object PipelineQueries {
         |    AS n_queries,
         |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,
         |  TRUE AS recall_ok""".stripMargin,
+
+    "embedding_pca" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  TRUE AS components_orthonormal_ok, TRUE AS eigen_decreasing_ok,
+        |  TRUE AS projected_variance_matches_ok,
+        |  TRUE AS whitened_unit_variance_ok,
+        |  TRUE AS projection_partition_invariant_ok""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT (SELECT count(*) FROM documents) AS n_docs,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables.t
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jacobiEigen recovers a known symmetric spectrum") {
+    // diag(5, 2, 1) rotated by a known orthogonal matrix keeps its spectrum
+    val m = Array(
+      Array(3.5, 1.5, 0.0),
+      Array(1.5, 3.5, 0.0),
+      Array(0.0, 0.0, 1.0)) // eigenvalues 5, 2, 1
+    val (eig, vecs) = Embeddings.jacobiEigen(m)
+    assert(eig.zip(Seq(5.0, 2.0, 1.0)).forall { case (a, b) =>
+      math.abs(a - b) < 1e-10 })
+    // eigenvectors orthonormal
+    for (i <- vecs.indices; j <- vecs.indices) {
+      val dot = vecs(i).zip(vecs(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-10, s"($i,$j)")
+    }
+  }
+
+  test("first component aligns with a planted dominant direction") {
+    // points spread widely along (1,1,0)/√2 with small noise elsewhere
+    val rng = new scala.util.Random(5)
+    val rows = (1 to 400).map { _ =>
+      val a = rng.nextGaussian() * 10.0
+      val n1 = rng.nextGaussian() * 0.1
+      val n2 = rng.nextGaussian() * 0.1
+      Seq(a / math.sqrt(2) + n1, a / math.sqrt(2) - n1, n2)
+    }
+    val df = rows.toDF("v")
+    val model = Embeddings.fitPca(df, "v", k = 3)
+    val c0 = model.components(0)
+    val dir = Array(1.0 / math.sqrt(2), 1.0 / math.sqrt(2), 0.0)
+    val cos = math.abs(c0.zip(dir).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.999, s"first PC misaligned: cos=$cos")
+    assert(model.eigenvalues(0) > 10 * model.eigenvalues(1))
+  }
+
+  test("projected variance matches eigenvalues; whitening normalizes it") {
+    val emb = t(spark, sfDir, "embeddings")
+    val model = Embeddings.fitPca(emb, "embedding", k = 4)
+    def variances(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      (0 until 4).map { i =>
+        df.select(var_pop(col("pc")(i))).head().getDouble(0)
+      }
+    val proj = Embeddings.project(emb, "embedding", model)
+    val vs = variances(proj)
+    vs.zip(model.eigenvalues).foreach { case (v, e) =>
+      assert(math.abs(v - e) <= 1e-6 * math.max(e, 1.0), s"v=$v e=$e")
+    }
+    assert(vs.sliding(2).forall(p => p(0) >= p(1) - 1e-12),
+      "variance must be decreasing across components")
+    val white = Embeddings.project(emb, "embedding", model, whiten = true)
+    variances(white).foreach(v => assert(math.abs(v - 1.0) < 1e-6, s"v=$v"))
+  }
+
+  test("fit is partition-invariant up to fp ulps; projection deterministic") {
+    val emb = t(spark, sfDir, "embeddings")
+    val m1 = Embeddings.fitPca(emb, "embedding", k = 2)
+    val m2 = Embeddings.fitPca(emb.repartition(13), "embedding", k = 2)
+    m1.eigenvalues.zip(m2.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-8 * math.max(math.abs(a), 1.0))
+    }
+    val p1 = Embeddings.project(emb, "embedding", m1)
+      .select(col("vec_id"), round(col("pc")(0), 6).as("p"))
+      .as[(Long, Double)].collect().toMap
+    val p2 = Embeddings.project(emb.repartition(7), "embedding", m1)
+      .select(col("vec_id"), round(col("pc")(0), 6).as("p"))
+      .as[(Long, Double)].collect().toMap
+    assert(p1 == p2)
+  }
+}
