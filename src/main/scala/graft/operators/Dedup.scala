@@ -238,9 +238,11 @@ object Dedup {
     * through with whitespace-normalized text, 0 cut).
     *
     * Shape: spans collapse to one array per affected document (their count
-    * per doc is small — merged islands), broadcast-joined back onto the
-    * corpus scan; the cut itself is a per-row token filter. No shuffle
-    * carries document bodies beyond the span join's build side.
+    * per doc is small — merged islands) and join back on the id key; the
+    * cut itself is a per-row token filter. The join side is left to the
+    * optimizer: a lightly-duplicated corpus's span table broadcasts, a
+    * boilerplate-heavy one (spans on most documents) hash-joins on the id
+    * key rather than forcing a giant broadcast.
     */
   def cutSpans(df: DataFrame, idCol: String, textCol: String,
       spans: DataFrame): DataFrame = {
@@ -249,7 +251,7 @@ object Dedup {
     // original-case tokens align 1:1 with the lowered tokens the spans were
     // computed on (lowering never changes token boundaries)
     val toks = split(trim(col(textCol)), "\\s+")
-    df.join(broadcast(sp), Seq(idCol), "left")
+    df.join(sp, Seq(idCol), "left")
       .select(col(idCol),
         concat_ws(" ", filter(toks, (tok, i) =>
           col("sp").isNull || !exists(col("sp"), s =>
