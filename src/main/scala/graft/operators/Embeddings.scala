@@ -153,6 +153,66 @@ object Embeddings {
     PcaModel(n, mean, vecs.take(k), eig.take(k))
   }
 
+  /** K-means over the embedding column (spherical: cosine assignment on
+    * normalized vectors — the metric every embedding model is trained
+    * for). Returns (assignments, centroids): `assignments` adds a
+    * `clusterCol` to the input, `centroids(i)` is the final unit-norm
+    * centroid.
+    *
+    * Shape: Lloyd iterations are each ONE corpus scan (assignment =
+    * argmax over centroid literals, scan-side) + one k×d mean aggregate
+    * (two-phase, KB state); only the centroid table ever reaches the
+    * driver. Init is a deterministic hash-ordered sample. The corpus is
+    * scanned `iters + 1` times and never shuffled by vectors — the same
+    * shape as [[Similarity.ivfTopK]]'s trainer, exposed as a first-class
+    * operator because corpus bucketing (cluster-balanced sampling,
+    * semantic sharding) wants the assignments themselves.
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 4, seed: Long = 31L,
+      clusterCol: String = "cluster"): (DataFrame, Array[Array[Double]]) = {
+    HashExpressions.register(df.sparkSession)
+    val v = df.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", sqrt(call_function("vec_dot", col("__v"), col("__v"))))
+      .filter(col("__n") > 0)
+      .persist()
+    def normalize(c: Array[Double]): Array[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    var cent: Array[Array[Double]] = v
+      .orderBy(xxhash64(col("__id"), lit(seed))).limit(k)
+      .select(transform(col("__v"), x => x / col("__n")))
+      .collect().map(r => r.getSeq[Double](0).toArray)
+    def assignCol(cs: Array[Array[Double]]): Column =
+      sort_array(array(cs.zipWithIndex.map { case (c, i) =>
+        struct((call_function("vec_dot", col("__v"), typedlit(c.toSeq)) /
+          col("__n")).as("sim"), lit(i).as("c"))
+      }: _*), asc = false).getItem(0).getField("c")
+    (0 until iters).foreach { _ =>
+      val means = v.withColumn("__c", assignCol(cent))
+        .select(col("__c"), posexplode(col("__v")))
+        .groupBy(col("__c"), col("pos")).agg(sum(col("col")).as("s"))
+        .groupBy(col("__c"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("pm"))
+        .select(col("__c"), expr("transform(pm, x -> x.s)").as("cv"))
+        .collect()
+      val updated = means
+        .map(r => r.getInt(0) -> normalize(r.getSeq[Double](1).toArray))
+        .toMap
+      cent = cent.indices
+        .map(i => updated.getOrElse(i, cent(i))).toArray // empty keeps old
+    }
+    val centFinal = cent
+    val assigned = df.join(
+      Caching.materializeThenRelease(
+        v.select(col("__id"), assignCol(centFinal).as(clusterCol)), v),
+      df(idCol) === col("__id"), "left")
+      .drop("__id")
+    (assigned, centFinal)
+  }
+
   /** Scan-side projection onto the model's components:
     * out[i] = (v − mean)·cᵢ = v·cᵢ − mean·cᵢ (the mean dot folds into a
     * literal, so no per-element centering runs per row). `whiten = true`

@@ -337,6 +337,46 @@ object PipelineQueries {
             Contracts.checksum(rounded(emb.repartition(13)))))
     }),
 
+    // Spherical k-means corpus bucketing. Contract: every vector lands in
+    // a cluster, centroids are unit-norm, training IMPROVED the objective
+    // (mean cosine to the assigned centroid vs the untrained init — both
+    // computed distributedly), and assignments are partition-invariant.
+    "embedding_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val k = 8
+      val (assigned, cent) = Embeddings.kmeans(emb, "vec_id", "embedding",
+        k = k, iters = 3)
+      val (_, centInit) = Embeddings.kmeans(emb, "vec_id", "embedding",
+        k = k, iters = 0)
+      def meanSim(df: org.apache.spark.sql.DataFrame,
+          cs: Array[Array[Double]]): Double = {
+        val v = col("embedding").cast("array<double>")
+        val best = greatest(cs.map(c =>
+          call_function("vec_dot", v, typedlit(c.toSeq)) /
+            sqrt(call_function("vec_dot", v, v))): _*)
+        df.select(avg(best)).head().getDouble(0)
+      }
+      val ass = assigned.localCheckpoint()
+      Contracts.row(s,
+        "n_vectors" -> emb.count(),
+        "all_assigned_ok" -> (ass.filter(col("cluster").isNull).count() == 0L),
+        "k_bounded_ok" -> {
+          val nd = ass.select(count_distinct(col("cluster"))).head().getLong(0)
+          nd >= 2 && nd <= k
+        },
+        "centroids_unit_ok" -> cent.forall(c =>
+          math.abs(c.map(x => x * x).sum - 1.0) < 1e-9),
+        "training_improves_objective_ok" ->
+          (meanSim(emb, cent) >= meanSim(emb, centInit) - 1e-9),
+        "assignments_partition_invariant_ok" -> {
+          val (a2, _) = Embeddings.kmeans(emb.repartition(13), "vec_id",
+            "embedding", k = k, iters = 3)
+          Contracts.sameKeys(ass.select(col("vec_id"), col("cluster")),
+            a2.select(col("vec_id"), col("cluster")),
+            Seq("vec_id", "cluster"))
+        })
+    }),
+
     // IVF-PQ composition: coarse buckets bound WHICH vectors a query
     // touches, PQ codes bound WHAT the scan reads per vector. Both
     // approximations compound, so the floor sits under the plain-IVF and
@@ -859,6 +899,10 @@ object PipelineQueries {
       Embeddings.project(emb, "embedding",
         Embeddings.fitPca(emb, "embedding", k = 8))
     }),
+    "embedding_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Embeddings.kmeans(emb, "vec_id", "embedding", k = 8, iters = 3)._1
+    }),
     "text_fingerprint" -> ((s, dir) => {
       HashExpressions.register(s)
       t(s, dir, "documents").select(col("doc_id"),
@@ -938,6 +982,13 @@ object PipelineQueries {
         |    AS n_queries,
         |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,
         |  TRUE AS recall_ok""".stripMargin,
+
+    "embedding_kmeans" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  TRUE AS all_assigned_ok, TRUE AS k_bounded_ok,
+        |  TRUE AS centroids_unit_ok,
+        |  TRUE AS training_improves_objective_ok,
+        |  TRUE AS assignments_partition_invariant_ok""".stripMargin,
 
     "embedding_pca" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,

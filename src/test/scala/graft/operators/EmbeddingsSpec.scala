@@ -60,6 +60,42 @@ class EmbeddingsSpec extends SparkSpec {
     variances(white).foreach(v => assert(math.abs(v - 1.0) < 1e-6, s"v=$v"))
   }
 
+  test("kmeans recovers well-separated blobs exactly (up to relabeling)") {
+    val rng = new scala.util.Random(11)
+    val centers = Seq(Seq(10.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0),
+      Seq(0.0, 0.0, 10.0))
+    val rows = (0 until 300).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(_ + rng.nextGaussian() * 0.2))
+    }
+    val df = rows.toDF("vec_id", "v")
+    val (assigned, cent) = Embeddings.kmeans(df, "vec_id", "v", k = 3,
+      iters = 5)
+    assert(cent.length == 3)
+    val byBlob = assigned.select(col("vec_id"), col("cluster"))
+      .as[(Long, Int)].collect()
+      .groupBy { case (id, _) => id % 3 }
+      .map { case (b, xs) => b -> xs.map(_._2).toSet }
+    // each blob maps to exactly one cluster, and the three differ
+    assert(byBlob.values.forall(_.size == 1), byBlob.toString)
+    assert(byBlob.values.flatten.toSet.size == 3)
+  }
+
+  test("kmeans: more iterations never hurt the mean-cosine objective") {
+    val emb = t(spark, sfDir, "embeddings")
+    def objective(iters: Int): Double = {
+      val (assigned, cent) = Embeddings.kmeans(emb, "vec_id", "embedding",
+        k = 8, iters = iters)
+      val v = col("embedding").cast("array<double>")
+      val best = greatest(cent.map(c =>
+        call_function("vec_dot", v, typedlit(c.toSeq)) /
+          sqrt(call_function("vec_dot", v, v))): _*)
+      assigned.select(avg(best)).head().getDouble(0)
+    }
+    val o0 = objective(0); val o3 = objective(3)
+    assert(o3 >= o0 - 1e-9, s"o0=$o0 o3=$o3")
+  }
+
   test("fit is partition-invariant up to fp ulps; projection deterministic") {
     val emb = t(spark, sfDir, "embeddings")
     val m1 = Embeddings.fitPca(emb, "embedding", k = 2)
