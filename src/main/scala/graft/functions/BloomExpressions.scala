@@ -48,19 +48,24 @@ case class BloomMightContain(child: Expression, bf: BloomFilter)
 
 object BloomExpressions {
 
+  // Monotone per-JVM ids: identityHashCode is NOT collision-free across two
+  // live objects, and a collision would silently rebind an unanalyzed
+  // Column to the wrong filter.
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Column form: TRUE when `c` (bigint) might be in `bf`; never a false
     * negative.
     *
     * The filter object cannot ride through SQL text, and every public
     * Column-from-Expression bridge is `private[sql]`, so the expression is
     * bound by registering a session temp function whose builder closes over
-    * `bf` — unique name per filter instance, so concurrent filters don't
-    * collide. The few bytes of registry metadata per filter are left in
-    * place (the Column may be analyzed long after this returns).
+    * `bf` — unique name per binding, so concurrent filters never collide.
+    * The few bytes of registry metadata per binding are left in place (the
+    * Column may be analyzed long after this returns).
     */
   def bloomMightContain(spark: SparkSession, c: Column,
       bf: BloomFilter): Column = {
-    val name = s"graft_bloom_probe_${System.identityHashCode(bf)}"
+    val name = s"graft_bloom_probe_${nextId.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
       exprs => BloomMightContain(exprs.head, bf), "built-in")
     call_function(name, c)

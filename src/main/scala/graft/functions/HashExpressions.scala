@@ -232,8 +232,13 @@ object HashExpressions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // Re-registering logs a "function replaced" WARN per function per call;
-    // a 123-query sweep calls this once per query, so skip when already bound.
-    if (reg.functionExists(FunctionIdentifier("vec_dot"))) return
+    // a 130-query sweep calls this once per query, so skip when the FULL
+    // set is already bound (checking one name as a proxy would skip
+    // registration in a session where e.g. an older build bound everything
+    // but pq_score).
+    val names = Seq("simhash64", "winnow_fingerprint", "minhash_sig",
+      "word_shingles", "vec_dot", "ngram_gen", "pq_score")
+    if (names.forall(n => reg.functionExists(FunctionIdentifier(n)))) return
     def intArg(e: Expression): Int =
       e.eval(InternalRow.empty).asInstanceOf[Number].intValue
     reg.createOrReplaceTempFunction("simhash64",

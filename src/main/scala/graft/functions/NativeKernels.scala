@@ -171,14 +171,19 @@ object NativeKernels {
   def pqEncode(v: ArrayData, n: Double, cb: Array[Double], m: Int,
       ksub: Int, sub: Int): ArrayData = {
     val codes = new Array[Any](m)
+    val inv = 1.0 / n
+    val x = new Array[Double](sub) // normalized subvector, hoisted per j
     var j = 0
     while (j < m) {
+      var i = 0
+      while (i < sub) { x(i) = v.getDouble(j * sub + i) * inv; i += 1 }
       var best = 0; var bd = Double.MaxValue; var kk = 0
       while (kk < ksub) {
-        var d = 0.0; var i = 0
+        var d = 0.0
         val base = (j * ksub + kk) * sub
+        i = 0
         while (i < sub) {
-          val t = v.getDouble(j * sub + i) / n - cb(base + i)
+          val t = x(i) - cb(base + i)
           d += t * t; i += 1
         }
         if (d < bd) { bd = d; best = kk }
@@ -196,15 +201,18 @@ object NativeKernels {
   def pqLut(v: ArrayData, n: Double, cb: Array[Double], m: Int,
       ksub: Int, sub: Int): ArrayData = {
     val lut = new Array[Any](m * ksub)
+    val inv = 1.0 / n
+    val x = new Array[Double](sub) // normalized subvector, hoisted per j
     var j = 0
     while (j < m) {
+      var i = 0
+      while (i < sub) { x(i) = v.getDouble(j * sub + i) * inv; i += 1 }
       var kk = 0
       while (kk < ksub) {
-        var acc = 0.0; var i = 0
+        var acc = 0.0
         val base = (j * ksub + kk) * sub
-        while (i < sub) {
-          acc += v.getDouble(j * sub + i) / n * cb(base + i); i += 1
-        }
+        i = 0
+        while (i < sub) { acc += x(i) * cb(base + i); i += 1 }
         lut(j * ksub + kk) = acc
         kk += 1
       }

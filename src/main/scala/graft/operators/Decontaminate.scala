@@ -65,8 +65,12 @@ object Decontaminate {
   def contaminatedBloom(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int = 8, minOverlap: Int = 1,
       fpp: Double = 0.01, exact: Boolean = true): DataFrame = {
+    // persisted: the eval grams feed the count, the filter's treeAggregate,
+    // and (exact mode) the verify join — re-deriving them three times would
+    // triple the eval-side shingle work this sketch path exists to bound
     val evalGrams = shingleHashes(evalSet, idCol, textCol, n)
       .select(col("gh")).distinct()
+      .persist()
     val nEval = math.max(evalGrams.count(), 1L)
     val bf = evalGrams.stat.bloomFilter("gh", nEval, fpp)
     val survivors = shingleHashes(corpus, idCol, textCol, n)
@@ -75,10 +79,11 @@ object Decontaminate {
     val verified =
       if (exact) survivors.join(broadcast(evalGrams), Seq("gh"), "left_semi")
       else survivors
-    verified.groupBy(col("doc"))
+    val out = verified.groupBy(col("doc"))
       .agg(count_distinct(col("gh")).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
       .select(col("doc").as(idCol), col("n_overlap"))
+    Caching.materializeThenRelease(out, evalGrams)
   }
 
   /** The clean corpus: anti-join away contaminated docs. */

@@ -191,8 +191,12 @@ object Embeddings {
           col("__n")).as("sim"), lit(i).as("c"))
       }: _*), asc = false).getItem(0).getField("c")
     (0 until iters).foreach { _ =>
+      // sum UNIT vectors, not raw ones: the spherical-k-means update that
+      // provably never degrades the mean-cosine objective (summing raw
+      // vectors would weight by norm and can regress the unweighted mean)
       val means = v.withColumn("__c", assignCol(cent))
-        .select(col("__c"), posexplode(col("__v")))
+        .select(col("__c"),
+          posexplode(transform(col("__v"), x => x / col("__n"))))
         .groupBy(col("__c"), col("pos")).agg(sum(col("col")).as("s"))
         .groupBy(col("__c"))
         .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("pm"))

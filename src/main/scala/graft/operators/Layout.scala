@@ -46,6 +46,31 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Deterministic layout simulation: assign rows to `nFiles` equal-count
+    * files in `orderCols` order (ntile — no sampling), compute each file's
+    * (x, y) min/max box, and count boxes intersecting each query box.
+    * `orderCols` must be a TOTAL order (append tie-break columns) or ntile
+    * boundaries drift with partition arrival order. This is the geometric
+    * claim `zorder_layout` grades with, decoupled from
+    * `repartitionByRange`'s SAMPLED boundaries — those jitter run to run
+    * and can flip a strictly-fewer aggregate (observed once at sf0.1);
+    * pruning over real parquet footers stays proven in LayoutSpec.
+    */
+  def boxesTouching(df: DataFrame, orderCols: Seq[Column], xCol: String,
+      yCol: String, nFiles: Int,
+      boxes: Seq[(Long, Long, Long, Long)]): Seq[Long] = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*)
+    val fb = df.withColumn("__f", ntile(nFiles).over(w))
+      .groupBy(col("__f"))
+      .agg(min(col(xCol)).as("xmin"), max(col(xCol)).as("xmax"),
+        min(col(yCol)).as("ymin"), max(col(yCol)).as("ymax"))
+      .localCheckpoint() // one pass; probed once per box below
+    boxes.map { case (xl, xh, yl, yh) =>
+      fb.filter(col("xmax") >= xl && col("xmin") <= xh &&
+        col("ymax") >= yl && col("ymin") <= yh).count()
+    }
+  }
+
   /** Count of files whose [min,max] box on (xCol, yCol) intersects the
     * query box — exactly the files a min/max-stats pruner must read. The
     * layout quality metric `zorder_layout` and LayoutSpec grade with.

@@ -89,6 +89,16 @@ object Sampling {
     val quotas = df.groupBy(col(domainCol).as("__dom"))
       .agg(count(lit(1)).as("__n"))
       .join(broadcast(tgt), "__dom")
+      .persist()
+    // Every target domain must exist in the corpus: a missing one would
+    // silently drop out of the quota join and the output mix would no
+    // longer be the requested one (and an empty join would surface only
+    // as an opaque NPE from the min() below).
+    val present = quotas.select(col("__dom"))
+      .collect().map(_.getString(0)).toSet
+    val missing = targets.keySet -- present
+    require(missing.isEmpty,
+      s"target domains absent from the corpus: ${missing.mkString(", ")}")
     // N is one row per domain reduced to a scalar — bounded driver traffic
     val nTotal = quotas
       .agg(min(floor(col("__n") / col("__p")))).head().getLong(0)
@@ -97,9 +107,11 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol))
       .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
-    df.withColumn("rn", row_number().over(w).cast("long"))
+    val out = df.withColumn("rn", row_number().over(w).cast("long"))
       .join(kd, col(domainCol) === col("__dom"))
       .filter(col("rn") <= col("__kd"))
       .drop("__dom", "__kd")
+    quotas.unpersist(blocking = false)
+    out
   }
 }

@@ -199,8 +199,11 @@ object Similarity {
       sub: Int, iters: Int): Array[Array[Array[Double]]] = {
     Array.tabulate(m) { j =>
       val xs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
-      // deterministic init: first ksub distinct subvectors (cycled if scarce)
-      val distinct = xs.distinct
+      // deterministic init: first ksub distinct subvectors (cycled if
+      // scarce). Compare by VALUE — Array equality is reference identity,
+      // so a bare xs.distinct would keep duplicates and strand identical
+      // centroids on a duplicate-heavy sample.
+      val distinct = xs.map(_.toSeq).distinct.map(_.toArray)
       var cent = Array.tabulate(ksub)(i => distinct(i % distinct.length).clone())
       def nearest(x: Array[Double]): Int = {
         var best = 0; var bd = Double.MaxValue; var kk = 0
@@ -227,6 +230,46 @@ object Similarity {
       }
       cent
     }
+  }
+
+  /** Exact-cosine re-rank of a (qid, nid) shortlist against the normed
+    * corpus (`c`: nid, v_n, n_n) and query (`q`: qid, v_q, n_q) frames —
+    * the shared tail of every shortlist-based ANN path, emitting the
+    * deterministic (qid, rank, nid, cos) top-k.
+    */
+  private def exactRerankTopK(shortlist: DataFrame, c: DataFrame,
+      q: DataFrame, k: Int): DataFrame = {
+    val reranked = shortlist
+      .join(c.select(col("nid"), col("v_n"), col("n_n")), "nid")
+      .join(q.select(col("qid"), col("v_q"), col("n_q")), "qid")
+      .select(col("qid"), col("nid"),
+        round(cosFast(col("v_q"), col("v_n"), col("n_q"), col("n_n")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** ADC shortlist: top `shortlistFactor·k` candidates per query by native
+    * pq_score over a (nid, codes) table (plus any extra join key already on
+    * both sides, e.g. the IVF bucket).
+    */
+  private def adcShortlist(q: DataFrame, codes: DataFrame, joinKeys: Seq[String],
+      ksub: Int, k: Int, shortlistFactor: Int): DataFrame = {
+    val scored =
+      (if (joinKeys.isEmpty) q.join(codes, col("qid") =!= col("nid"))
+       else q.join(codes, joinKeys).filter(col("qid") =!= col("nid")))
+        .select(col("qid"), col("nid"),
+          call_function("pq_score", col("lut"), col("codes"), lit(ksub))
+            .as("pq"))
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy(col("pq").desc, col("nid"))
+    scored.withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlistFactor * k)
+      .select(col("qid"), col("nid"))
   }
 
   /** Product-quantization top-k (Jégou et al., PAMI 2011): each corpus
@@ -278,28 +321,9 @@ object Similarity {
         graft.functions.PqExpressions.pqLut(spark, col("v_q"), col("n_q"),
           cbFlat, m, ksub, sub))
       .persist() // small; feeds the ADC scan and the re-rank join
-    val scored = q.select(col("qid"), col("lut")).join(codes,
-        col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        call_function("pq_score", col("lut"), col("codes"), lit(ksub))
-          .as("pq"))
-    val wS = Window.partitionBy(col("qid"))
-      .orderBy(col("pq").desc, col("nid"))
-    val shortlist = scored.withColumn("srank", row_number().over(wS))
-      .filter(col("srank") <= shortlistFactor * k)
-      .select(col("qid"), col("nid"))
-    val reranked = shortlist
-      .join(c.select(col("nid"), col("v_n"), col("n_n")), "nid")
-      .join(q.select(col("qid"), col("v_q"), col("n_q")), "qid")
-      .select(col("qid"), col("nid"),
-        round(cosFast(col("v_q"), col("v_n"), col("n_q"), col("n_n")), 6)
-          .as("cos"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    val topk = reranked.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cos"))
-      .orderBy(col("qid"), col("rank"))
+    val shortlist = adcShortlist(q.select(col("qid"), col("lut")), codes,
+      Seq.empty, ksub, k, shortlistFactor)
+    val topk = exactRerankTopK(shortlist, c, q, k)
     Caching.materializeThenRelease(topk, c, q)
   }
 
@@ -364,28 +388,9 @@ object Similarity {
         explode(slice(bucketScores(col("v_q"), col("n_q")), 1, nProbe))
           .as("probe"))
       .select(col("qid"), col("lut"), col("probe.bucket").as("bucket"))
-    val scored = probes.join(codes, Seq("bucket"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        call_function("pq_score", col("lut"), col("codes"), lit(ksub))
-          .as("pq"))
-    val wS = Window.partitionBy(col("qid"))
-      .orderBy(col("pq").desc, col("nid"))
-    val shortlist = scored.withColumn("srank", row_number().over(wS))
-      .filter(col("srank") <= shortlistFactor * k)
-      .select(col("qid"), col("nid"))
-    val reranked = shortlist
-      .join(c.select(col("nid"), col("v_n"), col("n_n")), "nid")
-      .join(q.select(col("qid"), col("v_q"), col("n_q")), "qid")
-      .select(col("qid"), col("nid"),
-        round(cosFast(col("v_q"), col("v_n"), col("n_q"), col("n_n")), 6)
-          .as("cos"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    val topk = reranked.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cos"))
-      .orderBy(col("qid"), col("rank"))
+    val shortlist = adcShortlist(probes, codes, Seq("bucket"), ksub, k,
+      shortlistFactor)
+    val topk = exactRerankTopK(shortlist, c, q, k)
     Caching.materializeThenRelease(topk, c, q)
   }
 

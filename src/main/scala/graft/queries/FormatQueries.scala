@@ -113,16 +113,16 @@ object FormatQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // Z-order layout effect as a driver-checkable contract: rewrite orders
-    // z-ordered on (o_custkey, o_orderkey) vs linearly sorted, then count
-    // the files whose min/max boxes intersect 2-D query boxes. The claim is
-    // AGGREGATE (z-order touches strictly fewer files summed over the
-    // boxes, and loses no rows) — a per-box "never worse" is not guaranteed
-    // because repartitionByRange SAMPLES its boundaries, so individual file
-    // boxes jitter run to run (observed: a sweep-context run flipped one
-    // box while the totals stayed 2× apart). AQE partition coalescing is
-    // pinned off for the two writes so both layouts get their full nFiles.
-    // (The curve arithmetic itself is hash-checked per-row by `zorder_key`.)
+    // Z-order layout effect as a driver-checkable contract: assign orders
+    // to 16 equal-count "files" z-ordered on (o_custkey, o_orderkey) vs
+    // linearly sorted, then count the file boxes intersecting 2-D query
+    // boxes. The claim is AGGREGATE (z-order touches strictly fewer files
+    // summed over the boxes, and loses no rows). File assignment is ntile
+    // over a TOTAL order — deterministic, unlike repartitionByRange's
+    // sampled boundaries, which jittered a sweep run at sf0.1 into
+    // flipping the aggregate. Physical min/max pruning over real parquet
+    // footers (zorderWrite + filesTouching) stays proven in LayoutSpec;
+    // the curve arithmetic is hash-checked per-row by `zorder_key`.
     "zorder_layout" -> ((s, dir) => {
       // keys scaled into the 16-bit Morton domain first (raw o_orderkey
       // exceeds 65535 past sf0.01 and would wrap, shredding locality)
@@ -134,30 +134,18 @@ object FormatQueries {
       val orders = raw.select(
         (col("o_custkey") * 65535L / xMax).cast("long").as("x"),
         (col("o_orderkey") * 65535L / yMax).cast("long").as("y"))
-      val zdir = tmp("graft-zlay-")
-      val ldir = tmp("graft-llay-")
       val nFiles = 16
-      val prevCoalesce =
-        s.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
-      try {
-        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-        Layout.zorderWrite(orders, "x", "y", zdir, nFiles)
-        orders.repartitionByRange(nFiles, col("x"), col("y"))
-          .sortWithinPartitions(col("x"), col("y"))
-          .write.mode("overwrite").parquet(ldir)
-      } finally s.conf.set(
-        "spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
       // four boxes, each 1/8 of the scaled range in BOTH dims
       val boxes = for (i <- Seq(0L, 3L, 5L, 7L)) yield (
         i * 8192L, i * 8192L + 8191L, i * 8192L, i * 8192L + 8191L)
-      val touched = boxes.map { case (xl, xh, yl, yh) =>
-        (Layout.filesTouching(s, zdir, "x", "y", xl, xh, yl, yh),
-          Layout.filesTouching(s, ldir, "x", "y", xl, xh, yl, yh))
-      }
+      val zTouched = Layout.boxesTouching(orders,
+        Seq(Layout.morton16(col("x"), col("y")), col("x"), col("y")),
+        "x", "y", nFiles, boxes)
+      val lTouched = Layout.boxesTouching(orders,
+        Seq(col("x"), col("y")), "x", "y", nFiles, boxes)
       Contracts.row(s,
-        "n_rows" -> s.read.parquet(zdir).count(),
-        "strictly_better_ok" ->
-          (touched.map(_._1).sum < touched.map(_._2).sum))
+        "n_rows" -> orders.count(),
+        "strictly_better_ok" -> (zTouched.sum < lTouched.sum))
     }),
 
     // Small-file compaction as a driver-checkable contract: fragment the
