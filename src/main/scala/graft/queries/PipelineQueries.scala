@@ -377,6 +377,37 @@ object PipelineQueries {
         })
     }),
 
+    // Cluster-balanced sampling COMPOSED: spherical k-means buckets the
+    // corpus semantically, then each cluster yields its `kPer` smallest
+    // salted-md5 ranks — diversity sampling (cap any one topic's share)
+    // from two already-verified operators. Contract: per-cluster take is
+    // exactly min(kPer, cluster size) and the sample is a subset of the
+    // corpus.
+    "cluster_balanced_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (assigned, _) = Embeddings.kmeans(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val ass = assigned.localCheckpoint()
+      val kPer = 20L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(md5(concat(col("vec_id").cast("string"), lit("cb"))),
+          col("vec_id"))
+      val sampled = ass
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= kPer).localCheckpoint()
+      val sizes = ass.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      val got = sampled.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      val countsOk = sizes.join(got, Seq("cluster"), "left")
+        .filter(coalesce(col("n"), lit(0L)) =!=
+          least(col("sz"), lit(kPer))).isEmpty
+      Contracts.row(s,
+        "n_vectors" -> emb.count(),
+        "per_cluster_counts_ok" -> countsOk,
+        "subset_ok" -> sampled.select(col("vec_id"))
+          .join(emb, Seq("vec_id"), "left_anti").isEmpty)
+    }),
+
     // IVF-PQ composition: coarse buckets bound WHICH vectors a query
     // touches, PQ codes bound WHAT the scan reads per vector. Both
     // approximations compound, so the floor sits under the plain-IVF and
@@ -903,6 +934,17 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       Embeddings.kmeans(emb, "vec_id", "embedding", k = 8, iters = 3)._1
     }),
+    "cluster_balanced_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (assigned, _) = Embeddings.kmeans(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(md5(concat(col("vec_id").cast("string"), lit("cb"))),
+          col("vec_id"))
+      assigned.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20L)
+    }),
     "text_fingerprint" -> ((s, dir) => {
       HashExpressions.register(s)
       t(s, dir, "documents").select(col("doc_id"),
@@ -982,6 +1024,10 @@ object PipelineQueries {
         |    AS n_queries,
         |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,
         |  TRUE AS recall_ok""".stripMargin,
+
+    "cluster_balanced_sample" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  TRUE AS per_cluster_counts_ok, TRUE AS subset_ok""".stripMargin,
 
     "embedding_kmeans" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
