@@ -48,26 +48,50 @@ case class BloomMightContain(child: Expression, bf: BloomFilter)
 
 object BloomExpressions {
 
-  // Monotone per-JVM ids: identityHashCode is NOT collision-free across two
-  // live objects, and a collision would silently rebind an unanalyzed
-  // Column to the wrong filter.
-  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
-
   /** Column form: TRUE when `c` (bigint) might be in `bf`; never a false
     * negative.
     *
     * The filter object cannot ride through SQL text, and every public
     * Column-from-Expression bridge is `private[sql]`, so the expression is
     * bound by registering a session temp function whose builder closes over
-    * `bf` — unique name per binding, so concurrent filters never collide.
-    * The few bytes of registry metadata per binding are left in place (the
-    * Column may be analyzed long after this returns).
+    * `bf`. Names come from [[TempFnNames]]: one binding per live filter
+    * object (re-binding the same filter every micro-batch reuses its
+    * entry, so the registry — whose closure pins the filter — does not
+    * grow with call count), distinct filters always get distinct names
+    * (identityHashCode alone is not collision-free).
     */
   def bloomMightContain(spark: SparkSession, c: Column,
       bf: BloomFilter): Column = {
-    val name = s"graft_bloom_probe_${nextId.incrementAndGet()}"
+    val name = TempFnNames.nameFor(bf, "graft_bloom_probe")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
       exprs => BloomMightContain(exprs.head, bf), "built-in")
     call_function(name, c)
+  }
+}
+
+/** Stable unique temp-function names keyed by object identity: the same
+  * object reuses its name (no per-call registry/heap growth), distinct
+  * objects never collide (monotone suffix). Weak keys let a dropped filter
+  * or codebook be collected once its registry entry is replaced.
+  */
+private[functions] object TempFnNames {
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+  // per-prefix maps: one object may carry several bindings (a PQ codebook
+  // backs both the encode and the lut function) without evicting the other
+  private val names = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.Map[AnyRef, String]]()
+
+  def nameFor(obj: AnyRef, prefix: String): String = {
+    val m = names.computeIfAbsent(prefix,
+      _ => new java.util.WeakHashMap[AnyRef, String]())
+    m.synchronized {
+      val cached = m.get(obj)
+      if (cached != null) cached
+      else {
+        val name = s"${prefix}_${nextId.incrementAndGet()}"
+        m.put(obj, name)
+        name
+      }
+    }
   }
 }

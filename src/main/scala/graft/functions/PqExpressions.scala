@@ -68,14 +68,13 @@ case class PqLut(left: Expression, right: Expression, cb: Array[Double],
 
 object PqExpressions {
 
-  // identityHashCode is not collision-free — see BloomExpressions
-  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  private def bind(spark: SparkSession, tag: String, vec: Column, norm: Column,
+  private def bind(spark: SparkSession, cb: Array[Double], tag: String,
+      vec: Column, norm: Column,
       mk: (Expression, Expression) => Expression): Column = {
     // codebook objects cannot ride through SQL text — bind via a session
-    // temp function whose builder closes over them (see BloomExpressions)
-    val name = s"graft_pq_${tag}_${nextId.incrementAndGet()}"
+    // temp function whose builder closes over them; names reuse per live
+    // codebook (see BloomExpressions / TempFnNames)
+    val name = TempFnNames.nameFor(cb, s"graft_pq_${tag}")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
       exprs => mk(exprs.head, exprs(1)), "built-in")
     call_function(name, vec, norm)
@@ -83,11 +82,11 @@ object PqExpressions {
 
   def pqEncode(spark: SparkSession, vec: Column, norm: Column,
       cb: Array[Double], m: Int, ksub: Int, sub: Int): Column =
-    bind(spark, "encode", vec, norm,
+    bind(spark, cb, "encode", vec, norm,
       (v, n) => PqEncode(v, n, cb, m, ksub, sub))
 
   def pqLut(spark: SparkSession, vec: Column, norm: Column,
       cb: Array[Double], m: Int, ksub: Int, sub: Int): Column =
-    bind(spark, "lut", vec, norm,
+    bind(spark, cb, "lut", vec, norm,
       (v, n) => PqLut(v, n, cb, m, ksub, sub))
 }

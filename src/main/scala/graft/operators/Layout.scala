@@ -58,17 +58,23 @@ object Layout {
     */
   def boxesTouching(df: DataFrame, orderCols: Seq[Column], xCol: String,
       yCol: String, nFiles: Int,
-      boxes: Seq[(Long, Long, Long, Long)]): Seq[Long] = {
+      boxes: Seq[(Long, Long, Long, Long)]): (Seq[Long], Long) = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*)
     val fb = df.withColumn("__f", ntile(nFiles).over(w))
       .groupBy(col("__f"))
-      .agg(min(col(xCol)).as("xmin"), max(col(xCol)).as("xmax"),
+      .agg(count(lit(1)).as("nrows"),
+        min(col(xCol)).as("xmin"), max(col(xCol)).as("xmax"),
         min(col(yCol)).as("ymin"), max(col(yCol)).as("ymax"))
       .localCheckpoint() // one pass; probed once per box below
-    boxes.map { case (xl, xh, yl, yh) =>
+    val touched = boxes.map { case (xl, xh, yl, yh) =>
       fb.filter(col("xmax") >= xl && col("xmin") <= xh &&
         col("ymax") >= yl && col("ymin") <= yh).count()
     }
+    // rows summed from the ASSIGNED files — proves the layout pass itself
+    // dropped/duplicated nothing, which counting the input cannot
+    val total = fb.agg(coalesce(sum(col("nrows")), lit(0L)))
+      .head().getLong(0)
+    (touched, total)
   }
 
   /** Count of files whose [min,max] box on (xCol, yCol) intersects the

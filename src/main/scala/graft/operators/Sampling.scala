@@ -65,6 +65,19 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** The `k` rows per group with the smallest salted-md5 rank —
+    * deterministic, partition-invariant exact-k group sampling. Adds `rn`
+    * (the 1-based per-group rank). One window shuffle on the group key.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Long, salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Resample to a TARGET domain mix (the "40% web, 30% code, …" recipe a
     * training run specifies), downsampling only: the largest total
     * N = min over domains of floor(count_d / p_d) is achievable without
@@ -86,6 +99,9 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val tgt = targets.toSeq.toDF("__dom", "__p")
+    // persisted across the TWO driver-side actions below (presence check,
+    // N scalar); the returned plan re-derives it lazily at action time —
+    // one cheap aggregate — so the cache need not outlive this call
     val quotas = df.groupBy(col(domainCol).as("__dom"))
       .agg(count(lit(1)).as("__n"))
       .join(broadcast(tgt), "__dom")

@@ -138,13 +138,15 @@ object FormatQueries {
       // four boxes, each 1/8 of the scaled range in BOTH dims
       val boxes = for (i <- Seq(0L, 3L, 5L, 7L)) yield (
         i * 8192L, i * 8192L + 8191L, i * 8192L, i * 8192L + 8191L)
-      val zTouched = Layout.boxesTouching(orders,
+      val (zTouched, zRows) = Layout.boxesTouching(orders,
         Seq(Layout.morton16(col("x"), col("y")), col("x"), col("y")),
         "x", "y", nFiles, boxes)
-      val lTouched = Layout.boxesTouching(orders,
+      val (lTouched, _) = Layout.boxesTouching(orders,
         Seq(col("x"), col("y")), "x", "y", nFiles, boxes)
+      // n_rows comes from the z-assigned files themselves — the layout
+      // pass provably dropped/duplicated nothing
       Contracts.row(s,
-        "n_rows" -> orders.count(),
+        "n_rows" -> zRows,
         "strictly_better_ok" -> (zTouched.sum < lTouched.sum))
     }),
 

@@ -389,16 +389,16 @@ object PipelineQueries {
         k = 8, iters = 2)
       val ass = assigned.localCheckpoint()
       val kPer = 20L
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cluster"))
-        .orderBy(md5(concat(col("vec_id").cast("string"), lit("cb"))),
-          col("vec_id"))
-      val sampled = ass
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= kPer).localCheckpoint()
+      val sampled = Sampling.topKPerGroup(ass, "cluster", "vec_id",
+        kPer, "cb").localCheckpoint()
       val sizes = ass.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
-      val got = sampled.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
-      val countsOk = sizes.join(got, Seq("cluster"), "left")
+      val got = sampled.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("cluster").as("gc"), col("n"))
+      // null-safe key: a zero-norm vector gets a null cluster (kmeans
+      // filters it from training), and Seq-join equality would strand it
+      val countsOk = sizes
+        .join(got, sizes("cluster") <=> got("gc"), "left")
         .filter(coalesce(col("n"), lit(0L)) =!=
           least(col("sz"), lit(kPer))).isEmpty
       Contracts.row(s,
@@ -464,17 +464,11 @@ object PipelineQueries {
     // salted-md5 rank — deterministic, partition-invariant, reproducible by
     // the oracle (both engines share md5). The per-stratum eval-split /
     // inspection-sample primitive; one window shuffle on the stratum key.
-    "sample_per_group" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("c_mktsegment"))
-        .orderBy(md5(concat(col("c_custkey").cast("string"), lit("gs"))),
-          col("c_custkey"))
-      t(s, dir, "customer")
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 10)
+    "sample_per_group" -> ((s, dir) =>
+      Sampling.topKPerGroup(t(s, dir, "customer"), "c_mktsegment",
+          "c_custkey", 10L, "gs")
         .select(col("c_mktsegment"), col("rn"), col("c_custkey"))
-        .orderBy(col("c_mktsegment"), col("rn"))
-    }),
+        .orderBy(col("c_mktsegment"), col("rn"))),
 
     // Sequence packing: docs → fixed-token-budget packs, sharded so each
     // shard packs independently (no global sort). Per-doc assignment is the
@@ -509,12 +503,14 @@ object PipelineQueries {
       val evalSet = docs.filter(col("doc_id") < 20)
       val ex = Decontaminate.contaminated(corpus, evalSet,
         "doc_id", "text", n = 8, minOverlap = 1).localCheckpoint()
+      // contaminatedBloom already materializes internally (it releases its
+      // eval-gram cache via materializeThenRelease) — no extra checkpoint
       val bl = Decontaminate.contaminatedBloom(corpus, evalSet,
         "doc_id", "text", n = 8, minOverlap = 1, fpp = 0.01,
-        exact = true).localCheckpoint()
+        exact = true)
       val blOnly = Decontaminate.contaminatedBloom(corpus, evalSet,
         "doc_id", "text", n = 8, minOverlap = 1, fpp = 0.01,
-        exact = false).localCheckpoint()
+        exact = false)
       Contracts.row(s,
         "n_contaminated" -> ex.count(),
         "bloom_equals_exact_ok" ->
@@ -938,12 +934,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val (assigned, _) = Embeddings.kmeans(emb, "vec_id", "embedding",
         k = 8, iters = 2)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cluster"))
-        .orderBy(md5(concat(col("vec_id").cast("string"), lit("cb"))),
-          col("vec_id"))
-      assigned.withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 20L)
+      Sampling.topKPerGroup(assigned, "cluster", "vec_id", 20L, "cb")
     }),
     "text_fingerprint" -> ((s, dir) => {
       HashExpressions.register(s)
