@@ -115,4 +115,19 @@ class ExpressionsSpec extends SparkSpec {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("TempFnNames: per-object reuse, per-prefix separation, no collision") {
+    val a = new Array[Double](4)
+    val b = new Array[Double](4)
+    val n1 = TempFnNames.nameFor(a, "p")
+    assert(TempFnNames.nameFor(a, "p") == n1,
+      "same object + prefix must reuse its binding (registry must not grow per call)")
+    assert(TempFnNames.nameFor(b, "p") != n1,
+      "distinct (value-equal) arrays must never share a binding")
+    val n2 = TempFnNames.nameFor(a, "q")
+    assert(n2 != n1 && TempFnNames.nameFor(a, "q") == n2,
+      "one object may carry one binding per prefix without eviction")
+    assert(TempFnNames.nameFor(a, "p") == n1,
+      "acquiring a second prefix must not evict the first")
+  }
 }
