@@ -68,6 +68,26 @@ object Dedup {
       .drop("rn")
   }
 
+  /** The 16-byte content-key table of a corpus snapshot — the state an
+    * incremental dedup pipeline persists between ingests.
+    */
+  def contentKeys(df: DataFrame, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("content_key")).distinct()
+
+  /** Incremental exact dedup: rows of `newBatch` whose content key is
+    * absent from `seenKeys` (prior snapshots' [[contentKeys]]), then
+    * deduped within the batch ([[exact]]). The recurring-ingest form of
+    * exact dedup: each new crawl/delivery anti-joins the accumulated key
+    * table (16-byte keys, never bodies) instead of re-deduping the whole
+    * corpus; the caller unions the survivors' keys back into its state.
+    */
+  def exactIncremental(newBatch: DataFrame, textCol: String, idCol: String,
+      seenKeys: DataFrame): DataFrame = {
+    val fresh = newBatch.join(seenKeys,
+      md5(newBatch(textCol)) === seenKeys("content_key"), "left_anti")
+    exact(fresh, textCol, idCol)
+  }
+
   /** Exact Jaccard similarity of two (already distinct) shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

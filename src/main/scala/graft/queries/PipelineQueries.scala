@@ -81,6 +81,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental exact dedup across snapshots: the new batch anti-joins
+    // the previous snapshot's 16-byte content-key table, then dedups
+    // within itself. The batch plants re-ingested copies of 30 already-
+    // seen documents under fresh ids — every one must be filtered — and
+    // the oracle rebuilds the same funnel in SQL.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val b1 = docs.filter(col("doc_id") < 250)
+      val b2 = docs.filter(col("doc_id") >= 250)
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .withColumn("doc_id", col("doc_id") + 9000000L))
+      Dedup.exactIncremental(b2, "text", "doc_id",
+          Dedup.contentKeys(b1, "text"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Duplicated-substring spans over the full corpus: maximal per-doc runs
     // of 8-token windows whose text recurs in ≥2 distinct documents — the
     // distributed form of suffix-array substring dedup, emitted as a
@@ -1253,6 +1270,24 @@ object PipelineQueries {
         |  min(doc_id) AS keep_id
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH b1 AS (
+        |  SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id < 250),
+        |b2 AS (
+        |  SELECT doc_id, lang, n_chars, md5(text) AS k
+        |  FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 9000000, lang, n_chars, md5(text)
+        |  FROM documents WHERE doc_id < 30),
+        |fresh AS (
+        |  SELECT * FROM b2 WHERE k NOT IN (SELECT k FROM b1)),
+        |d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+        |  FROM fresh)
+        |SELECT doc_id, lang, n_chars FROM d WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_repeated_spans" ->
       """WITH toks AS (

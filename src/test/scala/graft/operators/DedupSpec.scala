@@ -65,6 +65,20 @@ class DedupSpec extends SparkSpec {
       (2L, 0L, 9L), (2L, 29L, 37L)))
   }
 
+  test("incremental dedup drops seen content, keeps fresh, dedups in-batch") {
+    val seen = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta"),   // seen in the prior snapshot → dropped
+      (11L, "epsilon zeta"), // fresh → kept
+      (12L, "epsilon zeta"), // in-batch duplicate → collapsed to id 11
+      (13L, "eta theta")     // fresh → kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, "text", "doc_id",
+        Dedup.contentKeys(seen, "text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(11L, 13L))
+  }
+
   test("cutSpans removes exactly the flagged tokens and accounts the cut") {
     val repeat = (1 to 12).map(i => s"rep$i").mkString(" ")
     val df = Seq(
