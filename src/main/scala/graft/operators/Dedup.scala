@@ -158,6 +158,84 @@ object Dedup {
     Caching.materializeThenRelease(pairs, sh, banded)
   }
 
+  /** The persisted LSH state of a corpus snapshot: one (id, band_idx,
+    * band_hash) row per band per document — what an incremental near-dup
+    * pipeline stores between ingests (k·|corpus|/r fixed-width rows; no
+    * text, no shingles).
+    */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, nGram: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    HashExpressions.register(df.sparkSession)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    shingleFrame(df, idCol, textCol, nGram, par)
+      .withColumn("sig", expr(s"minhash_sig(sh, $k)"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r)), bi))))
+      .toDF("id", "band_idx", "band_hash")
+  }
+
+  /** Incremental MinHash near-dup: pairs between a NEW batch and an
+    * already-indexed corpus (via its persisted [[bandIndex]]) plus pairs
+    * within the batch — WITHOUT re-banding the corpus. Only the new batch
+    * is shingled and banded in full; of the corpus, only candidate
+    * documents (those sharing a band with a new document) are re-read for
+    * the exact-Jaccard verification, via a semi-join pushed to their scan.
+    * Band parameters must match the ones the index was built with.
+    *
+    * Output pairs are (id_a, id_b, jaccard) with id_a < id_b, identical
+    * to what a from-scratch [[minhashPairs]] over corpus ∪ batch would
+    * emit minus its corpus-internal pairs (banding is deterministic, so
+    * this equality is exact — the driver contract asserts it).
+    */
+  def minhashPairsIncremental(newBatch: DataFrame, corpus: DataFrame,
+      index: DataFrame, idCol: String, textCol: String, threshold: Double,
+      k: Int = 64, bands: Int = 16, nGram: Int = 3): DataFrame = {
+    val par = newBatch.sparkSession.sparkContext.defaultParallelism
+    val shNew = shingleFrame(newBatch, idCol, textCol, nGram, par).persist()
+    val bandedNew = shNew
+      .withColumn("sig", expr(s"minhash_sig(sh, $k)"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bi => xxhash64(slice(col("sig"), bi * (k / bands) + 1,
+            lit(k / bands)), bi))))
+      .toDF("id", "band_idx", "band_hash")
+      .persist()
+    val crossCand = bandedNew.as("n")
+      .join(index.as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+        col("n.band_hash") === col("o.band_hash"))
+      .select(least(col("o.id"), col("n.id")).as("id_a"),
+        greatest(col("o.id"), col("n.id")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val newCand = bandedNew.as("a")
+      .join(bandedNew.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = crossCand.union(newCand).distinct()
+    // only candidate corpus docs pay shingling (semi-join prunes the scan)
+    val candOldIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+      .join(shNew.select(col("id")), Seq("id"), "left_anti")
+    val shOld = shingleFrame(
+      corpus.join(candOldIds,
+        corpus(idCol) === candOldIds("id"), "left_semi"),
+      idCol, textCol, nGram, par)
+    val sh = shNew.unionByName(shOld)
+    val pairs = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+    Caching.materializeThenRelease(pairs, shNew, bandedNew)
+  }
+
   /** SimHash near-dup pairs: fingerprint via the native SimHash64 expression,
     * block on 4×16-bit bands, verify with Hamming distance ≤ `maxHamming`
     * (any pair with ≤3 differing bits shares at least one of 4 bands).

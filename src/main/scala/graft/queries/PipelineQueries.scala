@@ -98,6 +98,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental MinHash near-dup: the new batch (top 20% of ids) bands
+    // against the corpus's persisted band index; only candidate corpus
+    // docs are re-read for verification. Banding is deterministic, so the
+    // contract asserts EXACT set equality with a from-scratch full run
+    // minus its corpus-internal pairs.
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = docs.agg(floor(max(col("doc_id")) * 0.8)).head().getLong(0)
+      val corpus = docs.filter(col("doc_id") < split)
+      val batch = docs.filter(col("doc_id") >= split)
+      val idx = Dedup.bandIndex(corpus, "doc_id", "text").localCheckpoint()
+      val inc = Dedup.minhashPairsIncremental(batch, corpus, idx,
+        "doc_id", "text", threshold = 0.3).localCheckpoint()
+      val full = Dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.3).localCheckpoint()
+      // a pair touches the batch iff its LARGER id is in the batch
+      val expected = full.filter(col("id_b") >= split)
+      Contracts.row(s,
+        "n_batch" -> batch.count(),
+        "ids_ordered_ok" -> Contracts.forAll(inc, col("id_a") < col("id_b")),
+        "matches_full_run_ok" -> Contracts.sameKeys(inc, expected,
+          Seq("id_a", "id_b", "jaccard")),
+        "nonvacuous_ok" -> (expected.count() >= 1L))
+    }),
+
     // Duplicated-substring spans over the full corpus: maximal per-doc runs
     // of 8-token windows whose text recurs in ≥2 distinct documents — the
     // distributed form of suffix-array substring dedup, emitted as a
@@ -906,6 +931,14 @@ object PipelineQueries {
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.3)),
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = docs.agg(floor(max(col("doc_id")) * 0.8)).head().getLong(0)
+      val corpus = docs.filter(col("doc_id") < split)
+      val idx = Dedup.bandIndex(corpus, "doc_id", "text").localCheckpoint()
+      Dedup.minhashPairsIncremental(docs.filter(col("doc_id") >= split),
+        corpus, idx, "doc_id", "text", threshold = 0.3)
+    }),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)),
@@ -1270,6 +1303,13 @@ object PipelineQueries {
         |  min(doc_id) AS keep_id
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_minhash_incremental" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id >=
+        |    (SELECT floor(max(doc_id) * 0.8) FROM documents))
+        |    AS n_batch,
+        |  TRUE AS ids_ordered_ok, TRUE AS matches_full_run_ok,
+        |  TRUE AS nonvacuous_ok""".stripMargin,
 
     "dedup_incremental" ->
       """WITH b1 AS (

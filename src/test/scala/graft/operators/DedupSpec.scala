@@ -65,6 +65,21 @@ class DedupSpec extends SparkSpec {
       (2L, 0L, 9L), (2L, 29L, 37L)))
   }
 
+  test("incremental minhash equals a full run's batch-touching pairs") {
+    val docs = t(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val idx = Dedup.bandIndex(corpus, "doc_id", "text")
+    val inc = Dedup.minhashPairsIncremental(batch, corpus, idx,
+        "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = full.filter(_._2 >= 400L)
+    assert(inc == expected,
+      s"missed=${expected -- inc} spurious=${inc -- expected}")
+  }
+
   test("incremental dedup drops seen content, keeps fresh, dedups in-batch") {
     val seen = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
     val batch = Seq(
