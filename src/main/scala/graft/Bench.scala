@@ -39,13 +39,24 @@ object Bench {
     // clearCache() cannot (they live in the block manager until GC).
     spark.catalog.clearCache()
     graft.operators.Caching.releaseAllRdds(spark)
+    // Median-of-3 per query: single-run timings carried ~10x jitter on
+    // sub-second built-ins (r4: join_semi 0.25->2.50 s with an unchanged
+    // plan) because block release + GC churn between queries lands on
+    // whichever query runs next. Three runs with release + an explicit GC
+    // OUTSIDE the timer make the per-query number a median over clean
+    // heaps; "total" stays the sum of medians.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // outside the timer: no net-new blocks accumulate across the sweep
+      var rows = -1L
+      val secs = (1 to reps).map { _ =>
+        graft.operators.Caching.releaseAllRdds(spark)
+        System.gc()
+        val t0 = System.nanoTime()
+        rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
       graft.operators.Caching.releaseAllRdds(spark)
-      name -> ((sec, rows))
+      name -> ((secs(secs.size / 2), rows))
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -135,19 +135,45 @@ object Dedup {
     // scans arrive pre-split and can skip this.
     val par = df.sparkSession.sparkContext.defaultParallelism
     val sh = shingleFrame(df, idCol, textCol, nGram, par).persist()
-    val sig = sh.withColumn("sig", expr(s"minhash_sig(sh, $k)"))
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r)), bi))))
-      .toDF("id", "band_idx", "band_hash")
+    // Pre-collapse identical signatures before banding: exact duplicates
+    // (the dominant near-dup class in web corpora) share ALL `bands` band
+    // hashes, so banding them directly makes every bucket join quadratic in
+    // the dup-cluster size ×bands. One representative per distinct signature
+    // goes through LSH; pairs re-expand through the signature groups after —
+    // candidate volume becomes O(distinct-sig collisions + output pairs).
+    val sig = sh.select(col("id"), expr(s"minhash_sig(sh, $k)").as("sig"))
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("sig"))))
       .persist()
-    val cand = banded.as("a")
+    val members = sig.select(col("id"), col("rep"))
+    val banded = sig
+      .filter(col("id") === col("rep"))
+      .select(col("rep"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r)), bi))))
+      .toDF("rep", "band_idx", "band_hash")
+      .persist()
+    val candRep = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
       .distinct()
+    // cross-group: every member pair across two colliding signature groups
+    val cross = candRep
+      .join(members.select(col("rep").as("rep_a"), col("id").as("ida")),
+        "rep_a")
+      .join(members.select(col("rep").as("rep_b"), col("id").as("idb")),
+        "rep_b")
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"))
+    // intra-group: identical signatures always collide — all member pairs
+    val intra = members.as("a")
+      .join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // disjoint by construction (cross spans two groups, intra stays in one)
+    val cand = cross.union(intra)
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     val pairs = cand.join(shA, "id_a").join(shB, "id_b")
@@ -155,7 +181,7 @@ object Dedup {
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
-    Caching.materializeThenRelease(pairs, sh, banded)
+    Caching.materializeThenRelease(pairs, sh, sig, banded)
   }
 
   /** The persisted LSH state of a corpus snapshot: one (id, band_idx,
@@ -169,12 +195,22 @@ object Dedup {
     val r = k / bands
     HashExpressions.register(df.sparkSession)
     val par = df.sparkSession.sparkContext.defaultParallelism
+    // Build parameters ride as column metadata (they survive a parquet
+    // round-trip in the schema footer) so an incremental query against a
+    // PERSISTED index can assert it was built with matching (k, bands,
+    // nGram) — mismatched band hashes would yield silently empty pair sets.
+    val buildMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.minhash.k", k)
+      .putLong("graft.minhash.bands", bands)
+      .putLong("graft.minhash.nGram", nGram)
+      .build()
     shingleFrame(df, idCol, textCol, nGram, par)
       .withColumn("sig", expr(s"minhash_sig(sh, $k)"))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r)), bi))))
       .toDF("id", "band_idx", "band_hash")
+      .withColumn("band_hash", col("band_hash").as("band_hash", buildMeta))
   }
 
   /** Incremental MinHash near-dup: pairs between a NEW batch and an
@@ -193,6 +229,18 @@ object Dedup {
   def minhashPairsIncremental(newBatch: DataFrame, corpus: DataFrame,
       index: DataFrame, idCol: String, textCol: String, threshold: Double,
       k: Int = 64, bands: Int = 16, nGram: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    // If the index carries its build parameters ([[bandIndex]] metadata),
+    // refuse a mismatched call: integer-divided slices and different band
+    // hashes would produce a silently wrong/empty pair set otherwise.
+    index.schema.find(_.name == "band_hash").map(_.metadata)
+      .filter(_.contains("graft.minhash.k")).foreach { m =>
+        val (ik, ib, ig) = (m.getLong("graft.minhash.k"),
+          m.getLong("graft.minhash.bands"), m.getLong("graft.minhash.nGram"))
+        require(ik == k && ib == bands && ig == nGram,
+          s"band index was built with (k=$ik, bands=$ib, nGram=$ig) " +
+            s"but queried with (k=$k, bands=$bands, nGram=$nGram)")
+      }
     val par = newBatch.sparkSession.sparkContext.defaultParallelism
     val shNew = shingleFrame(newBatch, idCol, textCol, nGram, par).persist()
     val bandedNew = shNew
@@ -245,33 +293,71 @@ object Dedup {
     HashExpressions.register(df.sparkSession)
     val par = df.sparkSession.sparkContext.defaultParallelism
     // exchange BEFORE the kernel — see shingleFrame
+    // Pre-collapse identical fingerprints before banding: exact duplicates
+    // share all 4 bands, so banding raw ids makes a b-sized dup cluster
+    // contribute 4·b²/2 candidate rows — quadratic on exactly the corpora
+    // (boilerplate-heavy web data) this operator targets. One representative
+    // per distinct fingerprint goes through banding; pairs re-expand through
+    // the fingerprint groups afterwards, so candidate volume is
+    // O(distinct-fp collisions + output pairs).
     val fp = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(par, col("id"))
       .select(col("id"),
         expr("simhash64(split(trim(lower(__text)), '\\\\s+'))").as("fp"))
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("fp"))))
       .persist()
+    val members = fp.select(col("id"), col("rep"))
+    val candRep = simhashRepCandidates(
+      fp.filter(col("id") === col("rep")).select(col("rep"), col("fp")),
+      maxHamming)
+    // cross-group: every member pair across two near-colliding fp groups
+    val cross = candRep
+      .join(members.select(col("rep").as("rep_a"), col("id").as("ida")),
+        "rep_a")
+      .join(members.select(col("rep").as("rep_b"), col("id").as("idb")),
+        "rep_b")
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
+    // intra-group: identical fingerprints are Hamming-0 pairs by definition
+    val intra = members.as("a")
+      .join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(0).as("hamming"))
+    val pairs = cross.union(intra)
+      .orderBy(col("id_a"), col("id_b"))
+    Caching.materializeThenRelease(pairs, fp)
+  }
+
+  /** Banding candidates over DISTINCT fingerprints: `reps` is one
+    * (rep, fp) row per distinct 64-bit fingerprint; output is the
+    * (rep_a, rep_b, hamming) pairs that share at least one 16-bit band and
+    * pass the Hamming filter. Package-private so the spec suite can assert
+    * the candidate volume stays O(near-collisions) on an exact-dup-heavy
+    * corpus (the pre-collapse guarantee), independent of output size.
+    */
+  private[graft] def simhashRepCandidates(reps: DataFrame,
+      maxHamming: Int): DataFrame = {
     val bandStructs = array((0 until 4).map { bi =>
       struct(lit(bi).as("band_idx"),
         shiftrightunsigned(col("fp"), bi * 16).bitwiseAND(0xffffL)
           .as("band_key"))
     }: _*)
-    val banded = fp.select(col("id"), col("fp"), explode(bandStructs).as("b"))
-      .select(col("id"), col("fp"),
+    val banded = reps.select(col("rep"), col("fp"),
+        explode(bandStructs).as("b"))
+      .select(col("rep"), col("fp"),
         col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key"))
-    val cand = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
         col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .distinct()
-    val pairs = cand
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-      .orderBy(col("id_a"), col("id_b"))
-    Caching.materializeThenRelease(pairs, fp)
+      .select(col("rep_a"), col("rep_b"), col("hamming"))
   }
 
   /** Duplicated-substring spans — the distributed form of what suffix-array

@@ -141,6 +141,39 @@ class DedupSpec extends SparkSpec {
     assert(out.select("hamming").as[Int].head() === 0)
   }
 
+  test("exact-dup-heavy corpus: banding candidates stay O(near-collisions)") {
+    // 500 exact copies + 2 near-dups of a second text + 3 unrelated docs.
+    // Without fingerprint pre-collapse the 500-copy cluster alone would put
+    // 4·500²/2 = 500,000 rows through the band self-join; with it, the
+    // banding layer sees ONE representative per distinct fingerprint and the
+    // candidate set is just the near-collision pairs between distinct fps.
+    val copyText = "identical boilerplate document repeated verbatim " +
+      "across the crawl shard many times over"
+    val base = "spark query engine with columnar scans and hash joins " +
+      "for large scale analytics"
+    val docs = (1L to 500L).map(i => (i, copyText)) ++
+      Seq(901L -> base, 902L -> (base + " extra"),
+        910L -> "totally unrelated content about rivers",
+        911L -> "another unrelated document about mountains",
+        912L -> "gardens at dawn with quiet light")
+    val df = docs.toSeq.toDF("doc_id", "text")
+    graft.functions.HashExpressions.register(spark)
+    val fps = df.select(col("doc_id").as("id"),
+        expr("simhash64(split(trim(lower(text)), '\\\\s+'))").as("fp"))
+      .groupBy(col("fp")).agg(min(col("id")).as("rep"))
+      .select(col("rep"), col("fp"))
+    assert(fps.count() <= 6L) // the 500 copies collapse to one fingerprint
+    val cand = Dedup.simhashRepCandidates(fps, maxHamming = 3).collect()
+    // candidate volume is near-collisions between DISTINCT fingerprints
+    // only — the dup cluster contributes zero banding candidates
+    assert(cand.length <= 4,
+      s"candidate volume should be O(near-pairs), got ${cand.length}")
+    // ...while the full operator still expands every member pair
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+    val intraDup = pairs.filter(col("id_a") <= 500 && col("id_b") <= 500)
+    assert(intraDup.count() === 500L * 499L / 2)
+  }
+
   test("embedding near-dup pairs are symmetric-free and thresholded") {
     val emb = t(spark, sfDir, "embeddings").filter(col("vec_id") < 100)
     val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.3).collect()
