@@ -12,20 +12,22 @@ case class MediaMeta(width: Int, height: Int, format: String, duration_ms: Long)
 case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
     meta: MediaMeta)
 case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
-    brightness: Double, aspect: Double)
+    brightness: Double, aspect: Double, sample_rate: Int, duration_ms: Long)
 case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
 /** Multimodal-column plumbing for training-data pipelines.
   *
   * The Spark-side contract is real and tested — schema (binary + struct
   * metadata), partition-parallel batch iteration, typed outputs. IMAGE
-  * payloads are genuine binary PPM (P6) files and `extractFeatures`
-  * REALLY decodes them (pure-JVM header parse + raster scan, no codec
-  * dependency): `brightness` is the actual pixel mean, `aspect` comes
-  * from the decoded header. Audio/video payloads stay opaque byte chains
-  * with a stub decode (no pure-JVM codec exists for them here); a
-  * production deployment swaps the stub for a per-partition codec call
-  * (JNI/FFI library loaded once per executor) and nothing else changes.
+  * payloads are genuine binary PPM (P6) files and AUDIO payloads are
+  * genuine RIFF/WAVE PCM16 files; `extractFeatures` REALLY decodes both
+  * (pure-JVM parses, no codec dependency): image `brightness` is the
+  * actual pixel mean with `aspect` from the decoded header; audio
+  * `brightness` is the actual sample RMS with `sample_rate`/`duration_ms`
+  * from the decoded fmt/data chunks. VIDEO stays an opaque byte chain
+  * with a stub decode (an mp4 genuinely needs a codec); a production
+  * deployment swaps that stub for a per-partition codec call (JNI/FFI
+  * library loaded once per executor) and nothing else changes.
   *
   * Scale posture: `mapPartitions` keeps decode streaming and executor-local;
   * payload bytes never shuffle (features are extracted before any wide
@@ -50,10 +52,46 @@ object Multimodal {
     }
   }
 
+  /** Little-endian int/short writes into a byte array (RIFF is LE). */
+  private def putLeInt(dst: Array[Byte], off: Int, v: Int): Unit = {
+    dst(off) = (v & 0xff).toByte
+    dst(off + 1) = ((v >> 8) & 0xff).toByte
+    dst(off + 2) = ((v >> 16) & 0xff).toByte
+    dst(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def putLeShort(dst: Array[Byte], off: Int, v: Int): Unit = {
+    dst(off) = (v & 0xff).toByte
+    dst(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+
+  /** The canonical 44-byte RIFF/WAVE header + PCM16 mono data chunk. */
+  private def wavPayload(id: Long, dataBytes: Int, sampleRate: Int)
+      : Array[Byte] = {
+    val out = new Array[Byte](44 + dataBytes)
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    putLeInt(out, 4, 36 + dataBytes)
+    "WAVE".getBytes("US-ASCII").copyToArray(out, 8)
+    "fmt ".getBytes("US-ASCII").copyToArray(out, 12)
+    putLeInt(out, 16, 16)           // fmt chunk size
+    putLeShort(out, 20, 1)          // PCM
+    putLeShort(out, 22, 1)          // mono
+    putLeInt(out, 24, sampleRate)
+    putLeInt(out, 28, sampleRate * 2) // byte rate
+    putLeShort(out, 32, 2)          // block align
+    putLeShort(out, 34, 16)         // bits per sample
+    "data".getBytes("US-ASCII").copyToArray(out, 36)
+    putLeInt(out, 40, dataBytes)
+    shaChain(s"graft:$id", out, 44)
+    out
+  }
+
   /** Deterministic media corpus. Images are REAL binary PPM (P6): ASCII
-    * header + w×h×3 raw RGB raster (sha-chain pixels), so the decode path
-    * exercises an actual self-describing format end to end. Audio/video
-    * are opaque `bytesPerItem`-sized chains (decode stays stubbed).
+    * header + w×h×3 raw RGB raster (sha-chain pixels). Audio items are
+    * REAL RIFF/WAVE PCM16 mono files (44-byte canonical header +
+    * sha-chain samples, sample rate varying 8/16/24 kHz, meta duration =
+    * the data chunk's actual duration), so both decode paths exercise an
+    * actual self-describing format end to end. Video stays an opaque
+    * `bytesPerItem`-sized chain (decode stubbed).
     */
   def generate(spark: SparkSession, n: Long, bytesPerItem: Int = 4096)
       : Dataset[MediaRecord] = {
@@ -64,22 +102,31 @@ object Multimodal {
       }
       val w = 64 + (id % 16).toInt * 32
       val h = 64 + (id % 9).toInt * 32
-      val payload =
-        if (kind == "image") {
+      val sampleRate = 8000 * (1 + (id % 3).toInt)
+      val audioDataBytes = math.max((bytesPerItem - 44) & ~1, 2)
+      val payload = kind match {
+        case "image" =>
           val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
           val out = new Array[Byte](header.length + w * h * 3)
           System.arraycopy(header, 0, out, 0, header.length)
           shaChain(s"graft:$id", out, header.length)
           out
-        } else {
+        case "audio" =>
+          wavPayload(id, audioDataBytes, sampleRate)
+        case _ =>
           val out = new Array[Byte](bytesPerItem)
           shaChain(s"graft:$id", out, 0)
           out
-        }
+      }
+      val durationMs = kind match {
+        case "image" => 0L
+        case "audio" => audioDataBytes / 2 * 1000L / sampleRate
+        case _ => 1000L + (id % 60) * 1000L
+      }
       MediaRecord(id, kind, payload,
         MediaMeta(w, h, kind match {
           case "image" => "ppm"; case "audio" => "wav"; case _ => "mp4"
-        }, if (kind == "image") 0L else 1000L + (id % 60) * 1000L))
+        }, durationMs))
     }
   }
 
@@ -124,24 +171,82 @@ object Multimodal {
     Some((w, h, sum.toDouble / need / maxval))
   }
 
+  /** Pure-JVM RIFF/WAVE PCM decoder: validates the RIFF/WAVE container,
+    * walks its chunk list for `fmt ` (must be PCM, 16-bit) and `data`, and
+    * returns (sampleRate, durationMs, rms in [0,1]) where rms is the actual
+    * root-mean-square of the int16 samples normalized by 32768 — or None
+    * when the bytes are not a well-formed PCM16 WAV.
+    */
+  private[operators] def decodeWav(b: Array[Byte])
+      : Option[(Int, Long, Double)] = {
+    def leInt(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def leShort(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def tag(off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var sampleRate = -1
+    var channels = -1
+    var dataOff = -1
+    var dataLen = -1
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = tag(i)
+      val size = leInt(i + 4)
+      if (size < 0 || i + 8 + size > b.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16 || leShort(i + 8) != 1 /* PCM */ ||
+              leShort(i + 8 + 14) != 16 /* bits */) return None
+          channels = leShort(i + 8 + 2)
+          sampleRate = leInt(i + 8 + 4)
+        case "data" =>
+          dataOff = i + 8
+          dataLen = size
+        case _ => () // unknown chunks (LIST, fact, ...) skip cleanly
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (sampleRate <= 0 || channels <= 0 || dataOff < 0 || dataLen < 2)
+      return None
+    val nSamples = dataLen / 2
+    var sumSq = 0.0
+    var j = dataOff
+    val end = dataOff + (nSamples * 2)
+    while (j < end) {
+      val s = ((b(j) & 0xff) | (b(j + 1) << 8)).toShort.toInt
+      sumSq += s.toDouble * s
+      j += 2
+    }
+    val durationMs = nSamples.toLong / channels * 1000L / sampleRate
+    Some((sampleRate, durationMs, math.sqrt(sumSq / nSamples) / 32768.0))
+  }
+
   /** Per-batch decode: images go through the real PPM decoder (brightness =
-    * actual pixel mean, aspect from the decoded header); other kinds fall
-    * back to the stub (whole-payload byte mean, metadata aspect) until a
-    * codec is wired in.
+    * actual pixel mean, aspect from the decoded header) and audio through
+    * the real WAV decoder (brightness = actual sample RMS, sample_rate and
+    * duration_ms from the decoded chunks); video falls back to the stub
+    * (whole-payload byte mean, metadata passthrough) until a codec is
+    * wired in.
     */
   private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
-      decodePpm(r.payload) match {
-        case Some((w, h, mean)) if r.kind == "image" =>
+      (r.kind, decodePpm(r.payload), decodeWav(r.payload)) match {
+        case ("image", Some((w, h, mean)), _) =>
           MediaFeatures(r.media_id, r.kind, r.payload.length, mean,
-            w.toDouble / h.toDouble)
+            w.toDouble / h.toDouble, 0, 0L)
+        case ("audio", _, Some((rate, durMs, rms))) =>
+          MediaFeatures(r.media_id, r.kind, r.payload.length, rms,
+            r.meta.width.toDouble / r.meta.height.toDouble, rate, durMs)
         case _ =>
           var sum = 0L
           var i = 0
           while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
           MediaFeatures(r.media_id, r.kind, r.payload.length,
             sum.toDouble / r.payload.length / 255.0,
-            r.meta.width.toDouble / r.meta.height.toDouble)
+            r.meta.width.toDouble / r.meta.height.toDouble,
+            0, r.meta.duration_ms)
       }
     }
 

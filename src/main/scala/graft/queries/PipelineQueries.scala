@@ -809,6 +809,19 @@ object PipelineQueries {
           feats.join(pixelMeans, "media_id"),
           col("kind") =!= "image" ||
             abs(col("brightness") - col("pix_mean")) <= lit(1e-12)),
+        // Audio is decoded from the actual RIFF/WAVE chunks: sample_rate
+        // matches the generator's 8/16/24 kHz assignment, duration matches
+        // INDEPENDENT arithmetic over the payload length (44-byte canonical
+        // header, 2 bytes/sample), and brightness (= sample RMS) is strictly
+        // inside (0,1) — a byte-mean stub would not satisfy the duration
+        // equation. All 67 audio items (id ≡ 1 mod 3) must decode.
+        "audio_stats_ok" -> (Contracts.forAll(
+          feats.filter(col("kind") === "audio"),
+          col("sample_rate") === (lit(8000) * (lit(1) + col("media_id") % 3)) &&
+            col("duration_ms") ===
+              floor((col("n_bytes") - 44) / 2 * 1000 / col("sample_rate")) &&
+            col("brightness") > 0.0 && col("brightness") < 1.0) &&
+          feats.filter(col("kind") === "audio").count() == 67L),
         "deterministic_ok" -> (Contracts.checksum(feats) ==
           Contracts.checksum(Multimodal.extractFeatures(media).toDF())))
     }),
@@ -1093,6 +1106,7 @@ object PipelineQueries {
       """SELECT 200::BIGINT AS n_media, TRUE AS one_row_per_media_ok,
         |  TRUE AS features_match_source_ok,
         |  TRUE AS brightness_matches_pixels_ok,
+        |  TRUE AS audio_stats_ok,
         |  TRUE AS deterministic_ok""".stripMargin,
 
     "multimodal_frames" ->

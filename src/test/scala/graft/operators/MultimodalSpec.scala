@@ -71,6 +71,40 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePpm(Array[Byte]()) === None)
   }
 
+  test("decodeWav parses RIFF/WAVE PCM chunks and rejects malformed input") {
+    val recs = Multimodal.generate(spark, 6L).collect().sortBy(_.media_id)
+    val wav = recs(1) // id 1 → audio, 16 kHz
+    assert(wav.kind === "audio")
+    val Some((rate, durMs, rms)) = Multimodal.decodeWav(wav.payload)
+    assert(rate === 16000)
+    assert(durMs === wav.meta.duration_ms)
+    assert(rms > 0.0 && rms < 1.0)
+    // hand-built 2-sample file (samples 0 and -32768): rms = 1/sqrt(2),
+    // with an unknown LIST chunk between fmt and data to prove the chunk
+    // walk skips what it doesn't know
+    def le4(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le2(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def tag(s: String) = s.getBytes("US-ASCII")
+    val tiny = tag("RIFF") ++ le4(36 + 6 + 4) ++ tag("WAVE") ++
+      tag("fmt ") ++ le4(16) ++ le2(1) ++ le2(1) ++ le4(8000) ++
+      le4(16000) ++ le2(2) ++ le2(16) ++
+      tag("LIST") ++ le4(6) ++ Array.fill[Byte](6)(7) ++
+      tag("data") ++ le4(4) ++ le2(0) ++ le2(0x8000)
+    val Some((r2, d2, rms2)) = Multimodal.decodeWav(tiny)
+    assert(r2 === 8000 && d2 === 0L)
+    assert(math.abs(rms2 - 1.0 / math.sqrt(2.0)) < 1e-12)
+    assert(Multimodal.decodeWav(tag("RIFX") ++ tiny.drop(4)) === None)
+    assert(Multimodal.decodeWav(Array[Byte]()) === None)
+    assert(Multimodal.decodeWav(recs(0).payload) === None) // a PPM image
+    // audio features surface the decoded stats
+    val afAll = Multimodal.extractFeatures(Multimodal.generate(spark, 6L))
+      .collect().sortBy(_.media_id)
+    val af = afAll(1)
+    assert(af.sample_rate === 16000 && af.duration_ms === wav.meta.duration_ms)
+    assert(math.abs(af.brightness - rms) < 1e-12)
+  }
+
   test("frame sampling slices every payload into n frames that reassemble") {
     val ds = Multimodal.generate(spark, 10L)
     val frames = Multimodal.frameSample(ds, 4).collect()
