@@ -470,6 +470,33 @@ object PipelineQueries {
         "recall_ok" -> (Contracts.recall(ivfpq, brute) >= 0.4))
     }),
 
+    // Persisted IVF-PQ index: the (bucket, nid, codes) table written
+    // bucket-partitioned once, then queried from storage. Training is
+    // deterministic (seeded hash-ordered draws), so the stored-index path
+    // must return EXACTLY the in-memory ivfPqTopK results — plus a physical
+    // check that the layout really is bucket-partitioned directories (the
+    // property that turns nProbe into partition pruning at scale).
+    "sim_ivfpq_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-idx-").toString
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+        nCentroids = 16, m = 16)
+      val stored = Similarity.queryIvfPqIndex(emb, q, "vec_id", "embedding",
+        path, k = 5, nProbe = 8, shortlistFactor = 8)
+      val mem = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 8, m = 16, shortlistFactor = 8)
+      val bucketDirs = new java.io.File(s"$path/codes").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      Contracts.row(s,
+        "n_queries" -> q.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(stored, "qid", "rank", 5),
+        "equals_in_memory_ok" ->
+          (Contracts.checksum(stored) == Contracts.checksum(mem)),
+        "bucket_partitioned_ok" -> (bucketDirs.length > 1))
+    }),
+
     // Token frequency top-k over the whole corpus (explode → two-phase agg).
     "token_freq_topk" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -984,6 +1011,16 @@ object PipelineQueries {
         "embedding", k = 5, nCentroids = 16, nProbe = 8, m = 16,
         shortlistFactor = 8)
     }),
+    // times build + stored-layout query end-to-end (the serving shape)
+    "sim_ivfpq_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-idx-").toString
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+        nCentroids = 16, m = 16)
+      Similarity.queryIvfPqIndex(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", path, k = 5, nProbe = 8, shortlistFactor = 8)
+    }),
     "embedding_pca" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Embeddings.project(emb, "embedding",
@@ -1078,6 +1115,12 @@ object PipelineQueries {
         |    AS n_queries,
         |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,
         |  TRUE AS recall_ok""".stripMargin,
+
+    "sim_ivfpq_indexed" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+        |    AS n_queries,
+        |  TRUE AS ranks_ok, TRUE AS equals_in_memory_ok,
+        |  TRUE AS bucket_partitioned_ok""".stripMargin,
 
     "cluster_balanced_sample" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,

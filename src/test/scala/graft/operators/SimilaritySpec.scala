@@ -158,6 +158,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall under the swept floor")
   }
 
+  test("persisted IVF-PQ index equals the in-memory path, bucket-partitioned") {
+    val emb = t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val path = tmpDir("ivfpq-idx")
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+      nCentroids = 16, m = 16)
+    val stored = Similarity.queryIvfPqIndex(emb, queries, "vec_id",
+        "embedding", path, k = 5, nProbe = 8, shortlistFactor = 8)
+      .select("qid", "rank", "nid", "cos").as[(Long, Int, Long, Double)]
+      .collect().toSeq
+    val mem = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 8, m = 16, shortlistFactor = 8)
+      .select("qid", "rank", "nid", "cos").as[(Long, Int, Long, Double)]
+      .collect().toSeq
+    assert(stored == mem)
+    // the stored layout is bucket=N partition directories
+    val dirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(dirs.length > 1)
+  }
+
   test("PQ codes table is narrow and the codebook is deterministic") {
     val emb = t(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 3)
