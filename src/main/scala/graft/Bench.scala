@@ -37,6 +37,10 @@ object Bench {
     // frames): timed queries rebuild their own, and the heap starts clean.
     // releaseAllRdds also reaches the localCheckpoint blocks that
     // clearCache() cannot (they live in the block manager until GC).
+    // Caveat: releasing a checkpointed RDD logs a "lineage has been
+    // truncated and cannot be recomputed" WARN — expected and harmless
+    // here, because every warm-up/query result was fully consumed (counted)
+    // before release and is never re-read.
     spark.catalog.clearCache()
     graft.operators.Caching.releaseAllRdds(spark)
     // Median-of-3 per query: single-run timings carried ~10x jitter on

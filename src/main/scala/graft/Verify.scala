@@ -49,6 +49,12 @@ object Verify {
           .parquet(s"$outDir/$name.parquet")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // leave a marker next to where the dump would be: a FAILED query is
+        // then distinguishable from a never-registered one in the artifacts
+        // (both otherwise look like "no spark output" to the checker)
+        try Files.writeString(Paths.get(s"$outDir/$name.parquet.FAILED"),
+          String.valueOf(e))
+        catch { case _: Throwable => }
       } finally {
         // includes localCheckpoint blocks clearCache() can't reach — the
         // sweep accumulates no net-new cached blocks across 88 queries

@@ -65,6 +65,7 @@ object BloomExpressions {
     val name = TempFnNames.nameFor(bf, "graft_bloom_probe")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
       exprs => BloomMightContain(exprs.head, bf), "built-in")
+    TempFnNames.bindRole(spark, "graft_bloom_probe", name)
     call_function(name, c)
   }
 }
@@ -73,6 +74,17 @@ object BloomExpressions {
   * object reuses its name (no per-call registry/heap growth), distinct
   * objects never collide (monotone suffix). Weak keys let a dropped filter
   * or codebook be collected once its registry entry is replaced.
+  *
+  * [[bindRole]] is the cleanup path for the recurring-rebuild pattern (a
+  * fresh Bloom filter / codebook per ingest or micro-batch): each logical
+  * role keeps exactly ONE live registry entry, and binding a new object to
+  * the role drops the predecessor's entry — whose builder closure was the
+  * only registry-side reference pinning the old (filter-sized) object.
+  * Dropping is safe for any Column already incorporated into a DataFrame:
+  * Dataset analysis is eager, so the resolved expression embeds the object
+  * itself and never consults the registry again. The one unsupported shape
+  * is holding a BARE un-analyzed Column across a later re-bind of the same
+  * role — incorporate the Column into a DataFrame before rebuilding.
   */
 private[functions] object TempFnNames {
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -80,6 +92,9 @@ private[functions] object TempFnNames {
   // backs both the encode and the lut function) without evicting the other
   private val names = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.Map[AnyRef, String]]()
+  // role → the registry name currently holding it
+  private val roleNames = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
 
   def nameFor(obj: AnyRef, prefix: String): String = {
     val m = names.computeIfAbsent(prefix,
@@ -93,5 +108,16 @@ private[functions] object TempFnNames {
         name
       }
     }
+  }
+
+  /** Record `name` as the current holder of `role`; drop the previous
+    * holder's temp-function entry (if different) from the session registry
+    * so rebuilt objects do not accumulate entries that pin them.
+    */
+  def bindRole(spark: SparkSession, role: String, name: String): Unit = {
+    val prev = roleNames.put(role, name)
+    if (prev != null && prev != name)
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(prev))
   }
 }

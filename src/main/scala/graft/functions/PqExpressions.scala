@@ -77,6 +77,7 @@ object PqExpressions {
     val name = TempFnNames.nameFor(cb, s"graft_pq_${tag}")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
       exprs => mk(exprs.head, exprs(1)), "built-in")
+    TempFnNames.bindRole(spark, s"graft_pq_${tag}", name)
     call_function(name, vec, norm)
   }
 

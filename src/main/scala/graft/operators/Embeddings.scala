@@ -217,6 +217,27 @@ object Embeddings {
     (assigned, centFinal)
   }
 
+  /** The assignment step alone: nearest-centroid (by cosine) labels against
+    * a FIXED centroid table — what serving/sharding runs against a trained
+    * model, and the step whose partition-invariance is provable (per-row
+    * argmax over literals; no aggregation, so no summation-order ulps —
+    * unlike re-FITTING, where partition-dependent double sums can flip a
+    * near-tie vector between runs). Zero-norm vectors get a null cluster,
+    * matching [[kmeans]].
+    */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      clusterCol: String = "cluster"): DataFrame = {
+    HashExpressions.register(df.sparkSession)
+    val v = col(vecCol).cast("array<double>")
+    val n = sqrt(call_function("vec_dot", v, v))
+    val best = sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((call_function("vec_dot", v, typedlit(c.toSeq)) / n).as("sim"),
+        lit(i).as("c"))
+    }: _*), asc = false).getItem(0).getField("c")
+    df.withColumn(clusterCol, when(n > 0, best))
+  }
+
   /** Scan-side projection onto the model's components:
     * out[i] = (v − mean)·cᵢ = v·cᵢ − mean·cᵢ (the mean dot folds into a
     * literal, so no per-element centering runs per row). `whiten = true`

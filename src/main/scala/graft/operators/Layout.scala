@@ -60,21 +60,27 @@ object Layout {
       yCol: String, nFiles: Int,
       boxes: Seq[(Long, Long, Long, Long)]): (Seq[Long], Long) = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*)
-    val fb = df.withColumn("__f", ntile(nFiles).over(w))
-      .groupBy(col("__f"))
-      .agg(count(lit(1)).as("nrows"),
-        min(col(xCol)).as("xmin"), max(col(xCol)).as("xmax"),
-        min(col(yCol)).as("ymin"), max(col(yCol)).as("ymax"))
-      .localCheckpoint() // one pass; probed once per box below
-    val touched = boxes.map { case (xl, xh, yl, yh) =>
-      fb.filter(col("xmax") >= xl && col("xmin") <= xh &&
-        col("ymax") >= yl && col("ymin") <= yh).count()
+    // withReleased: the checkpoint's blocks live in the block manager until
+    // RDD GC, which Dataset.unpersist cannot reach — scope-release them so
+    // library callers don't leak one checkpoint per invocation. Everything
+    // the body returns is plain scalars, fully consumed before release.
+    Caching.withReleased(df.sparkSession) {
+      val fb = df.withColumn("__f", ntile(nFiles).over(w))
+        .groupBy(col("__f"))
+        .agg(count(lit(1)).as("nrows"),
+          min(col(xCol)).as("xmin"), max(col(xCol)).as("xmax"),
+          min(col(yCol)).as("ymin"), max(col(yCol)).as("ymax"))
+        .localCheckpoint() // one pass; probed once per box below
+      val touched = boxes.map { case (xl, xh, yl, yh) =>
+        fb.filter(col("xmax") >= xl && col("xmin") <= xh &&
+          col("ymax") >= yl && col("ymin") <= yh).count()
+      }
+      // rows summed from the ASSIGNED files — proves the layout pass itself
+      // dropped/duplicated nothing, which counting the input cannot
+      val total = fb.agg(coalesce(sum(col("nrows")), lit(0L)))
+        .head().getLong(0)
+      (touched, total)
     }
-    // rows summed from the ASSIGNED files — proves the layout pass itself
-    // dropped/duplicated nothing, which counting the input cannot
-    val total = fb.agg(coalesce(sum(col("nrows")), lit(0L)))
-      .head().getLong(0)
-    (touched, total)
   }
 
   /** Count of files whose [min,max] box on (xCol, yCol) intersects the

@@ -410,9 +410,15 @@ object PipelineQueries {
           math.abs(c.map(x => x * x).sum - 1.0) < 1e-9),
         "training_improves_objective_ok" ->
           (meanSim(emb, cent) >= meanSim(emb, centInit) - 1e-9),
+        // invariance of the ASSIGNMENT step under the fitted centroids:
+        // re-fitting on a repartitioned corpus would aggregate the Lloyd
+        // update's double sums in a partition-dependent order, so a
+        // near-tie vector could flip clusters by ulps — a flaky claim by
+        // construction. Assignment against fixed centroid literals is a
+        // per-row argmax with no aggregation: provably partition-invariant.
         "assignments_partition_invariant_ok" -> {
-          val (a2, _) = Embeddings.kmeans(emb.repartition(13), "vec_id",
-            "embedding", k = k, iters = 3)
+          val a2 = Embeddings.assign(emb.repartition(13), "vec_id",
+            "embedding", cent)
           Contracts.sameKeys(ass.select(col("vec_id"), col("cluster")),
             a2.select(col("vec_id"), col("cluster")),
             Seq("vec_id", "cluster"))

@@ -332,13 +332,22 @@ object StreamingQueries {
 
     // The curation funnel RUN AS A STREAM: quality floor → stateful exact
     // dedup on (lang, content-key) → per-lang corpus stats, continuous over
-    // arriving document files. The doubled source proves the dedup state
-    // actually dedupes across micro-batch boundaries; the oracle is the
+    // arriving document files. The corpus is staged as TWO copies with
+    // maxFilesPerTrigger=1, so each copy lands in its OWN micro-batch and
+    // the dedup state provably survives the batch boundary (a unioned
+    // single file would only exercise intra-batch dedup); the oracle is the
     // batch funnel over the same table — streaming/batch parity for the
     // curation path.
     "streaming_curation" -> ((s, dir) => {
-      val docs = rawDocs(s, dir)
-      val funnel = docs.union(docs)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stage = Files.createTempDirectory("graft-stream-cur-")
+      Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        stage.resolve("batch1_documents.parquet"))
+      Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        stage.resolve("batch2_documents.parquet"))
+      val docs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      val funnel = docs
         .withColumn("n_tok",
           size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
         .filter(col("n_tok") >= 20)

@@ -130,4 +130,31 @@ class ExpressionsSpec extends SparkSpec {
     assert(TempFnNames.nameFor(a, "p") == n1,
       "acquiring a second prefix must not evict the first")
   }
+
+  test("bindRole drops the predecessor's registry entry on rebuild") {
+    // the recurring-ingest pattern: a fresh filter per batch must not
+    // accumulate registry entries (each pins its filter via the builder
+    // closure). After binding a replacement, the old entry is gone and the
+    // new binding still evaluates.
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Decontaminate
+    def registered(): Set[String] =
+      spark.sessionState.functionRegistry.listFunction()
+        .map(_.funcName).filter(_.startsWith("graft_bloom_probe")).toSet
+    val docs = (1L to 50L).map(i => (i, s"tok$i tok${i + 1} tok${i + 2} " +
+      s"tok${i + 3} tok${i + 4} tok${i + 5} tok${i + 6} tok${i + 7}"))
+      .toDF("doc_id", "text")
+    val evalA = docs.filter(col("doc_id") < 5)
+    val evalB = docs.filter(col("doc_id") >= 45)
+    Decontaminate.contaminatedBloom(docs, evalA, "doc_id", "text",
+      n = 8, minOverlap = 1, fpp = 0.01).count()
+    val afterA = registered()
+    assert(afterA.size == 1, s"one live bloom binding expected, got $afterA")
+    Decontaminate.contaminatedBloom(docs, evalB, "doc_id", "text",
+      n = 8, minOverlap = 1, fpp = 0.01).count()
+    val afterB = registered()
+    assert(afterB.size == 1,
+      s"rebuild must drop the predecessor entry, got $afterB")
+    assert(afterB != afterA, "the replacement binding is the new name")
+  }
 }
