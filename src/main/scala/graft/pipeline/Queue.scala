@@ -33,6 +33,10 @@ trait QueueClient extends Serializable {
 object InMemoryQueue {
   private val queues =
     new ConcurrentHashMap[String, ConcurrentLinkedQueue[QueueMessage]]()
+  // per-queue message receive counts — the SQS ApproximateReceiveCount
+  // analog the streaming source's redrive policy is driven by
+  private val receives =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, Integer]]()
 
   def queue(name: String): ConcurrentLinkedQueue[QueueMessage] =
     queues.computeIfAbsent(name, _ => new ConcurrentLinkedQueue[QueueMessage]())
@@ -44,9 +48,25 @@ object InMemoryQueue {
     Iterator.continually(q.poll()).takeWhile(_ != null).toSeq
   }
 
-  def clear(name: String): Unit = queues.remove(name)
+  def clear(name: String): Unit = {
+    queues.remove(name)
+    receives.remove(name)
+  }
 
   def all(name: String): Seq[QueueMessage] = queue(name).iterator().asScala.toSeq
+
+  /** Record one receive of `id` on `name`; returns the new count. Counts
+    * survive consumer restarts (process-lifetime), which is what lets a
+    * redrive policy see "this message has failed delivery N times".
+    */
+  def incReceive(name: String, id: String): Int =
+    receives.computeIfAbsent(name, _ => new ConcurrentHashMap[String, Integer]())
+      .merge(id, Integer.valueOf(1),
+        (a, b) => Integer.valueOf(a.intValue + b.intValue)).intValue
+
+  def receiveCount(name: String, id: String): Int =
+    Option(receives.get(name)).flatMap(m => Option(m.get(id)))
+      .map(_.intValue).getOrElse(0)
 }
 
 /** Accept-everything sink that never stores: the dry-run / throughput-

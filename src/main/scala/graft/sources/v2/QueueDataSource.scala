@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -28,6 +28,20 @@ import graft.pipeline.InMemoryQueue
   * what gives checkpoint-restart its exactly-once story. `spark.read` (batch)
   * on the same format snapshots the current log.
   *
+  * Redrive policy AT THE SOURCE (the reference's `maxReceiveCount: 5` +
+  * DLQ, template.yaml:10-12): every streamed read of a message increments
+  * its receive count (a failed batch that Spark re-plans after restart
+  * re-receives its messages, exactly like SQS visibility-timeout
+  * redelivery); a message whose count exceeds `maxReceiveCount` is moved to
+  * the `dlq` queue instead of being delivered, so a poison message cannot
+  * wedge the stream forever. The count is surfaced as a `receive_count`
+  * column. Batch snapshot reads inspect without incrementing.
+  *
+  * `maxMessagesPerTrigger` bounds micro-batch admission (the Kafka
+  * `maxOffsetsPerTrigger` analog) — it also isolates failures: with small
+  * batches only the messages sharing a batch with the poison one accrue
+  * extra receives.
+  *
   * Local scope: executors see the log because local[n] shares one JVM — the
   * same reason InMemoryQueue works for the batch pipeline. A cluster swaps
   * this for the real Kafka/Kinesis connector; the query shape is identical.
@@ -43,11 +57,15 @@ class QueueDataSource extends TableProvider with DataSourceRegister {
 }
 
 object QueueDataSource {
-  /** One row per message — the QueueMessage shape. */
+  /** One row per message — the QueueMessage shape plus its receive count. */
   val schema: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
-    StructField("body", StringType, nullable = false)))
+    StructField("body", StringType, nullable = false),
+    StructField("receive_count", IntegerType, nullable = false)))
 }
+
+/** Source-level redrive configuration (reference: maxReceiveCount 5). */
+private[v2] case class RedrivePolicy(maxReceiveCount: Int, dlq: String)
 
 private[v2] class QueueSourceTable(queueName: String)
     extends Table with SupportsRead {
@@ -58,20 +76,26 @@ private[v2] class QueueSourceTable(queueName: String)
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new QueueScan(queueName)
+      override def build(): Scan = new QueueScan(queueName,
+        RedrivePolicy(
+          Option(options.get("maxReceiveCount")).map(_.toInt).getOrElse(5),
+          Option(options.get("dlq")).getOrElse(s"$queueName-dlq")),
+        Option(options.get("maxMessagesPerTrigger")).map(_.toLong))
     }
 }
 
-private[v2] class QueueScan(queueName: String) extends Scan {
+private[v2] class QueueScan(queueName: String, policy: RedrivePolicy,
+    maxPerTrigger: Option[Long]) extends Scan {
   override def readSchema(): StructType = QueueDataSource.schema
   override def description(): String = s"graft-queue queue=$queueName"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new QueueMicroBatchStream(queueName)
+    new QueueMicroBatchStream(queueName, policy, maxPerTrigger)
   override def toBatch: Batch = new Batch {
-    // Batch read = snapshot of the log at planning time.
+    // Batch read = snapshot of the log at planning time; inspection only,
+    // so receive counts are reported but not incremented.
     private val end = InMemoryQueue.size(queueName)
     override def planInputPartitions(): Array[InputPartition] =
-      Array(QueueSlice(queueName, 0, end))
+      Array(QueueSlice(queueName, 0, end, policy, streaming = false))
     override def createReaderFactory(): PartitionReaderFactory =
       new QueueReaderFactory
   }
@@ -82,10 +106,12 @@ private[v2] case class QueueOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-private[v2] case class QueueSlice(queueName: String, start: Long, end: Long)
+private[v2] case class QueueSlice(queueName: String, start: Long, end: Long,
+    policy: RedrivePolicy, streaming: Boolean)
     extends InputPartition
 
-private[v2] class QueueMicroBatchStream(queueName: String)
+private[v2] class QueueMicroBatchStream(queueName: String,
+    policy: RedrivePolicy, maxPerTrigger: Option[Long])
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // AvailableNow pins the target offset at query start so the run is bounded
@@ -102,10 +128,19 @@ private[v2] class QueueMicroBatchStream(queueName: String)
       .getOrElse(InMemoryQueue.size(queueName).toLong))
 
   // SupportsAdmissionControl surface (via SupportsTriggerAvailableNow):
-  // this source does not rate-limit, so the limited form delegates.
+  // maxMessagesPerTrigger caps each micro-batch's advance (AvailableNow
+  // then runs several micro-batches until the pinned cap is reached);
+  // without it the limited form delegates to the unlimited one.
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val cap = availableNowCap
+      .getOrElse(InMemoryQueue.size(queueName).toLong)
+    maxPerTrigger match {
+      case Some(k) =>
+        QueueOffset(math.min(cap, start.asInstanceOf[QueueOffset].n + k))
+      case None => QueueOffset(cap)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     QueueOffset(json.trim.toLong)
@@ -114,7 +149,7 @@ private[v2] class QueueMicroBatchStream(queueName: String)
     val s = start.asInstanceOf[QueueOffset].n
     val e = end.asInstanceOf[QueueOffset].n
     if (e <= s) Array.empty
-    else Array(QueueSlice(queueName, s, e))
+    else Array(QueueSlice(queueName, s, e, policy, streaming = true))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -139,11 +174,24 @@ private[v2] class QueueReaderFactory extends PartitionReaderFactory {
       private val it = msgs.iterator
       private var cur: InternalRow = _
       override def next(): Boolean = {
-        if (!it.hasNext) return false
-        val m = it.next()
-        cur = new GenericInternalRow(Array[Any](
-          UTF8String.fromString(m.id), UTF8String.fromString(m.body)))
-        true
+        while (it.hasNext) {
+          val m = it.next()
+          val n =
+            if (slice.streaming) InMemoryQueue.incReceive(slice.queueName, m.id)
+            else InMemoryQueue.receiveCount(slice.queueName, m.id)
+          if (slice.streaming && n > slice.policy.maxReceiveCount) {
+            // redrive: exceeded maxReceiveCount — dead-letter instead of
+            // delivering. Append exactly once (the first exceeding receive);
+            // later replays of an uncommitted batch skip without re-adding.
+            if (n == slice.policy.maxReceiveCount + 1)
+              InMemoryQueue.queue(slice.policy.dlq).add(m)
+          } else {
+            cur = new GenericInternalRow(Array[Any](
+              UTF8String.fromString(m.id), UTF8String.fromString(m.body), n))
+            return true
+          }
+        }
+        false
       }
       override def get(): InternalRow = cur
       override def close(): Unit = ()

@@ -442,6 +442,80 @@ object StreamingQueries {
       result
     }),
 
+    // Source-level redrive policy (the reference's SQS maxReceiveCount: 5 +
+    // DLQ, here maxReceiveCount=3): a poison message fails its handler every
+    // time; each restart re-receives it (the visibility-timeout redelivery
+    // analog) and the SOURCE's receive counter eventually dead-letters it,
+    // letting the stream complete without it. maxMessagesPerTrigger=1
+    // isolates the poison into its own micro-batch so healthy messages are
+    // received exactly once. The dead-lettered message is then REDRIVEN by
+    // consuming the DLQ queue with the fixed handler.
+    "streaming_dlq_redrive" -> ((s, dir) => {
+      val qn = s"dlq-src-${java.util.UUID.randomUUID()}"
+      val poison = "7"
+      (0 until 10).foreach(i => graft.pipeline.InMemoryQueue.queue(qn)
+        .add(graft.pipeline.QueueMessage(i.toString, s"""{"v":$i}""")))
+      val maxReceive = 3
+      def consume(queue: String, out: String, cp: String,
+          failOnPoison: Boolean): Boolean = try {
+        val sq = s.readStream.format("graft-queue").option("queue", queue)
+          .option("maxReceiveCount", maxReceive.toString)
+          .option("maxMessagesPerTrigger", "1")
+          .load()
+          .writeStream.option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            // persist so the handler's two actions read the source ONCE:
+            // foreachBatch re-executes the V2 scan per action, which would
+            // double-count receives per attempt
+            val batch = b.persist()
+            try {
+              if (failOnPoison &&
+                  batch.filter(col("id") === poison).count() > 0)
+                throw new RuntimeException("handler fails on poison message")
+              batch.write.mode("append").parquet(out)
+            } finally batch.unpersist()
+            ()
+          }.start()
+        sq.awaitTermination()
+        true
+      } catch { case _: Throwable => false }
+      val out = Files.createTempDirectory("graft-dlq-out-").toString
+      val cp = Files.createTempDirectory("graft-dlq-ckpt-").toString
+      var runs = 1
+      while (!consume(qn, out, cp, failOnPoison = true) && runs < 10)
+        runs += 1
+      val delivered = s.read.parquet(out).localCheckpoint()
+      val dlqName = s"$qn-dlq"
+      val dlqSnap = s.read.format("graft-queue").option("queue", dlqName)
+        .load().localCheckpoint()
+      val out2 = Files.createTempDirectory("graft-dlq-out2-").toString
+      val cp2 = Files.createTempDirectory("graft-dlq-ckpt2-").toString
+      val redriveClean = consume(dlqName, out2, cp2, failOnPoison = false)
+      val redriven = s.read.parquet(out2).localCheckpoint()
+      graft.pipeline.InMemoryQueue.clear(qn)
+      graft.pipeline.InMemoryQueue.clear(dlqName)
+      graft.queries.Contracts.row(s,
+        "n_messages" -> 10L,
+        // healthy messages all arrive exactly once, first receive
+        "delivered_exactly_once_ok" ->
+          (delivered.count() == 9L &&
+            delivered.select(col("id")).distinct().count() == 9L &&
+            delivered.filter(col("id") === poison).count() == 0L &&
+            delivered.filter(col("receive_count") =!= 1).count() == 0L),
+        // the poison message was redelivered maxReceiveCount times, then
+        // dead-lettered by the source on the exceeding receive
+        "redelivery_then_dlq_ok" -> (runs == maxReceive + 1 &&
+          dlqSnap.count() == 1L &&
+          dlqSnap.filter(col("id") === poison).count() == 1L),
+        // redrive: the DLQ consumed with a fixed handler delivers the
+        // message, body intact
+        "redrive_delivers_ok" -> (redriveClean &&
+          redriven.count() == 1L &&
+          redriven.filter(col("id") === poison &&
+            col("body") === s"""{"v":$poison}""").count() == 1L))
+    }),
+
     // Event-time windowed aggregation THROUGH the queue transport: generate
     // records (deterministic timestamps spanning a year) → publish → stream
     // from format("graft-queue") → from_json → watermark + 7-day windows.
@@ -555,6 +629,11 @@ object StreamingQueries {
 
     "streaming_queue_window" ->
       """SELECT 2000::BIGINT AS n_records, TRUE AS windows_found_ok,
-        |  TRUE AS streaming_equals_batch_ok""".stripMargin
+        |  TRUE AS streaming_equals_batch_ok""".stripMargin,
+
+    "streaming_dlq_redrive" ->
+      """SELECT 10::BIGINT AS n_messages, TRUE AS delivered_exactly_once_ok,
+        |  TRUE AS redelivery_then_dlq_ok,
+        |  TRUE AS redrive_delivers_ok""".stripMargin
   )
 }

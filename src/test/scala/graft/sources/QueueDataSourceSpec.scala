@@ -72,6 +72,45 @@ class QueueDataSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("queue"))
   }
 
+  test("maxMessagesPerTrigger bounds admission; receive counts surface") {
+    val q = s"qds-admit-${java.util.UUID.randomUUID()}"
+    put(q, 0 until 9)
+    val qn = "qds_admit_sink"
+    val sq = spark.readStream.format("graft-queue").option("queue", q)
+      .option("maxMessagesPerTrigger", "4")
+      .load()
+      .writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val got = spark.table(qn)
+    assert(got.count() == 9)
+    // 9 messages at 4/trigger → 3 micro-batches, visible in recentProgress
+    assert(sq.recentProgress.count(_.numInputRows > 0) == 3)
+    // every message streamed exactly once → receive_count 1 across the board
+    assert(got.filter(col("receive_count") =!= 1).count() == 0)
+  }
+
+  test("exceeding maxReceiveCount dead-letters to the dlq queue") {
+    val q = s"qds-dlq-${java.util.UUID.randomUUID()}"
+    put(q, 0 until 3)
+    // simulate prior failed deliveries: message "1" already received twice
+    InMemoryQueue.incReceive(q, "1")
+    InMemoryQueue.incReceive(q, "1")
+    val qn = "qds_dlq_sink"
+    val sq = spark.readStream.format("graft-queue").option("queue", q)
+      .option("maxReceiveCount", "2")
+      .load()
+      .writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    // "1" hits receive 3 > 2 → dead-lettered, not delivered; others deliver
+    val ids = spark.table(qn).select("id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("0", "2"))
+    val dlq = InMemoryQueue.all(s"$q-dlq")
+    assert(dlq.map(_.id) == Seq("1"))
+    assert(dlq.head.body == """{"v":1}""")
+  }
+
   test("restart from checkpoint resumes at the committed offset: exactly once") {
     val q = s"qds-restart-${java.util.UUID.randomUUID()}"
     val cp = tmpDir("qds-ckpt")
