@@ -92,6 +92,35 @@ object Bench {
       graft.operators.Caching.releaseAllRdds(spark)
       entries.mkString("[", ",", "]")
     } else "[]"
+    // Scale-growth detector (untimed extra): re-time the scale-sensitive
+    // operator families (dedup/ANN/text/embedding — PipelineQueries.timed)
+    // at a smaller scale factor and report t(sfDir)/t(smallDir) per query.
+    // Rows grow 10x from sf0.01 to sf0.1, so a ratio far above ~10-15 flags
+    // super-linear behavior (the fixed-nBits class of scale bug)
+    // mechanically instead of by judge audit. Medians again — a single
+    // sub-second run at sf0.01 would put timer jitter in the denominator.
+    val scaleGrowth = if (args.isEmpty) {
+      val smallDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+        "/root/testdata/sf0.01")
+      if (new java.io.File(smallDir).isDirectory && smallDir != sfDir) {
+        val entries = graft.queries.PipelineQueries.timed.toSeq
+          .sortBy(_._1).flatMap { case (name, fn) =>
+            results.get(name).filter(_._1 > 0).map { case (bigSec, _) =>
+              val secs = (1 to reps).map { _ =>
+                graft.operators.Caching.releaseAllRdds(spark)
+                val t0 = System.nanoTime()
+                try fn(spark, smallDir).count()
+                catch { case _: Throwable => }
+                (System.nanoTime() - t0) / 1e9
+              }.sorted
+              val small = math.max(secs(secs.size / 2), 1e-3)
+              s""""$name":${jnum(bigSec / small, 2)}"""
+            }
+          }
+        graft.operators.Caching.releaseAllRdds(spark)
+        entries.mkString("{", ",", "}")
+      } else "{}"
+    } else "{}"
     // Publish-envelope throughput (untimed extra): the reference's only
     // published number is ~1 GiB serialized+published in 900 s on a 512 MB
     // Lambda (BASELINE.md). Same work here: scan → to_json → ≤10-message
@@ -118,7 +147,7 @@ object Bench {
     // tail window — the full 87-query map is ~4 KB and lands mid-line in
     // that window, so the parseable contract line must stay short.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"ivf_sweep":$sweep,"publish_envelope":$envelope,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"ivf_sweep":$sweep,"scale_growth":$scaleGrowth,"publish_envelope":$envelope,"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec",""" +
         s""""n_queries":$nQueries,"sf":"$sfDir"}"""
