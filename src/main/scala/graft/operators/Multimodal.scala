@@ -24,10 +24,13 @@ case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
   * (pure-JVM parses, no codec dependency): image `brightness` is the
   * actual pixel mean with `aspect` from the decoded header; audio
   * `brightness` is the actual sample RMS with `sample_rate`/`duration_ms`
-  * from the decoded fmt/data chunks. VIDEO stays an opaque byte chain
-  * with a stub decode (an mp4 genuinely needs a codec); a production
-  * deployment swaps that stub for a per-partition codec call (JNI/FFI
-  * library loaded once per executor) and nothing else changes.
+  * from the decoded fmt/data chunks. VIDEO payloads are genuine minimal
+  * ISO BMFF (MP4) files whose CONTAINER layer is really parsed (`mvhd`
+  * duration/timescale, `mdat` location); only FRAME decode inside mdat is
+  * stubbed (byte mean stands in for decoded pixels — that layer genuinely
+  * needs a codec). A production deployment swaps the frame stub for a
+  * per-partition codec call (JNI/FFI library loaded once per executor)
+  * and nothing else changes.
   *
   * Scale posture: `mapPartitions` keeps decode streaming and executor-local;
   * payload bytes never shuffle (features are extracted before any wide
@@ -85,13 +88,61 @@ object Multimodal {
     out
   }
 
+  /** Big-endian int/short writes (the ISO BMFF / MP4 box byte order). */
+  private def putBeInt(dst: Array[Byte], off: Int, v: Int): Unit = {
+    dst(off) = ((v >> 24) & 0xff).toByte
+    dst(off + 1) = ((v >> 16) & 0xff).toByte
+    dst(off + 2) = ((v >> 8) & 0xff).toByte
+    dst(off + 3) = (v & 0xff).toByte
+  }
+
+  /** A minimal VALID ISO BMFF (MP4) file: `ftyp` + `moov`(`mvhd` v0 with
+    * timescale 1000 and the real duration) + an `mdat` box filling the rest
+    * with sha-chain bytes — the coded-sample stand-in.
+    */
+  private def mp4Payload(id: Long, durationMs: Long, totalBytes: Int)
+      : Array[Byte] = {
+    val ftypLen = 16
+    val mvhdLen = 108 // full version-0 mvhd box
+    val moovLen = 8 + mvhdLen
+    val mdatLen = math.max(totalBytes - ftypLen - moovLen, 8)
+    val out = new Array[Byte](ftypLen + moovLen + mdatLen)
+    var o = 0
+    putBeInt(out, o, ftypLen)
+    "ftyp".getBytes("US-ASCII").copyToArray(out, o + 4)
+    "isom".getBytes("US-ASCII").copyToArray(out, o + 8)
+    putBeInt(out, o + 12, 0) // minor version
+    o += ftypLen
+    putBeInt(out, o, moovLen)
+    "moov".getBytes("US-ASCII").copyToArray(out, o + 4)
+    val m = o + 8
+    putBeInt(out, m, mvhdLen)
+    "mvhd".getBytes("US-ASCII").copyToArray(out, m + 4)
+    // version+flags 0, creation/modification 0 (already zeroed)
+    putBeInt(out, m + 20, 1000)              // timescale: units per second
+    putBeInt(out, m + 24, durationMs.toInt)  // duration in timescale units
+    putBeInt(out, m + 28, 0x00010000)        // rate 1.0 (16.16 fixed)
+    out(m + 32) = 0x01; out(m + 33) = 0x00   // volume 1.0 (8.8 fixed)
+    // unity matrix (identity transform, 16.16 / 2.30 fixed point)
+    putBeInt(out, m + 44, 0x00010000)
+    putBeInt(out, m + 60, 0x00010000)
+    putBeInt(out, m + 76, 0x40000000)
+    putBeInt(out, m + 104, 2)                // next track id
+    o += moovLen
+    putBeInt(out, o, mdatLen)
+    "mdat".getBytes("US-ASCII").copyToArray(out, o + 4)
+    shaChain(s"graft:$id", out, o + 8)
+    out
+  }
+
   /** Deterministic media corpus. Images are REAL binary PPM (P6): ASCII
     * header + w×h×3 raw RGB raster (sha-chain pixels). Audio items are
     * REAL RIFF/WAVE PCM16 mono files (44-byte canonical header +
     * sha-chain samples, sample rate varying 8/16/24 kHz, meta duration =
-    * the data chunk's actual duration), so both decode paths exercise an
-    * actual self-describing format end to end. Video stays an opaque
-    * `bytesPerItem`-sized chain (decode stubbed).
+    * the data chunk's actual duration), and video items are REAL minimal
+    * MP4 containers (ftyp + moov/mvhd carrying the duration + an mdat of
+    * sha-chain stand-in samples) — so every decode path exercises an
+    * actual self-describing format end to end.
     */
   def generate(spark: SparkSession, n: Long, bytesPerItem: Int = 4096)
       : Dataset[MediaRecord] = {
@@ -104,6 +155,7 @@ object Multimodal {
       val h = 64 + (id % 9).toInt * 32
       val sampleRate = 8000 * (1 + (id % 3).toInt)
       val audioDataBytes = math.max((bytesPerItem - 44) & ~1, 2)
+      val videoDurMs = 1000L + (id % 60) * 1000L
       val payload = kind match {
         case "image" =>
           val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
@@ -114,14 +166,12 @@ object Multimodal {
         case "audio" =>
           wavPayload(id, audioDataBytes, sampleRate)
         case _ =>
-          val out = new Array[Byte](bytesPerItem)
-          shaChain(s"graft:$id", out, 0)
-          out
+          mp4Payload(id, videoDurMs, bytesPerItem)
       }
       val durationMs = kind match {
         case "image" => 0L
         case "audio" => audioDataBytes / 2 * 1000L / sampleRate
-        case _ => 1000L + (id % 60) * 1000L
+        case _ => videoDurMs
       }
       MediaRecord(id, kind, payload,
         MediaMeta(w, h, kind match {
@@ -223,28 +273,82 @@ object Multimodal {
     Some((sampleRate, durationMs, math.sqrt(sumSq / nSamples) / 32768.0))
   }
 
+  /** Pure-JVM ISO BMFF (MP4) container parse: validates the `ftyp` box,
+    * walks the top-level box list for `moov`, walks `moov` for a v0 `mvhd`,
+    * and returns (durationMs from timescale+duration, [mdatStart, mdatEnd)
+    * of the first `mdat` payload) — or None when the bytes are not a
+    * well-formed MP4. This is the codec-free layer of video decode: real
+    * container metadata; FRAME decode inside mdat genuinely needs a codec
+    * and stays behind the per-partition stub seam.
+    */
+  private[operators] def decodeMp4(b: Array[Byte])
+      : Option[(Long, (Int, Int))] = {
+    def beInt(off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    def tag(off: Int): String = new String(b, off, 4, "US-ASCII")
+    if (b.length < 16 || tag(4) != "ftyp") return None
+    var durationMs = -1L
+    var mdat: (Int, Int) = null
+    var i = 0
+    while (i + 8 <= b.length) {
+      val size = beInt(i)
+      if (size < 8 || i + size > b.length) return None
+      tag(i + 4) match {
+        case "moov" =>
+          var j = i + 8
+          val moovEnd = i + size
+          while (j + 8 <= moovEnd) {
+            val cs = beInt(j)
+            if (cs < 8 || j + cs > moovEnd) return None
+            if (tag(j + 4) == "mvhd" && b(j + 8) == 0 && cs >= 32) {
+              val timescale = beInt(j + 20)
+              if (timescale <= 0) return None
+              durationMs = beInt(j + 24).toLong * 1000L / timescale
+            }
+            j += cs
+          }
+        case "mdat" if mdat == null => mdat = (i + 8, i + size)
+        case _ => () // ftyp, free, unknown boxes skip cleanly
+      }
+      i += size
+    }
+    if (durationMs < 0 || mdat == null) None
+    else Some((durationMs, mdat))
+  }
+
   /** Per-batch decode: images go through the real PPM decoder (brightness =
-    * actual pixel mean, aspect from the decoded header) and audio through
-    * the real WAV decoder (brightness = actual sample RMS, sample_rate and
-    * duration_ms from the decoded chunks); video falls back to the stub
-    * (whole-payload byte mean, metadata passthrough) until a codec is
-    * wired in.
+    * actual pixel mean, aspect from the decoded header), audio through the
+    * real WAV decoder (brightness = actual sample RMS, sample_rate and
+    * duration_ms from the decoded chunks), and video through the real MP4
+    * container parse (duration_ms from mvhd, brightness = coded-sample
+    * byte mean over the mdat payload — the one stubbed layer, since frame
+    * decode needs a codec). Unrecognized bytes fall back to the opaque
+    * whole-payload stub.
     */
   private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
-      (r.kind, decodePpm(r.payload), decodeWav(r.payload)) match {
-        case ("image", Some((w, h, mean)), _) =>
+      def byteMean(from: Int, until: Int): Double = {
+        var sum = 0L
+        var i = from
+        while (i < until) { sum += (r.payload(i) & 0xff); i += 1 }
+        if (until > from) sum.toDouble / (until - from) / 255.0 else 0.0
+      }
+      (r.kind, decodePpm(r.payload), decodeWav(r.payload),
+          decodeMp4(r.payload)) match {
+        case ("image", Some((w, h, mean)), _, _) =>
           MediaFeatures(r.media_id, r.kind, r.payload.length, mean,
             w.toDouble / h.toDouble, 0, 0L)
-        case ("audio", _, Some((rate, durMs, rms))) =>
+        case ("audio", _, Some((rate, durMs, rms)), _) =>
           MediaFeatures(r.media_id, r.kind, r.payload.length, rms,
             r.meta.width.toDouble / r.meta.height.toDouble, rate, durMs)
-        case _ =>
-          var sum = 0L
-          var i = 0
-          while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+        case ("video", _, _, Some((durMs, (mdFrom, mdUntil)))) =>
           MediaFeatures(r.media_id, r.kind, r.payload.length,
-            sum.toDouble / r.payload.length / 255.0,
+            byteMean(mdFrom, mdUntil),
+            r.meta.width.toDouble / r.meta.height.toDouble, 0, durMs)
+        case _ =>
+          MediaFeatures(r.media_id, r.kind, r.payload.length,
+            byteMean(0, r.payload.length),
             r.meta.width.toDouble / r.meta.height.toDouble,
             0, r.meta.duration_ms)
       }

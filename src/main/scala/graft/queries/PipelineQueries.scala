@@ -812,7 +812,8 @@ object PipelineQueries {
       val src = media.toDF().select(col("media_id"),
         col("kind").as("src_kind"), length(col("payload")).as("plen"),
         (col("meta.width").cast("double") / col("meta.height").cast("double"))
-          .as("src_aspect"))
+          .as("src_aspect"),
+        col("meta.duration_ms").as("src_dur"))
       val joined = feats.join(src, "media_id")
       // Independent raster mean: skip the P6 header by scanning to its 3rd
       // newline ("P6\n", "<w> <h>\n", "255\n") — no width/height arithmetic
@@ -855,6 +856,29 @@ object PipelineQueries {
               floor((col("n_bytes") - 44) / 2 * 1000 / col("sample_rate")) &&
             col("brightness") > 0.0 && col("brightness") < 1.0) &&
           feats.filter(col("kind") === "audio").count() == 67L),
+        // Video container parse: duration comes from the mvhd box and must
+        // equal the generator's metadata, and brightness is the mdat
+        // byte mean — recomputed here from the KNOWN generator layout
+        // (ftyp 16 + moov 116 + mdat header 8 = payload offset 140), no
+        // arithmetic shared with the decoder's box walk. A whole-payload
+        // fallback mean would differ (it would include the box headers).
+        "video_container_ok" -> {
+          val mdatMeans = media.map { r =>
+            if (r.kind != "video") (r.media_id, -1.0)
+            else {
+              var sum = 0L; var i = 140
+              while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+              (r.media_id, sum.toDouble / (r.payload.length - 140) / 255.0)
+            }
+          }.toDF("media_id", "mdat_mean")
+          Contracts.forAll(
+            feats.join(src, "media_id").join(mdatMeans, "media_id"),
+            col("kind") =!= "video" ||
+              (col("duration_ms") === col("src_dur") &&
+                col("sample_rate") === 0 &&
+                abs(col("brightness") - col("mdat_mean")) <= lit(1e-12))) &&
+          feats.filter(col("kind") === "video").count() == 66L
+        },
         "deterministic_ok" -> (Contracts.checksum(feats) ==
           Contracts.checksum(Multimodal.extractFeatures(media).toDF())))
     }),
@@ -1156,6 +1180,7 @@ object PipelineQueries {
         |  TRUE AS features_match_source_ok,
         |  TRUE AS brightness_matches_pixels_ok,
         |  TRUE AS audio_stats_ok,
+        |  TRUE AS video_container_ok,
         |  TRUE AS deterministic_ok""".stripMargin,
 
     "multimodal_frames" ->

@@ -105,6 +105,31 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(af.brightness - rms) < 1e-12)
   }
 
+  test("decodeMp4 parses the ISO BMFF box tree and rejects malformed input") {
+    val recs = Multimodal.generate(spark, 6L).collect().sortBy(_.media_id)
+    val vid = recs(2) // id 2 → video
+    assert(vid.kind === "video")
+    val Some((durMs, (mdFrom, mdUntil))) = Multimodal.decodeMp4(vid.payload)
+    assert(durMs === vid.meta.duration_ms)
+    // generator layout: ftyp(16) + moov(8 + mvhd 108) + mdat header(8)
+    assert(mdFrom === 140 && mdUntil === vid.payload.length)
+    // box-structure sanity from the raw bytes
+    assert(new String(vid.payload, 4, 4, "US-ASCII") === "ftyp")
+    assert(new String(vid.payload, 20, 4, "US-ASCII") === "moov")
+    // rejects: not a container / truncated box / other kinds' payloads
+    assert(Multimodal.decodeMp4(Array[Byte]()) === None)
+    assert(Multimodal.decodeMp4(vid.payload.take(100)) === None)
+    assert(Multimodal.decodeMp4(recs(0).payload) === None) // PPM
+    assert(Multimodal.decodeMp4(recs(1).payload) === None) // WAV
+    // features surface the container duration and mdat-only brightness
+    val f = Multimodal.extractFeatures(Multimodal.generate(spark, 6L))
+      .collect().sortBy(_.media_id)
+    assert(f(2).duration_ms === vid.meta.duration_ms && f(2).sample_rate === 0)
+    val mdat = vid.payload.slice(mdFrom, mdUntil)
+    val mean = mdat.map(_ & 0xff).sum.toDouble / mdat.length / 255.0
+    assert(math.abs(f(2).brightness - mean) < 1e-12)
+  }
+
   test("frame sampling slices every payload into n frames that reassemble") {
     val ds = Multimodal.generate(spark, 10L)
     val frames = Multimodal.frameSample(ds, 4).collect()
