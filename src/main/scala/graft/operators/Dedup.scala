@@ -591,6 +591,97 @@ object Dedup {
     * per table, candidate join is co-located, and nBits grows with corpus
     * size to keep buckets bounded.
     */
+  /** The persisted SRP-LSH state of an embedding corpus snapshot: one
+    * (tbl, bucket, id) row per table per vector — what an incremental
+    * embedding near-dup pipeline stores between ingests (nTables
+    * fixed-width rows per vector; no vectors). Build parameters ride as
+    * column metadata so [[embeddingPairsLshIncremental]] can assert parity
+    * (mismatched planes would silently empty the candidate set).
+    */
+  def srpIndex(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 4, nTables: Int = 4, seed: Long = 19L): DataFrame = {
+    HashExpressions.register(df.sparkSession)
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val buildMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.srp.nBits", nBits)
+      .putLong("graft.srp.nTables", nTables)
+      .putLong("graft.srp.seed", seed)
+      .putLong("graft.srp.dim", dim)
+      .build()
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+          Similarity.srpBucket(col("v"),
+            Similarity.planes(nBits, dim, seed + t)).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket", buildMeta), col("id"))
+  }
+
+  /** Incremental embedding near-dup: pairs between a NEW batch and an
+    * already-indexed corpus (via its persisted [[srpIndex]]) plus pairs
+    * within the batch — WITHOUT re-hashing the corpus. Only the batch is
+    * bucketed in full; of the corpus, only candidate vectors (those
+    * sharing a (table, bucket) with a new vector) are re-read for the
+    * exact-cosine verification, via a semi-join pushed to their scan.
+    * Hyperplanes are seeded and deterministic, so the output equals a
+    * from-scratch [[embeddingPairsLsh]] over corpus ∪ batch minus its
+    * corpus-internal pairs — the driver contract asserts this exactly.
+    */
+  def embeddingPairsLshIncremental(newBatch: DataFrame, corpus: DataFrame,
+      index: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nBits: Int = 4, nTables: Int = 4, seed: Long = 19L): DataFrame = {
+    index.schema.find(_.name == "bucket").map(_.metadata)
+      .filter(_.contains("graft.srp.nBits")).foreach { m =>
+        val (ib, it, is) = (m.getLong("graft.srp.nBits"),
+          m.getLong("graft.srp.nTables"), m.getLong("graft.srp.seed"))
+        require(ib == nBits && it == nTables && is == seed,
+          s"srp index was built with (nBits=$ib, nTables=$it, seed=$is) " +
+            s"but queried with (nBits=$nBits, nTables=$nTables, seed=$seed)")
+      }
+    val bandedNew = srpIndex(newBatch, idCol, vecCol, nBits, nTables, seed)
+      .persist()
+    val crossCand = bandedNew.as("n")
+      .join(index.as("o"),
+        col("n.tbl") === col("o.tbl") &&
+        col("n.bucket") === col("o.bucket"))
+      .select(least(col("o.id"), col("n.id")).as("id_a"),
+        greatest(col("o.id"), col("n.id")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val newCand = bandedNew.as("a")
+      .join(bandedNew.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = crossCand.union(newCand).distinct()
+    // only candidate corpus vectors are re-read (semi-join prunes the scan)
+    val newIds = newBatch.select(col(idCol).as("id"))
+    val candOldIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+      .join(newIds, Seq("id"), "left_anti")
+    val vecs = newBatch.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .unionByName(
+        corpus.join(candOldIds, corpus(idCol) === candOldIds("id"),
+            "left_semi")
+          .select(col(idCol).as("id"),
+            col(vecCol).cast("array<double>").as("v")))
+      .withColumn("n", sqrt(call_function("vec_dot", col("v"), col("v"))))
+    val pairs = cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("n").as("n_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(call_function("vec_dot", col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+    Caching.materializeThenRelease(pairs, bandedNew)
+  }
+
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 4, nTables: Int = 4,
       seed: Long = 19L): DataFrame = {

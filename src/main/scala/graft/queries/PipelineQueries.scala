@@ -268,6 +268,36 @@ object PipelineQueries {
         "recall_ok" -> (nExact > 0 && hit.toDouble / nExact >= 0.6))
     }),
 
+    // Incremental embedding near-dup against a persisted SRP index: only
+    // the new batch is hashed; corpus candidates are re-read via semi-join
+    // prune. Hyperplanes are seeded, so the contract asserts EXACT set
+    // equality with the batch-touching pairs of a from-scratch full run —
+    // the recurring-ingest form of embedding dedup.
+    "dedup_embedding_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nBits = lshBits(emb.count())
+      val split = emb.agg(floor(max(col("vec_id")) * 0.8)).head().getLong(0)
+      val corpus = emb.filter(col("vec_id") < split)
+      val batch = emb.filter(col("vec_id") >= split)
+      val idx = Dedup.srpIndex(corpus, "vec_id", "embedding",
+        nBits = nBits, nTables = 8).localCheckpoint()
+      val inc = Dedup.embeddingPairsLshIncremental(batch, corpus, idx,
+        "vec_id", "embedding", threshold = 0.4, nBits = nBits, nTables = 8)
+        .localCheckpoint()
+      val full = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding",
+        threshold = 0.4, nBits = nBits, nTables = 8).localCheckpoint()
+      val expected = full.filter(col("id_b") >= split)
+      Contracts.row(s,
+        "n_vecs" -> emb.count(),
+        "pairs_well_formed_ok" -> Contracts.forAll(inc,
+          col("id_a") < col("id_b") && col("cos") >= 0.4),
+        "equals_full_run_batch_pairs_ok" ->
+          (Contracts.sameKeys(inc.select(col("id_a"), col("id_b")),
+            expected.select(col("id_a"), col("id_b")),
+            Seq("id_a", "id_b")) &&
+            inc.count() == expected.count()))
+    }),
+
     // --- Similarity search --------------------------------------------------
     "sim_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1020,6 +1050,17 @@ object PipelineQueries {
       Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", threshold = 0.4,
         nBits = lshBits(emb.count()), nTables = 8)
     }),
+    "dedup_embedding_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nBits = lshBits(emb.count())
+      val split = emb.agg(floor(max(col("vec_id")) * 0.8)).head().getLong(0)
+      val corpus = emb.filter(col("vec_id") < split)
+      val idx = Dedup.srpIndex(corpus, "vec_id", "embedding",
+        nBits = nBits, nTables = 8).localCheckpoint()
+      Dedup.embeddingPairsLshIncremental(emb.filter(col("vec_id") >= split),
+        corpus, idx, "vec_id", "embedding", threshold = 0.4,
+        nBits = nBits, nTables = 8)
+    }),
     "sim_srp_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.srpTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
@@ -1155,6 +1196,11 @@ object PipelineQueries {
     "cluster_balanced_sample" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
         |  TRUE AS per_cluster_counts_ok, TRUE AS subset_ok""".stripMargin,
+
+    "dedup_embedding_incremental" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+        |  TRUE AS pairs_well_formed_ok,
+        |  TRUE AS equals_full_run_batch_pairs_ok""".stripMargin,
 
     "embedding_kmeans" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,

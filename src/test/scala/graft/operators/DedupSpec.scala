@@ -141,6 +141,30 @@ class DedupSpec extends SparkSpec {
     assert(out.select("hamming").as[Int].head() === 0)
   }
 
+  test("incremental embedding LSH equals a full run's batch-touching pairs") {
+    val emb = t(spark, sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val idx = Dedup.srpIndex(corpus, "vec_id", "embedding", nBits = 3,
+      nTables = 8).localCheckpoint()
+    val inc = Dedup.embeddingPairsLshIncremental(batch, corpus, idx,
+        "vec_id", "embedding", threshold = 0.4, nBits = 3, nTables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding",
+        threshold = 0.4, nBits = 3, nTables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = full.filter(_._2 >= 400L)
+    assert(expected.nonEmpty, "test split should produce cross pairs")
+    assert(inc == expected,
+      s"missed=${expected -- inc} spurious=${inc -- expected}")
+    // mismatched build parameters must be refused, not silently empty
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingPairsLshIncremental(batch, corpus, idx, "vec_id",
+        "embedding", threshold = 0.4, nBits = 4, nTables = 8)
+    }
+    assert(e.getMessage.contains("nBits"))
+  }
+
   test("exact-dup-heavy corpus: banding candidates stay O(near-collisions)") {
     // 500 exact copies + 2 near-dups of a second text + 3 unrelated docs.
     // Without fingerprint pre-collapse the 500-copy cluster alone would put
