@@ -105,7 +105,9 @@ object Bench {
       if (new java.io.File(smallDir).isDirectory && smallDir != sfDir) {
         val entries = graft.queries.PipelineQueries.timed.toSeq
           .sortBy(_._1).flatMap { case (name, fn) =>
-            results.get(name).filter(_._1 > 0).map { case (bigSec, _) =>
+            // rows >= 0 = the query SUCCEEDED at sfDir (failures time the
+            // crash, which would make the growth ratio nonsense)
+            results.get(name).filter(_._2 >= 0).map { case (bigSec, _) =>
               val secs = (1 to reps).map { _ =>
                 graft.operators.Caching.releaseAllRdds(spark)
                 val t0 = System.nanoTime()

@@ -92,9 +92,13 @@ private[functions] object TempFnNames {
   // backs both the encode and the lut function) without evicting the other
   private val names = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.Map[AnyRef, String]]()
-  // role → the registry name currently holding it
-  private val roleNames = new java.util.concurrent.ConcurrentHashMap[
-    String, String]()
+  // role → the registry name currently holding it, PER function registry:
+  // registries are per-SparkSession, so a process-global role map would
+  // issue the drop against whichever session bound last and leave the
+  // original session's entry pinned. Weak keys let a closed session's
+  // bookkeeping be collected.
+  private val roleNames = new java.util.WeakHashMap[
+    AnyRef, java.util.concurrent.ConcurrentHashMap[String, String]]()
 
   def nameFor(obj: AnyRef, prefix: String): String = {
     val m = names.computeIfAbsent(prefix,
@@ -115,9 +119,18 @@ private[functions] object TempFnNames {
     * so rebuilt objects do not accumulate entries that pin them.
     */
   def bindRole(spark: SparkSession, role: String, name: String): Unit = {
-    val prev = roleNames.put(role, name)
+    val registry = spark.sessionState.functionRegistry
+    val m = roleNames.synchronized {
+      var cur = roleNames.get(registry)
+      if (cur == null) {
+        cur = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        roleNames.put(registry, cur)
+      }
+      cur
+    }
+    val prev = m.put(role, name)
     if (prev != null && prev != name)
-      spark.sessionState.functionRegistry.dropFunction(
+      registry.dropFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(prev))
   }
 }

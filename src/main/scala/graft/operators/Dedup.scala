@@ -601,7 +601,10 @@ object Dedup {
   def srpIndex(df: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 4, nTables: Int = 4, seed: Long = 19L): DataFrame = {
     HashExpressions.register(df.sparkSession)
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // empty input (a no-new-vectors ingest cycle) is legal: dim 0 marks
+    // "unknown" in the metadata, and the parity check skips it
+    val dim = df.select(size(col(vecCol))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
     val buildMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("graft.srp.nBits", nBits)
       .putLong("graft.srp.nTables", nTables)
@@ -613,7 +616,8 @@ object Dedup {
       .select(col("id"), explode(array((0 until nTables).map { t =>
         struct(lit(t).as("tbl"),
           Similarity.srpBucket(col("v"),
-            Similarity.planes(nBits, dim, seed + t)).as("bucket"))
+            Similarity.planes(nBits, math.max(dim, 1), seed + t))
+            .as("bucket"))
       }: _*)).as("tb"))
       .select(col("tb.tbl").as("tbl"),
         col("tb.bucket").as("bucket", buildMeta), col("id"))
@@ -632,13 +636,22 @@ object Dedup {
   def embeddingPairsLshIncremental(newBatch: DataFrame, corpus: DataFrame,
       index: DataFrame, idCol: String, vecCol: String, threshold: Double,
       nBits: Int = 4, nTables: Int = 4, seed: Long = 19L): DataFrame = {
+    val batchDim = newBatch.select(size(col(vecCol))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
     index.schema.find(_.name == "bucket").map(_.metadata)
       .filter(_.contains("graft.srp.nBits")).foreach { m =>
         val (ib, it, is) = (m.getLong("graft.srp.nBits"),
           m.getLong("graft.srp.nTables"), m.getLong("graft.srp.seed"))
+        val idim = m.getLong("graft.srp.dim")
         require(ib == nBits && it == nTables && is == seed,
           s"srp index was built with (nBits=$ib, nTables=$it, seed=$is) " +
             s"but queried with (nBits=$nBits, nTables=$nTables, seed=$seed)")
+        // dim drift (schema change between ingests) would generate
+        // different hyperplanes and silently empty the candidate set —
+        // refuse it too; 0 marks an empty (dim-unknown) side and skips
+        require(idim == 0 || batchDim == 0 || idim == batchDim,
+          s"srp index was built on dim=$idim vectors " +
+            s"but queried with dim=$batchDim")
       }
     val bandedNew = srpIndex(newBatch, idCol, vecCol, nBits, nTables, seed)
       .persist()

@@ -153,7 +153,9 @@ object Multimodal {
       }
       val w = 64 + (id % 16).toInt * 32
       val h = 64 + (id % 9).toInt * 32
-      val sampleRate = 8000 * (1 + (id % 3).toInt)
+      // id / 3, NOT id % 3: kind is id % 3, so a %3-derived rate would be
+      // the same constant for every audio item (audio ⇔ id % 3 == 1)
+      val sampleRate = 8000 * (1 + (id / 3 % 3).toInt)
       val audioDataBytes = math.max((bytesPerItem - 44) & ~1, 2)
       val videoDurMs = 1000L + (id % 60) * 1000L
       val payload = kind match {
@@ -244,7 +246,9 @@ object Multimodal {
     while (i + 8 <= b.length) {
       val id = tag(i)
       val size = leInt(i + 4)
-      if (size < 0 || i + 8 + size > b.length) return None
+      // long arithmetic: a near-Int.MaxValue size field must fail the
+      // bounds check, not wrap negative and walk the cursor off the array
+      if (size < 0 || i.toLong + 8 + size > b.length) return None
       id match {
         case "fmt " =>
           if (size < 16 || leShort(i + 8) != 1 /* PCM */ ||
@@ -293,15 +297,19 @@ object Multimodal {
     var i = 0
     while (i + 8 <= b.length) {
       val size = beInt(i)
-      if (size < 8 || i + size > b.length) return None
+      // long arithmetic: huge size fields must fail the bounds check, not
+      // wrap negative and walk the cursor off the array
+      if (size < 8 || i.toLong + size > b.length) return None
       tag(i + 4) match {
         case "moov" =>
           var j = i + 8
           val moovEnd = i + size
           while (j + 8 <= moovEnd) {
             val cs = beInt(j)
-            if (cs < 8 || j + cs > moovEnd) return None
-            if (tag(j + 4) == "mvhd" && b(j + 8) == 0 && cs >= 32) {
+            if (cs < 8 || j.toLong + cs > moovEnd) return None
+            // cs >= 32 FIRST: it bounds the b(j+8) version read (a minimal
+            // 8-byte box at the buffer end must not index past the array)
+            if (tag(j + 4) == "mvhd" && cs >= 32 && b(j + 8) == 0) {
               val timescale = beInt(j + 20)
               if (timescale <= 0) return None
               durationMs = beInt(j + 24).toLong * 1000L / timescale

@@ -51,6 +51,7 @@ object InMemoryQueue {
   def clear(name: String): Unit = {
     queues.remove(name)
     receives.remove(name)
+    dlqMoves.remove(name)
   }
 
   def all(name: String): Seq[QueueMessage] = queue(name).iterator().asScala.toSeq
@@ -67,6 +68,19 @@ object InMemoryQueue {
   def receiveCount(name: String, id: String): Int =
     Option(receives.get(name)).flatMap(m => Option(m.get(id)))
       .map(_.intValue).getOrElse(0)
+
+  // (queue, id) pairs already moved to a DLQ — putIfAbsent makes the move
+  // idempotent even when a scan executes several times for one batch
+  private val dlqMoves =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, java.lang.Boolean]]()
+
+  /** True exactly once per (name, id): the caller that wins performs the
+    * dead-letter append; re-executions and retries see false.
+    */
+  def claimDlqMove(name: String, id: String): Boolean =
+    dlqMoves.computeIfAbsent(name,
+        _ => new ConcurrentHashMap[String, java.lang.Boolean]())
+      .putIfAbsent(id, java.lang.Boolean.TRUE) == null
 }
 
 /** Accept-everything sink that never stores: the dry-run / throughput-

@@ -881,7 +881,8 @@ object PipelineQueries {
         // equation. All 67 audio items (id ≡ 1 mod 3) must decode.
         "audio_stats_ok" -> (Contracts.forAll(
           feats.filter(col("kind") === "audio"),
-          col("sample_rate") === (lit(8000) * (lit(1) + col("media_id") % 3)) &&
+          col("sample_rate") ===
+            (lit(8000) * (lit(1) + expr("media_id div 3") % 3)) &&
             col("duration_ms") ===
               floor((col("n_bytes") - 44) / 2 * 1000 / col("sample_rate")) &&
             col("brightness") > 0.0 && col("brightness") < 1.0) &&

@@ -145,11 +145,29 @@ private[v2] class QueueMicroBatchStream(queueName: String,
   override def deserializeOffset(json: String): Offset =
     QueueOffset(json.trim.toLong)
 
+  // offset ranges already receive-counted by THIS stream instance:
+  // planInputPartitions runs several times per micro-batch (logical +
+  // physical planning, then once per action executing the scan), so the
+  // count dedupes on (instance, range). A query restart constructs a NEW
+  // MicroBatchStream, so a replayed batch counts again — SQS redelivery —
+  // while multi-action handlers and task retries within one delivery
+  // cannot inflate the count.
+  private val counted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long)]()
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[QueueOffset].n
     val e = end.asInstanceOf[QueueOffset].n
     if (e <= s) Array.empty
-    else Array(QueueSlice(queueName, s, e, policy, streaming = true))
+    else {
+      // Receive counting happens at planning, once per delivery (see
+      // `counted`). Driver-side per-message state is the local stand-in
+      // for what a real broker tracks (ApproximateReceiveCount).
+      if (counted.add((s, e)))
+        InMemoryQueue.all(queueName).slice(s.toInt, e.toInt)
+          .foreach(m => InMemoryQueue.incReceive(queueName, m.id))
+      Array(QueueSlice(queueName, s, e, policy, streaming = true))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -176,14 +194,14 @@ private[v2] class QueueReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean = {
         while (it.hasNext) {
           val m = it.next()
-          val n =
-            if (slice.streaming) InMemoryQueue.incReceive(slice.queueName, m.id)
-            else InMemoryQueue.receiveCount(slice.queueName, m.id)
+          // counts were recorded at batch-planning time; the reader only
+          // READS them, so re-executed scans cannot inflate receives
+          val n = InMemoryQueue.receiveCount(slice.queueName, m.id)
           if (slice.streaming && n > slice.policy.maxReceiveCount) {
             // redrive: exceeded maxReceiveCount — dead-letter instead of
-            // delivering. Append exactly once (the first exceeding receive);
-            // later replays of an uncommitted batch skip without re-adding.
-            if (n == slice.policy.maxReceiveCount + 1)
+            // delivering. claimDlqMove appends exactly once even if this
+            // scan executes several times for the batch.
+            if (InMemoryQueue.claimDlqMove(slice.queueName, m.id))
               InMemoryQueue.queue(slice.policy.dlq).add(m)
           } else {
             cur = new GenericInternalRow(Array[Any](

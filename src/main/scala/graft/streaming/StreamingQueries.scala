@@ -40,14 +40,22 @@ object StreamingQueries {
   }
 
   /** Streaming scan of the documents table (same staging pattern as
-    * [[rawEvents]]).
+    * [[rawEvents]]). `nCopies` stages that many copies of the file;
+    * combined with `maxFilesPerTrigger = Some(1)` each copy lands in its
+    * OWN micro-batch — the harness for proving state crosses real batch
+    * boundaries.
     */
-  private def rawDocs(s: SparkSession, dir: String): DataFrame = {
+  private def rawDocs(s: SparkSession, dir: String, nCopies: Int = 1,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
     val stage = Files.createTempDirectory("graft-stream-docs-")
-    Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      stage.resolve("documents.parquet"))
-    s.readStream.schema(schema).parquet(stage.toString)
+    (1 to nCopies).foreach(i =>
+      Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        stage.resolve(s"copy${i}_documents.parquet")))
+    val reader = s.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(stage.toString)
   }
 
   private def runToTable(df: DataFrame, mode: String,
@@ -339,14 +347,7 @@ object StreamingQueries {
     // batch funnel over the same table — streaming/batch parity for the
     // curation path.
     "streaming_curation" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val stage = Files.createTempDirectory("graft-stream-cur-")
-      Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        stage.resolve("batch1_documents.parquet"))
-      Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        stage.resolve("batch2_documents.parquet"))
-      val docs = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      val docs = rawDocs(s, dir, nCopies = 2, maxFilesPerTrigger = Some(1))
       val funnel = docs
         .withColumn("n_tok",
           size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
@@ -465,16 +466,13 @@ object StreamingQueries {
           .writeStream.option("checkpointLocation", cp)
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (b: DataFrame, _: Long) =>
-            // persist so the handler's two actions read the source ONCE:
-            // foreachBatch re-executes the V2 scan per action, which would
-            // double-count receives per attempt
-            val batch = b.persist()
-            try {
-              if (failOnPoison &&
-                  batch.filter(col("id") === poison).count() > 0)
-                throw new RuntimeException("handler fails on poison message")
-              batch.write.mode("append").parquet(out)
-            } finally batch.unpersist()
+            // deliberately TWO actions with no persist: each re-executes
+            // the V2 scan, and the receive_count==1 assertion below proves
+            // the source counts per DELIVERY (batch planning), not per
+            // scan execution
+            if (failOnPoison && b.filter(col("id") === poison).count() > 0)
+              throw new RuntimeException("handler fails on poison message")
+            b.write.mode("append").parquet(out)
             ()
           }.start()
         sq.awaitTermination()

@@ -73,10 +73,12 @@ class MultimodalSpec extends SparkSpec {
 
   test("decodeWav parses RIFF/WAVE PCM chunks and rejects malformed input") {
     val recs = Multimodal.generate(spark, 6L).collect().sortBy(_.media_id)
-    val wav = recs(1) // id 1 → audio, 16 kHz
+    val wav = recs(1) // id 1 → audio, 8 kHz (rate varies by id/3)
     assert(wav.kind === "audio")
     val Some((rate, durMs, rms)) = Multimodal.decodeWav(wav.payload)
-    assert(rate === 16000)
+    assert(rate === 8000)
+    // the corpus really varies the rate: id 4 is the next audio item
+    assert(Multimodal.decodeWav(recs(4).payload).get._1 === 16000)
     assert(durMs === wav.meta.duration_ms)
     assert(rms > 0.0 && rms < 1.0)
     // hand-built 2-sample file (samples 0 and -32768): rms = 1/sqrt(2),
@@ -101,7 +103,7 @@ class MultimodalSpec extends SparkSpec {
     val afAll = Multimodal.extractFeatures(Multimodal.generate(spark, 6L))
       .collect().sortBy(_.media_id)
     val af = afAll(1)
-    assert(af.sample_rate === 16000 && af.duration_ms === wav.meta.duration_ms)
+    assert(af.sample_rate === 8000 && af.duration_ms === wav.meta.duration_ms)
     assert(math.abs(af.brightness - rms) < 1e-12)
   }
 
@@ -128,6 +130,57 @@ class MultimodalSpec extends SparkSpec {
     val mdat = vid.payload.slice(mdFrom, mdUntil)
     val mean = mdat.map(_ & 0xff).sum.toDouble / mdat.length / 255.0
     assert(math.abs(f(2).brightness - mean) < 1e-12)
+  }
+
+  test("decoders never throw on arbitrary bytes (fuzz)") {
+    // corrupt media must become accountable Nones (→ stub features), not
+    // task failures — the PERMISSIVE-mode posture of the json/csv paths
+    // applied to binary decode. Seeded RNG keeps failures reproducible.
+    val rng = new scala.util.Random(42)
+    val cases = Seq.tabulate(200) { i =>
+      val b = new Array[Byte](rng.nextInt(300))
+      rng.nextBytes(b)
+      // half the cases get a plausible magic prefix to push deeper paths
+      if (i % 4 == 1 && b.length >= 2) { b(0) = 'P'; b(1) = '6' }
+      if (i % 4 == 2 && b.length >= 12) {
+        "RIFF".getBytes.copyToArray(b, 0); "WAVE".getBytes.copyToArray(b, 8)
+      }
+      if (i % 4 == 3 && b.length >= 8)
+        "ftyp".getBytes.copyToArray(b, 4)
+      b
+    }
+    cases.foreach { b =>
+      Multimodal.decodePpm(b)
+      Multimodal.decodeWav(b)
+      Multimodal.decodeMp4(b)
+    }
+    // crafted adversarial cases (found by review, kept as regressions):
+    def be4(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le4b(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // minimal 8-byte mvhd box ending exactly at the buffer end: the
+    // version byte b(j+8) does not exist — must be None, not AIOOBE
+    val tinyMvhd = be4(16) ++ "ftyp".getBytes ++ be4(0) ++ be4(0) ++
+      be4(16) ++ "moov".getBytes ++ be4(8) ++ "mvhd".getBytes
+    assert(Multimodal.decodeMp4(tinyMvhd) === None)
+    // near-Int.MaxValue size fields: bounds math must not wrap negative
+    val hugeWavChunk = "RIFF".getBytes ++ le4b(36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le4b(0x7ffffff0) ++ Array.fill[Byte](24)(0)
+    assert(Multimodal.decodeWav(hugeWavChunk) === None)
+    val hugeMp4Box = be4(16) ++ "ftyp".getBytes ++ be4(0) ++ be4(0) ++
+      be4(0x7ffffff0) ++ "free".getBytes ++ Array.fill[Byte](8)(0)
+    assert(Multimodal.decodeMp4(hugeMp4Box) === None)
+    // truncations of VALID files exercise every length check
+    val recs = Multimodal.generate(spark, 3L).collect().sortBy(_.media_id)
+    recs.foreach { r =>
+      Seq(1, 7, 13, 43, 44, 45, 100, 139, 140, 141).foreach { n =>
+        val cut = r.payload.take(math.min(n, r.payload.length))
+        Multimodal.decodePpm(cut)
+        Multimodal.decodeWav(cut)
+        Multimodal.decodeMp4(cut)
+      }
+    }
   }
 
   test("frame sampling slices every payload into n frames that reassemble") {
