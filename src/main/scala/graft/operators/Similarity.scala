@@ -481,7 +481,18 @@ object Similarity {
     val coarse = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
+    // STATIC partition pruning: the probed bucket set is bounded by
+    // nCentroids (tiny), so collect it and filter the stored table with
+    // literals — the scan then carries PartitionFilters and reads ONLY the
+    // probed bucket=N directories, guaranteed, instead of relying on
+    // dynamic pruning through the probe join to fire.
+    val probedBuckets = withNorm(queries, idCol, vecCol, "qid", "v_q", "n_q")
+      .select(explode(slice(centroidScores(coarse)(col("v_q"), col("n_q")),
+        1, nProbe)).as("p"))
+      .select(col("p.bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
     val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("bucket").isin(probedBuckets: _*))
       .select(col("bucket").cast("int").as("bucket"), col("nid"),
         col("codes"))
     val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n").persist()

@@ -177,6 +177,19 @@ class SimilaritySpec extends SparkSpec {
     val dirs = new java.io.File(s"$path/codes").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
     assert(dirs.length > 1)
+    // the query-path read shape (literal isin over the partition column)
+    // carries PartitionFilters — the scan provably reads only probed
+    // directories, it does not filter post-scan
+    val pruned = spark.read.parquet(s"$path/codes")
+      .filter(col("bucket").isin(0, 1))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("bucket"), s"expected partition pruning in:\n$plan")
+    val filesRead = pruned.select(
+        org.apache.spark.sql.functions.input_file_name()).distinct()
+      .as[String].collect()
+    assert(filesRead.nonEmpty &&
+      filesRead.forall(f => f.contains("bucket=0") || f.contains("bucket=1")))
   }
 
   test("PQ codes table is narrow and the codebook is deterministic") {
