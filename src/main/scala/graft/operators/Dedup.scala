@@ -600,11 +600,16 @@ object Dedup {
     */
   def srpIndex(df: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 4, nTables: Int = 4, seed: Long = 19L): DataFrame = {
-    HashExpressions.register(df.sparkSession)
     // empty input (a no-new-vectors ingest cycle) is legal: dim 0 marks
     // "unknown" in the metadata, and the parity check skips it
     val dim = df.select(size(col(vecCol))).head(1).headOption
       .map(_.getInt(0)).getOrElse(0)
+    srpIndexWithDim(df, idCol, vecCol, nBits, nTables, seed, dim)
+  }
+
+  private def srpIndexWithDim(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, nTables: Int, seed: Long, dim: Int): DataFrame = {
+    HashExpressions.register(df.sparkSession)
     val buildMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("graft.srp.nBits", nBits)
       .putLong("graft.srp.nTables", nTables)
@@ -642,7 +647,10 @@ object Dedup {
       .filter(_.contains("graft.srp.nBits")).foreach { m =>
         val (ib, it, is) = (m.getLong("graft.srp.nBits"),
           m.getLong("graft.srp.nTables"), m.getLong("graft.srp.seed"))
-        val idim = m.getLong("graft.srp.dim")
+        // dim metadata arrived later than the other keys — an index
+        // persisted by an older build lacks it; treat absence as unknown
+        val idim = if (m.contains("graft.srp.dim"))
+          m.getLong("graft.srp.dim") else 0L
         require(ib == nBits && it == nTables && is == seed,
           s"srp index was built with (nBits=$ib, nTables=$it, seed=$is) " +
             s"but queried with (nBits=$nBits, nTables=$nTables, seed=$seed)")
@@ -653,8 +661,10 @@ object Dedup {
           s"srp index was built on dim=$idim vectors " +
             s"but queried with dim=$batchDim")
       }
-    val bandedNew = srpIndex(newBatch, idCol, vecCol, nBits, nTables, seed)
-      .persist()
+    // batchDim is already computed — thread it through so the batch is not
+    // hit with a second dim-probe job
+    val bandedNew = srpIndexWithDim(newBatch, idCol, vecCol, nBits, nTables,
+      seed, batchDim).persist()
     val crossCand = bandedNew.as("n")
       .join(index.as("o"),
         col("n.tbl") === col("o.tbl") &&

@@ -481,12 +481,16 @@ object Similarity {
     val coarse = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
+    // Persist the query pipeline first: both the bucket-set collect below
+    // and ivfPqQuery's probe/lut derivation read it, and without the cache
+    // an expensive upstream query plan would execute twice.
+    val qBase = queries.persist()
     // STATIC partition pruning: the probed bucket set is bounded by
     // nCentroids (tiny), so collect it and filter the stored table with
     // literals — the scan then carries PartitionFilters and reads ONLY the
     // probed bucket=N directories, guaranteed, instead of relying on
     // dynamic pruning through the probe join to fire.
-    val probedBuckets = withNorm(queries, idCol, vecCol, "qid", "v_q", "n_q")
+    val probedBuckets = withNorm(qBase, idCol, vecCol, "qid", "v_q", "n_q")
       .select(explode(slice(centroidScores(coarse)(col("v_q"), col("n_q")),
         1, nProbe)).as("p"))
       .select(col("p.bucket")).distinct()
@@ -496,8 +500,8 @@ object Similarity {
       .select(col("bucket").cast("int").as("bucket"), col("nid"),
         col("codes"))
     val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n").persist()
-    ivfPqQuery(c, queries, codes, coarse, cbFlat, idCol, vecCol,
-      k, nProbe, m, ksub, sub, shortlistFactor, c)
+    ivfPqQuery(c, qBase, codes, coarse, cbFlat, idCol, vecCol,
+      k, nProbe, m, ksub, sub, shortlistFactor, c, qBase)
   }
 
   /** Defaults follow the measured sweep (Bench's `ivf_sweep` at sf0.1):

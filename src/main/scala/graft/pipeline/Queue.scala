@@ -56,6 +56,15 @@ object InMemoryQueue {
 
   def all(name: String): Seq[QueueMessage] = queue(name).iterator().asScala.toSeq
 
+  /** The [start, end) log slice, without materializing the whole queue
+    * (the streaming source slices per micro-batch; copying the full log per
+    * planning would make an N-message drain O(N²) driver work). Offsets
+    * past Int.MaxValue fail loudly instead of wrapping.
+    */
+  def slice(name: String, start: Long, end: Long): Seq[QueueMessage] =
+    queue(name).iterator().asScala
+      .slice(Math.toIntExact(start), Math.toIntExact(end)).toSeq
+
   /** Record one receive of `id` on `name`; returns the new count. Counts
     * survive consumer restarts (process-lifetime), which is what lets a
     * redrive policy see "this message has failed delivery N times".

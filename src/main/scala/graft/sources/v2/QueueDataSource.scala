@@ -164,7 +164,7 @@ private[v2] class QueueMicroBatchStream(queueName: String,
       // `counted`). Driver-side per-message state is the local stand-in
       // for what a real broker tracks (ApproximateReceiveCount).
       if (counted.add((s, e)))
-        InMemoryQueue.all(queueName).slice(s.toInt, e.toInt)
+        InMemoryQueue.slice(queueName, s, e)
           .foreach(m => InMemoryQueue.incReceive(queueName, m.id))
       Array(QueueSlice(queueName, s, e, policy, streaming = true))
     }
@@ -186,8 +186,7 @@ private[v2] class QueueReaderFactory extends PartitionReaderFactory {
     val slice = partition.asInstanceOf[QueueSlice]
     // ConcurrentLinkedQueue iterates head→tail and is append-only under this
     // source (nothing drains), so index slicing is stable across batches.
-    val msgs = InMemoryQueue.all(slice.queueName)
-      .slice(slice.start.toInt, slice.end.toInt)
+    val msgs = InMemoryQueue.slice(slice.queueName, slice.start, slice.end)
     new PartitionReader[InternalRow] {
       private val it = msgs.iterator
       private var cur: InternalRow = _

@@ -178,18 +178,20 @@ class SimilaritySpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
     assert(dirs.length > 1)
     // the query-path read shape (literal isin over the partition column)
-    // carries PartitionFilters — the scan provably reads only probed
-    // directories, it does not filter post-scan
+    // must become PARTITION filters on the scan node — not a post-scan
+    // row filter (which would read every directory and drop rows late).
+    // Assert on the scan's actual partitionFilters, non-vacuously: the
+    // plan STRING prints "PartitionFilters: []" even when pruning never
+    // fires, and input_file_name can't tell pruning from row-filtering.
     val pruned = spark.read.parquet(s"$path/codes")
       .filter(col("bucket").isin(0, 1))
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") &&
-      plan.contains("bucket"), s"expected partition pruning in:\n$plan")
-    val filesRead = pruned.select(
-        org.apache.spark.sql.functions.input_file_name()).distinct()
-      .as[String].collect()
-    assert(filesRead.nonEmpty &&
-      filesRead.forall(f => f.contains("bucket=0") || f.contains("bucket=1")))
+    pruned.collect()
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      s"bucket isin must prune partitions, got:\n${scans.head}")
   }
 
   test("PQ codes table is narrow and the codebook is deterministic") {
