@@ -50,6 +50,9 @@ object Bench {
     // OUTSIDE the timer make the per-query number a median over clean
     // heaps; "total" stays the sum of medians.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // per query: (median sec, rows, spread = max-min over the reps) — the
+    // spread lands in the bench file so a noisy timing is distinguishable
+    // from a real regression without re-running
     val results = selected.map { case (name, fn) =>
       var rows = -1L
       val secs = (1 to reps).map { _ =>
@@ -60,12 +63,15 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       graft.operators.Caching.releaseAllRdds(spark)
-      name -> ((secs(secs.size / 2), rows))
+      name -> ((secs(secs.size / 2), rows, secs.last - secs.head))
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val rows = results.map { case (k, (_, r)) => s"\"" + k + "\":" + r }
+    val rows = results.map { case (k, (_, r, _)) => s"\"" + k + "\":" + r }
       .mkString("{", ",", "}")
+    val spreads = results.map { case (k, (_, _, sp)) =>
+      s"\"" + k + "\":" + jnum(sp, 3)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val nQueries = results.size
     // IVF recall/latency sweep (untimed extra): how the ANN quality/cost
@@ -107,7 +113,7 @@ object Bench {
           .sortBy(_._1).flatMap { case (name, fn) =>
             // rows >= 0 = the query SUCCEEDED at sfDir (failures time the
             // crash, which would make the growth ratio nonsense)
-            results.get(name).filter(_._2 >= 0).map { case (bigSec, _) =>
+            results.get(name).filter(_._2 >= 0).map { case (bigSec, _, _) =>
               val secs = (1 to reps).map { _ =>
                 graft.operators.Caching.releaseAllRdds(spark)
                 val t0 = System.nanoTime()
@@ -149,7 +155,7 @@ object Bench {
     // tail window — the full 87-query map is ~4 KB and lands mid-line in
     // that window, so the parseable contract line must stay short.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"ivf_sweep":$sweep,"scale_growth":$scaleGrowth,"publish_envelope":$envelope,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"spread":$spreads,"ivf_sweep":$sweep,"scale_growth":$scaleGrowth,"publish_envelope":$envelope,"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec",""" +
         s""""n_queries":$nQueries,"sf":"$sfDir"}"""
