@@ -533,6 +533,30 @@ object PipelineQueries {
         "bucket_partitioned_ok" -> (bucketDirs.length > 1))
     }),
 
+    // OPQ-style rotated PQ: principal-axis rotation + snake eigenvalue
+    // allocation before product quantization. The load-bearing claim is
+    // EXACT: a pure orthonormal rotation preserves cosine, so the
+    // re-ranked scores computed in ROTATED space must equal exact cosines
+    // of the ORIGINAL vectors (tolerance 2e-6: both sides round to 6 dp,
+    // and the rotation's float error can flip a rounding boundary). Recall
+    // vs brute force is corpus-geometry-dependent (helps correlated
+    // coordinates, neutral-to-negative on axis-aligned ones — measured
+    // range 0.24..0.88 across sfs/m; see Similarity.opqTopK scaladoc), so
+    // the floor is deliberately loose.
+    "sim_opq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val opq = Similarity.opqTopK(emb, q, "vec_id", "embedding",
+        k = 5, m = 8, shortlistFactor = 4).localCheckpoint()
+      val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        k = 5).localCheckpoint()
+      Contracts.row(s,
+        "n_queries" -> q.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(opq, "qid", "rank", 5),
+        "scores_exact_ok" -> scoresMatchExact(opq, emb, tol = 2e-6),
+        "recall_ok" -> (Contracts.recall(opq, brute) >= 0.15))
+    }),
+
     // Token frequency top-k over the whole corpus (explode → two-phase agg).
     "token_freq_topk" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1077,6 +1101,11 @@ object PipelineQueries {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, m = 16, shortlistFactor = 8)
     }),
+    "sim_opq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.opqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, m = 8, shortlistFactor = 4)
+    }),
     "sim_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
@@ -1131,7 +1160,8 @@ object PipelineQueries {
     * an independent implementation of the native `vec_dot` kernel.
     */
   private def scoresMatchExact(topk: org.apache.spark.sql.DataFrame,
-      emb: org.apache.spark.sql.DataFrame): Boolean = {
+      emb: org.apache.spark.sql.DataFrame,
+      tol: Double = 1e-9): Boolean = {
     val v = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val joined = topk
@@ -1139,7 +1169,7 @@ object PipelineQueries {
       .join(v.select(col("vec_id").as("nid"), col("v").as("v_n")), "nid")
       .withColumn("exact_cos",
         round(Similarity.cosine(col("v_q"), col("v_n")), 6))
-    Contracts.forAll(joined, abs(col("cos") - col("exact_cos")) <= 1e-9)
+    Contracts.forAll(joined, abs(col("cos") - col("exact_cos")) <= tol)
   }
 
   val oracles: Map[String, String] = Map(
@@ -1177,6 +1207,12 @@ object PipelineQueries {
         |  TRUE AS recall_ok""".stripMargin,
 
     "sim_pq_topk" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+        |    AS n_queries,
+        |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,
+        |  TRUE AS recall_ok""".stripMargin,
+
+    "sim_opq_topk" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
         |    AS n_queries,
         |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,

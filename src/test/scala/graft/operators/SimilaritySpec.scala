@@ -194,6 +194,30 @@ class SimilaritySpec extends SparkSpec {
       s"bucket isin must prune partitions, got:\n${scans.head}")
   }
 
+  test("OPQ rotation preserves cosine: re-ranked scores are exact originals") {
+    val emb = t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val bruteMap = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 100)
+      .select("qid", "nid", "cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    def run() = Similarity.opqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, m = 8, shortlistFactor = 4)
+    val rows = run().select("qid", "nid", "cos").as[(Long, Long, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    // scores computed in ROTATED space equal exact cosines of the ORIGINAL
+    // vectors (2e-6: independent 6-dp roundings can straddle a boundary)
+    rows.foreach { case (q, n, c) =>
+      bruteMap.get((q, n)).foreach(e => assert(math.abs(e - c) <= 2e-6))
+    }
+    // seeded PCA fit + seeded codebooks → re-run deterministic
+    assert(run().select("qid", "rank", "nid").as[(Long, Int, Long)]
+      .collect().toSeq ==
+      run().select("qid", "rank", "nid").as[(Long, Int, Long)]
+        .collect().toSeq)
+  }
+
   test("PQ codes table is narrow and the codebook is deterministic") {
     val emb = t(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 3)
