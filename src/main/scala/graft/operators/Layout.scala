@@ -46,6 +46,35 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Deterministic layout writer: one parquet file per ntile of the TOTAL
+    * `orderCols` order — no sampled boundaries, so the physical file boxes
+    * (and any strictly-fewer pruning assertion over them) are identical run
+    * to run. `repartitionByRange`'s SAMPLED split points jitter and flipped
+    * LayoutSpec's comparison once under full-suite load; this is the
+    * deterministic complement for bounded tables (the global ntile window
+    * serializes through one task — fine at spec scale, while production
+    * layout keeps [[zorderWrite]]'s range shuffle). One file per tile is
+    * guaranteed by routing the tile id through a directory partition.
+    * `orderCols` must be a total order or tile boundaries drift with
+    * partition arrival order.
+    */
+  def layoutWriteExact(df: DataFrame, orderCols: Seq[Column], path: String,
+      nFiles: Int): Unit = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*)
+    df.withColumn("_f", ntile(nFiles).over(w))
+      .repartition(nFiles, col("_f"))
+      .sortWithinPartitions(col("_f"))
+      .write.mode("overwrite").partitionBy("_f").parquet(path)
+  }
+
+  /** [[layoutWriteExact]] ordered by the Morton key (x, y as tie-breaks so
+    * rows beyond the interleaved low 16 bits still order totally).
+    */
+  def zorderWriteExact(df: DataFrame, xCol: String, yCol: String,
+      path: String, nFiles: Int): Unit =
+    layoutWriteExact(df,
+      Seq(morton16(col(xCol), col(yCol)), col(xCol), col(yCol)), path, nFiles)
+
   /** Deterministic layout simulation: assign rows to `nFiles` equal-count
     * files in `orderCols` order (ntile — no sampling), compute each file's
     * (x, y) min/max box, and count boxes intersecting each query box.

@@ -71,6 +71,18 @@ object PipelineQueries {
           "doc_id", "text", threshold = 0.3))
         .orderBy(col("id"))),
 
+    // Same component problem solved by the O(log² n)-round alternating
+    // large-star/small-star algorithm — the formulation that survives giant
+    // components (label propagation needs diameter-many rounds). Oracle is
+    // identical to dedup_clusters; DedupSpec covers the giant-component case
+    // (500-node path) the bounded oracle subset can't produce.
+    "dedup_clusters_star" -> ((s, dir) =>
+      Dedup.clustersStar(
+        Dedup.jaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", threshold = 0.3))
+        .orderBy(col("id"))),
+
     // The complete near-dup removal: corpus minus non-representative cluster
     // members, using the exact-Jaccard edge set on the bounded subset.
     "dedup_near_keep" -> ((s, dir) => {
@@ -1618,6 +1630,29 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents WHERE doc_id < 300)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        |SELECT src AS id, least(src, min(dst))::BIGINT AS cluster
+        |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+
+    "dedup_clusters_star" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(
         |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]

@@ -229,4 +229,35 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
   }
+
+  test("clustersStar: giant path component converges (label prop would need " +
+      "diameter rounds) and matches on mixed shapes") {
+    // A 500-node path is the adversarial case for min-label propagation
+    // (diameter 499); the alternating algorithm's O(log² n) bound means the
+    // internal 64-round guard alone proves fast convergence.
+    val path = (0L until 499L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val gotPath = Dedup.clustersStar(path).as[(Long, Long)].collect()
+    assert(gotPath.length === 500)
+    assert(gotPath.forall(_._2 === 0L))
+
+    // star with a high-id hub + chain + isolated pair, reversed id order
+    val mixed = Seq(
+      (900L, 1L), (900L, 2L), (900L, 3L),          // star, hub above leaves
+      (2L, 1L),                                     // ties star into {1,2,3,900}
+      (50L, 40L), (40L, 30L),                       // chain
+      (7L, 8L)                                      // pair
+    ).toDF("id_a", "id_b")
+    val got = Dedup.clustersStar(mixed).as[(Long, Long)].collect().toMap
+    val viaPropagation = Dedup.clusters(mixed).as[(Long, Long)].collect().toMap
+    assert(got === viaPropagation)
+    assert(got(900L) === 1L && got(30L) === 30L && got(50L) === 30L &&
+      got(8L) === 7L)
+  }
+
+  test("clustersStar: empty and self-loop-only inputs yield empty output") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clustersStar(empty).isEmpty)
+    val selfOnly = Seq((5L, 5L)).toDF("id_a", "id_b")
+    assert(Dedup.clustersStar(selfOnly).isEmpty)
+  }
 }

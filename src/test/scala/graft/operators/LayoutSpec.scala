@@ -37,10 +37,11 @@ class LayoutSpec extends SparkSpec {
     val nFiles = 16
     val zdir = tmpDir("zorder")
     val ldir = tmpDir("linear")
-    Layout.zorderWrite(df, "a", "b", zdir, nFiles)
-    df.repartitionByRange(nFiles, col("a"), col("b"))
-      .sortWithinPartitions(col("a"), col("b"))
-      .write.mode("overwrite").parquet(ldir)
+    // exact ntile layouts on BOTH sides: repartitionByRange's sampled
+    // boundaries made the strictly-fewer assertion flip once under
+    // full-suite load (the NOTES.md flaky-by-construction class)
+    Layout.zorderWriteExact(df, "a", "b", zdir, nFiles)
+    Layout.layoutWriteExact(df, Seq(col("a"), col("b")), ldir, nFiles)
     // boxes selective in BOTH dims; linear sort only prunes on leading `a`
     val boxes = Seq((0L, 15L, 0L, 15L), (64L, 79L, 64L, 79L),
       (112L, 127L, 0L, 15L), (32L, 47L, 96L, 111L))
