@@ -238,6 +238,60 @@ object Embeddings {
     df.withColumn(clusterCol, when(n > 0, best))
   }
 
+  /** Within-cluster cosine near-dup pairs over an ALREADY-ASSIGNED corpus —
+    * the candidate-generation step of SemDeDup-style semantic deduplication
+    * (Abbas et al., "SemDeDup", 2023): k-means clusters bound the quadratic,
+    * so the self-join fans out (n/k)² per cluster instead of n² overall.
+    *
+    * Shape at 100 TB: one shuffle on the cluster key (k chosen so a cluster
+    * fits a task — SemDeDup runs k≈50 000 at LAION scale), then a per-cluster
+    * join whose cosine runs on the native `vec_dot` kernel. Cross-cluster
+    * near-dups are missed by construction; that is the accepted
+    * approximation this family trades for never running an n² join.
+    *
+    * Output: (cluster, id_a, id_b, cos) with id_a < id_b, cos ≥ threshold,
+    * rounded to 6 places (both engines hash the same representation).
+    */
+  def semanticPairs(assigned: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, threshold: Double): DataFrame = {
+    HashExpressions.register(assigned.sparkSession)
+    val v = assigned.filter(col(clusterCol).isNotNull)
+      .select(col(clusterCol).as("__c"), col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", sqrt(call_function("vec_dot", col("__v"), col("__v"))))
+      .filter(col("__n") > 0)
+    val a = v.select(col("__c"), col("__id").as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = v.select(col("__c"), col("__id").as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("__c")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(call_function("vec_dot", col("__va"), col("__vb")) /
+          (col("__na") * col("__nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("__c").as("cluster"), col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Semantic deduplication end-to-end: fit spherical k-means, generate
+    * within-cluster near-dup pairs, resolve components with the
+    * giant-component-safe [[Dedup.clustersStar]], and keep each component's
+    * min-id representative. Returns (survivors, pairs) — pairs so callers
+    * can audit what was merged without recomputing the cluster join.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      threshold: Double, iters: Int = 2,
+      seed: Long = 31L): (DataFrame, DataFrame) = {
+    val (assigned, _) = kmeans(df, idCol, vecCol, k, iters, seed,
+      clusterCol = "__sd_cluster")
+    val pairs = Caching.materializeThenRelease(
+      semanticPairs(assigned, idCol, vecCol, "__sd_cluster", threshold))
+    val dropIds = Dedup.clustersStar(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id"))
+    val survivors = df.join(dropIds, df(idCol) === dropIds("id"), "left_anti")
+    (survivors, pairs)
+  }
+
   /** Scan-side projection onto the model's components:
     * out[i] = (v − mean)·cᵢ = v·cᵢ − mean·cᵢ (the mean dot folds into a
     * literal, so no per-element centering runs per row). `whiten = true`

@@ -498,6 +498,54 @@ object PipelineQueries {
           .join(emb, Seq("vec_id"), "left_anti").isEmpty)
     }),
 
+    // SemDeDup-style semantic dedup: k-means clusters bound the quadratic
+    // (the (n/k)² within-cluster join is the only pair generation — no n²
+    // anywhere), components resolve via the giant-component-safe
+    // large-star/small-star CC, min-id representative survives. Contract:
+    // pair generation is partition-invariant under the FITTED model (the
+    // assignment+join path has no aggregation, so no summation-order ulps),
+    // pairs restricted to the bounded subset are a subset of the exact
+    // quadratic form, no near-dup pair survives dedup, every dropped doc is
+    // witnessed by at least one pair, and counts conserve.
+    "semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val thr = 0.4
+      val (assigned, cent) = Embeddings.kmeans(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val pairs = Embeddings.semanticPairs(assigned, "vec_id", "embedding",
+        "cluster", thr).localCheckpoint()
+      val cc = Dedup.clustersStar(pairs).localCheckpoint()
+      val dropIds = cc.filter(col("id") =!= col("cluster"))
+        .select(col("id")).localCheckpoint()
+      val survivors = emb.join(dropIds, emb("vec_id") === dropIds("id"),
+        "left_anti").localCheckpoint()
+      val pairs2 = Embeddings.semanticPairs(
+        Embeddings.assign(emb.repartition(13), "vec_id", "embedding", cent),
+        "vec_id", "embedding", "cluster", thr)
+      val exactSubset = graft.operators.Dedup.embeddingPairs(
+        emb.filter(col("vec_id") < 300), "vec_id", "embedding", thr)
+      Contracts.row(s,
+        "n_vectors" -> emb.count(),
+        "pairs_well_formed_ok" -> Contracts.forAll(pairs,
+          col("id_a") < col("id_b") && col("cos") >= thr),
+        "pairs_partition_invariant_ok" -> Contracts.sameKeys(pairs, pairs2,
+          Seq("id_a", "id_b")),
+        "pairs_subset_of_exact_ok" -> pairs
+          .filter(col("id_a") < 300 && col("id_b") < 300)
+          .join(exactSubset, Seq("id_a", "id_b"), "left_anti").isEmpty,
+        "no_surviving_pair_ok" -> pairs
+          .join(survivors.select(col("vec_id").as("id_a")), Seq("id_a"),
+            "left_semi")
+          .join(survivors.select(col("vec_id").as("id_b")), Seq("id_b"),
+            "left_semi").isEmpty,
+        "every_drop_witnessed_ok" -> dropIds.join(
+          pairs.select(col("id_a").as("id"))
+            .union(pairs.select(col("id_b").as("id"))),
+          Seq("id"), "left_anti").isEmpty,
+        "survivors_plus_dropped_ok" ->
+          (survivors.count() + dropIds.count() == emb.count()))
+    }),
+
     // IVF-PQ composition: coarse buckets bound WHICH vectors a query
     // touches, PQ codes bound WHAT the scan reads per vector. Both
     // approximations compound, so the floor sits under the plain-IVF and
@@ -1098,6 +1146,14 @@ object PipelineQueries {
         corpus, idx, "vec_id", "embedding", threshold = 0.4,
         nBits = nBits, nTables = 8)
     }),
+    "semantic_dedup" -> ((s, dir) =>
+      Embeddings.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, threshold = 0.4)._1),
+    "dedup_clusters_star" -> ((s, dir) =>
+      Dedup.clustersStar(
+        Dedup.jaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", threshold = 0.3))),
     "sim_srp_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.srpTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
@@ -1264,6 +1320,15 @@ object PipelineQueries {
         |  TRUE AS projected_variance_matches_ok,
         |  TRUE AS whitened_unit_variance_ok,
         |  TRUE AS projection_partition_invariant_ok""".stripMargin,
+
+    "semantic_dedup" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  TRUE AS pairs_well_formed_ok,
+        |  TRUE AS pairs_partition_invariant_ok,
+        |  TRUE AS pairs_subset_of_exact_ok,
+        |  TRUE AS no_surviving_pair_ok,
+        |  TRUE AS every_drop_witnessed_ok,
+        |  TRUE AS survivors_plus_dropped_ok""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT (SELECT count(*) FROM documents) AS n_docs,

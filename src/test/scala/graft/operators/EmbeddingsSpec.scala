@@ -111,4 +111,28 @@ class EmbeddingsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(p1 == p2)
   }
+
+  test("semanticDedup keeps one representative per planted near-dup group") {
+    // two tight groups around orthogonal axes plus two isolated directions;
+    // within-group cosine ≈ 1, cross-group ≈ 0
+    val rng = new scala.util.Random(17)
+    def around(axis: Int, n: Int, base: Long) = (0 until n).map { i =>
+      val v = Array.tabulate(8)(d =>
+        (if (d == axis) 1.0 else 0.0) + rng.nextGaussian() * 0.01)
+      (base + i, v.toSeq)
+    }
+    val rows = around(0, 4, 10L) ++ around(1, 3, 20L) ++
+      Seq((30L, Array.tabulate(8)(d => if (d == 2) 1.0 else 0.0).toSeq),
+        (31L, Array.tabulate(8)(d => if (d == 3) 1.0 else 0.0).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val (survivors, pairs) = Embeddings.semanticDedup(df, "vec_id",
+      "embedding", k = 4, threshold = 0.9, iters = 3, seed = 7L)
+    val kept = survivors.select("vec_id").as[Long].collect().toSet
+    // group minima and the two singletons survive; group tails don't
+    assert(kept === Set(10L, 20L, 30L, 31L))
+    // pair audit trail covers every dropped id
+    val inPairs = pairs.select(col("id_a")).union(pairs.select(col("id_b")))
+      .as[Long].collect().toSet
+    assert(Set(11L, 12L, 13L, 21L, 22L).subsetOf(inPairs))
+  }
 }
