@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions.HashExpressions
-import graft.operators.{Chunking, Decontaminate, Dedup, Embeddings, Multimodal, Packing, Redaction, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Chunking, Decontaminate, Dedup, Embeddings, Multimodal, Packing, Redaction, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operators (builder mandate + SURVEY.md §7.3):
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
@@ -805,6 +805,40 @@ object PipelineQueries {
           java.util.Arrays.equals(bytes, sketchOf(toks.repartition(7))))
     }),
 
+    // Incremental distinct counting via mergeable HLL sketches: the corpus
+    // snapshot is a per-group sketch table (groups × KB), a new batch
+    // sketches itself and MERGES — the corpus is never rescanned (the
+    // persisted-state pattern of dedup_incremental, for cardinalities).
+    // Contract: the merged estimate equals a from-scratch single-pass
+    // sketch exactly (Datasketches register maxima are associative), every
+    // estimate lands within the lgK=12 error envelope of the exact
+    // distributed distinct count, and sketching is partition-invariant.
+    "approx_distinct_incremental" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val split = ev.agg(floor(max(col("event_id")) * 0.8)).head().getLong(0)
+      val snapshot = Sketches.hllByGroup(ev.filter(col("event_id") < split),
+        "event_type", "event_id").localCheckpoint()
+      val (_, estInc) = Sketches.hllIncremental(snapshot,
+        ev.filter(col("event_id") >= split), "event_type", "event_id")
+      val inc = estInc.localCheckpoint()
+      def fullEst(d: DataFrame): DataFrame = Sketches.hllEstimates(
+        Sketches.hllByGroup(d, "event_type", "event_id"), "event_type")
+      val full = fullEst(ev).localCheckpoint()
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("event_id")).as("exact"))
+      Contracts.row(s,
+        "n_groups" -> inc.count(),
+        "merge_equals_full_ok" -> Contracts.sameKeys(inc, full,
+          Seq("event_type", "n_distinct_est")),
+        "within_error_ok" -> Contracts.forAll(
+          full.join(exact, "event_type"),
+          abs(col("n_distinct_est") - col("exact")).cast("double") <=
+            col("exact") * lit(0.05)),
+        "partition_invariant_ok" -> Contracts.sameKeys(
+          fullEst(ev.repartition(13)), full,
+          Seq("event_type", "n_distinct_est")))
+    }),
+
     // Per-domain corpus mix: extract the host from planted URLs (same
     // derivation trick as pii_redact) and count documents per domain — the
     // source-composition report every corpus curation run starts from.
@@ -1149,6 +1183,14 @@ object PipelineQueries {
     "semantic_dedup" -> ((s, dir) =>
       Embeddings.semanticDedup(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, threshold = 0.4)._1),
+    "approx_distinct_incremental" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val split = ev.agg(floor(max(col("event_id")) * 0.8)).head().getLong(0)
+      val snapshot = Sketches.hllByGroup(ev.filter(col("event_id") < split),
+        "event_type", "event_id").localCheckpoint()
+      Sketches.hllIncremental(snapshot,
+        ev.filter(col("event_id") >= split), "event_type", "event_id")._2
+    }),
     "dedup_clusters_star" -> ((s, dir) =>
       Dedup.clustersStar(
         Dedup.jaccardPairs(
@@ -1765,6 +1807,11 @@ object PipelineQueries {
     "heavy_hitters" ->
       """SELECT (SELECT count(*) FROM documents) AS n_docs,
         |  TRUE AS never_undercounts_ok, TRUE AS overcount_within_eps_ok,
+        |  TRUE AS partition_invariant_ok""".stripMargin,
+
+    "approx_distinct_incremental" ->
+      """SELECT (SELECT count(DISTINCT event_type) FROM events) AS n_groups,
+        |  TRUE AS merge_equals_full_ok, TRUE AS within_error_ok,
         |  TRUE AS partition_invariant_ok""".stripMargin,
 
     "url_domain_stats" ->

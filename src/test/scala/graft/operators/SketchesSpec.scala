@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 groups with known cardinalities (values overlap across batches so the
+  // merge must union, not add)
+  private def rows(lo: Long, hi: Long) =
+    (lo until hi).flatMap(v => Seq(("a", v), ("b", v % 500), ("c", v % 20)))
+
+  test("snapshot + batch merge estimates the union, not the sum") {
+    val snap = rows(0L, 3000L).toDF("g", "v")
+    val batch = rows(2000L, 5000L).toDF("g", "v") // 1000 values re-seen
+    val snapshot = Sketches.hllByGroup(snap, "g", "v")
+    val (_, est) = Sketches.hllIncremental(snapshot, batch, "g", "v")
+    val got = est.as[(String, Long)].collect().toMap
+    // exact unions: a = 5000, b = 500, c = 20; HLL err ≈ 1.6% at lgK=12
+    assert(math.abs(got("a") - 5000L) <= 250, s"a=${got("a")}")
+    assert(got("b") === 500L) // SET-mode cardinalities are exact
+    assert(got("c") === 20L)
+  }
+
+  test("incremental merge equals the single-pass sketch exactly") {
+    val all = rows(0L, 5000L).toDF("g", "v")
+    val snapshot =
+      Sketches.hllByGroup(all.filter(col("v") < 2500), "g", "v")
+    val (_, inc) =
+      Sketches.hllIncremental(snapshot, all.filter(col("v") >= 2500), "g", "v")
+    val full = Sketches.hllEstimates(Sketches.hllByGroup(all, "g", "v"), "g")
+    assert(inc.as[(String, Long)].collect().toMap ===
+      full.as[(String, Long)].collect().toMap)
+  }
+
+  test("groups present in only one side pass through the merge") {
+    val snapshot = Sketches.hllByGroup(Seq(("x", 1L), ("x", 2L)).toDF("g", "v"),
+      "g", "v")
+    val batchSk = Sketches.hllByGroup(Seq(("y", 9L)).toDF("g", "v"), "g", "v")
+    val merged = Sketches.hllMergeSnapshots(snapshot, batchSk, "g")
+    val got = Sketches.hllEstimates(merged, "g")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("x" -> 2L, "y" -> 1L))
+  }
+}
