@@ -9,9 +9,17 @@ import org.apache.spark.sql.functions._
   *
   * Built on Spark's Datasketches HLL functions (`hll_sketch_agg` /
   * `hll_union_agg` / `hll_sketch_estimate`): a per-group sketch is a few KB
-  * regardless of group cardinality, sketches merge associatively (register
-  * maxima), and merging a batch's sketches into a persisted snapshot gives
-  * the same registers as sketching all data in one pass. At 100 TB the
+  * regardless of group cardinality, and sketches merge associatively
+  * (register maxima) — merging a batch's sketches into a persisted snapshot
+  * covers the same value set as sketching all data in one pass. NOTE that
+  * register associativity does NOT make the ESTIMATE invariant across merge
+  * trees: a stream-built sketch answers with the HIP estimator, while a
+  * sketch built by union (`hll_union_agg`, or an agg over more partitions)
+  * sets the out-of-order flag and answers with the composite estimator, so
+  * incremental and single-pass estimates may differ by ~1-2% at lgK=12 even
+  * over identical data. Contracts on this module therefore assert the lgK
+  * error envelope against exact counts, never estimate equality across
+  * build shapes. At 100 TB the
   * snapshot table is groups × KB — the only thing a nightly ingest reads and
   * rewrites; the corpus itself is touched exactly once, the batch it
   * arrived in. The same persisted-state pattern as `Dedup.bandIndex` /

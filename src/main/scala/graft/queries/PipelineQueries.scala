@@ -809,10 +809,13 @@ object PipelineQueries {
     // snapshot is a per-group sketch table (groups × KB), a new batch
     // sketches itself and MERGES — the corpus is never rescanned (the
     // persisted-state pattern of dedup_incremental, for cardinalities).
-    // Contract: the merged estimate equals a from-scratch single-pass
-    // sketch exactly (Datasketches register maxima are associative), every
-    // estimate lands within the lgK=12 error envelope of the exact
-    // distributed distinct count, and sketching is partition-invariant.
+    // Contract: what Datasketches HLL actually guarantees. Registers merge
+    // associatively, but ESTIMATES are not invariant across merge trees —
+    // a stream-built sketch answers with the HIP estimator while a
+    // union-built one falls back to the composite estimator — so the legs
+    // assert the lgK=12 error envelope against the exact distributed
+    // distinct count for all three build shapes (incremental merge,
+    // single-pass, repartitioned single-pass), never estimate equality.
     "approx_distinct_incremental" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val split = ev.agg(floor(max(col("event_id")) * 0.8)).head().getLong(0)
@@ -825,18 +828,17 @@ object PipelineQueries {
         Sketches.hllByGroup(d, "event_type", "event_id"), "event_type")
       val full = fullEst(ev).localCheckpoint()
       val exact = ev.groupBy(col("event_type"))
-        .agg(count_distinct(col("event_id")).as("exact"))
+        .agg(count_distinct(col("event_id")).as("exact")).localCheckpoint()
+      def withinEnvelope(est: DataFrame): Boolean = Contracts.forAll(
+        est.join(exact, "event_type"),
+        abs(col("n_distinct_est") - col("exact")).cast("double") <=
+          col("exact") * lit(0.05))
       Contracts.row(s,
         "n_groups" -> inc.count(),
-        "merge_equals_full_ok" -> Contracts.sameKeys(inc, full,
-          Seq("event_type", "n_distinct_est")),
-        "within_error_ok" -> Contracts.forAll(
-          full.join(exact, "event_type"),
-          abs(col("n_distinct_est") - col("exact")).cast("double") <=
-            col("exact") * lit(0.05)),
-        "partition_invariant_ok" -> Contracts.sameKeys(
-          fullEst(ev.repartition(13)), full,
-          Seq("event_type", "n_distinct_est")))
+        "merge_within_error_ok" -> withinEnvelope(inc),
+        "within_error_ok" -> withinEnvelope(full),
+        "partition_within_error_ok" -> withinEnvelope(fullEst(
+          ev.repartition(13))))
     }),
 
     // Per-domain corpus mix: extract the host from planted URLs (same
@@ -1811,8 +1813,8 @@ object PipelineQueries {
 
     "approx_distinct_incremental" ->
       """SELECT (SELECT count(DISTINCT event_type) FROM events) AS n_groups,
-        |  TRUE AS merge_equals_full_ok, TRUE AS within_error_ok,
-        |  TRUE AS partition_invariant_ok""".stripMargin,
+        |  TRUE AS merge_within_error_ok, TRUE AS within_error_ok,
+        |  TRUE AS partition_within_error_ok""".stripMargin,
 
     "url_domain_stats" ->
       """SELECT 'd' || (doc_id % 7) || '.example.org' AS domain,

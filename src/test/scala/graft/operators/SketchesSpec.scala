@@ -18,21 +18,30 @@ class SketchesSpec extends SparkSpec {
     val snapshot = Sketches.hllByGroup(snap, "g", "v")
     val (_, est) = Sketches.hllIncremental(snapshot, batch, "g", "v")
     val got = est.as[(String, Long)].collect().toMap
-    // exact unions: a = 5000, b = 500, c = 20; HLL err ≈ 1.6% at lgK=12
+    // exact unions: a = 5000, b = 500, c = 20; HLL err ≈ 1.6% at lgK=12.
+    // b (500 distinct) is past SET-mode promotion, so its union-built
+    // estimate uses the composite estimator — envelope, not equality.
     assert(math.abs(got("a") - 5000L) <= 250, s"a=${got("a")}")
-    assert(got("b") === 500L) // SET-mode cardinalities are exact
-    assert(got("c") === 20L)
+    assert(math.abs(got("b") - 500L) <= 25, s"b=${got("b")}")
+    assert(got("c") === 20L) // LIST/SET-mode small groups stay exact
   }
 
-  test("incremental merge equals the single-pass sketch exactly") {
+  test("incremental merge lands in the error envelope of the exact union") {
+    // Estimates are NOT equal across merge trees (stream-built sketches use
+    // the HIP estimator, union-built the composite estimator — see the
+    // Sketches scaladoc), so assert both paths against the exact unions.
     val all = rows(0L, 5000L).toDF("g", "v")
     val snapshot =
       Sketches.hllByGroup(all.filter(col("v") < 2500), "g", "v")
     val (_, inc) =
       Sketches.hllIncremental(snapshot, all.filter(col("v") >= 2500), "g", "v")
     val full = Sketches.hllEstimates(Sketches.hllByGroup(all, "g", "v"), "g")
-    assert(inc.as[(String, Long)].collect().toMap ===
-      full.as[(String, Long)].collect().toMap)
+    val exact = Map("a" -> 5000L, "b" -> 500L, "c" -> 20L)
+    for (est <- Seq(inc, full); (g, n) <- est.as[(String, Long)].collect()) {
+      val want = exact(g)
+      assert(math.abs(n - want) <= math.max(1L, (want * 0.05).toLong),
+        s"$g=$n, exact=$want")
+    }
   }
 
   test("groups present in only one side pass through the merge") {
