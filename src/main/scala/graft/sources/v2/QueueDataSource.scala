@@ -29,13 +29,18 @@ import graft.pipeline.InMemoryQueue
   * on the same format snapshots the current log.
   *
   * Redrive policy AT THE SOURCE (the reference's `maxReceiveCount: 5` +
-  * DLQ, template.yaml:10-12): every streamed read of a message increments
-  * its receive count (a failed batch that Spark re-plans after restart
-  * re-receives its messages, exactly like SQS visibility-timeout
-  * redelivery); a message whose count exceeds `maxReceiveCount` is moved to
-  * the `dlq` queue instead of being delivered, so a poison message cannot
-  * wedge the stream forever. The count is surfaced as a `receive_count`
-  * column. Batch snapshot reads inspect without incrementing.
+  * DLQ, template.yaml:10-12), enabled by setting `maxReceiveCount` and/or
+  * `dlq`: every streamed read of a message increments its receive count (a
+  * failed batch that Spark re-plans after restart re-receives its messages,
+  * exactly like SQS visibility-timeout redelivery); a message whose count
+  * exceeds `maxReceiveCount` is moved to the `dlq` queue instead of being
+  * delivered, so a poison message cannot wedge the stream forever. The
+  * count is surfaced as a `receive_count` column. Batch snapshot reads
+  * inspect without incrementing. When NEITHER option is set the source
+  * tracks nothing — Kafka's model, and the hot path: no per-batch counting
+  * walk, no per-row count lookups, `receive_count` reported as 1 per
+  * delivery (restart redeliveries are then indistinguishable — configure a
+  * policy if the distinction matters).
   *
   * `maxMessagesPerTrigger` bounds micro-batch admission (the Kafka
   * `maxOffsetsPerTrigger` analog) — it also isolates failures: with small
@@ -77,14 +82,18 @@ private[v2] class QueueSourceTable(queueName: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new QueueScan(queueName,
-        RedrivePolicy(
-          Option(options.get("maxReceiveCount")).map(_.toInt).getOrElse(5),
-          Option(options.get("dlq")).getOrElse(s"$queueName-dlq")),
+        // Tracking is opt-in: a policy exists only when the user configured
+        // some part of it, so policy-free streams pay zero bookkeeping.
+        if (options.containsKey("maxReceiveCount") || options.containsKey("dlq"))
+          Some(RedrivePolicy(
+            Option(options.get("maxReceiveCount")).map(_.toInt).getOrElse(5),
+            Option(options.get("dlq")).getOrElse(s"$queueName-dlq")))
+        else None,
         Option(options.get("maxMessagesPerTrigger")).map(_.toLong))
     }
 }
 
-private[v2] class QueueScan(queueName: String, policy: RedrivePolicy,
+private[v2] class QueueScan(queueName: String, policy: Option[RedrivePolicy],
     maxPerTrigger: Option[Long]) extends Scan {
   override def readSchema(): StructType = QueueDataSource.schema
   override def description(): String = s"graft-queue queue=$queueName"
@@ -107,11 +116,11 @@ private[v2] case class QueueOffset(n: Long) extends Offset {
 }
 
 private[v2] case class QueueSlice(queueName: String, start: Long, end: Long,
-    policy: RedrivePolicy, streaming: Boolean)
+    policy: Option[RedrivePolicy], streaming: Boolean)
     extends InputPartition
 
 private[v2] class QueueMicroBatchStream(queueName: String,
-    policy: RedrivePolicy, maxPerTrigger: Option[Long])
+    policy: Option[RedrivePolicy], maxPerTrigger: Option[Long])
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // AvailableNow pins the target offset at query start so the run is bounded
@@ -161,9 +170,12 @@ private[v2] class QueueMicroBatchStream(queueName: String,
     if (e <= s) Array.empty
     else {
       // Receive counting happens at planning, once per delivery (see
-      // `counted`). Driver-side per-message state is the local stand-in
-      // for what a real broker tracks (ApproximateReceiveCount).
-      if (counted.add((s, e)))
+      // `counted`) — and ONLY under a configured redrive policy: the
+      // counting walk is O(end) driver work per batch, so policy-free
+      // streams skip it entirely. Driver-side per-message state is the
+      // local stand-in for what a real broker tracks
+      // (ApproximateReceiveCount).
+      if (policy.isDefined && counted.add((s, e)))
         InMemoryQueue.slice(queueName, s, e)
           .foreach(m => InMemoryQueue.incReceive(queueName, m.id))
       Array(QueueSlice(queueName, s, e, policy, streaming = true))
@@ -190,18 +202,25 @@ private[v2] class QueueReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val it = msgs.iterator
       private var cur: InternalRow = _
+      // Policy-free streamed reads skip the per-row count lookup: nothing
+      // was counted at planning, so the truthful per-delivery value is 1.
+      private val lookupCounts = slice.policy.isDefined || !slice.streaming
       override def next(): Boolean = {
         while (it.hasNext) {
           val m = it.next()
           // counts were recorded at batch-planning time; the reader only
           // READS them, so re-executed scans cannot inflate receives
-          val n = InMemoryQueue.receiveCount(slice.queueName, m.id)
-          if (slice.streaming && n > slice.policy.maxReceiveCount) {
+          val n =
+            if (lookupCounts) InMemoryQueue.receiveCount(slice.queueName, m.id)
+            else 1
+          val dlq = slice.policy.filter(p =>
+            slice.streaming && n > p.maxReceiveCount)
+          if (dlq.isDefined) {
             // redrive: exceeded maxReceiveCount — dead-letter instead of
             // delivering. claimDlqMove appends exactly once even if this
             // scan executes several times for the batch.
             if (InMemoryQueue.claimDlqMove(slice.queueName, m.id))
-              InMemoryQueue.queue(slice.policy.dlq).add(m)
+              InMemoryQueue.queue(dlq.get.dlq).add(m)
           } else {
             cur = new GenericInternalRow(Array[Any](
               UTF8String.fromString(m.id), UTF8String.fromString(m.body), n))
