@@ -53,38 +53,40 @@ object BloomExpressions {
     *
     * The filter object cannot ride through SQL text, and every public
     * Column-from-Expression bridge is `private[sql]`, so the expression is
-    * bound by registering a session temp function whose builder closes over
-    * `bf`. Names come from [[TempFnNames]]: one binding per live filter
-    * object (re-binding the same filter every micro-batch reuses its
-    * entry, so the registry — whose closure pins the filter — does not
-    * grow with call count), distinct filters always get distinct names
-    * (identityHashCode alone is not collision-free).
+    * bound by registering a session temp function whose builder references
+    * `bf` weakly. Names come from [[TempFnNames]]: one binding per live
+    * filter object (re-binding the same filter every micro-batch reuses its
+    * entry, so the registry does not grow with call count), distinct
+    * filters always get distinct names (identityHashCode alone is not
+    * collision-free). The `mk` lambda must build from the dereferenced
+    * argument, never close over `bf` itself — that would re-pin the filter.
     */
   def bloomMightContain(spark: SparkSession, c: Column,
       bf: BloomFilter): Column = {
-    val name = TempFnNames.nameFor(bf, "graft_bloom_probe")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
-      exprs => BloomMightContain(exprs.head, bf), "built-in")
-    TempFnNames.bindRole(spark, "graft_bloom_probe", name)
+    val name = TempFnNames.register[BloomFilter](spark, "graft_bloom_probe",
+      bf, (o, exprs) => BloomMightContain(exprs.head, o))
     call_function(name, c)
   }
 }
 
 /** Stable unique temp-function names keyed by object identity: the same
   * object reuses its name (no per-call registry/heap growth), distinct
-  * objects never collide (monotone suffix). Weak keys let a dropped filter
-  * or codebook be collected once its registry entry is replaced.
+  * objects never collide (monotone suffix).
   *
-  * [[bindRole]] is the cleanup path for the recurring-rebuild pattern (a
-  * fresh Bloom filter / codebook per ingest or micro-batch): each logical
-  * role keeps exactly ONE live registry entry, and binding a new object to
-  * the role drops the predecessor's entry — whose builder closure was the
-  * only registry-side reference pinning the old (filter-sized) object.
-  * Dropping is safe for any Column already incorporated into a DataFrame:
-  * Dataset analysis is eager, so the resolved expression embeds the object
-  * itself and never consults the registry again. The one unsupported shape
-  * is holding a BARE un-analyzed Column across a later re-bind of the same
-  * role — incorporate the Column into a DataFrame before rebuilding.
+  * [[register]] handles the recurring-rebuild pattern (a fresh Bloom filter
+  * / codebook per ingest or micro-batch) without the drop race an eager
+  * per-role eviction had: the registry builder holds the bound object only
+  * WEAKLY, so a registry entry never pins a filter-sized object — the
+  * moment the caller and all analyzed plans release it, it is collectable,
+  * entry or no entry. Entries of the same role whose object has been
+  * collected are swept on the next register (they are unusable by
+  * construction: no reachable path can still produce a working probe from
+  * them), which bounds registry names at live-objects + not-yet-swept dead
+  * ones. A bare un-analyzed Column therefore keeps resolving for as long
+  * as its object is strongly held ANYWHERE — concurrent builders on one
+  * session can no longer break a sibling thread's Column between
+  * `call_function` and eager analysis. Registration + role bookkeeping +
+  * sweep run in one critical section per (registry, role).
   */
 private[functions] object TempFnNames {
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -92,13 +94,14 @@ private[functions] object TempFnNames {
   // backs both the encode and the lut function) without evicting the other
   private val names = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.Map[AnyRef, String]]()
-  // role → the registry name currently holding it, PER function registry:
-  // registries are per-SparkSession, so a process-global role map would
-  // issue the drop against whichever session bound last and leave the
-  // original session's entry pinned. Weak keys let a closed session's
-  // bookkeeping be collected.
-  private val roleNames = new java.util.WeakHashMap[
-    AnyRef, java.util.concurrent.ConcurrentHashMap[String, String]]()
+  // role → registered bindings (name + weak ref to the bound object), PER
+  // function registry: registries are per-SparkSession, so process-global
+  // bookkeeping would sweep against whichever session bound last. Weak
+  // keys let a closed session's bookkeeping be collected.
+  private val roleBindings = new java.util.WeakHashMap[
+    AnyRef, java.util.concurrent.ConcurrentHashMap[
+      String, java.util.ArrayList[
+        (String, java.lang.ref.WeakReference[AnyRef])]]]()
 
   def nameFor(obj: AnyRef, prefix: String): String = {
     val m = names.computeIfAbsent(prefix,
@@ -114,23 +117,69 @@ private[functions] object TempFnNames {
     }
   }
 
-  /** Record `name` as the current holder of `role`; drop the previous
-    * holder's temp-function entry (if different) from the session registry
-    * so rebuilt objects do not accumulate entries that pin them.
+  /** Register the temp function binding `obj`'s expression under `role`
+    * (also the name prefix) and return its name. `mk` builds the expression
+    * FROM THE DEREFERENCED OBJECT it is given — it must not close over
+    * `obj`, or the builder would pin it and defeat the weak design.
     */
-  def bindRole(spark: SparkSession, role: String, name: String): Unit = {
+  def register[T <: AnyRef](spark: SparkSession, role: String, obj: T,
+      mk: (T, Seq[Expression]) => Expression): String = {
+    val name = nameFor(obj, role)
     val registry = spark.sessionState.functionRegistry
-    val m = roleNames.synchronized {
-      var cur = roleNames.get(registry)
+    val ref = new java.lang.ref.WeakReference[AnyRef](obj)
+    val builder: Seq[Expression] => Expression = { exprs =>
+      val o = ref.get()
+      if (o == null) throw new IllegalStateException(
+        s"temp function $name: its bound object has been collected — " +
+          "rebuild the Column from a live object")
+      mk(o.asInstanceOf[T], exprs)
+    }
+    val list = bindingsFor(registry, role)
+    list.synchronized {
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+      if (!list.stream().anyMatch(_._1 == name)) list.add((name, ref))
+      sweepLocked(registry, list, keep = name)
+    }
+    name
+  }
+
+  /** Drop same-role entries whose object has been collected (test hook —
+    * [[register]] sweeps automatically).
+    */
+  def sweepRole(spark: SparkSession, role: String): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val list = bindingsFor(registry, role)
+    list.synchronized { sweepLocked(registry, list, keep = null) }
+  }
+
+  private def bindingsFor(registry: AnyRef, role: String):
+      java.util.ArrayList[(String, java.lang.ref.WeakReference[AnyRef])] = {
+    val byRole = roleBindings.synchronized {
+      var cur = roleBindings.get(registry)
       if (cur == null) {
-        cur = new java.util.concurrent.ConcurrentHashMap[String, String]()
-        roleNames.put(registry, cur)
+        cur = new java.util.concurrent.ConcurrentHashMap[
+          String, java.util.ArrayList[
+            (String, java.lang.ref.WeakReference[AnyRef])]]()
+        roleBindings.put(registry, cur)
       }
       cur
     }
-    val prev = m.put(role, name)
-    if (prev != null && prev != name)
-      registry.dropFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(prev))
+    byRole.computeIfAbsent(role, _ => new java.util.ArrayList())
+  }
+
+  private def sweepLocked(
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry,
+      list: java.util.ArrayList[
+        (String, java.lang.ref.WeakReference[AnyRef])],
+      keep: String): Unit = {
+    val it = list.iterator()
+    while (it.hasNext) {
+      val (n, r) = it.next()
+      if (n != keep && r.get() == null) {
+        registry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+        it.remove()
+      }
+    }
   }
 }

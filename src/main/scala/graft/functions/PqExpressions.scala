@@ -70,24 +70,24 @@ object PqExpressions {
 
   private def bind(spark: SparkSession, cb: Array[Double], tag: String,
       vec: Column, norm: Column,
-      mk: (Expression, Expression) => Expression): Column = {
+      mk: (Array[Double], Expression, Expression) => Expression): Column = {
     // codebook objects cannot ride through SQL text — bind via a session
-    // temp function whose builder closes over them; names reuse per live
-    // codebook (see BloomExpressions / TempFnNames)
-    val name = TempFnNames.nameFor(cb, s"graft_pq_${tag}")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
-      exprs => mk(exprs.head, exprs(1)), "built-in")
-    TempFnNames.bindRole(spark, s"graft_pq_${tag}", name)
+    // temp function whose builder references them weakly; names reuse per
+    // live codebook (see BloomExpressions / TempFnNames). `mk` builds from
+    // the codebook it is HANDED, never a captured one — capturing cb in the
+    // closure would pin it against the weak design.
+    val name = TempFnNames.register[Array[Double]](spark, s"graft_pq_${tag}",
+      cb, (o, exprs) => mk(o, exprs.head, exprs(1)))
     call_function(name, vec, norm)
   }
 
   def pqEncode(spark: SparkSession, vec: Column, norm: Column,
       cb: Array[Double], m: Int, ksub: Int, sub: Int): Column =
     bind(spark, cb, "encode", vec, norm,
-      (v, n) => PqEncode(v, n, cb, m, ksub, sub))
+      (o, v, n) => PqEncode(v, n, o, m, ksub, sub))
 
   def pqLut(spark: SparkSession, vec: Column, norm: Column,
       cb: Array[Double], m: Int, ksub: Int, sub: Int): Column =
     bind(spark, cb, "lut", vec, norm,
-      (v, n) => PqLut(v, n, cb, m, ksub, sub))
+      (o, v, n) => PqLut(v, n, o, m, ksub, sub))
 }

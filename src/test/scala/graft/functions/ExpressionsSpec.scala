@@ -131,30 +131,42 @@ class ExpressionsSpec extends SparkSpec {
       "acquiring a second prefix must not evict the first")
   }
 
-  test("bindRole drops the predecessor's registry entry on rebuild") {
-    // the recurring-ingest pattern: a fresh filter per batch must not
-    // accumulate registry entries (each pins its filter via the builder
-    // closure). After binding a replacement, the old entry is gone and the
-    // new binding still evaluates.
-    import org.apache.spark.sql.functions.col
-    import graft.operators.Decontaminate
+  test("register: rebuilds never break live bindings; dead entries sweep") {
+    // the recurring-ingest pattern, without the r5 eager-drop race: a
+    // rebuild must NOT drop a predecessor whose object is still strongly
+    // held (its bare Column keeps resolving), entries must not pin their
+    // objects (weak builder), and once an object is collected its entry
+    // sweeps away on the next register/sweep for the role.
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.functions.call_function
+    val role = "tfn_probe"
     def registered(): Set[String] =
       spark.sessionState.functionRegistry.listFunction()
-        .map(_.funcName).filter(_.startsWith("graft_bloom_probe")).toSet
-    val docs = (1L to 50L).map(i => (i, s"tok$i tok${i + 1} tok${i + 2} " +
-      s"tok${i + 3} tok${i + 4} tok${i + 5} tok${i + 6} tok${i + 7}"))
-      .toDF("doc_id", "text")
-    val evalA = docs.filter(col("doc_id") < 5)
-    val evalB = docs.filter(col("doc_id") >= 45)
-    Decontaminate.contaminatedBloom(docs, evalA, "doc_id", "text",
-      n = 8, minOverlap = 1, fpp = 0.01).count()
-    val afterA = registered()
-    assert(afterA.size == 1, s"one live bloom binding expected, got $afterA")
-    Decontaminate.contaminatedBloom(docs, evalB, "doc_id", "text",
-      n = 8, minOverlap = 1, fpp = 0.01).count()
-    val afterB = registered()
-    assert(afterB.size == 1,
-      s"rebuild must drop the predecessor entry, got $afterB")
-    assert(afterB != afterA, "the replacement binding is the new name")
+        .map(_.funcName).filter(_.startsWith(role)).toSet
+    // mk builds from the handed object only — capturing the array would
+    // pin it and invalidate the collectability assertion below
+    val mk = (o: Array[Double], _: Seq[Expression]) =>
+      Literal(o.length): Expression
+    var a: Array[Double] = Array.fill(4)(1.0)
+    val aRef = new java.lang.ref.WeakReference[AnyRef](a)
+    val nameA = TempFnNames.register[Array[Double]](spark, role, a, mk)
+    val bareA = call_function(nameA) // un-analyzed Column held across rebind
+    val b = Array.fill(5)(2.0)
+    val nameB = TempFnNames.register[Array[Double]](spark, role, b, mk)
+    assert(registered() == Set(nameA, nameB),
+      "rebind must keep the live predecessor's entry")
+    assert(spark.range(1).select(bareA).head().getInt(0) == 4,
+      "a bare Column from before the rebind must still analyze")
+    assert(spark.range(1).select(call_function(nameB)).head().getInt(0) == 5)
+    a = null // drop the last strong reference
+    var tries = 0
+    while (aRef.get() != null && tries < 100) {
+      System.gc(); Thread.sleep(10); tries += 1
+    }
+    assert(aRef.get() == null,
+      "a registry entry must not pin its bound object")
+    TempFnNames.sweepRole(spark, role)
+    assert(registered() == Set(nameB),
+      "collected predecessors sweep out of the registry")
   }
 }
