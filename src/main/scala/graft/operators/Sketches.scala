@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality sketches for recurring ingest — the production
@@ -66,5 +69,138 @@ object Sketches {
       hllMergeSnapshots(snapshot, hllByGroup(batch, groupCol, valueCol, lgK),
         groupCol)
     (updated, hllEstimates(updated, groupCol))
+  }
+
+  // --- Mergeable per-group quantiles (Datasketches KLL) ---------------------
+  //
+  // The distribution analog of the HLL family above: a per-group KLL doubles
+  // sketch is O(k·log n) bytes (~3 KB at k=200 over billions of rows), merges
+  // associatively, and answers any quantile with normalized RANK error
+  // ≤ ~1.65% at the default k (99% confidence). Same caveat as HLL, applied
+  // from the start: quantile VALUES are not invariant across merge trees
+  // (compaction levels differ), so contracts assert the rank-error envelope
+  // against exact ranks, never value equality across build shapes. getN IS
+  // exact under merge (counts add). Spark bundles datasketches-java for its
+  // hll_* functions; there is no kll_* SQL surface, so the build/merge aggs
+  // are typed Aggregators (map-side partial, KB buffers on the shuffle) and
+  // extraction runs once per GROUP — off the per-row hot path, so the
+  // per-group lambda costs nothing at scale.
+
+  /** Java-serializable carrier for a KLL sketch buffer: bytes on the wire,
+    * heap sketch in the aggregation hash map. Lazy — `sk` stays null until
+    * the first value, so empty partial buffers serialize to almost nothing.
+    */
+  private[operators] final class KllBuf(@transient var sk: KllDoublesSketch)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit =
+      out.writeObject(if (sk == null) null else sk.toByteArray)
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val bytes = in.readObject().asInstanceOf[Array[Byte]]
+      sk = if (bytes == null) null
+      else KllDoublesSketch.heapify(Memory.wrap(bytes))
+    }
+  }
+
+  /** Build a KLL sketch from raw values (map-side partials, merged buffers
+    * on the shuffle). Nulls are skipped, matching SQL aggregate semantics.
+    */
+  private[operators] final case class KllBuild(k: Int)
+      extends Aggregator[java.lang.Double, KllBuf, Array[Byte]] {
+    override def zero: KllBuf = new KllBuf(null)
+    override def reduce(b: KllBuf, x: java.lang.Double): KllBuf = {
+      if (x != null) {
+        if (b.sk == null) b.sk = KllDoublesSketch.newHeapInstance(k)
+        b.sk.update(x.doubleValue)
+      }
+      b
+    }
+    override def merge(a: KllBuf, b: KllBuf): KllBuf = {
+      if (b.sk != null) {
+        if (a.sk == null) a.sk = b.sk else a.sk.merge(b.sk)
+      }
+      a
+    }
+    override def finish(b: KllBuf): Array[Byte] =
+      (if (b.sk == null) KllDoublesSketch.newHeapInstance(k) else b.sk)
+        .toByteArray
+    override def bufferEncoder: Encoder[KllBuf] =
+      Encoders.javaSerialization(classOf[KllBuf])
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Union serialized KLL sketches (the snapshot-merge agg). */
+  private[operators] case object KllUnion
+      extends Aggregator[Array[Byte], KllBuf, Array[Byte]] {
+    override def zero: KllBuf = new KllBuf(null)
+    override def reduce(b: KllBuf, bytes: Array[Byte]): KllBuf = {
+      if (bytes != null) {
+        val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+        if (b.sk == null) b.sk = sk else b.sk.merge(sk)
+      }
+      b
+    }
+    override def merge(a: KllBuf, b: KllBuf): KllBuf = {
+      if (b.sk != null) {
+        if (a.sk == null) a.sk = b.sk else a.sk.merge(b.sk)
+      }
+      a
+    }
+    override def finish(b: KllBuf): Array[Byte] =
+      (if (b.sk == null) KllDoublesSketch.newHeapInstance(200) else b.sk)
+        .toByteArray
+    override def bufferEncoder: Encoder[KllBuf] =
+      Encoders.javaSerialization(classOf[KllBuf])
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Per-group KLL sketch table: (groupCol, kll binary) — the snapshot
+    * format, mirroring [[hllByGroup]].
+    */
+  def kllByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 200): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(udaf(KllBuild(k)).apply(col(valueCol).cast("double")).as("kll"))
+
+  /** Merge two sketch tables (persisted snapshot + new batch) into an
+    * updated snapshot; groups present in only one side pass through.
+    */
+  def kllMergeSnapshots(snapshot: DataFrame, batch: DataFrame,
+      groupCol: String): DataFrame =
+    snapshot.unionByName(batch)
+      .groupBy(col(groupCol))
+      .agg(udaf(KllUnion).apply(col("kll")).as("kll"))
+
+  /** Long-form quantile estimates from a sketch table: one row per
+    * (group, q) with the estimated value and the sketch's exact n.
+    */
+  def kllQuantiles(sketches: DataFrame, groupCol: String,
+      qs: Seq[Double]): DataFrame = {
+    val extract = udf { (bytes: Array[Byte]) =>
+      val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+      if (sk.isEmpty) Array.empty[Double]
+      else qs.map(q => sk.getQuantile(q)).toArray
+    }
+    val n = udf { (bytes: Array[Byte]) =>
+      KllDoublesSketch.heapify(Memory.wrap(bytes)).getN
+    }
+    sketches
+      .select(col(groupCol), n(col("kll")).as("n"),
+        posexplode(extract(col("kll"))).as(Seq("qi", "value")))
+      .select(col(groupCol),
+        element_at(typedLit(qs), col("qi") + 1).as("q"),
+        col("value"), col("n"))
+  }
+
+  /** Incremental path mirroring [[hllIncremental]]: sketch the batch, merge
+    * into `snapshot`, extract quantiles. Returns (updatedSnapshot,
+    * quantiles); persist the snapshot for the next batch.
+    */
+  def kllIncremental(snapshot: DataFrame, batch: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double], k: Int = 200)
+      : (DataFrame, DataFrame) = {
+    val updated =
+      kllMergeSnapshots(snapshot, kllByGroup(batch, groupCol, valueCol, k),
+        groupCol)
+    (updated, kllQuantiles(updated, groupCol, qs))
   }
 }

@@ -53,4 +53,38 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got === Map("x" -> 2L, "y" -> 1L))
   }
+
+  // KLL: two groups over known uniform ranges, split across snapshot+batch
+  // with overlap so a sum-not-union style bug would distort ranks.
+  private def kllRows(lo: Long, hi: Long) =
+    (lo until hi).flatMap(v => Seq(("a", v.toDouble), ("b", (v % 100).toDouble)))
+
+  test("KLL merged quantiles land in the rank-error envelope; n is exact") {
+    val all = kllRows(0L, 4000L).toDF("g", "v")
+    val snapshot = Sketches.kllByGroup(all.filter(col("v") < 2000), "g", "v")
+    val (_, quant) = Sketches.kllIncremental(snapshot,
+      all.filter(col("v") >= 2000), "g", "v", Seq(0.1, 0.5, 0.9))
+    val got = quant.as[(String, Double, Double, Long)].collect()
+    assert(got.forall(_._4 == 4000L), "merged getN must be exact (counts add)")
+    // group a is uniform on [0, 4000): exact q-quantile ≈ 4000q; KLL rank
+    // error at k=200 is ~1.65%, so values must land within ±4% of rank
+    for ((g, q, v, _) <- got) {
+      val (range, offset) = if (g == "a") (4000.0, 0.0) else (100.0, 0.0)
+      val exact = offset + range * q
+      assert(math.abs(v - exact) <= range * 0.04,
+        s"$g q=$q: got $v, exact ≈ $exact")
+    }
+  }
+
+  test("KLL groups present in only one side pass through the merge") {
+    val snap = Sketches.kllByGroup(
+      Seq(("x", 1.0), ("x", 2.0)).toDF("g", "v"), "g", "v")
+    val batch = Sketches.kllByGroup(Seq(("y", 9.0)).toDF("g", "v"), "g", "v")
+    val got = Sketches.kllQuantiles(
+        Sketches.kllMergeSnapshots(snap, batch, "g"), "g", Seq(0.5))
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got("x")._2 == 2L && got("y")._2 == 1L)
+    assert(got("y")._1 == 9.0, "a 1-value sketch answers exactly")
+  }
 }
