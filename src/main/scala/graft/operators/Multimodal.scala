@@ -14,6 +14,8 @@ case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
 case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
     brightness: Double, aspect: Double, sample_rate: Int, duration_ms: Long)
 case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+case class FrameFeatures(media_id: Long, frame_idx: Int, width: Int,
+    height: Int, pixel_mean: Double)
 
 /** Multimodal-column plumbing for training-data pipelines.
   *
@@ -26,11 +28,11 @@ case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
   * `brightness` is the actual sample RMS with `sample_rate`/`duration_ms`
   * from the decoded fmt/data chunks. VIDEO payloads are genuine minimal
   * ISO BMFF (MP4) files whose CONTAINER layer is really parsed (`mvhd`
-  * duration/timescale, `mdat` location); only FRAME decode inside mdat is
-  * stubbed (byte mean stands in for decoded pixels — that layer genuinely
-  * needs a codec). A production deployment swaps the frame stub for a
-  * per-partition codec call (JNI/FFI library loaded once per executor)
-  * and nothing else changes.
+  * duration/timescale, `mdat` location) and whose `mdat` holds REAL
+  * embedded PPM frames (one per second) that [[sampleVideoFrames]] walks
+  * and pixel-decodes — no stub layer remains. A production deployment
+  * swaps the uncompressed-PPM frame walk for a per-partition codec call
+  * (JNI/FFI library loaded once per executor) and nothing else changes.
   *
   * Scale posture: `mapPartitions` keeps decode streaming and executor-local;
   * payload bytes never shuffle (features are extracted before any wide
@@ -40,15 +42,18 @@ object Multimodal {
 
   val decodeBatchSize = 32
 
-  /** Fills `dst` from `from` with a deterministic sha-256 chain seeded by
-    * `seed` — every run and every partitioning produces identical bytes.
+  /** Fills `dst[from, until)` (until < 0 ⇒ to the end) with a deterministic
+    * sha-256 chain seeded by `seed` — every run and every partitioning
+    * produces identical bytes.
     */
-  private def shaChain(seed: String, dst: Array[Byte], from: Int): Unit = {
+  private def shaChain(seed: String, dst: Array[Byte], from: Int,
+      until: Int = -1): Unit = {
+    val end = if (until < 0) dst.length else until
     val md = MessageDigest.getInstance("SHA-256")
     var block = md.digest(seed.getBytes("UTF-8"))
     var off = from
-    while (off < dst.length) {
-      val len = math.min(block.length, dst.length - off)
+    while (off < end) {
+      val len = math.min(block.length, end - off)
       System.arraycopy(block, 0, dst, off, len)
       block = md.digest(block)
       off += len
@@ -96,16 +101,27 @@ object Multimodal {
     dst(off + 3) = (v & 0xff).toByte
   }
 
-  /** A minimal VALID ISO BMFF (MP4) file: `ftyp` + `moov`(`mvhd` v0 with
-    * timescale 1000 and the real duration) + an `mdat` box filling the rest
-    * with sha-chain bytes — the coded-sample stand-in.
+  /** Frame geometry for embedded video frames: small fixed-size PPMs so a
+    * 60-second clip stays tens of KB. One frame per second of duration.
     */
-  private def mp4Payload(id: Long, durationMs: Long, totalBytes: Int)
-      : Array[Byte] = {
+  private[operators] val frameW = 16
+  private[operators] val frameH = 12
+  private[operators] val frameHeader = s"P6\n$frameW $frameH\n255\n"
+  private[operators] val frameBytes =
+    frameHeader.length + frameW * frameH * 3
+
+  /** A minimal VALID ISO BMFF (MP4) file: `ftyp` + `moov`(`mvhd` v0 with
+    * timescale 1000 and the real duration) + an `mdat` box holding REAL
+    * consecutive PPM (P6) frames — one per second of duration, each with
+    * deterministic sha-chain pixels — so frame sampling decodes actual
+    * rasters instead of a byte stand-in.
+    */
+  private def mp4Payload(id: Long, durationMs: Long): Array[Byte] = {
     val ftypLen = 16
     val mvhdLen = 108 // full version-0 mvhd box
     val moovLen = 8 + mvhdLen
-    val mdatLen = math.max(totalBytes - ftypLen - moovLen, 8)
+    val nFrames = math.max((durationMs / 1000L).toInt, 1)
+    val mdatLen = 8 + nFrames * frameBytes
     val out = new Array[Byte](ftypLen + moovLen + mdatLen)
     var o = 0
     putBeInt(out, o, ftypLen)
@@ -131,7 +147,16 @@ object Multimodal {
     o += moovLen
     putBeInt(out, o, mdatLen)
     "mdat".getBytes("US-ASCII").copyToArray(out, o + 4)
-    shaChain(s"graft:$id", out, o + 8)
+    var fo = o + 8
+    var f = 0
+    while (f < nFrames) {
+      frameHeader.getBytes("US-ASCII").copyToArray(out, fo)
+      // per-frame seed: frames differ from each other and across ids
+      shaChain(s"graft:$id:f$f", out, fo + frameHeader.length,
+        fo + frameBytes)
+      fo += frameBytes
+      f += 1
+    }
     out
   }
 
@@ -168,7 +193,7 @@ object Multimodal {
         case "audio" =>
           wavPayload(id, audioDataBytes, sampleRate)
         case _ =>
-          mp4Payload(id, videoDurMs, bytesPerItem)
+          mp4Payload(id, videoDurMs)
       }
       val durationMs = kind match {
         case "image" => 0L
@@ -188,17 +213,24 @@ object Multimodal {
     * (width, height, mean raster intensity in [0,1]) — or None when the
     * bytes are not a well-formed P6 with maxval ≤ 255 and a full raster.
     */
-  private[operators] def decodePpm(b: Array[Byte]): Option[(Int, Int, Double)] = {
-    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
-    var i = 2
+  /** P6 header parse bounded by `limit`: returns (w, h, maxval,
+    * rasterStart) when `b[start, limit)` begins with a well-formed header
+    * whose full raster fits before `limit` — the shared front end of
+    * [[decodePpm]] and the embedded-frame walk in [[sampleVideoFrames]].
+    */
+  private def ppmHeader(b: Array[Byte], start: Int, limit: Int)
+      : Option[(Int, Int, Int, Int)] = {
+    if (start + 2 > limit || b(start) != 'P' || b(start + 1) != '6')
+      return None
+    var i = start + 2
     def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
     def skipWsAndComments(): Unit = {
       var moved = true
       while (moved) {
         moved = false
-        while (i < b.length && isWs(b(i))) { i += 1; moved = true }
-        if (i < b.length && b(i) == '#') {
-          while (i < b.length && b(i) != '\n') i += 1
+        while (i < limit && isWs(b(i))) { i += 1; moved = true }
+        if (i < limit && b(i) == '#') {
+          while (i < limit && b(i) != '\n') i += 1
           moved = true
         }
       }
@@ -206,7 +238,7 @@ object Multimodal {
     def readInt(): Int = {
       skipWsAndComments()
       var v = 0; var any = false
-      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+      while (i < limit && b(i) >= '0' && b(i) <= '9') {
         v = v * 10 + (b(i) - '0'); i += 1; any = true
       }
       if (any) v else -1
@@ -214,14 +246,27 @@ object Multimodal {
     val w = readInt(); val h = readInt(); val maxval = readInt()
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
     i += 1 // exactly one whitespace byte separates maxval from the raster
-    val need = w.toLong * h * 3
-    if (i + need > b.length) return None
-    var sum = 0L
-    var j = i
-    val end = i + need.toInt
-    while (j < end) { sum += (b(j) & 0xff); j += 1 }
-    Some((w, h, sum.toDouble / need / maxval))
+    if (i.toLong + w.toLong * h * 3 > limit) None
+    else Some((w, h, maxval, i))
   }
+
+  /** Mean raster intensity in [0,1] of the P6 raster described by a parsed
+    * header tuple.
+    */
+  private def rasterMean(b: Array[Byte], w: Int, h: Int, maxval: Int,
+      from: Int): Double = {
+    val need = w * h * 3
+    var sum = 0L
+    var j = from
+    val end = from + need
+    while (j < end) { sum += (b(j) & 0xff); j += 1 }
+    sum.toDouble / need / maxval
+  }
+
+  private[operators] def decodePpm(b: Array[Byte]): Option[(Int, Int, Double)] =
+    ppmHeader(b, 0, b.length).map { case (w, h, maxval, rasterStart) =>
+      (w, h, rasterMean(b, w, h, maxval, rasterStart))
+    }
 
   /** Pure-JVM RIFF/WAVE PCM decoder: validates the RIFF/WAVE container,
     * walks its chunk list for `fmt ` (must be PCM, 16-bit) and `data`, and
@@ -329,10 +374,9 @@ object Multimodal {
     * actual pixel mean, aspect from the decoded header), audio through the
     * real WAV decoder (brightness = actual sample RMS, sample_rate and
     * duration_ms from the decoded chunks), and video through the real MP4
-    * container parse (duration_ms from mvhd, brightness = coded-sample
-    * byte mean over the mdat payload — the one stubbed layer, since frame
-    * decode needs a codec). Unrecognized bytes fall back to the opaque
-    * whole-payload stub.
+    * container parse (duration_ms from mvhd, brightness = byte mean over
+    * the mdat payload; per-FRAME pixel decode is [[sampleVideoFrames]]).
+    * Unrecognized bytes fall back to the opaque whole-payload stub.
     */
   private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
@@ -377,6 +421,44 @@ object Multimodal {
     * payload lengths are not generally divisible by nFrames (a PPM image
     * is header + w·h·3).
     */
+  /** REAL video frame sampling: parse the MP4 container, walk the `mdat`
+    * payload as consecutive embedded PPM (P6) frames, keep every
+    * `everyKth`-th one, and DECODE it — width/height from each frame's own
+    * header, `pixel_mean` the actual raster mean. Non-video items and
+    * non-frame bytes yield nothing (a malformed tail stops the walk
+    * instead of throwing). Executor-local and streaming like
+    * [[extractFeatures]]; frame bytes never leave the partition — only the
+    * decoded features do, which is exactly the shuffle discipline a codec
+    * version of this operator needs at 100 TB.
+    */
+  def sampleVideoFrames(ds: Dataset[MediaRecord], everyKth: Int = 1)
+      : Dataset[FrameFeatures] = {
+    import ds.sparkSession.implicits._
+    require(everyKth >= 1, s"everyKth must be >= 1, got $everyKth")
+    ds.flatMap { r =>
+      decodeMp4(r.payload) match {
+        case Some((_, (mdFrom, mdUntil))) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[FrameFeatures]
+          var off = mdFrom
+          var idx = 0
+          var ok = true
+          while (ok && off < mdUntil) {
+            ppmHeader(r.payload, off, mdUntil) match {
+              case Some((w, h, maxval, rasterStart)) =>
+                if (idx % everyKth == 0)
+                  out += FrameFeatures(r.media_id, idx, w, h,
+                    rasterMean(r.payload, w, h, maxval, rasterStart))
+                off = rasterStart + w * h * 3
+                idx += 1
+              case None => ok = false
+            }
+          }
+          out.iterator
+        case None => Iterator.empty
+      }
+    }
+  }
+
   def frameSample(ds: Dataset[MediaRecord], nFrames: Int): Dataset[MediaFrame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>

@@ -1079,8 +1079,14 @@ object PipelineQueries {
     // Frame sampling contract: every media item yields exactly nFrames
     // slices, and concatenating them in frame order reassembles the original
     // payload byte-for-byte — the lossless-slicing property a real keyframe
-    // sampler must also preserve for its covered ranges.
+    // sampler must also preserve for its covered ranges. PLUS real in-mdat
+    // pixel decode: sampleVideoFrames walks each video's mdat as embedded
+    // PPM frames; per-frame pixel means must match an INDEPENDENT recompute
+    // from the generator's KNOWN layout (mdat payload at 140, 589-byte
+    // frames, 13-byte headers — no arithmetic shared with the box walk or
+    // the PPM parser), with one frame per second of mvhd duration.
     "multimodal_frames" -> ((s, _) => {
+      import s.implicits._
       val media = Multimodal.generate(s, 50L)
       val frames = Multimodal.frameSample(media, nFrames = 4).toDF()
       val reassembled = frames
@@ -1094,12 +1100,29 @@ object PipelineQueries {
             (acc, x) => concat(acc, x)).as("rebuilt"))
       val joined = reassembled.join(
         media.toDF().select(col("media_id"), col("payload")), "media_id")
+      val decoded = Multimodal.sampleVideoFrames(media).toDF()
+        .localCheckpoint()
+      val independent = media.flatMap { r =>
+        if (r.kind != "video") Iterator.empty
+        else (0 until (r.meta.duration_ms / 1000L).toInt).iterator.map { f =>
+          val start = 140 + f * 589 + 13
+          var sum = 0L; var i = start
+          while (i < start + 576) { sum += (r.payload(i) & 0xff); i += 1 }
+          (r.media_id, f, sum.toDouble / 576 / 255.0)
+        }
+      }.toDF("media_id", "frame_idx", "ind_mean")
       Contracts.row(s,
         "n_media" -> frames.select(col("media_id")).distinct().count(),
         "frames_per_media_ok" -> Contracts.forAll(reassembled,
           col("n_frames") === 4),
         "reassembles_payload_ok" -> Contracts.forAll(joined,
-          col("rebuilt") === col("payload")))
+          col("rebuilt") === col("payload")),
+        "frame_pixels_ok" -> (Contracts.forAll(
+          decoded.join(independent, Seq("media_id", "frame_idx"), "full"),
+          col("width") === 16 && col("height") === 12 &&
+            col("pixel_mean") > 0.0 && col("pixel_mean") < 1.0 &&
+            abs(col("pixel_mean") - col("ind_mean")) <= lit(1e-12)) &&
+          decoded.count() > 0L))
     }),
 
     // PageRank over the per-user event-type transition graph (the domain-
@@ -1442,7 +1465,7 @@ object PipelineQueries {
 
     "multimodal_frames" ->
       """SELECT 50::BIGINT AS n_media, TRUE AS frames_per_media_ok,
-        |  TRUE AS reassembles_payload_ok""".stripMargin,
+        |  TRUE AS reassembles_payload_ok, TRUE AS frame_pixels_ok""".stripMargin,
 
     "dedup_embedding_lsh" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vecs,

@@ -33,13 +33,20 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
     assert(feats.length === 70)
     assert(feats.forall(f => f.brightness > 0.0 && f.brightness < 1.0))
-    // non-images keep the fixed opaque payload; images are header + raster
+    // every payload is exactly its format's self-described size: images
+    // are header + raster, audio the fixed 4096-byte WAV, video the boxes
+    // plus one 589-byte embedded PPM frame per second of duration
     feats.zip(recs).foreach { case (f, r) =>
       assert(f.n_bytes === r.payload.length)
-      if (r.kind == "image")
-        assert(f.n_bytes === s"P6\n${r.meta.width} ${r.meta.height}\n255\n"
-          .length + r.meta.width * r.meta.height * 3)
-      else assert(f.n_bytes === 4096)
+      r.kind match {
+        case "image" =>
+          assert(f.n_bytes === s"P6\n${r.meta.width} ${r.meta.height}\n255\n"
+            .length + r.meta.width * r.meta.height * 3)
+        case "audio" => assert(f.n_bytes === 4096)
+        case _ =>
+          assert(f.n_bytes ===
+            140 + (r.meta.duration_ms / 1000L).toInt * 589)
+      }
     }
     // image brightness is the RASTER mean — recompute locally by skipping
     // the header (3rd newline), not via the decoder
@@ -181,6 +188,32 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.decodeMp4(cut)
       }
     }
+  }
+
+  test("sampleVideoFrames decodes real embedded PPM frames from mdat") {
+    val ds = Multimodal.generate(spark, 12L)
+    val frames = Multimodal.sampleVideoFrames(ds).collect()
+    // videos are ids 2,5,8,11 with 1+(id%60) frames each: 3+6+9+12
+    assert(frames.length === 30)
+    assert(frames.forall(f => f.width == 16 && f.height == 12))
+    assert(frames.forall(f => f.pixel_mean > 0 && f.pixel_mean < 1))
+    // independent recompute for one known frame (id=5, frame 2): generator
+    // layout mdat payload at 140, 589-byte frames, 13-byte headers
+    val p = ds.collect().find(_.media_id == 5L).get.payload
+    val start = 140 + 2 * 589 + 13
+    val mean =
+      (start until start + 576).map(p(_) & 0xff).sum.toDouble / 576 / 255.0
+    val got = frames.find(f => f.media_id == 5L && f.frame_idx == 2).get
+    assert(math.abs(got.pixel_mean - mean) < 1e-12)
+    // frames differ from each other (per-frame seeds, not one repeated fill)
+    val means5 = frames.filter(_.media_id == 5L).map(_.pixel_mean).distinct
+    assert(means5.length === 6)
+    // everyKth keeps frames 0, k, 2k, ... only
+    val sampled = Multimodal.sampleVideoFrames(ds, everyKth = 3).collect()
+    assert(sampled.nonEmpty && sampled.forall(_.frame_idx % 3 == 0))
+    assert(sampled.count(_.media_id == 11L) === 4) // 0,3,6,9 of 12
+    // non-video payloads contribute nothing
+    assert(frames.map(_.media_id).distinct.sorted === Seq(2L, 5L, 8L, 11L))
   }
 
   test("frame sampling slices every payload into n frames that reassemble") {
