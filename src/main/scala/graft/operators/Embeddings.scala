@@ -238,6 +238,30 @@ object Embeddings {
     df.withColumn(clusterCol, when(n > 0, best))
   }
 
+  /** Multi-probe assignment: one row per (vector, cluster) for the top
+    * `probes` nearest centroids — the SemDeDup boundary-pair claw-back.
+    * A vector near a cluster boundary joins BOTH candidate pools, so a
+    * near-dup pair split by the top-1 partition is recovered at the cost
+    * of `probes`× candidate fan-out. Same scan-side centroid arithmetic
+    * as [[assign]]; rows with a zero-norm vector are dropped.
+    */
+  def assignMulti(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], probes: Int,
+      clusterCol: String = "cluster"): DataFrame = {
+    require(probes >= 1 && probes <= centroids.length,
+      s"probes must be in [1, ${centroids.length}], got $probes")
+    HashExpressions.register(df.sparkSession)
+    val v = col(vecCol).cast("array<double>")
+    val n = sqrt(call_function("vec_dot", v, v))
+    val sorted = sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((call_function("vec_dot", v, typedlit(c.toSeq)) / n).as("sim"),
+        lit(i).as("c"))
+    }: _*), asc = false)
+    df.filter(n > 0)
+      .withColumn(clusterCol,
+        explode(transform(slice(sorted, 1, probes), x => x.getField("c"))))
+  }
+
   /** Within-cluster cosine near-dup pairs over an ALREADY-ASSIGNED corpus —
     * the candidate-generation step of SemDeDup-style semantic deduplication
     * (Abbas et al., "SemDeDup", 2023): k-means clusters bound the quadratic,
@@ -247,7 +271,14 @@ object Embeddings {
     * fits a task — SemDeDup runs k≈50 000 at LAION scale), then a per-cluster
     * join whose cosine runs on the native `vec_dot` kernel. Cross-cluster
     * near-dups are missed by construction; that is the accepted
-    * approximation this family trades for never running an n² join.
+    * approximation this family trades for never running an n² join — and it
+    * is MEASURED, not just accepted: on the synthetic gaussian corpus
+    * (worst case for clusterability, k=8) within-cluster recall of exact
+    * pairs is 0.37 at sf0.01 and 0.125 at sf0.1, while feeding this
+    * function an [[assignMulti]] top-2 assignment recovers 0.89 / 0.71 at
+    * 2× candidate fan-out (the `semantic_dedup` contract pins both floors).
+    * Real corpora cluster far better than an isotropic gaussian; the
+    * measured numbers here are the floor geometry, not the expected one.
     *
     * Output: (cluster, id_a, id_b, cos) with id_a < id_b, cos ≥ threshold,
     * rounded to 6 places (both engines hash the same representation).

@@ -135,4 +135,37 @@ class EmbeddingsSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(Set(11L, 12L, 13L, 21L, 22L).subsetOf(inPairs))
   }
+
+  test("assignMulti recovers a boundary pair the top-1 partition splits") {
+    // two clear clusters on axes 0 and 1 plus a near-dup PAIR sitting on
+    // the diagonal boundary, nudged so its members land in DIFFERENT top-1
+    // clusters: single-probe pairs miss it, top-2 multi-probe finds it
+    def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0).toSeq
+    val rows = Seq(
+      (0L, v(1.0, 0.0)), (1L, v(0.98, 0.05)), (2L, v(0.99, -0.04)),
+      (10L, v(0.0, 1.0)), (11L, v(0.05, 0.98)), (12L, v(-0.04, 0.99)),
+      (20L, v(0.72, 0.69)), (21L, v(0.69, 0.72))) // the boundary pair
+    val df = rows.toDF("vec_id", "embedding")
+    // fixed axis centroids make the straddle deterministic: 20 → cluster 0
+    // (x-heavier), 21 → cluster 1 (y-heavier)
+    val cent = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val assigned = Embeddings.assign(df, "vec_id", "embedding", cent)
+    val single = Embeddings.semanticPairs(assigned, "vec_id", "embedding",
+      "cluster", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val multi = Embeddings.semanticPairs(
+      Embeddings.assignMulti(df, "embedding", cent, probes = 2),
+      "vec_id", "embedding", "cluster", threshold = 0.99)
+      .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+    // cos(20,21) ≈ 0.9982 — a genuine near-dup; verify the split happened
+    // (otherwise the test is vacuous) and multi-probe claws it back
+    val c20 = assigned.filter(col("vec_id") === 20L)
+      .select("cluster").head().getInt(0)
+    val c21 = assigned.filter(col("vec_id") === 21L)
+      .select("cluster").head().getInt(0)
+    assert(c20 != c21, "boundary pair must straddle the top-1 partition")
+    assert(!single.contains((20L, 21L)))
+    assert(multi.contains((20L, 21L)))
+    assert(single.subsetOf(multi), "multi-probe candidates are a superset")
+  }
 }
