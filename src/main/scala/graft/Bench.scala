@@ -99,17 +99,24 @@ object Bench {
       entries.mkString("[", ",", "]")
     } else "[]"
     // Scale-growth detector (untimed extra): re-time the scale-sensitive
-    // operator families (dedup/ANN/text/embedding — PipelineQueries.timed)
-    // at a smaller scale factor and report t(sfDir)/t(smallDir) per query.
-    // Rows grow 10x from sf0.01 to sf0.1, so a ratio far above ~10-15 flags
-    // super-linear behavior (the fixed-nBits class of scale bug)
-    // mechanically instead of by judge audit. Medians again — a single
+    // operator families (dedup/ANN/text/embedding — PipelineQueries.timed —
+    // plus the full streaming family, whose state-store/watermark costs
+    // have their own growth behavior the batch families can't stand in
+    // for) at a smaller scale factor and report t(sfDir)/t(smallDir) per
+    // query. Rows grow 10x from sf0.01 to sf0.1, so a ratio far above
+    // ~10-15 flags super-linear behavior (the fixed-nBits class of scale
+    // bug) mechanically instead of by judge audit. Medians again — a single
     // sub-second run at sf0.01 would put timer jitter in the denominator.
+    // (streaming_dlq_redrive generates its own fixed 10-message queue, so
+    // its ratio hovers near 1 — included for uniformity, read accordingly.)
     val scaleGrowth = if (args.isEmpty) {
       val smallDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
         "/root/testdata/sf0.01")
+      val growthQueries = graft.queries.PipelineQueries.timed ++
+        graft.streaming.StreamingQueries.queries.view
+          .filterKeys(_.startsWith("streaming_")).toMap
       if (new java.io.File(smallDir).isDirectory && smallDir != sfDir) {
-        val entries = graft.queries.PipelineQueries.timed.toSeq
+        val entries = growthQueries.toSeq
           .sortBy(_._1).flatMap { case (name, fn) =>
             // rows >= 0 = the query SUCCEEDED at sfDir (failures time the
             // crash, which would make the growth ratio nonsense)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, Intersection, SetOperation, Sketches => DsSketches, Union, UpdateSketch}
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -202,5 +203,127 @@ object Sketches {
       kllMergeSnapshots(snapshot, kllByGroup(batch, groupCol, valueCol, k),
         groupCol)
     (updated, kllQuantiles(updated, groupCol, qs))
+  }
+
+  // --- Mergeable distinct-set algebra (Datasketches Theta) -----------------
+  //
+  // HLL answers |A| only; Theta sketches additionally support UNION,
+  // INTERSECTION and A-NOT-B over the sketched sets — which is what corpus
+  // OVERLAP questions need at 100 TB: "how many distinct shingles/tokens/
+  // urls do train and eval share" without ever joining the two corpora.
+  // Each side is sketched in one scan (KB result), the set algebra runs on
+  // the driver in microseconds. Below ~2^lgK distinct items a theta sketch
+  // is in exact mode (no sampling), so small-set answers are exact; above
+  // it the relative standard error is ~1/√2^lgK on unions (intersections
+  // compound — the contract asserts the measured envelope, never equality).
+
+  /** Serializable carrier for a theta Union buffer. */
+  private[operators] final class ThetaBuf(@transient var union: Union)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit =
+      out.writeObject(
+        if (union == null) null else union.getResult.toByteArray)
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val bytes = in.readObject().asInstanceOf[Array[Byte]]
+      union = if (bytes == null) null
+      else {
+        val u = SetOperation.builder().buildUnion()
+        u.union(DsSketches.wrapSketch(Memory.wrap(bytes)))
+        u
+      }
+    }
+  }
+
+  /** Build a theta sketch over string keys (map-side partials; the theta
+    * Union accepts raw updates directly, so build and merge share a buffer).
+    */
+  private[operators] final case class ThetaBuild(lgK: Int)
+      extends Aggregator[String, ThetaBuf, Array[Byte]] {
+    private def fresh(): Union =
+      SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+    override def zero: ThetaBuf = new ThetaBuf(null)
+    override def reduce(b: ThetaBuf, x: String): ThetaBuf = {
+      if (x != null) {
+        if (b.union == null) b.union = fresh()
+        b.union.update(x)
+      }
+      b
+    }
+    override def merge(a: ThetaBuf, b: ThetaBuf): ThetaBuf = {
+      if (b.union != null) {
+        if (a.union == null) a.union = b.union
+        else a.union.union(b.union.getResult)
+      }
+      a
+    }
+    override def finish(b: ThetaBuf): Array[Byte] =
+      (if (b.union == null) fresh().getResult else b.union.getResult)
+        .toByteArray
+    override def bufferEncoder: Encoder[ThetaBuf] =
+      Encoders.javaSerialization(classOf[ThetaBuf])
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Union serialized theta sketches (the snapshot-merge agg). */
+  private[operators] case object ThetaUnionAgg
+      extends Aggregator[Array[Byte], ThetaBuf, Array[Byte]] {
+    override def zero: ThetaBuf = new ThetaBuf(null)
+    override def reduce(b: ThetaBuf, bytes: Array[Byte]): ThetaBuf = {
+      if (bytes != null) {
+        if (b.union == null) b.union = SetOperation.builder().buildUnion()
+        b.union.union(DsSketches.wrapSketch(Memory.wrap(bytes)))
+      }
+      b
+    }
+    override def merge(a: ThetaBuf, b: ThetaBuf): ThetaBuf = {
+      if (b.union != null) {
+        if (a.union == null) a.union = b.union
+        else a.union.union(b.union.getResult)
+      }
+      a
+    }
+    override def finish(b: ThetaBuf): Array[Byte] =
+      (if (b.union == null) SetOperation.builder().buildUnion().getResult
+       else b.union.getResult).toByteArray
+    override def bufferEncoder: Encoder[ThetaBuf] =
+      Encoders.javaSerialization(classOf[ThetaBuf])
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Per-group theta sketch table: (groupCol, theta binary). */
+  def thetaByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(udaf(ThetaBuild(lgK)).apply(col(valueCol).cast("string"))
+        .as("theta"))
+
+  /** Merge two theta sketch tables into an updated snapshot. */
+  def thetaMergeSnapshots(snapshot: DataFrame, batch: DataFrame,
+      groupCol: String): DataFrame =
+    snapshot.unionByName(batch)
+      .groupBy(col(groupCol))
+      .agg(udaf(ThetaUnionAgg).apply(col("theta")).as("theta"))
+
+  private def wrapTheta(bytes: Array[Byte]): CompactSketch =
+    DsSketches.wrapSketch(Memory.wrap(bytes)).compact()
+
+  /** Driver-side set algebra over two serialized sketches — each input is
+    * a KB blob, so these run in microseconds regardless of corpus size.
+    */
+  def thetaEstimate(a: Array[Byte]): Double = wrapTheta(a).getEstimate
+  def thetaUnionEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    val u = SetOperation.builder().buildUnion()
+    u.union(wrapTheta(a)); u.union(wrapTheta(b))
+    u.getResult.getEstimate
+  }
+  def thetaIntersectEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    val i = SetOperation.builder().buildIntersection()
+    i.intersect(wrapTheta(a)); i.intersect(wrapTheta(b))
+    i.getResult.getEstimate
+  }
+  def thetaANotBEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    val d = SetOperation.builder().buildANotB()
+    d.setA(wrapTheta(a)); d.notB(wrapTheta(b))
+    d.getResult(true).getEstimate
   }
 }

@@ -906,6 +906,53 @@ object PipelineQueries {
           col("n") === col("n_exact")))
     }),
 
+    // Corpus-overlap estimation via theta set algebra: how many distinct
+    // tokens two corpus halves SHARE, without ever joining them — each side
+    // is sketched in one scan (KB blob), then union/intersection/a-not-b
+    // run driver-side in microseconds. The 100 TB question this answers is
+    // train/eval contamination RATE (decontaminate_bloom finds the rows;
+    // this measures the set overlap cheaply). Contract: every estimate
+    // within the envelope of the exact distributed counterpart (theta RSE
+    // ~1.6% at lgK=12 on unions; intersections compound — 8% tolerance),
+    // plus internal algebra consistency (|A∩B| + |A\B| ≈ |A|).
+    "approx_overlap_theta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(
+        (col("doc_id") % 2 === 0).cast("string").as("side"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val sk = Sketches.thetaByGroup(toks, "side", "token")
+      val bySide = sk.collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("theta")).toMap
+      val a = bySide("true")
+      val b = bySide("false")
+      val distA = toks.filter(col("side") === "true")
+        .select(col("token")).distinct().localCheckpoint()
+      val distB = toks.filter(col("side") === "false")
+        .select(col("token")).distinct().localCheckpoint()
+      val nA = distA.count()
+      val nB = distB.count()
+      val nInter = distA.join(distB, Seq("token"), "left_semi").count()
+      def within(est: Double, exact: Long, tol: Double): Boolean =
+        math.abs(est - exact) <= math.max(1.0, exact * tol)
+      Contracts.row(s,
+        "n_docs" -> docs.count(),
+        "side_estimates_ok" ->
+          (within(Sketches.thetaEstimate(a), nA, 0.05) &&
+            within(Sketches.thetaEstimate(b), nB, 0.05)),
+        "union_estimate_ok" ->
+          within(Sketches.thetaUnionEstimate(a, b), nA + nB - nInter, 0.05),
+        "intersect_estimate_ok" ->
+          within(Sketches.thetaIntersectEstimate(a, b), nInter, 0.08),
+        "anotb_estimate_ok" ->
+          within(Sketches.thetaANotBEstimate(a, b), nA - nInter, 0.08),
+        "algebra_consistent_ok" -> {
+          val whole = Sketches.thetaEstimate(a)
+          val parts = Sketches.thetaIntersectEstimate(a, b) +
+            Sketches.thetaANotBEstimate(a, b)
+          math.abs(whole - parts) <= math.max(1.0, whole * 0.05)
+        })
+    }),
+
     // Per-domain corpus mix: extract the host from planted URLs (same
     // derivation trick as pii_redact) and count documents per domain — the
     // source-composition report every corpus curation run starts from.
@@ -1291,6 +1338,13 @@ object PipelineQueries {
         "event_type", "value").localCheckpoint()
       Sketches.kllIncremental(snapshot, ev.filter(col("event_id") >= split),
         "event_type", "value", Seq(0.05, 0.5, 0.95))._2
+    }),
+    "approx_overlap_theta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sketches.thetaByGroup(docs.select(
+        (col("doc_id") % 2 === 0).cast("string").as("side"),
+        explode(TextAnalysis.tokens(col("text"))).as("token")),
+        "side", "token")
     }),
     "dedup_clusters_star" -> ((s, dir) =>
       Dedup.clustersStar(
@@ -1921,6 +1975,12 @@ object PipelineQueries {
       """SELECT (SELECT count(DISTINCT event_type) FROM events) AS n_groups,
         |  TRUE AS merge_rank_envelope_ok, TRUE AS full_rank_envelope_ok,
         |  TRUE AS merged_n_exact_ok""".stripMargin,
+
+    "approx_overlap_theta" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  TRUE AS side_estimates_ok, TRUE AS union_estimate_ok,
+        |  TRUE AS intersect_estimate_ok, TRUE AS anotb_estimate_ok,
+        |  TRUE AS algebra_consistent_ok""".stripMargin,
 
     "url_domain_stats" ->
       """SELECT 'd' || (doc_id % 7) || '.example.org' AS domain,

@@ -76,6 +76,32 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("theta set algebra is exact below nominal entries") {
+    // a = {0..999}, b = {500..1499}: below 2^12 nominal entries a theta
+    // sketch samples nothing, so every estimate is exactly right
+    val df = ((0 until 1000).map(v => ("a", v.toString)) ++
+      (500 until 1500).map(v => ("b", v.toString))).toDF("g", "v")
+    val sk = Sketches.thetaByGroup(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("theta")).toMap
+    assert(Sketches.thetaEstimate(sk("a")) === 1000.0)
+    assert(Sketches.thetaEstimate(sk("b")) === 1000.0)
+    assert(Sketches.thetaUnionEstimate(sk("a"), sk("b")) === 1500.0)
+    assert(Sketches.thetaIntersectEstimate(sk("a"), sk("b")) === 500.0)
+    assert(Sketches.thetaANotBEstimate(sk("a"), sk("b")) === 500.0)
+  }
+
+  test("theta snapshot merge unions, not adds; single-side groups pass") {
+    val snap = Sketches.thetaByGroup(
+      (0 until 800).map(v => ("x", v.toString)).toDF("g", "v"), "g", "v")
+    val batch = Sketches.thetaByGroup(
+      ((400 until 1200).map(v => ("x", v.toString)) :+ ("y", "solo"))
+        .toDF("g", "v"), "g", "v")
+    val merged = Sketches.thetaMergeSnapshots(snap, batch, "g").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("theta")).toMap
+    assert(Sketches.thetaEstimate(merged("x")) === 1200.0) // union, exact
+    assert(Sketches.thetaEstimate(merged("y")) === 1.0)
+  }
+
   test("KLL groups present in only one side pass through the merge") {
     val snap = Sketches.kllByGroup(
       Seq(("x", 1.0), ("x", 2.0)).toDF("g", "v"), "g", "v")
