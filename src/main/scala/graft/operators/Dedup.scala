@@ -110,6 +110,93 @@ object Dedup {
     Caching.materializeThenRelease(pairs, sh)
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (PPJoin-family,
+    * Xiao et al. WWW'08) — all pairs with n-gram Jaccard >= threshold, with
+    * NO false negatives (unlike MinHash banding) and no quadratic pass
+    * (unlike [[jaccardPairs]]).
+    *
+    * Shingles are globally ordered rarest-document-frequency-first; a record
+    * of n shingles keeps only its first n - ceil(t*n) + 1 as its PREFIX.
+    * Any pair with J >= t has overlap >= ceil(t*n) on both sides, so by
+    * pigeonhole their prefixes must share a shingle — candidates are
+    * generated by an equi-join on PREFIX shingles only. Because prefixes
+    * hold each record's rarest shingles, the join keys are the low-frequency
+    * tail of the corpus distribution: candidate volume is sum-of-df² over
+    * rare shingles, not over all shingles (the reason a plain shared-token
+    * join blows up and this doesn't). A length filter
+    * (min(na,nb) >= t*max(na,nb), necessary for J >= t) prunes further;
+    * survivors are verified with exact Jaccard on the full shingle arrays.
+    *
+    * At 100 TB: two shuffles that matter — the df-rank join (shingle-keyed,
+    * combiner-friendly count) and the prefix equi-join (keys = rare
+    * shingles). Nothing is quadratic in corpus size; per-key fan-out is
+    * df², bounded by the rarity of prefix shingles. Same output contract as
+    * [[jaccardPairs]], checked exactly against it in DedupSpec and against
+    * a DuckDB token-equijoin oracle on the FULL documents table.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, nGram: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh = shingleFrame(df, idCol, textCol, nGram, par)
+    // Pre-collapse identical shingle SETS (the minhashPairs lesson): exact
+    // duplicates share every prefix shingle, so a dup cluster of size c
+    // would fan each prefix key out c times and every bucket join would go
+    // quadratic in c. One representative per distinct set runs the prefix
+    // join; pairs re-expand through the groups after (intra-group pairs are
+    // Jaccard 1.0 by construction).
+    val grouped = sh
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("sh"))))
+      .persist()
+    val members = grouped.select(col("id"), col("rep"))
+    val reps = grouped.filter(col("id") === col("rep"))
+      .select(col("rep"), col("sh"))
+      .persist()
+    val toks = reps.select(col("rep"), explode(col("sh")).as("tok"))
+    // Global ordering key: (document frequency asc, shingle) — rarest first.
+    // The df table is shingle-keyed; counting is map-side combinable.
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfreq, "tok")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("rep"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("rep")).orderBy(col("df"), col("tok"))))
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("rep"), col("tok"), col("n"))
+      .persist()
+    val candRep = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.rep") < col("b.rep") &&
+          least(col("a.n"), col("b.n")) >=
+            greatest(col("a.n"), col("b.n")) * threshold)
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
+      .distinct()
+    val verifiedRep = candRep
+      .join(reps.select(col("rep").as("rep_a"), col("sh").as("sh_a")),
+        "rep_a")
+      .join(reps.select(col("rep").as("rep_b"), col("sh").as("sh_b")),
+        "rep_b")
+      .select(col("rep_a"), col("rep_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // cross-group: every member pair across two verified groups, at the
+    // groups' jaccard; intra-group: identical sets, jaccard exactly 1.0
+    val cross = verifiedRep
+      .join(members.select(col("rep").as("rep_a"), col("id").as("ida")),
+        "rep_a")
+      .join(members.select(col("rep").as("rep_b"), col("id").as("idb")),
+        "rep_b")
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("jaccard"))
+    val intra = members.as("a")
+      .join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    val pairs = cross.unionByName(intra)
+      .orderBy(col("id_a"), col("id_b"))
+    Caching.materializeThenRelease(pairs, grouped, reps, prefix)
+  }
+
   /** MinHash + LSH banding near-dup pairs with exact-Jaccard verification.
     *
     * Pipeline: shingle → k-hash signature (native `MinHashSig` expression,

@@ -61,6 +61,17 @@ object PipelineQueries {
         t(s, dir, "documents").filter(col("doc_id") < 300),
         "doc_id", "text", threshold = 0.3)),
 
+    // EXACT similarity self-join over the FULL documents table — prefix
+    // filtering (PPJoin-family) generates candidates from each record's
+    // rarest shingles only, so unlike jaccardPairs there is no quadratic
+    // pass and unlike minhashPairs there are no false negatives. The DuckDB
+    // oracle recomputes every qualifying pair independently via a
+    // shared-shingle equi-join, so this row certifies EXACTNESS of the
+    // pruned plan, not just plausibility.
+    "jaccard_prefix_join" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
+
     // Pairs → clusters: connected components over the exact-Jaccard edge set
     // (bounded subset so the recursive-CTE oracle stays cheap); each node
     // reports the min doc_id of its component.
@@ -1290,6 +1301,9 @@ object PipelineQueries {
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.3)),
+    "jaccard_prefix_join" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)),
     "dedup_minhash_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val split = docs.agg(floor(max(col("doc_id")) * 0.8)).head().getLong(0)
@@ -1864,6 +1878,23 @@ object PipelineQueries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
         |        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "jaccard_prefix_join" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents)),
+        |tok AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(count(*)::DOUBLE / (a.n + b.n - count(*)), 6) AS jaccard
+        |FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        |HAVING round(count(*)::DOUBLE / (a.n + b.n - count(*)), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_near_keep" ->

@@ -28,6 +28,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("prefix-filtered join equals the quadratic all-pairs exactly") {
+    // Seeded corpus with an exact-dup cluster (prefix keys would fan out
+    // quadratically without the pre-collapse), near-dups at several
+    // distances straddling the threshold, and unrelated noise docs.
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 120).map(i => s"w$i")
+    def doc(): String =
+      (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = doc()
+    val docs =
+      (1L to 5L).map(i => (i, base)) ++ // exact cluster
+        Seq(
+          (6L, base.replace("w", "x")), // unrelated twin
+          (7L, base + " tail1 tail2"), // high-jaccard near-dup
+          (8L, base.split(" ").drop(8).mkString(" ")), // mid-jaccard
+          (9L, base.split(" ").take(10).mkString(" "))) ++ // low-jaccard
+        (10L until 60L).map(i => (i, doc()))
+    val df = docs.toDF("doc_id", "text")
+    val quad = Dedup.jaccardPairs(df, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.prefixJaccardPairs(df, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref === quad)
+    // the planted structure actually exercises both branches
+    assert(quad.contains((1L, 2L, 1.0))) // intra-group
+    assert(quad.exists { case (a, b, j) => a == 1L && b == 7L && j < 1.0 })
+  }
+
   test("repeated spans recover a planted cross-document verbatim repeat") {
     // 12 shared tokens planted mid-document in docs 1 and 2; doc 3 clean.
     val repeat = (1 to 12).map(i => s"rep$i").mkString(" ")
