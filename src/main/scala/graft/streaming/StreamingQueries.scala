@@ -416,6 +416,67 @@ object StreamingQueries {
         Files.createTempDirectory("graft-minc-ckpt-").toString)
     }),
 
+    // Sketch-snapshot maintenance as a STREAM: each micro-batch sketches
+    // itself (hllByGroup) and merges into the persisted groups × KB
+    // snapshot (hllMergeSnapshots + atomic swap) — the streaming form of
+    // approx_distinct_incremental, and what a continuously-ingesting
+    // corpus runs instead of nightly re-scans. The corpus is touched once,
+    // the micro-batch it arrived in; only the KB-sized snapshot is ever
+    // re-read. Contract written envelope-first (the HLL estimator lesson):
+    // final-snapshot estimates land within the lgK envelope of the exact
+    // distributed distinct counts, the group set is exactly the corpus's,
+    // and the run genuinely spanned multiple micro-batches
+    // (maxFilesPerTrigger=1 over 3 staged files).
+    "streaming_sketch_snapshot" -> ((s, dir) => {
+      val stage = Files.createTempDirectory("graft-ssk-").toString
+      val ev = Tables.t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      (0 until 3).foreach { i =>
+        ev.filter(col("event_id") % 3 === i).coalesce(1)
+          .write.parquet(s"$stage/in/f$i.parquet")
+      }
+      val snapPath = s"$stage/snap"
+      val snapDir = new org.apache.hadoop.fs.Path(snapPath)
+      val fs = snapDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val batches = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stage/in/*.parquet")
+        .writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            val batchSk = graft.operators.Sketches.hllByGroup(
+              b, "event_type", "user_id")
+            val merged =
+              if (fs.exists(snapDir))
+                graft.operators.Sketches.hllMergeSnapshots(
+                  s.read.parquet(snapPath), batchSk, "event_type")
+              else batchSk
+            val next = new org.apache.hadoop.fs.Path(s"$snapPath-next-$id")
+            merged.write.mode("overwrite").parquet(next.toString)
+            if (fs.exists(snapDir)) fs.delete(snapDir, true)
+            fs.rename(next, snapDir)
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+      val est = graft.operators.Sketches.hllEstimates(
+        s.read.parquet(snapPath), "event_type").localCheckpoint()
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("exact")).localCheckpoint()
+      graft.queries.Contracts.row(s,
+        "n_groups" -> est.count(),
+        "multi_batch_ok" -> (batches.get() >= 3L),
+        "groups_complete_ok" -> (est.count() == exact.count() &&
+          est.join(exact, "event_type").count() == exact.count()),
+        "estimates_within_error_ok" -> graft.queries.Contracts.forAll(
+          est.join(exact, "event_type"),
+          abs(col("n_distinct_est") - col("exact")).cast("double") <=
+            col("exact") * lit(0.05)))
+    }),
+
     // The reference's full event flow as ONE streaming query: parquet →
     // publish to queue → format("graft-queue") micro-batch source →
     // from_json → aggregate. Matching the oracle run directly on the source
@@ -598,6 +659,11 @@ object StreamingQueries {
     "streaming_incremental_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "streaming_sketch_snapshot" ->
+      """SELECT (SELECT count(DISTINCT event_type) FROM events) AS n_groups,
+        |  TRUE AS multi_batch_ok, TRUE AS groups_complete_ok,
+        |  TRUE AS estimates_within_error_ok""".stripMargin,
 
     "streaming_dedup_watermark" ->
       """SELECT event_type, count(*) AS n FROM events
