@@ -327,6 +327,60 @@ object Similarity {
     Caching.materializeThenRelease(topk, c, q)
   }
 
+  /** Scalar-quantization (SQ8) top-k: every corpus vector stored as `dim`
+    * uint8 codes against GLOBAL per-dimension [lo, hi] ranges — 4× fewer
+    * bytes scanned than float32, the serving tier below PQ's 32× for when
+    * near-lossless recall is required. Decode is affine
+    * (x̂_d = lo_d + c_d·Δ_d), so the approximate cosine needs NO decode:
+    * dot(q̂, x̂) = Σ q̂_d·lo_d + Σ (q̂_d·Δ_d)·c_d — a per-query bias plus a
+    * native `vec_dot` of the query's Δ-scaled weights against the codes.
+    * Shortlist by approximate score, then the shared exact-cosine re-rank.
+    *
+    * Scale shape: the range model is a dim×2 driver-side table from ONE
+    * distributed min/max aggregation; encoding is scan-side arithmetic;
+    * the exhaustive scan reads only (id, codes); raw vectors are touched
+    * by the shortlist join alone (queries·shortlist rows). Quantizing
+    * normalized coordinates to 8 bits is near-lossless for cosine
+    * ordering — the contract asserts a recall floor vs brute force.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlistFactor: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    HashExpressions.register(spark)
+    val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n")
+      .persist() // feeds range training, encoding, and the re-rank join
+    val unit = c.select(col("nid"),
+      transform(col("v_n"), x => x / col("n_n")).as("u"))
+    val ranges = unit.select(posexplode(col("u")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("d")).collect()
+    val lo = ranges.map(_.getDouble(1)).toSeq
+    val delta = ranges.map(r =>
+      math.max((r.getDouble(2) - r.getDouble(1)) / 255.0, 1e-12)).toSeq
+    val codes = unit.select(col("nid"),
+      transform(col("u"), (x, i) =>
+        least(lit(255), greatest(lit(0), round(
+          (x - element_at(typedlit(lo), i + 1)) /
+            element_at(typedlit(delta), i + 1)).cast("int")))).as("codes"))
+    val q = withNorm(queries, idCol, vecCol, "qid", "v_q", "n_q").persist()
+    val qw = q.select(col("qid"),
+      zip_with(transform(col("v_q"), x => x / col("n_q")), typedlit(delta),
+        (a, b) => a * b).as("w"),
+      call_function("vec_dot",
+        transform(col("v_q"), x => x / col("n_q")), typedlit(lo)).as("bias"))
+    val scored = qw.join(codes, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (col("bias") + call_function("vec_dot", col("w"),
+          col("codes").cast("array<double>"))).as("approx"))
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("nid"))
+    val shortlist = scored.withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlistFactor * k)
+      .select(col("qid"), col("nid"))
+    val topk = exactRerankTopK(shortlist, c, q, k)
+    Caching.materializeThenRelease(topk, c, q)
+  }
+
   /** OPQ-style rotated PQ: rotate the space onto the corpus's principal
     * axes before product quantization. The rotation is pure-orthonormal
     * (NO centering, NO whitening), so cosine is preserved exactly and the

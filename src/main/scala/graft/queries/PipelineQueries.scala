@@ -387,6 +387,27 @@ object PipelineQueries {
         "recall_ok" -> (Contracts.recall(pq, brute) >= 0.6))
     }),
 
+    // SQ8 (scalar-quantization) top-k: uint8 codes against global per-dim
+    // ranges — the 4× serving tier below PQ's 32× when near-lossless
+    // recall is required. The approximate score is decode-free (affine
+    // algebra folds the ranges into a per-query bias + Δ-scaled weights),
+    // so the exhaustive scan reads only (id, codes). 8-bit quantization of
+    // unit vectors is near-lossless for cosine ordering: floor 0.9, swept
+    // green at sf0.01 and sf0.1.
+    "sim_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val sq = Similarity.sq8TopK(emb, q, "vec_id", "embedding", k = 5)
+        .localCheckpoint()
+      val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        k = 5).localCheckpoint()
+      Contracts.row(s,
+        "n_queries" -> q.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(sq, "qid", "rank", 5),
+        "scores_exact_ok" -> scoresMatchExact(sq, emb),
+        "recall_ok" -> (Contracts.recall(sq, brute) >= 0.9))
+    }),
+
     // PCA / whitening: one typed-Aggregator covariance pass (KB buffers
     // shuffle, never vectors), driver-side Jacobi eigendecomposition,
     // literal-component projection. Contract: components orthonormal,
@@ -1380,6 +1401,11 @@ object PipelineQueries {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, m = 16, shortlistFactor = 8)
     }),
+    "sim_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5)
+    }),
     "sim_opq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.opqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
@@ -1486,6 +1512,12 @@ object PipelineQueries {
         |  TRUE AS recall_ok""".stripMargin,
 
     "sim_pq_topk" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+        |    AS n_queries,
+        |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,
+        |  TRUE AS recall_ok""".stripMargin,
+
+    "sim_sq8_topk" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
         |    AS n_queries,
         |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,

@@ -138,6 +138,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall under the swept floor")
   }
 
+  test("SQ8 top-k: exact re-ranked scores; near-lossless recall") {
+    val emb = t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val bruteMap = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 100)
+      .select("qid", "nid", "cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val sq = Similarity.sq8TopK(emb, queries, "vec_id", "embedding", k = 5)
+    val rows = sq.select("qid", "nid", "cos").as[(Long, Long, Double)]
+      .collect()
+    rows.foreach { case (q, n, c) =>
+      bruteMap.get((q, n)).foreach(e => assert(math.abs(e - c) < 1e-9))
+    }
+    // 8 bits per normalized coordinate ≈ lossless for cosine ordering
+    val recall = graft.queries.Contracts.recall(sq, brute)
+    assert(recall >= 0.9, s"recall=$recall under the SQ8 floor")
+  }
+
   test("IVF-PQ: exact re-ranked scores; recall clears the compounded floor") {
     val emb = t(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
