@@ -87,9 +87,26 @@ object BloomExpressions {
   * session can no longer break a sibling thread's Column between
   * `call_function` and eager analysis. Registration + role bookkeeping +
   * sweep run in one critical section per (registry, role).
+  *
+  * Weak-only references would leave one hazard: between `register` (which
+  * returns a name for a Column) and the first analysis that builds the
+  * expression, the CALLER's frame may hold the only strong reference — and
+  * HotSpot may clear a local's slot after its last bytecode use, so a GC
+  * during Dataset construction could collect the object before the builder
+  * derefs it (the premature-finalization window `reachabilityFence` exists
+  * for). Each registry therefore also keeps a strong hold on its most
+  * recently registered objects in a bounded FIFO (`StrongHoldCap`): deep
+  * enough to cover any realistic register→analysis gap, bounded so a
+  * superseded filter still becomes collectable after `StrongHoldCap`
+  * further registrations (or [[releaseStrongHolds]] for eager release).
   */
 private[functions] object TempFnNames {
+  private val StrongHoldCap = 32
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+  // registry → FIFO strong holds of recently registered objects. Weak-keyed
+  // by registry so a closed session releases its holds with it.
+  private val recentHolds = new java.util.WeakHashMap[
+    AnyRef, java.util.ArrayDeque[AnyRef]]()
   // per-prefix maps: one object may carry several bindings (a PQ codebook
   // backs both the encode and the lut function) without evicting the other
   private val names = new java.util.concurrent.ConcurrentHashMap[
@@ -140,7 +157,31 @@ private[functions] object TempFnNames {
       if (!list.stream().anyMatch(_._1 == name)) list.add((name, ref))
       sweepLocked(registry, list, keep = name)
     }
+    val holds = recentHolds.synchronized {
+      var cur = recentHolds.get(registry)
+      if (cur == null) {
+        cur = new java.util.ArrayDeque[AnyRef]()
+        recentHolds.put(registry, cur)
+      }
+      cur
+    }
+    holds.synchronized {
+      holds.addLast(obj)
+      while (holds.size() > StrongHoldCap) holds.removeFirst()
+    }
     name
+  }
+
+  /** Eagerly release this session's bounded strong holds (memory-sensitive
+    * callers and the collectability specs; [[register]] normally ages them
+    * out FIFO).
+    */
+  def releaseStrongHolds(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    recentHolds.synchronized {
+      val cur = recentHolds.get(registry)
+      if (cur != null) cur.synchronized(cur.clear())
+    }
   }
 
   /** Drop same-role entries whose object has been collected (test hook —

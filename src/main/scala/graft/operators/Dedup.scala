@@ -110,6 +110,32 @@ object Dedup {
     Caching.materializeThenRelease(pairs, sh)
   }
 
+  /** Expand rep-level pair rows through identical-content dup groups:
+    * every member pair across the two groups (carrying the rep pair's
+    * `payload` columns) plus all intra-group member pairs (payload =
+    * `intraPayload`, the identical-content value — Jaccard 1.0, Hamming 0).
+    * Cross and intra are disjoint by construction (cross spans two groups,
+    * intra stays inside one), so a plain union is duplicate-free. Shared by
+    * every pre-collapsing pair operator (minhash / simhash / prefix join).
+    */
+  private def expandDupGroups(repPairs: DataFrame, members: DataFrame,
+      payload: Seq[String], intraPayload: Seq[Column]): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rep").as("rep_a"), col("id").as("ida")),
+        "rep_a")
+      .join(members.select(col("rep").as("rep_b"), col("id").as("idb")),
+        "rep_b")
+      .select(least(col("ida"), col("idb")).as("id_a") +:
+        greatest(col("ida"), col("idb")).as("id_b") +:
+        payload.map(col): _*)
+    val intra = members.as("a")
+      .join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a") +: col("b.id").as("id_b") +:
+        payload.zip(intraPayload).map { case (n, c) => c.as(n) }: _*)
+    cross.union(intra)
+  }
+
   /** EXACT set-similarity self-join via prefix filtering (PPJoin-family,
     * Xiao et al. WWW'08) — all pairs with n-gram Jaccard >= threshold, with
     * NO false negatives (unlike MinHash banding) and no quadratic pass
@@ -144,9 +170,15 @@ object Dedup {
     // would fan each prefix key out c times and every bucket join would go
     // quadratic in c. One representative per distinct set runs the prefix
     // join; pairs re-expand through the groups after (intra-group pairs are
-    // Jaccard 1.0 by construction).
+    // Jaccard 1.0 by construction). The collapse key is a pair of
+    // STRUCTURAL 64-bit hashes of the shingle array (16 bytes through the
+    // exchange, never the array itself); the salt leads in the second hash
+    // because xxhash64 chains its running state, so a trailing salt would
+    // inherit any first-hash collision instead of being independent.
     val grouped = sh
-      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("sh"))))
+      .withColumn("rep", min(col("id")).over(
+        Window.partitionBy(xxhash64(col("sh")),
+          xxhash64(lit(7L), col("sh")))))
       .persist()
     val members = grouped.select(col("id"), col("rep"))
     val reps = grouped.filter(col("id") === col("rep"))
@@ -178,21 +210,8 @@ object Dedup {
       .select(col("rep_a"), col("rep_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    // cross-group: every member pair across two verified groups, at the
-    // groups' jaccard; intra-group: identical sets, jaccard exactly 1.0
-    val cross = verifiedRep
-      .join(members.select(col("rep").as("rep_a"), col("id").as("ida")),
-        "rep_a")
-      .join(members.select(col("rep").as("rep_b"), col("id").as("idb")),
-        "rep_b")
-      .select(least(col("ida"), col("idb")).as("id_a"),
-        greatest(col("ida"), col("idb")).as("id_b"), col("jaccard"))
-    val intra = members.as("a")
-      .join(members.as("b"),
-        col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        lit(1.0).as("jaccard"))
-    val pairs = cross.unionByName(intra)
+    val pairs = expandDupGroups(verifiedRep, members,
+        Seq("jaccard"), Seq(lit(1.0)))
       .orderBy(col("id_a"), col("id_b"))
     Caching.materializeThenRelease(pairs, grouped, reps, prefix)
   }
@@ -246,21 +265,9 @@ object Dedup {
         col("a.rep") < col("b.rep"))
       .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
       .distinct()
-    // cross-group: every member pair across two colliding signature groups
-    val cross = candRep
-      .join(members.select(col("rep").as("rep_a"), col("id").as("ida")),
-        "rep_a")
-      .join(members.select(col("rep").as("rep_b"), col("id").as("idb")),
-        "rep_b")
-      .select(least(col("ida"), col("idb")).as("id_a"),
-        greatest(col("ida"), col("idb")).as("id_b"))
-    // intra-group: identical signatures always collide — all member pairs
-    val intra = members.as("a")
-      .join(members.as("b"),
-        col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    // disjoint by construction (cross spans two groups, intra stays in one)
-    val cand = cross.union(intra)
+    // cross: colliding signature groups; intra: identical signatures
+    // always collide — all member pairs are candidates
+    val cand = expandDupGroups(candRep, members, Seq.empty, Seq.empty)
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     val pairs = cand.join(shA, "id_a").join(shB, "id_b")
@@ -397,21 +404,10 @@ object Dedup {
     val candRep = simhashRepCandidates(
       fp.filter(col("id") === col("rep")).select(col("rep"), col("fp")),
       maxHamming)
-    // cross-group: every member pair across two near-colliding fp groups
-    val cross = candRep
-      .join(members.select(col("rep").as("rep_a"), col("id").as("ida")),
-        "rep_a")
-      .join(members.select(col("rep").as("rep_b"), col("id").as("idb")),
-        "rep_b")
-      .select(least(col("ida"), col("idb")).as("id_a"),
-        greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
-    // intra-group: identical fingerprints are Hamming-0 pairs by definition
-    val intra = members.as("a")
-      .join(members.as("b"),
-        col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        lit(0).as("hamming"))
-    val pairs = cross.union(intra)
+    // cross: near-colliding fp groups at their Hamming distance; intra:
+    // identical fingerprints are Hamming-0 pairs by definition
+    val pairs = expandDupGroups(candRep, members,
+        Seq("hamming"), Seq(lit(0)))
       .orderBy(col("id_a"), col("id_b"))
     Caching.materializeThenRelease(pairs, fp)
   }

@@ -217,17 +217,25 @@ object Sketches {
   // it the relative standard error is ~1/√2^lgK on unions (intersections
   // compound — the contract asserts the measured envelope, never equality).
 
-  /** Serializable carrier for a theta Union buffer. */
-  private[operators] final class ThetaBuf(@transient var union: Union)
-      extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit =
+  /** Serializable carrier for a theta Union buffer. `lgK` rides along so
+    * post-shuffle deserialization rebuilds the union at the SAME nominal
+    * entries — a default-sized (2^12) rebuild would silently downsample
+    * any lgK > 12 sketch to lgK=12 accuracy on its first merge hop.
+    */
+  private[operators] final class ThetaBuf(@transient var union: Union,
+      var lgK: Int) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.writeInt(lgK)
       out.writeObject(
         if (union == null) null else union.getResult.toByteArray)
+    }
     private def readObject(in: java.io.ObjectInputStream): Unit = {
+      lgK = in.readInt()
       val bytes = in.readObject().asInstanceOf[Array[Byte]]
       union = if (bytes == null) null
       else {
-        val u = SetOperation.builder().buildUnion()
+        val u = SetOperation.builder()
+          .setNominalEntries(1 << lgK).buildUnion()
         u.union(DsSketches.wrapSketch(Memory.wrap(bytes)))
         u
       }
@@ -241,7 +249,7 @@ object Sketches {
       extends Aggregator[String, ThetaBuf, Array[Byte]] {
     private def fresh(): Union =
       SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
-    override def zero: ThetaBuf = new ThetaBuf(null)
+    override def zero: ThetaBuf = new ThetaBuf(null, lgK)
     override def reduce(b: ThetaBuf, x: String): ThetaBuf = {
       if (x != null) {
         if (b.union == null) b.union = fresh()
@@ -264,13 +272,18 @@ object Sketches {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Union serialized theta sketches (the snapshot-merge agg). */
-  private[operators] case object ThetaUnionAgg
+  /** Union serialized theta sketches (the snapshot-merge agg). `lgK` must
+    * match the build-side parameter, for the same no-silent-downsample
+    * reason as [[ThetaBuf]].
+    */
+  private[operators] final case class ThetaUnionAgg(lgK: Int)
       extends Aggregator[Array[Byte], ThetaBuf, Array[Byte]] {
-    override def zero: ThetaBuf = new ThetaBuf(null)
+    private def fresh(): Union =
+      SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+    override def zero: ThetaBuf = new ThetaBuf(null, lgK)
     override def reduce(b: ThetaBuf, bytes: Array[Byte]): ThetaBuf = {
       if (bytes != null) {
-        if (b.union == null) b.union = SetOperation.builder().buildUnion()
+        if (b.union == null) b.union = fresh()
         b.union.union(DsSketches.wrapSketch(Memory.wrap(bytes)))
       }
       b
@@ -283,7 +296,7 @@ object Sketches {
       a
     }
     override def finish(b: ThetaBuf): Array[Byte] =
-      (if (b.union == null) SetOperation.builder().buildUnion().getResult
+      (if (b.union == null) fresh().getResult
        else b.union.getResult).toByteArray
     override def bufferEncoder: Encoder[ThetaBuf] =
       Encoders.javaSerialization(classOf[ThetaBuf])
@@ -297,12 +310,14 @@ object Sketches {
       .agg(udaf(ThetaBuild(lgK)).apply(col(valueCol).cast("string"))
         .as("theta"))
 
-  /** Merge two theta sketch tables into an updated snapshot. */
+  /** Merge two theta sketch tables into an updated snapshot. `lgK` must
+    * match the tables' build parameter.
+    */
   def thetaMergeSnapshots(snapshot: DataFrame, batch: DataFrame,
-      groupCol: String): DataFrame =
+      groupCol: String, lgK: Int = 12): DataFrame =
     snapshot.unionByName(batch)
       .groupBy(col(groupCol))
-      .agg(udaf(ThetaUnionAgg).apply(col("theta")).as("theta"))
+      .agg(udaf(ThetaUnionAgg(lgK)).apply(col("theta")).as("theta"))
 
   private def wrapTheta(bytes: Array[Byte]): CompactSketch =
     DsSketches.wrapSketch(Memory.wrap(bytes)).compact()
@@ -311,8 +326,9 @@ object Sketches {
     * a KB blob, so these run in microseconds regardless of corpus size.
     */
   def thetaEstimate(a: Array[Byte]): Double = wrapTheta(a).getEstimate
-  def thetaUnionEstimate(a: Array[Byte], b: Array[Byte]): Double = {
-    val u = SetOperation.builder().buildUnion()
+  def thetaUnionEstimate(a: Array[Byte], b: Array[Byte],
+      lgK: Int = 12): Double = {
+    val u = SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
     u.union(wrapTheta(a)); u.union(wrapTheta(b))
     u.getResult.getEstimate
   }

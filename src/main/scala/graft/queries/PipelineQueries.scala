@@ -585,7 +585,7 @@ object PipelineQueries {
         "single_probe_recall_ok" ->
           (nExact > 0 && hits.toDouble / nExact >= 0.1),
         "multiprobe_recovers_ok" ->
-          (boundedHits(mpPairs).toDouble / nExact >= 0.6 &&
+          (nExact > 0 && boundedHits(mpPairs).toDouble / nExact >= 0.6 &&
             pairs.select(col("id_a"), col("id_b"))
               .join(mpPairs, Seq("id_a", "id_b"), "left_anti").isEmpty),
         "no_surviving_pair_ok" -> pairs

@@ -159,6 +159,9 @@ class ExpressionsSpec extends SparkSpec {
       "a bare Column from before the rebind must still analyze")
     assert(spark.range(1).select(call_function(nameB)).head().getInt(0) == 5)
     a = null // drop the last strong reference
+    // the bounded recent-registration FIFO intentionally still pins `a`;
+    // age it out eagerly so collectability is down to the weak entry alone
+    TempFnNames.releaseStrongHolds(spark)
     var tries = 0
     while (aRef.get() != null && tries < 100) {
       System.gc(); Thread.sleep(10); tries += 1
@@ -168,5 +171,22 @@ class ExpressionsSpec extends SparkSpec {
     TempFnNames.sweepRole(spark, role)
     assert(registered() == Set(nameB),
       "collected predecessors sweep out of the registry")
+  }
+
+  test("register: no premature-GC window between register and analysis") {
+    // a caller may hold the bound object only in a frame slot HotSpot has
+    // already cleared by analysis time; the bounded strong FIFO must keep
+    // the object alive across the register→first-build gap even when NO
+    // caller reference survives.
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.functions.call_function
+    val mk = (o: Array[Double], _: Seq[Expression]) =>
+      Literal(o.length): Expression
+    val name = TempFnNames.register[Array[Double]](
+      spark, "tfn_window", Array.fill(7)(1.0), mk) // no ref kept
+    (0 until 3).foreach { _ => System.gc(); Thread.sleep(10) }
+    assert(spark.range(1).select(call_function(name)).head().getInt(0) == 7,
+      "binding must survive GC between register and first analysis")
+    TempFnNames.releaseStrongHolds(spark)
   }
 }

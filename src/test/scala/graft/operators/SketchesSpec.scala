@@ -90,6 +90,19 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.thetaANotBEstimate(sk("a"), sk("b")) === 500.0)
   }
 
+  test("theta lgK above the default survives shuffled merges uncapped") {
+    // 20k distinct values at lgK=16 stay below 2^16 nominal entries, so the
+    // sketch is in EXACT mode everywhere — unless some merge hop rebuilds
+    // its union at the 2^12 default, which would downsample and break the
+    // exact count. repartition(8) forces serialized buffer merges.
+    val df = (0 until 20000).map(v => ("g", v.toString)).toDF("g", "v")
+      .repartition(8)
+    val sk = Sketches.thetaByGroup(df, "g", "v", lgK = 16)
+    val merged = Sketches.thetaMergeSnapshots(sk, sk, "g", lgK = 16)
+      .collect().map(r => r.getAs[Array[Byte]]("theta")).head
+    assert(Sketches.thetaEstimate(merged) === 20000.0)
+  }
+
   test("theta snapshot merge unions, not adds; single-side groups pass") {
     val snap = Sketches.thetaByGroup(
       (0 until 800).map(v => ("x", v.toString)).toDF("g", "v"), "g", "v")
