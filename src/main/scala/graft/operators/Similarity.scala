@@ -681,4 +681,103 @@ object Similarity {
     if (trainIters > 0) Caching.materializeThenRelease(topk, corpusNormed)
     else topk
   }
+
+  /** All-pairs kNN similarity graph — every corpus vector's top-k cosine
+    * neighbors, via shared-bucket IVF blocking. This is the corpus-wide
+    * construction (similarity graph for diversity sampling, SemDeDup-style
+    * curation, mutual-kNN clustering), distinct from the query→corpus top-k
+    * forms above: the candidate set is the self-join of bucket members, not
+    * a broadcast query probe.
+    *
+    * One kernel pass: each vector is normed and centroid-scored exactly
+    * once (the cached `assigned` frame); the member side reads its home
+    * bucket (`probes[0]`), the probe side explodes the top `nProbe`
+    * buckets of the SAME frame. Candidate volume is then
+    * n · nProbe · (n / nCentroids) pairs flowing through ONE shuffle on the
+    * bucket key — the standard IVF self-join; at 100 TB you scale
+    * `nCentroids` with n to hold the per-bucket fan-in constant and the
+    * per-src top-k window stays bounded by nProbe · bucketSize. Output:
+    * (src, rank, dst, cos), rank 1..k by descending similarity.
+    *
+    * With `trainIters = 0` the whole pipeline is deterministic per-row math
+    * (seeded hash-ordered init, fixed-order `vec_dot` loops), so the edge
+    * set is partition-invariant — the contract asserts exactly that. Lloyd
+    * refinement (`trainIters > 0`) improves bucket balance but float-sum
+    * order makes centroids partitioning-sensitive, same caveat as
+    * `embedding_kmeans`.
+    *
+    * Defaults swept via `tools.KnnSweep` on this corpus: (16, 6, 2) gives
+    * edge recall 0.69–0.73 vs the exact all-pairs graph at every sf; self-
+    * join recall runs lower than the query-form sweeps because EVERY node
+    * is a query, so bucket-boundary nodes are fully represented. Raising
+    * nProbe buys recall linearly in candidate volume; halving nCentroids
+    * (8, 3, 2) trades bigger buckets for the same effect.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 6, seed: Long = 11L,
+      trainIters: Int = 2): DataFrame = {
+    HashExpressions.register(corpus.sparkSession)
+    val init: Array[(Int, Seq[Double], Double)] = corpus
+      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .orderBy(xxhash64(col("cid"), lit(seed)))
+      .limit(nCentroids)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        val v = r.getSeq[Double](1)
+        (i, v, math.sqrt(v.map(x => x * x).sum))
+      }
+    val corpusNormed =
+      withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n").persist()
+    val cent =
+      if (trainIters <= 0) init
+      else refineCentroids(corpusNormed, init, trainIters)
+    def bucketScores(v: Column, n: Column): Column =
+      sort_array(array(cent.map { case (i, cv, cn) =>
+        struct((call_function("vec_dot", v, typedlit(cv)) / (n * cn))
+          .as("sim"), lit(i).as("bucket"))
+      }: _*), asc = false)
+    val assigned = corpusNormed
+      .withColumn("probes",
+        transform(slice(bucketScores(col("v_n"), col("n_n")), 1, nProbe),
+          x => x.getField("bucket")))
+      .persist()
+    val members = assigned.select(element_at(col("probes"), 1).as("bucket"),
+      col("nid"), col("v_n"), col("n_n"))
+    val probes = assigned.select(col("nid").as("src"), col("v_n").as("v_s"),
+        col("n_n").as("n_s"), explode(col("probes")).as("bucket"))
+    val scored = probes.join(members, Seq("bucket"))
+      .filter(col("src") =!= col("nid"))
+      .select(col("src"), col("nid").as("dst"),
+        round(cosFast(col("v_s"), col("v_n"), col("n_s"), col("n_n")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"), col("cos"))
+    Caching.materializeThenRelease(out, corpusNormed, assigned)
+  }
+
+  /** Mutual-kNN edge set of a [[knnGraph]] result: (a, b) with a < b kept
+    * iff each is in the other's top-k. The mutuality requirement is the
+    * classic density filter — hub nodes collect many one-directional
+    * in-edges but only reciprocated ones survive, so chaining through hubs
+    * is cut before clustering. One semi-join on the (src, dst) key.
+    */
+  def mutualKnnEdges(knn: DataFrame): DataFrame =
+    knn.select(col("src"), col("dst"), col("cos"))
+      .filter(col("src") < col("dst"))
+      .join(knn.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+
+  /** Density clusters = connected components of the mutual-kNN graph,
+    * resolved with the O(log² n) alternating-star algorithm (not min-label
+    * propagation — see [[graft.operators.Dedup.clustersStar]]). Output:
+    * (id, cluster) for every node with at least one mutual edge; cluster =
+    * min member id.
+    */
+  def knnClusters(knn: DataFrame): DataFrame =
+    Dedup.clustersStar(mutualKnnEdges(knn)
+      .select(col("src").as("id_a"), col("dst").as("id_b")))
 }

@@ -408,6 +408,52 @@ object PipelineQueries {
         "recall_ok" -> (Contracts.recall(sq, brute) >= 0.9))
     }),
 
+    // All-pairs kNN similarity graph + mutual-kNN density clusters — the
+    // corpus-wide construction (every node's top-k neighbors via one cached
+    // norm+centroid-score pass and a bucket-key self-join), distinct from
+    // the query→corpus top-k families above. Contract: ranks well-formed,
+    // edge recall vs the exact all-pairs graph, mutual edges present in the
+    // kNN set in BOTH directions, cluster labels = min member id over
+    // exactly the mutual-edge node set, and the trainIters=0 edge set
+    // partition-invariant (deterministic seeded init + fixed-order kernels).
+    // Recall floor 0.6 from tools.KnnSweep: (16, 6, 2) measures 0.69-0.73
+    // at sf0.001/0.01/0.1.
+    "sim_knn_graph" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 6).localCheckpoint()
+      val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+        .select(col("qid").as("src"), col("nid").as("dst"))
+        .localCheckpoint()
+      val mutual = Similarity.mutualKnnEdges(knn).localCheckpoint()
+      val clusters = Similarity.knnClusters(knn).localCheckpoint()
+      val edges = knn.select(col("src"), col("dst"))
+      val mutualNodes = mutual.select(col("src").as("id"))
+        .union(mutual.select(col("dst").as("id"))).distinct()
+      val det0 = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 6, trainIters = 0).localCheckpoint()
+      val det13 = Similarity.knnGraph(emb.repartition(13), "vec_id",
+        "embedding", k = 5, nCentroids = 16, nProbe = 6, trainIters = 0)
+      Contracts.row(s,
+        "n_vecs" -> emb.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(knn, "src", "rank", 5),
+        "recall_ok" ->
+          (Contracts.recall(knn, exact, "src", "dst") >= 0.6),
+        "mutual_reciprocal_ok" -> (!mutual.isEmpty &&
+          mutual.select(col("src"), col("dst"))
+            .join(edges, Seq("src", "dst"), "left_anti").isEmpty &&
+          mutual.select(col("dst").as("src"), col("src").as("dst"))
+            .join(edges, Seq("src", "dst"), "left_anti").isEmpty),
+        "cluster_label_min_ok" -> (Contracts.forAll(
+            clusters.groupBy(col("cluster")).agg(min(col("id")).as("mn")),
+            col("cluster") === col("mn")) &&
+          Contracts.sameKeys(clusters.select(col("id")), mutualNodes,
+            Seq("id"))),
+        "partition_invariant_ok" -> Contracts.sameKeys(det0, det13,
+          Seq("src", "rank", "dst")))
+    }),
+
     // PCA / whitening: one typed-Aggregator covariance pass (KB buffers
     // shuffle, never vectors), driver-side Jacobi eigendecomposition,
     // literal-component projection. Contract: components orthonormal,
@@ -1406,6 +1452,11 @@ object PipelineQueries {
       Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5)
     }),
+    "sim_knn_graph" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 6)
+    }),
     "sim_opq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.opqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
@@ -1522,6 +1573,12 @@ object PipelineQueries {
         |    AS n_queries,
         |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,
         |  TRUE AS recall_ok""".stripMargin,
+
+    "sim_knn_graph" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+        |  TRUE AS ranks_ok, TRUE AS recall_ok,
+        |  TRUE AS mutual_reciprocal_ok, TRUE AS cluster_label_min_ok,
+        |  TRUE AS partition_invariant_ok""".stripMargin,
 
     "sim_opq_topk" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)

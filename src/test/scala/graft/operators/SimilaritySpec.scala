@@ -246,4 +246,44 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSeq
     assert(run() == run(), "PQ pipeline must be re-run deterministic")
   }
+
+  test("kNN graph equals ivfTopK with queries = corpus (same parameters)") {
+    val emb = t(spark, sfDir, "embeddings")
+    val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 4,
+        nCentroids = 8, nProbe = 3, trainIters = 1)
+      .select("src", "rank", "dst").as[(Long, Int, Long)].collect().toSet
+    val viaIvf = Similarity.ivfTopK(emb, emb, "vec_id", "embedding", k = 4,
+        nCentroids = 8, nProbe = 3, trainIters = 1)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    assert(graph === viaIvf,
+      "single-pass self-join must reproduce the query-form edge set")
+  }
+
+  test("mutual-kNN edges are reciprocated and clusters carry min-id labels") {
+    val emb = t(spark, sfDir, "embeddings")
+    val knn = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+      nCentroids = 8, nProbe = 3).localCheckpoint()
+    val edges = knn.select("src", "dst").as[(Long, Long)].collect().toSet
+    val mutual = Similarity.mutualKnnEdges(knn)
+      .select("src", "dst").as[(Long, Long)].collect()
+    assert(mutual.nonEmpty)
+    mutual.foreach { case (a, b) =>
+      assert(a < b)
+      assert(edges((a, b)) && edges((b, a)),
+        s"mutual edge ($a,$b) must appear in the kNN set both ways")
+    }
+    // one-directional edges (hub in-links) must NOT survive
+    val oneWay = edges.filter { case (a, b) => a < b && !edges((b, a)) }
+    oneWay.foreach(e => assert(!mutual.contains(e)))
+    val clusters = Similarity.knnClusters(knn)
+      .as[(Long, Long)].collect()
+    val byCluster = clusters.groupBy(_._2)
+    byCluster.foreach { case (label, members) =>
+      assert(label === members.map(_._1).min,
+        "cluster label must be the min member id")
+    }
+    val mutualNodes = mutual.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(clusters.map(_._1).toSet === mutualNodes,
+      "clusters must cover exactly the mutual-edge node set")
+  }
 }
