@@ -504,6 +504,41 @@ object StreamingQueries {
       result
     }),
 
+    // PARTITIONED topic source (format "graft-topic"): events shard by
+    // event_id % 4 into four independent append logs; the stream's offset
+    // is a per-partition map and each micro-batch reads one slice PER
+    // partition in parallel — the Kafka shape, where source parallelism =
+    // partition count. The per-partition aggregate has a direct SQL oracle
+    // (partition = event_id % 4 is engine-replicable), proving the sharded
+    // transport is lossless and exactly-once end to end.
+    "streaming_topic_source" -> ((s, dir) => {
+      val topic = s"topic-${java.util.UUID.randomUUID()}"
+      val nParts = 4
+      val staged = Tables.t(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"), col("value")))
+            .as("body"))
+        .orderBy(col("event_id"))
+        .collect() // bounded staging set; ordered publish = per-key log order
+      graft.sources.v2.TopicDataSource.publish(topic, nParts,
+        staged.iterator.map(r => (r.getLong(0).toString, r.getString(1))),
+        _.toLong.toInt)
+      val sch = org.apache.spark.sql.types.StructType
+        .fromDDL("event_id BIGINT, event_type STRING, value DOUBLE")
+      val parsed = s.readStream.format("graft-topic")
+        .option("topic", topic).option("partitions", nParts.toString)
+        .load()
+        .select(col("partition"), from_json(col("body"), sch).as("r"))
+        .select(col("partition"), col("r.value").as("value"))
+      val agg = parsed.groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("value")), 2) + 0.0).as("sum_v"))
+      val result = runToTable(agg, "complete", s).orderBy(col("partition"))
+      graft.sources.v2.TopicDataSource.clear(topic, nParts)
+      result
+    }),
+
     // Source-level redrive policy (the reference's SQS maxReceiveCount: 5 +
     // DLQ, here maxReceiveCount=3): a poison message fails its handler every
     // time; each restart re-receives it (the visibility-timeout redelivery
@@ -690,6 +725,12 @@ object StreamingQueries {
     "streaming_queue_source" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "streaming_topic_source" ->
+      """SELECT (event_id % 4)::INT AS partition, count(*) AS n,
+        |  round(sum(value), 2) AS sum_v
+        |FROM events WHERE event_id < 2000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "streaming_queue_window" ->
       """SELECT 2000::BIGINT AS n_records, TRUE AS windows_found_ok,
