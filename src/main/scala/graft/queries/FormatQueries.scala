@@ -23,6 +23,21 @@ object FormatQueries {
     Files.createTempDirectory(prefix).toString
 
   val queries: Map[String, Q] = Map(
+    // Record provenance via Spark's hidden file-source `_metadata` struct:
+    // (file_name, row_index) is a stable physical cursor — the thing a
+    // 100 TB reproducibility audit records to re-read one document years
+    // later without a synthetic surrogate key. No shuffle; the metadata
+    // columns materialize scan-side. The oracle can replicate row_index
+    // only because the generator writes documents sorted by doc_id (one
+    // file per table), so row_index == dense position of doc_id.
+    "provenance_scan" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("row_index"))
+        .filter(col("doc_id") % 7 === 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // CSV sink + source (schema-applied read; header mode).
     "csv_roundtrip" -> ((s, dir) => {
       val out = tmp("graft-csv-")
@@ -295,6 +310,12 @@ object FormatQueries {
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "provenance_scan" ->
+      """SELECT doc_id, 'documents.parquet' AS file_name,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS row_index
+        |FROM documents QUALIFY doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin
   )
 }

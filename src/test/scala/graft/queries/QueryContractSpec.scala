@@ -102,4 +102,25 @@ class QueryContractSpec extends SparkSpec {
     val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(plan).size
     assert(rangeExchanges <= 1, "only the dump orderBy may range-partition")
   }
+
+  test("mutual-kNN reciprocity is an equi-semi-join: no cross product, bounded exchanges") {
+    // knnGraph localCheckpoints its own result (plan no longer inspectable),
+    // so guard the graph-consuming tier: the reciprocity semi-join on
+    // (src, dst) must plan as an equi-join — a cross product here would be
+    // the classic silent quadratic regression — and must not range-sort.
+    import graft.Tables.t
+    import graft.operators.Similarity
+    val emb = t(spark, sfDir, "embeddings")
+    val knn = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+      nCentroids = 8, nProbe = 2, trainIters = 0)
+    val mutualPlan = Similarity.mutualKnnEdges(knn)
+      .queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(mutualPlan).size
+    assert(ex <= 2, s"mutual-kNN semi-join over-shuffles ($ex):\n" +
+      mutualPlan.take(2000))
+    assert(!mutualPlan.contains("Exchange rangepartitioning"),
+      "no global sort belongs in the mutual-edge path")
+    assert(!mutualPlan.contains("CartesianProduct"),
+      "reciprocity must be an equi-semi-join, never a cross product")
+  }
 }
