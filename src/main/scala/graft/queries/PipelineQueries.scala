@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions.HashExpressions
-import graft.operators.{Chunking, Decontaminate, Dedup, Embeddings, Multimodal, Packing, Redaction, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bpe, Chunking, Decontaminate, Dedup, Embeddings, Multimodal, Packing, Redaction, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operators (builder mandate + SURVEY.md §7.3):
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
@@ -1074,6 +1074,35 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Distributed BPE tokenizer training (Sennrich ACL'16): the corpus is
+    // reduced ONCE to the vocab-bounded word-frequency table; each merge is
+    // one weighted pair-count aggregate + a one-row argmax + an in-place
+    // array merge, checkpoint-per-iteration. Contract: the chosen pair
+    // count is non-increasing across steps (merges only remove occurrences
+    // of other pairs; new pairs are bounded by the merged count), decode
+    // reproduces every word exactly, weighted symbol count strictly
+    // compresses, and the merge list is partition-invariant (exact integer
+    // counts + lexicographic tie-break; asserted against repartition(13)
+    // at spec scale in BpeSpec — here against the un-repartitioned rerun
+    // being deterministic via the n_words anchor).
+    "bpe_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wt = Bpe.wordTable(docs, "text").localCheckpoint()
+      val before = wt.agg(sum(size(col("syms")) * col("cnt"))).head()
+        .getLong(0)
+      val (merges, words) = Bpe.train(docs, "text", nMerges = 16)
+      val after = words.agg(sum(size(col("syms")) * col("cnt"))).head()
+        .getLong(0)
+      Contracts.row(s,
+        "n_words" -> wt.count(),
+        "n_merges" -> merges.size.toLong,
+        "merge_counts_nonincreasing_ok" -> merges.map(_.count)
+          .sliding(2).forall(w => w.size < 2 || w(0) >= w(1)),
+        "roundtrip_ok" -> Contracts.forAll(words,
+          concat_ws("", col("syms")) === concat(col("w"), lit("</w>"))),
+        "compression_ok" -> (after < before))
+    }),
+
     // Statistical quality scoring: per-doc mean log-probability under an
     // add-one-smoothed bigram LM trained on the corpus itself — two count
     // aggregates (the model) + two key-joins (the scoring). Full SQL
@@ -1365,6 +1394,8 @@ object PipelineQueries {
     * correctness coverage is unchanged.
     */
   val timed: Map[String, Q] = Map(
+    "bpe_train" -> ((s, dir) =>
+      Bpe.train(t(s, dir, "documents"), "text", nMerges = 12)._2),
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.3)),
@@ -1687,6 +1718,14 @@ object PipelineQueries {
         |   AND f.mean_raw BETWEEN 2.0 AND 12.0) AS keep
         |FROM rep r JOIN feats f ON r.doc_id = f.doc_id
         |ORDER BY r.doc_id""".stripMargin,
+
+    "bpe_train" ->
+      """SELECT (SELECT count(DISTINCT w) FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents) WHERE length(w) > 0) AS n_words,
+        |  16::BIGINT AS n_merges,
+        |  TRUE AS merge_counts_nonincreasing_ok,
+        |  TRUE AS roundtrip_ok, TRUE AS compression_ok""".stripMargin,
 
     "quality_lm_score" ->
       """WITH toks AS (
