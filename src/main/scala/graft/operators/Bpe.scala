@@ -83,9 +83,17 @@ object Bpe {
     * vocabulary. Stops early when no adjacent pair occurs at least twice.
     */
   def train(df: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[Merge], DataFrame) =
+    trainOnWords(wordTable(df, textCol), nMerges)
+
+  /** Train on a prebuilt [[wordTable]] — callers that already materialized
+    * the table (e.g. for corpus statistics) avoid a second corpus scan,
+    * keeping the "corpus touched exactly once" promise.
+    */
+  def trainOnWords(table: DataFrame, nMerges: Int)
       : (Seq[Merge], DataFrame) = {
     val merges = Seq.newBuilder[Merge]
-    var words = wordTable(df, textCol).localCheckpoint()
+    var words = table.localCheckpoint()
     var step = 0
     var done = false
     while (step < nMerges && !done) {
@@ -115,9 +123,20 @@ object Bpe {
   /** Apply an already-learned merge list to a word table — the ENCODE side
     * (subword segmentation of new text under a fixed vocabulary). Merges
     * must be applied in training order: later merges assume the units
-    * earlier ones created.
+    * earlier ones created. The fold checkpoints every 8 merges: a real
+    * vocabulary is tens of thousands of merges, and folding them into ONE
+    * projection nests an `aggregate` HOF per merge — Catalyst recursion
+    * over that tree is the thing that breaks long before the data does.
     */
-  def encode(words: DataFrame, merges: Seq[Merge]): DataFrame =
-    merges.foldLeft(words)((acc, m) =>
-      acc.withColumn("syms", mergePair(col("syms"), m.left, m.right)))
+  def encode(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    var owned: Option[DataFrame] = None // never unpersist the caller's frame
+    merges.grouped(8).foldLeft(words) { (acc, group) =>
+      val stage = group.foldLeft(acc)((w, m) =>
+        w.withColumn("syms", mergePair(col("syms"), m.left, m.right)))
+        .localCheckpoint()
+      owned.foreach(_.unpersist(blocking = false))
+      owned = Some(stage)
+      stage
+    }
+  }
 }

@@ -192,13 +192,23 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("rep"))))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("rep")).orderBy(col("df"), col("tok"))))
+    // EVERY filter below must only ever be LOOSENED by float rounding,
+    // never tightened: exact Jaccard verification makes extra candidates
+    // harmless, but one rejected true candidate is a silent false negative
+    // in a join documented as exact. Each threshold product sits at an
+    // integer boundary for rational thresholds (e.g. t=0.4, n=5 → n·t=2
+    // exactly in ℝ but 2.0000000000000004 in binary), so each bound
+    // subtracts EPS before ceil/compare — at worst one extra prefix token
+    // or candidate pair, checked exactly downstream.
+    val EPS = 1e-9
     val prefix = ranked
-      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .filter(col("rk") <=
+        col("n") - ceil(col("n") * threshold - EPS) + 1)
       .select(col("rep"), col("tok"), col("n"), col("rk"))
       .persist()
     // Candidate join = prefix filter + length filter + POSITIONAL filter
-    // (the "P" in PPJoin). J >= t needs overlap >= ceil(t/(1+t)·(na+nb));
-    // a shared prefix token at ranks (rk_a, rk_b) bounds the achievable
+    // (the "P" in PPJoin). J >= t needs overlap >= t/(1+t)·(na+nb); a
+    // shared prefix token at ranks (rk_a, rk_b) bounds the achievable
     // overlap by 1 + min(na - rk_a, nb - rk_b) (everything after the match
     // on each side, plus the match itself — both sides are sorted in the
     // SAME global order, so earlier tokens on either side can only overlap
@@ -207,13 +217,14 @@ object Dedup {
     // docs on this corpus (0.08% precision) and verification dominates the
     // runtime shuffling full shingle arrays; with it, candidates drop to
     // the near-real set.
-    val alpha = ceil((col("a.n") + col("b.n")) * (threshold / (1 + threshold)))
+    val ubound =
+      lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))
     val candRep = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.rep") < col("b.rep") &&
           least(col("a.n"), col("b.n")) >=
-            greatest(col("a.n"), col("b.n")) * threshold &&
-          lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))
-            >= alpha)
+            greatest(col("a.n"), col("b.n")) * threshold - EPS &&
+          ubound.cast("double") >=
+            (col("a.n") + col("b.n")) * (threshold / (1 + threshold)) - EPS)
       .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
       .distinct()
     val verifiedRep = candRep

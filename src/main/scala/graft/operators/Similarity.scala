@@ -628,11 +628,14 @@ object Similarity {
     * [[ivfPqTopK]], whose compressed scan affords a wide shortlist plus
     * exact re-rank for recall at equal cost.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 6,
-      seed: Long = 11L, trainIters: Int = 2): DataFrame = {
-    HashExpressions.register(corpus.sparkSession)
-    val init: Array[(Int, Seq[Double], Double)] = corpus
+  /** Seeded coarse-quantizer init: `nCentroids` corpus vectors picked by
+    * hash order — deterministic under any partitioning (total order on
+    * distinct ids). Shared by [[ivfTopK]] and [[knnGraph]] so their
+    * bucketings stay identical (SimilaritySpec asserts edge-set equality).
+    */
+  private def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, seed: Long): Array[(Int, Seq[Double], Double)] =
+    corpus
       .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
       .orderBy(xxhash64(col("cid"), lit(seed)))
       .limit(nCentroids)
@@ -642,6 +645,22 @@ object Similarity {
         val v = r.getSeq[Double](1)
         (i, v, math.sqrt(v.map(x => x * x).sum))
       }
+
+  /** Per-vector centroid scores sorted best-first: array of (sim, bucket)
+    * structs — `[0]` is the home bucket, a prefix slice is the probe set.
+    */
+  private def sortedBucketScores(cent: Array[(Int, Seq[Double], Double)])(
+      v: Column, n: Column): Column =
+    sort_array(array(cent.map { case (i, cv, cn) =>
+      struct((call_function("vec_dot", v, typedlit(cv)) / (n * cn))
+        .as("sim"), lit(i).as("bucket"))
+    }: _*), asc = false)
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 6,
+      seed: Long = 11L, trainIters: Int = 2): DataFrame = {
+    HashExpressions.register(corpus.sparkSession)
+    val init = seedCentroids(corpus, idCol, vecCol, nCentroids, seed)
     // Persist while training: each Lloyd iteration re-reads the normed
     // corpus (assignment scan + mean aggregate), and the final bucket
     // assignment reads it once more.
@@ -653,11 +672,7 @@ object Similarity {
       if (trainIters <= 0) init
       else refineCentroids(corpusNormed, init, trainIters)
     // Per-bucket scored array → sorted desc by similarity → ranked prefix.
-    def bucketScores(v: Column, n: Column): Column =
-      sort_array(array(cent.map { case (i, cv, cn) =>
-        struct((call_function("vec_dot", v, typedlit(cv)) / (n * cn))
-          .as("sim"), lit(i).as("bucket"))
-      }: _*), asc = false)
+    val bucketScores = sortedBucketScores(cent) _
     val c = corpusNormed
       .withColumn("bucket",
         bucketScores(col("v_n"), col("n_n")).getItem(0).getField("bucket"))
@@ -717,26 +732,17 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 6, seed: Long = 11L,
       trainIters: Int = 2): DataFrame = {
     HashExpressions.register(corpus.sparkSession)
-    val init: Array[(Int, Seq[Double], Double)] = corpus
-      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
-      .orderBy(xxhash64(col("cid"), lit(seed)))
-      .limit(nCentroids)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) =>
-        val v = r.getSeq[Double](1)
-        (i, v, math.sqrt(v.map(x => x * x).sum))
-      }
-    val corpusNormed =
-      withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n").persist()
+    val init = seedCentroids(corpus, idCol, vecCol, nCentroids, seed)
+    // Persist only when Lloyd refinement re-reads it; with trainIters=0
+    // the sole consumer is `assigned` (which persists itself).
+    val corpusNormed = {
+      val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n")
+      if (trainIters > 0) c.persist() else c
+    }
     val cent =
       if (trainIters <= 0) init
       else refineCentroids(corpusNormed, init, trainIters)
-    def bucketScores(v: Column, n: Column): Column =
-      sort_array(array(cent.map { case (i, cv, cn) =>
-        struct((call_function("vec_dot", v, typedlit(cv)) / (n * cn))
-          .as("sim"), lit(i).as("bucket"))
-      }: _*), asc = false)
+    val bucketScores = sortedBucketScores(cent) _
     val assigned = corpusNormed
       .withColumn("probes",
         transform(slice(bucketScores(col("v_n"), col("n_n")), 1, nProbe),

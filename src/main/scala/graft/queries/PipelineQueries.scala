@@ -1090,7 +1090,9 @@ object PipelineQueries {
       val wt = Bpe.wordTable(docs, "text").localCheckpoint()
       val before = wt.agg(sum(size(col("syms")) * col("cnt"))).head()
         .getLong(0)
-      val (merges, words) = Bpe.train(docs, "text", nMerges = 16)
+      // trainOnWords reuses the materialized table — the corpus is scanned
+      // exactly once in this whole query
+      val (merges, words) = Bpe.trainOnWords(wt, nMerges = 16)
       val after = words.agg(sum(size(col("syms")) * col("cnt"))).head()
         .getLong(0)
       Contracts.row(s,

@@ -63,17 +63,18 @@ object PrefixJoinProbe {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("rep")).orderBy(col("df"), col("tok"))))
     val prefix = ranked
-      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .filter(col("rk") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
       .select(col("rep"), col("tok"), col("n"), col("rk"))
       .persist()
     time("prefix rows", prefix.count())
-    val alpha = ceil((col("a.n") + col("b.n")) * (threshold / (1 + threshold)))
+    // mirrors prefixJaccardPairs' EPS-loosened bounds (see Dedup.scala)
     val joined = prefix.as("a").join(prefix.as("b"),
       col("a.tok") === col("b.tok") && col("a.rep") < col("b.rep") &&
         least(col("a.n"), col("b.n")) >=
-          greatest(col("a.n"), col("b.n")) * threshold &&
-        lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))
-          >= alpha)
+          greatest(col("a.n"), col("b.n")) * threshold - 1e-9 &&
+        (lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")))
+          .cast("double") >=
+          (col("a.n") + col("b.n")) * (threshold / (1 + threshold)) - 1e-9)
     time("raw candidate rows", joined.count())
     val candRep = joined
       .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b")).distinct()

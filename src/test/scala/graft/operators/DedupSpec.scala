@@ -57,6 +57,29 @@ class DedupSpec extends SparkSpec {
     assert(quad.exists { case (a, b, j) => a == 1L && b == 7L && j < 1.0 })
   }
 
+  test("prefix join is exact at float-hostile thresholds too") {
+    // n·t, max·t and t/(1+t)·(na+nb) all sit ON integer boundaries for
+    // rational thresholds like 0.4 and 0.8 (0.4·5 = 2.0000000000000004 in
+    // binary); a ceil/compare without the EPS loosening silently drops
+    // true boundary pairs. Regression for exactly that class: random
+    // corpus, every threshold checked pair-for-pair against the quadratic.
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 60).map(i => s"w$i")
+    val docs = (0L until 80L).map { i =>
+      (i, (0 until (5 + rnd.nextInt(20)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for (t <- Seq(0.2, 0.4, 0.8, 0.9)) {
+      val quad = Dedup.jaccardPairs(df, "doc_id", "text", threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val pref = Dedup.prefixJaccardPairs(df, "doc_id", "text",
+          threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pref === quad, s"threshold $t: prefix join must stay exact")
+    }
+  }
+
   test("repeated spans recover a planted cross-document verbatim repeat") {
     // 12 shared tokens planted mid-document in docs 1 and 2; doc 3 clean.
     val repeat = (1 to 12).map(i => s"rep$i").mkString(" ")
