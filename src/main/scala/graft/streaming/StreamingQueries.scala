@@ -477,6 +477,70 @@ object StreamingQueries {
             col("exact") * lit(0.05)))
     }),
 
+    // KLL analog of streaming_sketch_snapshot: per-group QUANTILE sketches
+    // maintained across micro-batches — each batch is sketched once and
+    // merged into the persisted snapshot (groups × KB), so the nightly
+    // distribution-trim bounds come from the snapshot, never a corpus
+    // rescan. Same estimator-honest contract as approx_quantile_incremental:
+    // the EXACT rank of each estimated quantile within the KLL rank-error
+    // envelope, and merged getN exactly equal to per-group counts (counts
+    // add under merge even though values approximate).
+    "streaming_quantile_snapshot" -> ((s, dir) => {
+      val stage = Files.createTempDirectory("graft-skll-").toString
+      val ev = Tables.t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      (0 until 3).foreach { i =>
+        ev.filter(col("event_id") % 3 === i).coalesce(1)
+          .write.parquet(s"$stage/in/f$i.parquet")
+      }
+      val snapPath = s"$stage/snap"
+      val snapDir = new org.apache.hadoop.fs.Path(snapPath)
+      val fs = snapDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val batches = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stage/in/*.parquet")
+        .writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            val batchSk = graft.operators.Sketches.kllByGroup(
+              b, "event_type", "value")
+            val merged =
+              if (fs.exists(snapDir))
+                graft.operators.Sketches.kllMergeSnapshots(
+                  s.read.parquet(snapPath), batchSk, "event_type")
+              else batchSk
+            val next = new org.apache.hadoop.fs.Path(s"$snapPath-next-$id")
+            merged.write.mode("overwrite").parquet(next.toString)
+            if (fs.exists(snapDir)) fs.delete(snapDir, true)
+            fs.rename(next, snapDir)
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+      val qs = Seq(0.05, 0.5, 0.95)
+      val est = graft.operators.Sketches.kllQuantiles(
+        s.read.parquet(snapPath), "event_type", qs).localCheckpoint()
+      val exactN = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_exact")).localCheckpoint()
+      val ranks = ev.join(
+          broadcast(est.select(col("event_type"), col("q"),
+            col("value").as("est"))), "event_type")
+        .groupBy(col("event_type"), col("q"), col("est"))
+        .agg(avg((col("value") <= col("est")).cast("double")).as("rank"))
+      graft.queries.Contracts.row(s,
+        "n_groups" -> est.select(col("event_type")).distinct().count(),
+        "multi_batch_ok" -> (batches.get() >= 3L),
+        "rank_envelope_ok" -> graft.queries.Contracts.forAll(ranks,
+          abs(col("rank") - col("q")) <= lit(0.04)),
+        "merged_n_exact_ok" -> graft.queries.Contracts.forAll(
+          est.select(col("event_type"), col("n")).distinct()
+            .join(exactN, "event_type"),
+          col("n") === col("n_exact")))
+    }),
+
     // The reference's full event flow as ONE streaming query: parquet →
     // publish to queue → format("graft-queue") micro-batch source →
     // from_json → aggregate. Matching the oracle run directly on the source
@@ -699,6 +763,11 @@ object StreamingQueries {
       """SELECT (SELECT count(DISTINCT event_type) FROM events) AS n_groups,
         |  TRUE AS multi_batch_ok, TRUE AS groups_complete_ok,
         |  TRUE AS estimates_within_error_ok""".stripMargin,
+
+    "streaming_quantile_snapshot" ->
+      """SELECT (SELECT count(DISTINCT event_type) FROM events) AS n_groups,
+        |  TRUE AS multi_batch_ok, TRUE AS rank_envelope_ok,
+        |  TRUE AS merged_n_exact_ok""".stripMargin,
 
     "streaming_dedup_watermark" ->
       """SELECT event_type, count(*) AS n FROM events
