@@ -698,6 +698,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental component resolution: fold a NEW batch of pairs into the
+    * star forest of a previous [[clustersStar]] run — the recurring-ingest
+    * form of cluster resolution. The (id, cluster) forest IS a compressed
+    * mergeable representation of every pair resolved so far (n_nodes
+    * depth-1 edges with identical connectivity), so the update costs
+    * O(log² ) rounds over forest ∪ batch instead of a rescan of all
+    * historical pairs — at 100 TB the historical edge set is never read
+    * again, only the forest snapshot. Labels of previously-resolved nodes
+    * may legitimately CHANGE when a batch edge bridges two old clusters
+    * (the merged component takes the global min id). Output schema matches
+    * [[clustersStar]]; `labels` must come from a clustersStar-family run
+    * (every cluster ≥ 2 members — the min's self-row alone does not
+    * survive the self-edge filter).
+    */
+  def clustersStarIncremental(labels: DataFrame, newPairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame =
+    clustersStar(
+      labels.select(col("id").as(idA), col("cluster").as(idB))
+        .unionByName(newPairs.select(col(idA), col(idB))), idA, idB)
+
   /** Containment pairs via winnowing fingerprints: documents sharing long
     * byte substrings (quotes, boilerplate, wrapped copies) share winnow
     * hashes, so the pair's containment score is

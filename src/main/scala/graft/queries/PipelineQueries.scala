@@ -94,6 +94,22 @@ object PipelineQueries {
           "doc_id", "text", threshold = 0.3))
         .orderBy(col("id"))),
 
+    // Recurring-ingest cluster resolution: the star forest from a previous
+    // run is a compressed mergeable state — folding a new batch of pairs
+    // in costs O(log²) rounds over forest ∪ batch, never a rescan of the
+    // historical edge set. The oracle resolves ALL pairs from scratch
+    // (same recursive CTE as dedup_clusters), so the hash compare proves
+    // incremental ≡ full-recompute including cross-old-cluster bridges.
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        threshold = 0.3).localCheckpoint()
+      val initial = pairs.filter(col("id_b") < 200)
+      val batch = pairs.filter(col("id_b") >= 200)
+      val labels0 = Dedup.clustersStar(initial).localCheckpoint()
+      Dedup.clustersStarIncremental(labels0, batch).orderBy(col("id"))
+    }),
+
     // The complete near-dup removal: corpus minus non-representative cluster
     // members, using the exact-Jaccard edge set on the bounded subset.
     "dedup_near_keep" -> ((s, dir) => {
@@ -2078,6 +2094,30 @@ object PipelineQueries {
         |FROM reach GROUP BY src ORDER BY id""".stripMargin,
 
     "dedup_clusters_star" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents WHERE doc_id < 300)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        |SELECT src AS id, least(src, min(dst))::BIGINT AS cluster
+        |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+
+    // identical full-recompute CTE: incremental must match from-scratch
+    "dedup_clusters_incremental" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(
         |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]

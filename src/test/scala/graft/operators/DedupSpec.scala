@@ -312,4 +312,36 @@ class DedupSpec extends SparkSpec {
     val selfOnly = Seq((5L, 5L)).toDF("id_a", "id_b")
     assert(Dedup.clustersStar(selfOnly).isEmpty)
   }
+
+  test("incremental components equal full recompute; bridges relabel globally") {
+    // random graph split into two batches — forest(first) ∪ second must
+    // resolve identically to from-scratch on the whole edge set
+    val rnd = new scala.util.Random(11)
+    val all = (0 until 220).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2)
+    val (first, second) = all.splitAt(all.size / 2)
+    val labels0 = Dedup.clustersStar(first.toDF("id_a", "id_b"))
+      .localCheckpoint()
+    val inc = Dedup.clustersStarIncremental(labels0,
+        second.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.clustersStar(all.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(inc === full)
+    // explicit bridge: two resolved clusters {1,2} and {10,11} joined by a
+    // batch edge must merge under the GLOBAL min label, relabeling the
+    // old {10,11} members
+    val base = Dedup.clustersStar(Seq((1L, 2L), (10L, 11L))
+      .toDF("id_a", "id_b")).localCheckpoint()
+    val bridged = Dedup.clustersStarIncremental(base,
+        Seq((2L, 10L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(bridged == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+    // empty batch is a no-op
+    val noop = Dedup.clustersStarIncremental(base,
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(noop == Set((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)))
+  }
 }
