@@ -130,4 +130,50 @@ object Sampling {
     quotas.unpersist(blocking = false)
     out
   }
+
+  /** Deterministic global shuffle order for training-example serving: a
+    * total 1-based `shuffle_rank` over the whole corpus, ordered by
+    * `md5(id || salt)` (id tiebreak) — the epoch-reproducible "random"
+    * order every training run needs, re-derivable by any engine.
+    *
+    * A naive `row_number() OVER (ORDER BY hash)` collapses to a single-
+    * partition sort; this is the scalable two-pass form instead:
+    * range-partition on the hash (so partition p holds exactly the rows
+    * ranked between the range bounds), take per-partition row numbers,
+    * then add each partition's rank offset — the per-partition counts are
+    * `numPartitions` rows to the driver, broadcast back as offsets. The
+    * materialization point between the passes is a local checkpoint so the
+    * range exchange runs once, not once per pass. This is zipWithIndex
+    * re-expressed on DataFrames, keeping codegen and the columnar scan.
+    *
+    * `numPartitions = 0` uses `spark.sql.shuffle.partitions`; at 100 TB
+    * set it so each range partition fits an executor's sort buffer.
+    */
+  def globalShuffle(df: DataFrame, idCol: String, salt: String = "",
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val np = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .withColumn("_h", md5(concat(col(idCol).cast("string"), lit(salt))))
+      .repartitionByRange(np, col("_h"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    // pass 1: partition sizes — ≤ np rows to the driver
+    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // pid -> exclusive prefix sum of counts = that partition's rank offset
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    // pass 2: local row numbers + broadcast offset lookup
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("_h"), col(idCol))
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("_pid") === pid, lit(off)).otherwise(acc)
+    }
+    ranged
+      .withColumn("shuffle_rank",
+        row_number().over(w).cast("long") + offCol)
+      .drop("_h", "_pid")
+  }
 }

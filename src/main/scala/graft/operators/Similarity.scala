@@ -727,12 +727,27 @@ object Similarity {
     * is a query, so bucket-boundary nodes are fully represented. Raising
     * nProbe buys recall linearly in candidate volume; halving nCentroids
     * (8, 3, 2) trades bigger buckets for the same effect.
+    *
+    * `nCentroids <= 0` means auto: max(16, ceil(sqrt(n))) — the classic
+    * IVF balance point where the n·nc centroid-scoring kernel and the
+    * n·nProbe·(n/nc) candidate join both grow as n^1.5, instead of the
+    * fixed-nc candidate volume growing as n². This is the setting to run
+    * at scale; the fixed default exists for deterministic recall
+    * contracts. `tools.KnnSweep` measures auto (nc=45 at the sf0.1
+    * n=2000) edge recall 0.47 at nProbe=6 vs 0.69 at fixed nc=16:
+    * finer buckets trade recall for candidate volume at FIXED nProbe, so
+    * when auto-scaling nc, scale nProbe with it (recall tracks the
+    * probed corpus fraction nProbe/nc) — the bench form accepts the
+    * recall trade to measure the at-scale growth shape.
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 6, seed: Long = 11L,
       trainIters: Int = 2): DataFrame = {
     HashExpressions.register(corpus.sparkSession)
-    val init = seedCentroids(corpus, idCol, vecCol, nCentroids, seed)
+    val nc =
+      if (nCentroids > 0) nCentroids
+      else math.max(16, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+    val init = seedCentroids(corpus, idCol, vecCol, nc, seed)
     // Persist only when Lloyd refinement re-reads it; with trainIters=0
     // the sole consumer is `assigned` (which persists itself).
     val corpusNormed = {

@@ -423,6 +423,25 @@ object ExtendedQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // Dataset-version diff (what changed between two corpus snapshots):
+    // keyed full-outer compare over EVERY non-key column, null-safe,
+    // emitting only added/removed/changed keys — output scales with the
+    // churn, not the corpus. Old = orders minus key%7, new = orders minus
+    // key%5 with two columns mutated on disjoint key classes.
+    "dataset_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val oldv = orders.filter(col("o_orderkey") % 7 =!= 0)
+      val newv = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 50.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 11 === 0, lit("RUSH"))
+            .otherwise(col("o_orderpriority")))
+      graft.operators.Cdc.snapshotDiff(oldv, newv, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Parquet schema evolution: two generations of a table written with
     // different schemas (the second adds a column), read back as ONE table
     // with mergeSchema — old rows surface NULL for the new column. The
@@ -705,6 +724,29 @@ object ExtendedQueries {
         |SELECT c_custkey + 10000000, 'MACHINERY', 0.0 FROM snap
         |WHERE c_custkey % 100 = 7
         |ORDER BY c_custkey""".stripMargin,
+
+    "dataset_diff" ->
+      """WITH oldv AS (SELECT * FROM orders WHERE o_orderkey % 7 != 0),
+        |newv AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 50.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'RUSH'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 5 != 0)
+        |SELECT * FROM (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+        |           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |           OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+        |           OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |         THEN 'changed' END AS change
+        |  FROM oldv o FULL JOIN newv n ON o.o_orderkey = n.o_orderkey)
+        |WHERE change IS NOT NULL ORDER BY o_orderkey""".stripMargin,
 
     "schema_evolution" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -753,6 +753,17 @@ object PipelineQueries {
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment"))),
 
+    // Deterministic global shuffle order (epoch-reproducible training-
+    // example serving): total shuffle_rank by md5(id || salt), computed
+    // the scalable way — range-partition on the hash, per-partition row
+    // numbers, broadcast partition offsets — never a single-partition
+    // global sort. The oracle re-derives every rank from the shared md5.
+    "global_shuffle_order" -> ((s, dir) =>
+      Sampling.globalShuffle(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          "c_custkey", salt = "epoch1")
+        .orderBy(col("shuffle_rank"))),
+
     // Target-mix resampling: hit exact 50/30/20 proportions across three
     // segments, downsampling only — N = min floor(count_d / p_d), each
     // domain keeps its floor(p_d·N) smallest salted-md5 ranks. The oracle
@@ -1501,10 +1512,14 @@ object PipelineQueries {
       Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5)
     }),
+    // nCentroids=0 → auto sqrt(n): the at-scale setting (candidate volume
+    // n^1.5·nProbe instead of n²·nProbe/nc) — this is what the growth
+    // ratio should measure; the contract form keeps fixed nc=16 for its
+    // deterministic measured-recall floor.
     "sim_knn_graph" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
-        nCentroids = 16, nProbe = 6)
+        nCentroids = 0, nProbe = 6)
     }),
     "sim_opq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1810,6 +1825,13 @@ object PipelineQueries {
         |                    WHEN 'AUTOMOBILE' THEN '8000'
         |                    ELSE '4000' END
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "global_shuffle_order" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  row_number() OVER (
+        |    ORDER BY md5(c_custkey::VARCHAR || 'epoch1'),
+        |             c_custkey)::BIGINT AS shuffle_rank
+        |FROM customer ORDER BY shuffle_rank""".stripMargin,
 
     "mix_resample" ->
       """WITH tgt(dom, p) AS (VALUES

@@ -32,8 +32,9 @@ object KnnSweep {
           k = 5)
         .select(col("qid").as("src"), col("nid").as("dst"))
         .localCheckpoint()
+      // nc = 0 is the auto sqrt(n) scale setting knnGraph runs at scale
       for ((nc, np, ti) <- Seq((16, 3, 2), (16, 4, 2), (8, 3, 2),
-          (16, 3, 0), (16, 6, 2), (32, 6, 2))) {
+          (16, 3, 0), (16, 6, 2), (32, 6, 2), (0, 6, 2))) {
         val t0 = System.nanoTime()
         val knn = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
           nCentroids = nc, nProbe = np, trainIters = ti)

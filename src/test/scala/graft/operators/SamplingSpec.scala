@@ -96,4 +96,35 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.toLowerCase.contains("rand"), plan)
   }
+
+  test("globalShuffle ranks are the exact md5 total order") {
+    val df = ids.filter(col("id") < 3000)
+    val got = Sampling.globalShuffle(df, "id", salt = "ep", numPartitions = 7)
+      .orderBy(col("shuffle_rank"))
+      .select("id").as[Long].collect().toSeq
+    val expect = (0L until 3000L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}ep".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+    assert(got == expect)
+  }
+
+  test("globalShuffle rank is a 1..n permutation, partition-invariant") {
+    val df = ids.filter(col("id") < 5000)
+    val a = Sampling.globalShuffle(df, "id", "s", numPartitions = 5)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toSet
+    val b = Sampling.globalShuffle(df.repartition(13), "id", "s",
+        numPartitions = 11)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a.map(_._2) == (1L to 5000L).toSet)
+  }
+
+  test("globalShuffle never plans a single-partition global sort") {
+    val out = Sampling.globalShuffle(ids, "id", "s", numPartitions = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    // the rank window must partition by _pid — a global row_number would
+    // surface as an empty window partition spec + SinglePartition exchange
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }
