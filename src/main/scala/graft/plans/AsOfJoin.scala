@@ -1,0 +1,194 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlShim}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeReference, Expression, GenericInternalRow,
+  AttributeSet, JoinedRow, RowOrdering, SortOrder, UnsafeProjection,
+  UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
+  SparkStrategy}
+import org.apache.spark.sql.functions.col
+
+/** Native backward as-of join — the custom-operator rung of the design
+  * ladder (logical node + planner strategy + physical operator), used when
+  * composition genuinely leaves performance on the table.
+  *
+  * Semantics (identical to [[graft.operators.TemporalJoins.asOfJoin]] and
+  * to DuckDB's `ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t`): for each
+  * left row, the single right row with the greatest `rightTime <=
+  * leftTime` for the same key; all right columns null when none precedes.
+  * NULL keys and NULL times never match (equi-join comparison semantics),
+  * and null-keyed/timed right rows are skipped.
+  *
+  * Why a physical operator: the composed form pays one shuffle of
+  * left ∪ right plus a window (sort + running `last(ignoreNulls)`) over the
+  * UNION, materializing a null payload slot per left row before the window
+  * fills it. This operator is the sort-merge-join shape instead: each side
+  * shuffles once on its own key (EnsureRequirements co-partitions the two
+  * ClusteredDistributions exactly as it does for SMJ), each partition is
+  * sorted (key, time), and a single forward merge pass carries the latest
+  * preceding right row per key — no union row-widening, no window state,
+  * O(1) memory per partition beyond the carried row. At 100 TB: same cost
+  * envelope as one sort-merge join; bucketed/pre-partitioned inputs skip
+  * the exchanges entirely (the requirement is satisfied, not re-imposed).
+  *
+  * The logical node mints FRESH output attributes (exprIds) for both
+  * sides, so self-lineage inputs (left and right carved from the same
+  * scan, sharing attribute ids) stay unambiguous downstream without
+  * relying on analyzer dedup — the physical mapping is positional, like
+  * Generate/Aggregate.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    override val output: Seq[Attribute]) extends BinaryNode {
+  // the fresh output attrs are minted HERE, not consumed from children
+  override def producedAttributes: AttributeSet = outputSet
+  // The physical mapping is POSITIONAL over full child rows, so every
+  // child column is semantically consumed: declaring them all as
+  // references keeps optimizer column pruning from slimming a child and
+  // silently shifting the positions (callers prune by selecting before
+  // the join instead).
+  override def references: AttributeSet =
+    AttributeSet(left.output ++ right.output)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinPlan {
+  /** Fresh positional output: left columns as-is, right columns nullable. */
+  def freshOutput(left: LogicalPlan, right: LogicalPlan): Seq[Attribute] =
+    (left.output ++ right.output.map(_.withNullability(true))).map(a =>
+      AttributeReference(a.name, a.dataType, a.nullable, a.metadata)())
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, out) =>
+      AsOfJoinExec(lk, rk, lt, rt, out, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    override val output: Seq[Attribute],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def producedAttributes: AttributeSet = outputSet
+
+  override def references: AttributeSet =
+    AttributeSet(left.output ++ right.output)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // (key, time) ascending per side: the merge below is a single forward
+  // pass over both sorted streams.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyGen = UnsafeProjection.create(leftKeys, lOut)
+      val rKeyGen = UnsafeProjection.create(rightKeys, rOut)
+      val lTimeGen = UnsafeProjection.create(Seq(leftTime), lOut)
+      val rTimeGen = UnsafeProjection.create(Seq(rightTime), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(
+        leftKeys.map(_.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(
+        Seq(leftTime.dataType))
+      val resultProj = UnsafeProjection.create(
+        (lOut ++ rOut).map(_.dataType).toArray)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      // rHead outlives iterator advances on BOTH sides (the sorter reuses
+      // and frees row pages as it drains), so it must own its bytes: copy.
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
+      var carried: InternalRow = null        // latest right row ≤ current left
+      var carriedKey: UnsafeRow = null
+      def advanceRight(): Unit =
+        rHead = if (rIter.hasNext) rIter.next().copy() else null
+      lIter.map { l =>
+        val lk = lKeyGen(l)
+        if (lk.anyNull) resultProj(joined(l, nullRight))
+        else {
+          val lt = lTimeGen(l)
+          if (carried != null && keyOrd.compare(carriedKey, lk) != 0) {
+            carried = null; carriedKey = null
+          }
+          var scanning = rHead != null
+          while (scanning) {
+            val rk = rKeyGen(rHead)
+            val cmp = if (rk.anyNull) -1 else keyOrd.compare(rk, lk)
+            if (cmp < 0) advanceRight()           // behind: skip (or null key)
+            else if (cmp == 0 && {
+              val rt = rTimeGen(rHead)
+              !rt.isNullAt(0) && !lt.isNullAt(0) &&
+                timeOrd.compare(rt, lt) <= 0
+            }) {
+              carried = rHead.copy(); carriedKey = rk.copy()
+              advanceRight()
+            } else if (cmp == 0 && rTimeGen(rHead).isNullAt(0)) {
+              advanceRight()                      // null time never matches
+            } else scanning = false               // ahead of this left row
+            if (rHead == null) scanning = false
+          }
+          val matched =
+            if (carried != null && !lt.isNullAt(0)) carried else nullRight
+          resultProj(joined(l, matched))
+        }
+      }
+    }
+  }
+}
+
+/** Builder: the public DataFrame surface over the plan above. */
+object AsOfJoin {
+  /** Backward-inclusive native as-of join; see [[AsOfJoinPlan]]. Output:
+    * all left columns, then all right columns (nullable). Select the
+    * columns you need BEFORE calling — the planner will not prune through
+    * a custom node.
+    */
+  def asOf(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    // Re-alias the right side so both children expose distinct exprIds even
+    // when carved from one scan; the node's own output is fresh regardless.
+    val rAliased = right.select(
+      right.columns.map(c => col(c).as(c)).toSeq: _*)
+    val rPlan = rAliased.queryExecution.analyzed
+    def attrOf(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name)}"))
+    val node = AsOfJoinPlan(lPlan, rPlan,
+      Seq(attrOf(lPlan, leftKey)), Seq(attrOf(rPlan, rightKey)),
+      attrOf(lPlan, leftTime), attrOf(rPlan, rightTime),
+      AsOfJoinPlan.freshOutput(lPlan, rPlan))
+    GraftSqlShim.ofRows(spark, node)
+  }
+}

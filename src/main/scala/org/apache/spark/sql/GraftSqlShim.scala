@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The one `private[sql]` doorway graft needs: wrap a hand-built (already
+  * resolved) logical plan back into a DataFrame. Lives in the
+  * `org.apache.spark.sql` package solely for access to
+  * `classic.Dataset.ofRows`; everything else in graft stays on public API.
+  */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
