@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // planner strategy for the native as-of join node (plans.AsOfJoinPlan);
+    // sessions built without the extension get it lazily from
+    // plans.AsOfJoin.asOf via experimental.extraStrategies.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash fingerprint"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))

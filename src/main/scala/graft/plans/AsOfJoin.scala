@@ -47,7 +47,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    override val output: Seq[Attribute]) extends BinaryNode {
+    override val output: Seq[Attribute],
+    forward: Boolean = false) extends BinaryNode {
   // the fresh output attrs are minted HERE, not consumed from children
   override def producedAttributes: AttributeSet = outputSet
   // The physical mapping is POSITIONAL over full child rows, so every
@@ -71,8 +72,9 @@ object AsOfJoinPlan {
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, out) =>
-      AsOfJoinExec(lk, rk, lt, rt, out, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, out, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, out, planLater(l), planLater(r),
+        fwd) :: Nil
     case _ => Nil
   }
 }
@@ -81,7 +83,8 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     override val output: Seq[Attribute],
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def producedAttributes: AttributeSet = outputSet
 
@@ -129,7 +132,31 @@ case class AsOfJoinExec(
       lIter.map { l =>
         val lk = lKeyGen(l)
         if (lk.anyNull) resultProj(joined(l, nullRight))
-        else {
+        else if (forward) {
+          // FORWARD: earliest right row with rightTime >= leftTime. No
+          // carry needed — the match is rHead itself once the scan stops
+          // on (same key, rt >= lt). Skipped rows (rt < lt) can never
+          // match a later left row: left times only grow within a key.
+          val lt = lTimeGen(l)
+          var scanning = rHead != null && !lt.isNullAt(0)
+          while (scanning) {
+            val rk = rKeyGen(rHead)
+            val cmp = if (rk.anyNull) -1 else keyOrd.compare(rk, lk)
+            if (cmp < 0 ||
+                (cmp == 0 && (rTimeGen(rHead).isNullAt(0) ||
+                  timeOrd.compare(rTimeGen(rHead), lt) < 0))) {
+              advanceRight()
+              if (rHead == null) scanning = false
+            } else scanning = false
+          }
+          val ok = rHead != null && !lt.isNullAt(0) && {
+            val rk = rKeyGen(rHead)
+            !rk.anyNull && keyOrd.compare(rk, lk) == 0 &&
+              !rTimeGen(rHead).isNullAt(0) &&
+              timeOrd.compare(rTimeGen(rHead), lt) >= 0
+          }
+          resultProj(joined(l, if (ok) rHead else nullRight))
+        } else {
           val lt = lTimeGen(l)
           if (carried != null && keyOrd.compare(carriedKey, lk) != 0) {
             carried = null; carriedKey = null
@@ -169,7 +196,8 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -188,7 +216,7 @@ object AsOfJoin {
     val node = AsOfJoinPlan(lPlan, rPlan,
       Seq(attrOf(lPlan, leftKey)), Seq(attrOf(rPlan, rightKey)),
       attrOf(lPlan, leftTime), attrOf(rPlan, rightTime),
-      AsOfJoinPlan.freshOutput(lPlan, rPlan))
+      AsOfJoinPlan.freshOutput(lPlan, rPlan), forward)
     GraftSqlShim.ofRows(spark, node)
   }
 }

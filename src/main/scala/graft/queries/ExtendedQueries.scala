@@ -63,6 +63,25 @@ object ExtendedQueries {
         .orderBy(col("event_id"))
     }),
 
+    // FORWARD as-of through the same native operator: for each click, the
+    // EARLIEST subsequent purchase (next-purchase attribution). DuckDB's
+    // ASOF supports the forward inequality directly.
+    "asof_join_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+          col("m.event_id").as("p_event_id"), col("m.value").as("p_value"))
+      graft.plans.AsOfJoin.asOf(clicks, purchases,
+          "user_id", "p_user_id", "ts", "p_ts", forward = true)
+        .select(col("event_id"), col("user_id"),
+          col("p_event_id"), round(col("p_value"), 2).as("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Broadcast interval join: band each event's value into literal buckets.
     "range_join_bucket" -> ((s, dir) => {
       val ranges = s.createDataFrame(Seq(
@@ -513,6 +532,19 @@ object ExtendedQueries {
         |  round(p.p_value, 2) AS p_value
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "asof_join_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS p_event_id,
+        |    arg_max(value, event_id) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |c AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, p.p_event_id,
+        |  round(p.p_value, 2) AS p_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.event_id""".stripMargin,
 
     "range_join_bucket" ->

@@ -108,6 +108,9 @@ class ExpressionsSpec extends SparkSpec {
       assert(row.getAs[Seq[String]]("sh") === Seq("a b", "b c"))
       assert(row.getAs[Int]("w") > 0)
       assert(s2.sql("SELECT ngram_gen(array('a','b','c'), 2)").count() === 2L)
+      // the planner strategy for the native as-of join rides along
+      assert(s2.sessionState.planner.strategies
+        .contains(graft.plans.AsOfJoinStrategy))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

@@ -85,6 +85,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a == b && a.size == 500)
   }
 
+  test("forward direction: earliest at-or-after right row, ties inclusive") {
+    val left = Seq(
+      (1L, 1L, 10L), // tie at 10 → matches "a", not the later "b"
+      (2L, 1L, 11L), // next after 11 is "b"
+      (3L, 1L, 99L), // nothing after → null
+      (4L, 2L, 5L)   // key absent on right → null
+    ).toDF("id", "k", "t")
+    val right = Seq((1L, 10L, "a"), (1L, 20L, "b"), (3L, 1L, "z"))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.asOf(left, right, "k", "k", "t", "t", forward = true)
+      .select(col("id"), col("v")).as[(Long, Option[String])]
+      .collect().toMap
+    assert(got == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None,
+      4L -> None))
+  }
+
+  test("forward equals backward under time negation") {
+    val left = (1L to 400L).map(i => (i, i % 7, i % 50)).toDF("id", "k", "t")
+    val right = (1L to 150L).map(i => (i % 7, i % 40, s"v$i"))
+      .toDF("k", "t", "v")
+      .groupBy("k", "t").agg(max(col("v")).as("v"))
+    val fwd = AsOfJoin.asOf(left, right, "k", "k", "t", "t", forward = true)
+      .select(col("id"), col("v")).as[(Long, Option[String])].collect().toSet
+    val neg = AsOfJoin.asOf(
+        left.withColumn("t", -col("t")), right.withColumn("t", -col("t")),
+        "k", "k", "t", "t")
+      .select(col("id"), col("v")).as[(Long, Option[String])].collect().toSet
+    assert(fwd == neg && fwd.size == 400)
+  }
+
   test("self-lineage inputs (both sides carved from one scan) stay sound") {
     val base = (1L to 100L).map(i => (i, i % 5, i)).toDF("id", "k", "t")
     val left = base.filter(col("id") % 2 === 0)
