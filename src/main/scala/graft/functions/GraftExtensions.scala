@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sessions built without the extension get it lazily from
     // plans.AsOfJoin.asOf via experimental.extraStrategies.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash fingerprint"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))

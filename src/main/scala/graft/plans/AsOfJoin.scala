@@ -79,6 +79,58 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Column pruning THROUGH the as-of node — the optimizer-rule rung.
+  *
+  * The node's `references` override deliberately pins every child column
+  * (the positional mapping would silently shift otherwise), which also
+  * blinds the built-in ColumnPruning. This rule restores the pruning the
+  * built-ins get, safely: when a parent Project consumes only part of the
+  * join output, the node's output AND its children are narrowed in
+  * lockstep — the same positions drop on both sides, so the positional
+  * contract is preserved by construction. Key/time columns always survive
+  * in the children (the merge consumes them) and stay in the output (the
+  * parent Project drops them above).
+  *
+  * Runs in the user-rule batch, after the default optimizer: the inserted
+  * child Projects still reach the scans because V1 `FileSourceStrategy`
+  * (via `PhysicalOperation`) collapses Project/Filter chains into the
+  * scan's `ReadSchema` at physical planning, independent of the logical
+  * ColumnPruning pass. At 100 TB this is the difference between shuffling
+  * a document table's every column through the as-of exchange and
+  * shuffling three.
+  */
+object AsOfJoinPruning
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, aj: AsOfJoinPlan)
+        if aj.output.size == aj.left.output.size + aj.right.output.size &&
+          prunedIdx(p.references, aj).size < aj.output.size =>
+      val keep = prunedIdx(p.references, aj)
+      val nL = aj.left.output.size
+      val (keepL, keepR) = keep.partition(_ < nL)
+      val newNode = aj.copy(
+        left = Project(keepL.map(aj.left.output), aj.left),
+        right = Project(keepR.map(i => aj.right.output(i - nL)), aj.right),
+        output = keep.map(aj.output))
+      p.copy(child = newNode)
+  }
+
+  /** Output positions that must survive: referenced by the parent, or
+    * carrying a key/time column the merge itself consumes.
+    */
+  private def prunedIdx(needed: AttributeSet, aj: AsOfJoinPlan): Seq[Int] = {
+    val nL = aj.left.output.size
+    val merge = AttributeSet(
+      (aj.leftKeys :+ aj.leftTime).flatMap(_.references) ++
+        (aj.rightKeys :+ aj.rightTime).flatMap(_.references))
+    aj.output.zipWithIndex.collect { case (a, i)
+        if needed.contains(a) || merge.contains(
+          if (i < nL) aj.left.output(i) else aj.right.output(i - nL)) => i }
+  }
+}
+
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
@@ -189,10 +241,10 @@ case class AsOfJoinExec(
 
 /** Builder: the public DataFrame surface over the plan above. */
 object AsOfJoin {
-  /** Backward-inclusive native as-of join; see [[AsOfJoinPlan]]. Output:
-    * all left columns, then all right columns (nullable). Select the
-    * columns you need BEFORE calling — the planner will not prune through
-    * a custom node.
+  /** Native as-of join; see [[AsOfJoinPlan]]. Output: all left columns,
+    * then all right columns (nullable); `forward = true` flips the
+    * direction to earliest-at-or-after. A later `.select` of a subset is
+    * pruned through the node by [[AsOfJoinPruning]].
     */
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -202,6 +254,10 @@ object AsOfJoin {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruning)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinPruning
     }
     val lPlan = left.queryExecution.analyzed
     // Re-alias the right side so both children expose distinct exprIds even

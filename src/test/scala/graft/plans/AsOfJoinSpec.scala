@@ -115,6 +115,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fwd == neg && fwd.size == 400)
   }
 
+  test("pruning rule narrows the node and children; scans drop unused cols") {
+    val ev = Tables.t(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"), col("props").as("p_props"))
+    val wide = AsOfJoin.asOf(clicks, purchases,
+      "user_id", "p_user", "ts", "p_ts")
+    val narrow = wide.select(col("event_id"), col("p_value"))
+    val aj = narrow.queryExecution.optimizedPlan.collect {
+      case a: AsOfJoinPlan => a
+    }.head
+    // survivors: event_id + the two merge columns per side + p_value
+    assert(aj.output.map(_.name).sorted ==
+      Seq("event_id", "p_ts", "p_user", "p_value", "ts", "user_id"),
+      aj.output.mkString(","))
+    assert(aj.left.output.size == 3 && aj.right.output.size == 3)
+    // the dropped wide columns never reach the exchanges or the scans
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(!plan.contains("props"), plan)
+    // and the narrowed result is exactly the wide result's projection
+    val got = narrow.as[(Long, Option[Double])].collect().toSet
+    assert(got == wide.collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Double]("p_value")).map(_.doubleValue)))
+      .toSet)
+  }
+
   test("self-lineage inputs (both sides carved from one scan) stay sound") {
     val base = (1L to 100L).map(i => (i, i % 5, i)).toDF("id", "k", "t")
     val left = base.filter(col("id") % 2 === 0)
