@@ -245,6 +245,40 @@ object FormatQueries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // The native as-of join over PRE-BUCKETED sides: both tables bucketed
+    // on the key, so AsOfJoinExec's ClusteredDistribution requirement is
+    // satisfied straight off disk and the plan runs with ZERO exchanges —
+    // the serving shape for a 100 TB event table repeatedly as-of-enriched
+    // without re-shuffling either side (QueryContractSpec audits the plan).
+    "asof_join_bucketed" -> ((s, dir) => {
+      def dropManaged(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      dropManaged("graft_clicks_b")
+      dropManaged("graft_purch_b")
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
+        .mode("overwrite").saveAsTable("graft_clicks_b")
+      ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+          col("m.event_id").as("p_event_id"), col("m.value").as("p_value"))
+        .write.bucketBy(8, "p_user_id").sortBy("p_user_id", "p_ts")
+        .mode("overwrite").saveAsTable("graft_purch_b")
+      graft.plans.AsOfJoin.asOf(
+          s.table("graft_clicks_b"), s.table("graft_purch_b"),
+          "user_id", "p_user_id", "ts", "p_ts")
+        .select(col("event_id"), col("user_id"),
+          col("p_event_id"), round(col("p_value"), 2).as("p_value"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -311,6 +345,19 @@ object FormatQueries {
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "asof_join_bucketed" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS p_event_id,
+        |    arg_max(value, event_id) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |c AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, p.p_event_id,
+        |  round(p.p_value, 2) AS p_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "provenance_scan" ->
       """SELECT doc_id, 'documents.parquet' AS file_name,

@@ -81,6 +81,17 @@ class QueryContractSpec extends SparkSpec {
     assert(below.contains("Bucketed: true"))
   }
 
+  test("bucketed as-of join: native exec with no shuffle under it") {
+    val text = SparkEntry.queries("asof_join_bucketed")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val idx = text.indexOf("AsOfJoin")
+    assert(idx >= 0, text.take(2000))
+    assert(!text.substring(idx).contains("Exchange"),
+      "bucketed as-of should read pre-bucketed files without shuffling:\n" +
+        text.substring(idx).take(2000))
+    assert(text.substring(idx).contains("Bucketed: true"))
+  }
+
   test("count_star answers from metadata (no full column scan)") {
     val plan = SparkEntry.queries("count_star")(spark, sfDir)
       .queryExecution.optimizedPlan.toString
