@@ -89,6 +89,35 @@ object TemporalJoins {
       fact(valueCol) >= ranges(loCol) && fact(valueCol) < ranges(hiCol),
       joinType)
 
+  /** Large × large interval join — when the ranges side is too big to
+    * broadcast, a raw inequality join degenerates to a nested loop. This
+    * is the standard bin-explosion rewrite instead: every `[lo, hi)`
+    * interval explodes to the fixed-width bins it covers, every fact maps
+    * to its own bin, and the join becomes an EQUI join on the bin key
+    * (one hash shuffle per side) with the exact `[lo, hi)` residual
+    * filter applied after. Each qualifying (fact, range) pair meets in
+    * exactly one bin — the fact's — so no dedup is needed.
+    *
+    * `binWidth` is the fan-out knob: ranges explode to
+    * ceil(len / binWidth) + 1 rows, facts to one. Pick it near the median
+    * interval length so typical ranges land in O(1) bins; at 100 TB the
+    * explosion is scan-side and the single shuffle key is (bin), with
+    * per-bin skew bounded by how many intervals overlap one bin.
+    * Fact and range column names must be disjoint.
+    */
+  def rangeJoinBinned(fact: DataFrame, ranges: DataFrame, valueCol: String,
+      loCol: String, hiCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val rb = ranges.withColumn("_bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    val fb = fact.withColumn("_bin",
+      floor(col(valueCol) / binWidth).cast("long"))
+    fb.join(rb, Seq("_bin"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("_bin")
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same key exceeds `gapSeconds`. Adds
     * `session_idx` (1-based per key) and `session_id` ("<key>#<idx>").

@@ -93,6 +93,25 @@ object ExtendedQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Large x large interval join via bin explosion: purchase-derived value
+    // windows [v, v+2) matched against click values as an EQUI join on the
+    // bin key — the shape that survives when the ranges side is too big to
+    // broadcast (the broadcast form is range_join_bucket). Aggregated per
+    // click; oracle runs the plain inequality join.
+    "interval_join_binned" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("value"))
+      val ranges = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("range_id"), col("value").as("lo"),
+          (col("value") + 2.0).as("hi"))
+      TemporalJoins.rangeJoinBinned(clicks, ranges,
+          "value", "lo", "hi", binWidth = 2.0)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_ranges"), min(col("range_id")).as("first_range"))
+        .orderBy(col("event_id"))
+    }),
+
     // Gap-based sessionization (30-minute inactivity gap per user).
     "sessionize" -> ((s, dir) =>
       TemporalJoins.sessionize(t(s, dir, "events"),
@@ -546,6 +565,16 @@ object ExtendedQueries {
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "interval_join_binned" ->
+      """WITH c AS (SELECT event_id, value FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT event_id AS range_id, value AS lo, value + 2.0 AS hi
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, count(*) AS n_ranges,
+        |  min(r.range_id) AS first_range
+        |FROM c JOIN r ON c.value >= r.lo AND c.value < r.hi
+        |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin,
 
     "range_join_bucket" ->
       """SELECT e.event_id, r.band

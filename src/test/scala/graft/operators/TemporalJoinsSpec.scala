@@ -57,4 +57,41 @@ class TemporalJoinsSpec extends SparkSpec {
       .select(col("id"), col("band")).as[(Long, String)].collect().toMap
     assert(got === Map(1L -> "a", 2L -> "a", 3L -> "b"))  // 150.0 drops (hi exclusive)
   }
+
+  test("rangeJoinBinned equals the naive inequality join; equi-plan only") {
+    val rnd = new scala.util.Random(5)
+    val fact = (1L to 800L).map(i => (i, rnd.nextDouble() * 100 - 50))
+      .toDF("id", "value")
+    val ranges = (1L to 300L).map { i =>
+      val lo = rnd.nextDouble() * 100 - 50
+      (i, lo, lo + rnd.nextDouble() * 12) // spans 0..several bins of width 4
+    }.toDF("range_id", "lo", "hi")
+    val binned = TemporalJoins.rangeJoinBinned(fact, ranges,
+        "value", "lo", "hi", binWidth = 4.0)
+      .select(col("id"), col("range_id")).as[(Long, Long)].collect().toSet
+    val naive = fact.join(ranges,
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .select(col("id"), col("range_id")).as[(Long, Long)].collect().toSet
+    assert(binned == naive && binned.nonEmpty)
+    // no pair is emitted twice even when a range spans many bins
+    val withDups = TemporalJoins.rangeJoinBinned(fact, ranges,
+        "value", "lo", "hi", binWidth = 0.5)
+      .select(col("id"), col("range_id")).as[(Long, Long)].collect()
+    assert(withDups.length == withDups.toSet.size && withDups.toSet == naive)
+    // the plan is an equi join on the bin key, never a nested loop
+    val plan = TemporalJoins.rangeJoinBinned(fact, ranges,
+        "value", "lo", "hi", 4.0).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rangeJoinBinned boundaries: lo inclusive, hi exclusive, negatives") {
+    val fact = Seq((1L, -4.0), (2L, 0.0), (3L, 3.999), (4L, 4.0))
+      .toDF("id", "value")
+    val ranges = Seq((10L, -4.0, 4.0)).toDF("range_id", "lo", "hi")
+    val got = TemporalJoins.rangeJoinBinned(fact, ranges,
+        "value", "lo", "hi", binWidth = 4.0)
+      .select(col("id")).as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L)) // 4.0 excluded at hi
+  }
 }
