@@ -152,7 +152,28 @@ case class AsOfJoinExec(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
     (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
 
-  override def outputPartitioning: Partitioning = left.outputPartitioning
+  /** Child attr → corresponding fresh output attr (positional). */
+  private def toOutput[T <: Expression](e: T): T = {
+    val mapping = org.apache.spark.sql.catalyst.expressions.AttributeMap(
+      (left.output ++ right.output).zip(output))
+    e.transform { case a: Attribute => mapping.getOrElse(a, a) }
+      .asInstanceOf[T]
+  }
+
+  /** The left side's partitioning, re-expressed in OUTPUT attrs: output
+    * rows ride the left partitions unchanged, but the child's exprIds are
+    * invisible above this node — without the remap a following
+    * groupBy(key) would re-shuffle rows that are already clustered.
+    */
+  override def outputPartitioning: Partitioning =
+    left.outputPartitioning match {
+      case e: Expression => toOutput(e).asInstanceOf[Partitioning]
+      case p => p // UnknownPartitioning and friends carry no expressions
+    }
+
+  /** Rows are emitted in left order: (key, time) ascending per partition. */
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(k => SortOrder(toOutput(k), Ascending))
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =

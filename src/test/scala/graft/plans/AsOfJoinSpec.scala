@@ -143,6 +143,25 @@ class AsOfJoinSpec extends SparkSpec {
       .toSet)
   }
 
+  test("output partitioning is advertised: downstream groupBy(key) " +
+    "reuses the join's clustering instead of re-shuffling") {
+    val left = (1L to 300L).map(i => (i, i % 7, i % 50)).toDF("id", "k", "t")
+    val right = (1L to 100L).map(i => (i % 7, i % 40, i))
+      .toDF("rk", "rt", "rid")
+      .groupBy("rk", "rt").agg(max(col("rid")).as("rid"))
+    val agg = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt")
+      .groupBy(col("k")).agg(count(col("rid")).as("n"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // nothing between the aggregate and the join re-shuffles: the agg
+    // consumes the advertised HashPartitioning on the output attr (tree
+    // text above the AsOfJoin line = operators downstream of it)
+    val aboveJoin = plan.substring(0, plan.indexOf("AsOfJoin"))
+    assert(aboveJoin.contains("HashAggregate"), plan)
+    assert(!aboveJoin.contains("Exchange"), plan)
+  }
+
   test("self-lineage inputs (both sides carved from one scan) stay sound") {
     val base = (1L to 100L).map(i => (i, i % 5, i)).toDF("id", "k", "t")
     val left = base.filter(col("id") % 2 === 0)
