@@ -95,18 +95,24 @@ object BloomExpressions {
   * during Dataset construction could collect the object before the builder
   * derefs it (the premature-finalization window `reachabilityFence` exists
   * for). Each registry therefore also keeps a strong hold on its most
-  * recently registered objects in a bounded FIFO (`StrongHoldCap`): deep
-  * enough to cover any realistic register→analysis gap, bounded so a
-  * superseded filter still becomes collectable after `StrongHoldCap`
-  * further registrations (or [[releaseStrongHolds]] for eager release).
+  * recently registered objects in a bounded PER-ROLE FIFO
+  * (`StrongHoldCap` deep): enough to cover any realistic
+  * register→analysis gap, bounded so a superseded filter becomes
+  * collectable after `StrongHoldCap` further registrations OF ITS ROLE
+  * (or [[releaseStrongHolds]] for eager release). Per-role matters for
+  * memory: the recurring-ingest pattern registers a filter-sized object
+  * per micro-batch, and a global FIFO would pin `cap` of them at steady
+  * state — ~GBs for SCALE.md's 120 MB filters — where per-role holds pin
+  * only the last few of each kind.
   */
 private[functions] object TempFnNames {
-  private val StrongHoldCap = 32
+  private val StrongHoldCap = 4
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
-  // registry → FIFO strong holds of recently registered objects. Weak-keyed
-  // by registry so a closed session releases its holds with it.
+  // registry → role → FIFO strong holds of recently registered objects.
+  // Weak-keyed by registry so a closed session releases its holds with it.
   private val recentHolds = new java.util.WeakHashMap[
-    AnyRef, java.util.ArrayDeque[AnyRef]]()
+    AnyRef, java.util.concurrent.ConcurrentHashMap[
+      String, java.util.ArrayDeque[AnyRef]]]()
   // per-prefix maps: one object may carry several bindings (a PQ codebook
   // backs both the encode and the lut function) without evicting the other
   private val names = new java.util.concurrent.ConcurrentHashMap[
@@ -158,12 +164,13 @@ private[functions] object TempFnNames {
       sweepLocked(registry, list, keep = name)
     }
     val holds = recentHolds.synchronized {
-      var cur = recentHolds.get(registry)
-      if (cur == null) {
-        cur = new java.util.ArrayDeque[AnyRef]()
-        recentHolds.put(registry, cur)
+      var byRole = recentHolds.get(registry)
+      if (byRole == null) {
+        byRole = new java.util.concurrent.ConcurrentHashMap[
+          String, java.util.ArrayDeque[AnyRef]]()
+        recentHolds.put(registry, byRole)
       }
-      cur
+      byRole.computeIfAbsent(role, _ => new java.util.ArrayDeque[AnyRef]())
     }
     holds.synchronized {
       holds.addLast(obj)
@@ -179,8 +186,9 @@ private[functions] object TempFnNames {
   def releaseStrongHolds(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     recentHolds.synchronized {
-      val cur = recentHolds.get(registry)
-      if (cur != null) cur.synchronized(cur.clear())
+      val byRole = recentHolds.get(registry)
+      if (byRole != null) byRole.values().forEach(d =>
+        d.synchronized(d.clear()))
     }
   }
 

@@ -165,12 +165,15 @@ object Sampling {
     // pid -> exclusive prefix sum of counts = that partition's rank offset
     val offsets = counts.map(_._1)
       .zip(counts.map(_._2).scanLeft(0L)(_ + _).init).toMap
-    // pass 2: local row numbers + broadcast offset lookup
+    // pass 2: local row numbers + offset lookup. The lookup is a MAP
+    // literal, not a when-chain: a fold of nested CaseWhen is
+    // numPartitions deep and overflows Catalyst's recursive transforms
+    // at the partition counts this operator exists for.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid")).orderBy(col("_h"), col(idCol))
-    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("_pid") === pid, lit(off)).otherwise(acc)
-    }
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedlit(offsets), col("_pid"))
     ranged
       .withColumn("shuffle_rank",
         row_number().over(w).cast("long") + offCol)

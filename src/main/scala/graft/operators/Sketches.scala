@@ -176,19 +176,23 @@ object Sketches {
     */
   def kllQuantiles(sketches: DataFrame, groupCol: String,
       qs: Seq[Double]): DataFrame = {
+    // ONE heapify per group (n and the quantile vector come out of the
+    // same pass), and posexplode_outer so a group whose sketch is empty
+    // (every batch value NULL) still surfaces as (group, null, null, 0)
+    // instead of silently vanishing from the output.
     val extract = udf { (bytes: Array[Byte]) =>
       val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
-      if (sk.isEmpty) Array.empty[Double]
-      else qs.map(q => sk.getQuantile(q)).toArray
-    }
-    val n = udf { (bytes: Array[Byte]) =>
-      KllDoublesSketch.heapify(Memory.wrap(bytes)).getN
+      (sk.getN,
+        if (sk.isEmpty) Array.empty[Double]
+        else qs.map(q => sk.getQuantile(q)).toArray)
     }
     sketches
-      .select(col(groupCol), n(col("kll")).as("n"),
-        posexplode(extract(col("kll"))).as(Seq("qi", "value")))
+      .select(col(groupCol), extract(col("kll")).as("_x"))
+      .select(col(groupCol), col("_x._1").as("n"),
+        posexplode_outer(col("_x._2")).as(Seq("qi", "value")))
       .select(col(groupCol),
-        element_at(typedLit(qs), col("qi") + 1).as("q"),
+        when(col("value").isNotNull,
+          element_at(typedLit(qs), col("qi") + 1)).as("q"),
         col("value"), col("n"))
   }
 
@@ -326,12 +330,34 @@ object Sketches {
     * a KB blob, so these run in microseconds regardless of corpus size.
     */
   def thetaEstimate(a: Array[Byte]): Double = wrapTheta(a).getEstimate
+
+  /** Union estimate. `lgK <= 0` (default) auto-sizes the union to hold
+    * every retained entry of both inputs, so a pair of exact-mode
+    * sketches (built at any lgK) unions EXACTLY — a fixed default of 12
+    * would silently downsample sketches built larger, the very hazard
+    * ThetaBuf's scaladoc warns about. Pass lgK explicitly only to force
+    * a smaller result sketch.
+    */
   def thetaUnionEstimate(a: Array[Byte], b: Array[Byte],
-      lgK: Int = 12): Double = {
-    val u = SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
-    u.union(wrapTheta(a)); u.union(wrapTheta(b))
+      lgK: Int = 0): Double = {
+    val (sa, sb) = (wrapTheta(a), wrapTheta(b))
+    val nom =
+      if (lgK > 0) 1 << lgK
+      else {
+        val need = math.min(1L << 26, math.max(4096L,
+          sa.getRetainedEntries(true).toLong +
+            sb.getRetainedEntries(true).toLong))
+        1 << (64 - java.lang.Long.numberOfLeadingZeros(need - 1))
+      }
+    val u = SetOperation.builder().setNominalEntries(nom).buildUnion()
+    u.union(sa); u.union(sb)
     u.getResult.getEstimate
   }
+
+  /** Intersection / A-not-B never downsample in DataSketches (the result
+    * keeps min-theta and the retained-set operation; nominal entries are
+    * a union-only concept), so no lgK parameter exists to get wrong.
+    */
   def thetaIntersectEstimate(a: Array[Byte], b: Array[Byte]): Double = {
     val i = SetOperation.builder().buildIntersection()
     i.intersect(wrapTheta(a)); i.intersect(wrapTheta(b))

@@ -21,25 +21,54 @@ object ExtendedQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared sides of every as-of query: clicks, and purchases made unique
+    * per (user, ts) — max event_id wins — so results are deterministic in
+    * every engine. The bucketed variant (FormatQueries) writes these same
+    * frames as bucketed tables first.
+    */
+  private[queries] def asofSides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("m.event_id").as("p_event_id"), col("m.value").as("p_value"))
+    (clicks, purchases)
+  }
+
+  /** Shared output shape of every as-of query. */
+  private[queries] def asofSelect(df: DataFrame): DataFrame =
+    df.select(col("event_id"), col("user_id"),
+      col("p_event_id"), round(col("p_value"), 2).as("p_value"))
+      .orderBy(col("event_id"))
+
+  /** Shared DuckDB oracle; `cmp` is the ASOF inequality direction. */
+  private[queries] def asofOracle(cmp: String): String =
+    s"""WITH p AS (
+       |  SELECT user_id, ts, max(event_id) AS p_event_id,
+       |    arg_max(value, event_id) AS p_value
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+       |c AS (SELECT event_id, user_id, ts FROM events
+       |      WHERE event_type = 'click')
+       |SELECT c.event_id, c.user_id, p.p_event_id,
+       |  round(p.p_value, 2) AS p_value
+       |FROM c ASOF LEFT JOIN p
+       |  ON c.user_id = p.user_id AND c.ts $cmp p.ts
+       |ORDER BY c.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // --- Temporal joins -----------------------------------------------------
     // For each click, the latest prior purchase of the same user. Right side
     // is made unique per (user, ts) first (max event_id wins) so the result
     // is deterministic in every engine.
     "asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(struct(col("event_id"), col("value"))).as("m"))
-        .select(col("user_id"), col("ts"),
-          col("m.event_id").as("p_event_id"), col("m.value").as("p_value"))
-      TemporalJoins.asOfJoin(clicks, purchases,
-          "user_id", "user_id", "ts", "ts", Seq("p_event_id", "p_value"))
-        .select(col("event_id"), col("user_id"),
-          col("p_event_id"), round(col("p_value"), 2).as("p_value"))
-        .orderBy(col("event_id"))
+      val (clicks, purchases) = asofSides(s, dir)
+      asofSelect(TemporalJoins.asOfJoin(clicks, purchases,
+        "user_id", "p_user_id", "ts", "p_ts",
+        Seq("p_event_id", "p_value")))
     }),
 
     // The same as-of semantics through the NATIVE physical operator
@@ -48,38 +77,18 @@ object ExtendedQueries {
     // shuffle per side, no union, no window). Same oracle as asof_join:
     // DuckDB's built-in ASOF LEFT JOIN.
     "asof_join_native" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(struct(col("event_id"), col("value"))).as("m"))
-        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
-          col("m.event_id").as("p_event_id"), col("m.value").as("p_value"))
-      graft.plans.AsOfJoin.asOf(clicks, purchases,
-          "user_id", "p_user_id", "ts", "p_ts")
-        .select(col("event_id"), col("user_id"),
-          col("p_event_id"), round(col("p_value"), 2).as("p_value"))
-        .orderBy(col("event_id"))
+      val (clicks, purchases) = asofSides(s, dir)
+      asofSelect(graft.plans.AsOfJoin.asOf(clicks, purchases,
+        "user_id", "p_user_id", "ts", "p_ts"))
     }),
 
     // FORWARD as-of through the same native operator: for each click, the
     // EARLIEST subsequent purchase (next-purchase attribution). DuckDB's
     // ASOF supports the forward inequality directly.
     "asof_join_forward" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(struct(col("event_id"), col("value"))).as("m"))
-        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
-          col("m.event_id").as("p_event_id"), col("m.value").as("p_value"))
-      graft.plans.AsOfJoin.asOf(clicks, purchases,
-          "user_id", "p_user_id", "ts", "p_ts", forward = true)
-        .select(col("event_id"), col("user_id"),
-          col("p_event_id"), round(col("p_value"), 2).as("p_value"))
-        .orderBy(col("event_id"))
+      val (clicks, purchases) = asofSides(s, dir)
+      asofSelect(graft.plans.AsOfJoin.asOf(clicks, purchases,
+        "user_id", "p_user_id", "ts", "p_ts", forward = true))
     }),
 
     // Broadcast interval join: band each event's value into literal buckets.
@@ -527,44 +536,11 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    "asof_join" ->
-      """WITH p AS (
-        |  SELECT user_id, ts, max(event_id) AS p_event_id,
-        |    arg_max(value, event_id) AS p_value
-        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
-        |c AS (SELECT event_id, user_id, ts FROM events
-        |      WHERE event_type = 'click')
-        |SELECT c.event_id, c.user_id, p.p_event_id,
-        |  round(p.p_value, 2) AS p_value
-        |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.ts >= p.ts
-        |ORDER BY c.event_id""".stripMargin,
+    "asof_join" -> asofOracle(">="),
 
-    "asof_join_native" ->
-      """WITH p AS (
-        |  SELECT user_id, ts, max(event_id) AS p_event_id,
-        |    arg_max(value, event_id) AS p_value
-        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
-        |c AS (SELECT event_id, user_id, ts FROM events
-        |      WHERE event_type = 'click')
-        |SELECT c.event_id, c.user_id, p.p_event_id,
-        |  round(p.p_value, 2) AS p_value
-        |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.ts >= p.ts
-        |ORDER BY c.event_id""".stripMargin,
+    "asof_join_native" -> asofOracle(">="),
 
-    "asof_join_forward" ->
-      """WITH p AS (
-        |  SELECT user_id, ts, max(event_id) AS p_event_id,
-        |    arg_max(value, event_id) AS p_value
-        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
-        |c AS (SELECT event_id, user_id, ts FROM events
-        |      WHERE event_type = 'click')
-        |SELECT c.event_id, c.user_id, p.p_event_id,
-        |  round(p.p_value, 2) AS p_value
-        |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.ts <= p.ts
-        |ORDER BY c.event_id""".stripMargin,
+    "asof_join_forward" -> asofOracle("<="),
 
     "interval_join_binned" ->
       """WITH c AS (SELECT event_id, value FROM events

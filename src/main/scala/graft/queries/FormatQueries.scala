@@ -261,24 +261,14 @@ object FormatQueries {
       }
       dropManaged("graft_clicks_b")
       dropManaged("graft_purch_b")
-      val ev = t(s, dir, "events")
-      ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-        .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
+      val (clicks, purchases) = ExtendedQueries.asofSides(s, dir)
+      clicks.write.bucketBy(8, "user_id").sortBy("user_id", "ts")
         .mode("overwrite").saveAsTable("graft_clicks_b")
-      ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(struct(col("event_id"), col("value"))).as("m"))
-        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
-          col("m.event_id").as("p_event_id"), col("m.value").as("p_value"))
-        .write.bucketBy(8, "p_user_id").sortBy("p_user_id", "p_ts")
+      purchases.write.bucketBy(8, "p_user_id").sortBy("p_user_id", "p_ts")
         .mode("overwrite").saveAsTable("graft_purch_b")
-      graft.plans.AsOfJoin.asOf(
-          s.table("graft_clicks_b"), s.table("graft_purch_b"),
-          "user_id", "p_user_id", "ts", "p_ts")
-        .select(col("event_id"), col("user_id"),
-          col("p_event_id"), round(col("p_value"), 2).as("p_value"))
-        .orderBy(col("event_id"))
+      ExtendedQueries.asofSelect(graft.plans.AsOfJoin.asOf(
+        s.table("graft_clicks_b"), s.table("graft_purch_b"),
+        "user_id", "p_user_id", "ts", "p_ts"))
     })
   )
 
@@ -346,18 +336,7 @@ object FormatQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
-    "asof_join_bucketed" ->
-      """WITH p AS (
-        |  SELECT user_id, ts, max(event_id) AS p_event_id,
-        |    arg_max(value, event_id) AS p_value
-        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
-        |c AS (SELECT event_id, user_id, ts FROM events
-        |      WHERE event_type = 'click')
-        |SELECT c.event_id, c.user_id, p.p_event_id,
-        |  round(p.p_value, 2) AS p_value
-        |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.ts >= p.ts
-        |ORDER BY c.event_id""".stripMargin,
+    "asof_join_bucketed" -> ExtendedQueries.asofOracle(">="),
 
     "provenance_scan" ->
       """SELECT doc_id, 'documents.parquet' AS file_name,

@@ -101,6 +101,9 @@ class SketchesSpec extends SparkSpec {
     val merged = Sketches.thetaMergeSnapshots(sk, sk, "g", lgK = 16)
       .collect().map(r => r.getAs[Array[Byte]]("theta")).head
     assert(Sketches.thetaEstimate(merged) === 20000.0)
+    // the driver-side union helper must not downsample them either: the
+    // default auto-sizes to the inputs instead of a fixed 2^12 cap
+    assert(Sketches.thetaUnionEstimate(merged, merged) === 20000.0)
   }
 
   test("theta snapshot merge unions, not adds; single-side groups pass") {
@@ -125,5 +128,18 @@ class SketchesSpec extends SparkSpec {
       .map(r => r._1 -> ((r._3, r._4))).toMap
     assert(got("x")._2 == 2L && got("y")._2 == 1L)
     assert(got("y")._1 == 9.0, "a 1-value sketch answers exactly")
+  }
+
+  test("KLL groups with all-NULL values surface with n=0, not dropped") {
+    val df = Seq(("x", Some(1.0)), ("x", Some(2.0)),
+      ("z", Option.empty[Double]), ("z", Option.empty[Double]))
+      .toDF("g", "v")
+    val got = Sketches.kllQuantiles(
+        Sketches.kllByGroup(df, "g", "v"), "g", Seq(0.5))
+      .as[(String, Option[Double], Option[Double], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("x")._4 == 2L && got("x")._3.isDefined)
+    assert(got.contains("z"), "empty-sketch group must not vanish")
+    assert(got("z")._4 == 0L && got("z")._2.isEmpty && got("z")._3.isEmpty)
   }
 }
