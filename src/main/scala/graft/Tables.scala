@@ -18,15 +18,28 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs and
-      // convert with exact integer division (a double division would lose
-      // precision at 1e18 nanoseconds).
+      // Some generator versions write events.ts as parquet TIMESTAMP(NANOS),
+      // which Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL); with
+      // nanosAsLong those arrive as raw longs and need an exact integer
+      // nanos→micros conversion (a double division would lose precision at
+      // 1e18 nanoseconds). Newer data is TIMESTAMP(MICROS) and needs
+      // nothing — branch on the type actually read.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // Normalize to TimestampType (session TZ is UTC) so every
+          // downstream consumer — window(), watermarks, date arithmetic,
+          // the DuckDB oracle round-trip — sees the one timestamp flavor
+          // the whole query surface is contracted against.
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Multi-path scan (union of files) — the Spark-idiomatic restatement of the

@@ -4,14 +4,17 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlShim}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, AttributeReference, Expression, GenericInternalRow,
-  AttributeSet, JoinedRow, RowOrdering, SortOrder, UnsafeProjection,
-  UnsafeRow}
+  Ascending, Attribute, AttributeReference, BindReferences, BoundReference,
+  Expression, GenericInternalRow, AttributeSet, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
-  SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport,
+  SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 
 /** Native backward as-of join — the custom-operator rung of the design
@@ -101,20 +104,32 @@ object AsOfJoinStrategy extends SparkStrategy {
   */
 object AsOfJoinPruning
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.Project
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(_, aj: AsOfJoinPlan)
         if aj.output.size == aj.left.output.size + aj.right.output.size &&
           prunedIdx(p.references, aj).size < aj.output.size =>
-      val keep = prunedIdx(p.references, aj)
-      val nL = aj.left.output.size
-      val (keepL, keepR) = keep.partition(_ < nL)
-      val newNode = aj.copy(
-        left = Project(keepL.map(aj.left.output), aj.left),
-        right = Project(keepR.map(i => aj.right.output(i - nL)), aj.right),
-        output = keep.map(aj.output))
-      p.copy(child = newNode)
+      p.copy(child = prune(p.references, aj))
+    // A Filter between the consumer Project and the join must not block
+    // pruning (a silent full-width shuffle otherwise): keep the filter's
+    // own references alive alongside the project's.
+    case p @ Project(_, f @ Filter(_, aj: AsOfJoinPlan))
+        if aj.output.size == aj.left.output.size + aj.right.output.size &&
+          prunedIdx(p.references ++ f.condition.references, aj).size <
+            aj.output.size =>
+      p.copy(child =
+        f.copy(child = prune(p.references ++ f.condition.references, aj)))
+  }
+
+  private def prune(needed: AttributeSet, aj: AsOfJoinPlan): AsOfJoinPlan = {
+    val keep = prunedIdx(needed, aj)
+    val nL = aj.left.output.size
+    val (keepL, keepR) = keep.partition(_ < nL)
+    aj.copy(
+      left = Project(keepL.map(aj.left.output), aj.left),
+      right = Project(keepR.map(i => aj.right.output(i - nL)), aj.right),
+      output = keep.map(aj.output))
   }
 
   /** Output positions that must survive: referenced by the parent, or
@@ -136,7 +151,7 @@ case class AsOfJoinExec(
     leftTime: Expression, rightTime: Expression,
     override val output: Seq[Attribute],
     left: SparkPlan, right: SparkPlan,
-    forward: Boolean = false) extends BinaryExecNode {
+    forward: Boolean = false) extends BinaryExecNode with CodegenSupport {
 
   override def producedAttributes: AttributeSet = outputSet
 
@@ -178,6 +193,192 @@ case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+
+  // ---------------------------------------------------------------- codegen
+  //
+  // Whole-stage codegen over the sorted merge (the SortMergeJoinExec shape:
+  // this node heads its stage, both sorted children arrive as inputRDDs and
+  // the merge loop is generated straight-line Java). The carried-row state
+  // is a handful of mutable slots — exactly the case codegen rewards: no
+  // per-row UnsafeProjection round-trips, key/time comparisons inline to
+  // primitive compares, and the output feeds the parent's consume without
+  // an intermediate JoinedRow + projection pass.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // The emitted right-side variables alias the carried/head row's buffers,
+  // which advance as the merge walks on — a buffering parent must copy.
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];", forceInline = true)
+    // rHead outlives iterator advances on both sides (the sorter reuses and
+    // frees row pages as it drains), so it owns its bytes: copy on read —
+    // same contract as the interpreted path.
+    val rHead = ctx.addMutableState("InternalRow", "asofRHead",
+      v => s"$v = $rightInput.hasNext() " +
+        s"? ((InternalRow) $rightInput.next()).copy() : null;")
+    val advanceRight = ctx.addNewFunction("asofAdvanceRight",
+      s"""
+         |private void asofAdvanceRight() {
+         |  $rHead = $rightInput.hasNext()
+         |    ? ((InternalRow) $rightInput.next()).copy() : null;
+         |}
+       """.stripMargin)
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val lkEv = leftKeys.map(
+      BindReferences.bindReference(_, left.output).genCode(ctx))
+    val ltEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = rHead
+    val rkEv = rightKeys.map(
+      BindReferences.bindReference(_, right.output).genCode(ctx))
+    val rtEv = BindReferences.bindReference(rightTime, right.output)
+      .genCode(ctx)
+
+    def anyNull(evs: Seq[ExprCode]): String = {
+      val vs = evs.map(_.isNull.toString).filter(_ != "false")
+      if (vs.isEmpty) "false" else vs.mkString(" || ")
+    }
+    // Sequential multi-column compare into an int var already declared 0.
+    def keyCmp(cmpVar: String, a: Seq[String], b: Seq[String]): String =
+      leftKeys.indices.map { i =>
+        s"if ($cmpVar == 0) $cmpVar = " +
+          s"${ctx.genComp(leftKeys(i).dataType, a(i), b(i))};"
+      }.mkString("\n")
+    def timeCmp(a: ExprCode, b: ExprCode): String =
+      ctx.genComp(leftTime.dataType, a.value.toString, b.value.toString)
+
+    val lkAnyNull = ctx.freshName("asofLkNull")
+    val matched = ctx.freshName("asofMatched")
+    val scanning = ctx.freshName("asofScanning")
+    val cmp = ctx.freshName("asofCmp")
+
+    // Output variables: left columns straight off the left row; right
+    // columns null-guarded on the matched row (SMJ's outer-side pattern).
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofRNull")
+      val value = ctx.freshName("asofRVal")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val c =
+        code"""boolean $isNull = $matched == null || $matched.isNullAt($i);
+              |$jt $value = $isNull
+              |  ? ${CodeGenerator.defaultValue(a.dataType)}
+              |  : (${CodeGenerator.getValue(matched, a.dataType, i.toString)});
+         """.stripMargin
+      ExprCode(c, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+
+    val mergeBody = if (forward) {
+      // FORWARD: skip right rows strictly before (key, leftTime); the scan
+      // head then IS the match iff it sits on the same key at-or-after.
+      val ok = ctx.freshName("asofOk")
+      val cmp2 = ctx.freshName("asofCmp2")
+      ctx.INPUT_ROW = rHead
+      val rkEv2 = rightKeys.map(
+        BindReferences.bindReference(_, right.output).genCode(ctx))
+      val rtEv2 = BindReferences.bindReference(rightTime, right.output)
+        .genCode(ctx)
+      s"""
+         |if (!$lkAnyNull && !${ltEv.isNull}) {
+         |  boolean $scanning = $rHead != null;
+         |  while ($scanning) {
+         |    ${rkEv.map(_.code).mkString("\n")}
+         |    ${rtEv.code}
+         |    int $cmp = 0;
+         |    if (${anyNull(rkEv)}) { $cmp = -1; } else {
+         |      ${keyCmp(cmp, rkEv.map(_.value.toString),
+                    lkEv.map(_.value.toString))}
+         |    }
+         |    if ($cmp < 0 || ($cmp == 0 &&
+         |        (${rtEv.isNull} || ${timeCmp(rtEv, ltEv)} < 0))) {
+         |      $advanceRight();
+         |      if ($rHead == null) { $scanning = false; }
+         |    } else { $scanning = false; }
+         |  }
+         |}
+         |boolean $ok = false;
+         |if (!$lkAnyNull && !${ltEv.isNull} && $rHead != null) {
+         |  ${rkEv2.map(_.code).mkString("\n")}
+         |  ${rtEv2.code}
+         |  int $cmp2 = 0;
+         |  if (${anyNull(rkEv2)}) { $cmp2 = -1; } else {
+         |    ${keyCmp(cmp2, rkEv2.map(_.value.toString),
+                  lkEv.map(_.value.toString))}
+         |  }
+         |  $ok = $cmp2 == 0 && !${rtEv2.isNull} &&
+         |    ${timeCmp(rtEv2, ltEv)} >= 0;
+         |}
+         |InternalRow $matched = $ok ? $rHead : null;
+       """.stripMargin
+    } else {
+      // BACKWARD: carry the latest right row at-or-before per key. The
+      // carried key lives in typed slots (never null when stored — null
+      // keyed right rows are skipped before the store).
+      val carried = ctx.addMutableState("InternalRow", "asofCarried")
+      val carriedValid = ctx.addMutableState("boolean", "asofCarriedValid",
+        v => s"$v = false;")
+      val ckVars = rightKeys.map(k =>
+        ctx.addMutableState(CodeGenerator.javaType(k.dataType), "asofCk"))
+      val cmpC = ctx.freshName("asofCmpC")
+      val storeCk = ckVars.zip(rkEv)
+        .map { case (ck, ev) => s"$ck = ${ev.value};" }.mkString("\n")
+      s"""
+         |if (!$lkAnyNull) {
+         |  if ($carriedValid) {
+         |    int $cmpC = 0;
+         |    ${keyCmp(cmpC, ckVars, lkEv.map(_.value.toString))}
+         |    if ($cmpC != 0) { $carriedValid = false; $carried = null; }
+         |  }
+         |  boolean $scanning = $rHead != null;
+         |  while ($scanning) {
+         |    ${rkEv.map(_.code).mkString("\n")}
+         |    ${rtEv.code}
+         |    int $cmp = 0;
+         |    if (${anyNull(rkEv)}) { $cmp = -1; } else {
+         |      ${keyCmp(cmp, rkEv.map(_.value.toString),
+                    lkEv.map(_.value.toString))}
+         |    }
+         |    if ($cmp < 0) { $advanceRight(); }
+         |    else if ($cmp == 0 && !${rtEv.isNull} && !${ltEv.isNull} &&
+         |        ${timeCmp(rtEv, ltEv)} <= 0) {
+         |      $carried = $rHead.copy();
+         |      $carriedValid = true;
+         |      $storeCk
+         |      $advanceRight();
+         |    } else if ($cmp == 0 && ${rtEv.isNull}) { $advanceRight(); }
+         |    else { $scanning = false; }
+         |    if ($rHead == null) { $scanning = false; }
+         |  }
+         |}
+         |InternalRow $matched =
+         |  (!$lkAnyNull && $carriedValid && !${ltEv.isNull})
+         |    ? $carried : null;
+       """.stripMargin
+    }
+
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lkEv.map(_.code).mkString("\n")}
+       |  ${ltEv.code}
+       |  boolean $lkAnyNull = ${anyNull(lkEv)};
+       |  $mergeBody
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
@@ -262,6 +463,8 @@ case class AsOfJoinExec(
 
 /** Builder: the public DataFrame surface over the plan above. */
 object AsOfJoin {
+  private val registrationLock = new Object
+
   /** Native as-of join; see [[AsOfJoinPlan]]. Output: all left columns,
     * then all right columns (nullable); `forward = true` flips the
     * direction to earliest-at-or-after. A later `.select` of a subset is
@@ -272,13 +475,19 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    }
-    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruning)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ AsOfJoinPruning
+    // The experimental strategy/optimization lists are plain session-global
+    // vars: an unsynchronized check-then-append from two threads can lose a
+    // registration (last-writer-wins) or double-register. One global lock —
+    // registration is rare and cheap, contention is irrelevant.
+    AsOfJoin.registrationLock.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+      }
+      if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruning)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ AsOfJoinPruning
+      }
     }
     val lPlan = left.queryExecution.analyzed
     // Re-alias the right side so both children expose distinct exprIds even

@@ -162,6 +162,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!aboveJoin.contains("Exchange"), plan)
   }
 
+  test("whole-stage codegen: compiles (no silent fallback) and matches the " +
+    "interpreted path, both directions") {
+    def confed[T](pairs: (String, String)*)(body: => T): T = {
+      val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val left = (1L to 500L).map(i => (i, i % 7, i % 50)).toDF("id", "k", "t")
+    val right = (1L to 200L).map(i => (i % 7, i % 40, s"v$i"))
+      .toDF("k", "t", "v")
+      .groupBy("k", "t").agg(max(col("v")).as("v"))
+    for (fwd <- Seq(false, true)) {
+      val df = AsOfJoin.asOf(left, right, "k", "k", "t", "t", forward = fwd)
+        .select(col("id"), col("v"))
+      // fallback=false turns a codegen compile failure into a hard error
+      // instead of a quiet interpreted run — this is the no-regression pin.
+      val gen = confed("spark.sql.codegen.fallback" -> "false") {
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(plan).isDefined, plan)
+        df.as[(Long, Option[String])].collect().toSet
+      }
+      val interp = confed("spark.sql.codegen.wholeStage" -> "false") {
+        df.as[(Long, Option[String])].collect().toSet
+      }
+      assert(gen == interp && gen.size == 500)
+    }
+  }
+
   test("self-lineage inputs (both sides carved from one scan) stay sound") {
     val base = (1L to 100L).map(i => (i, i % 5, i)).toDF("id", "k", "t")
     val left = base.filter(col("id") % 2 === 0)
