@@ -1,5 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Collects every named `observe()` metric group that completes during the
+  * bench (e.g. the PPJoin candidate counts — Dedup.PrefixJoinRawObservation):
+  * operator-health numbers that are exact and stable where local wall-clock
+  * is ±40% noise. Keyed by observation name; last completed query wins.
+  */
+private class ObservedMetricsListener
+    extends org.apache.spark.sql.util.QueryExecutionListener {
+  val seen = new scala.collection.concurrent.TrieMap[String, Seq[(String, Any)]]
+  override def onSuccess(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution,
+      durationNs: Long): Unit =
+    qe.observedMetrics.foreach { case (name, row) =>
+      seen(name) = row.schema.fieldNames.toSeq.map(f => f -> row.getAs[Any](f))
+    }
+  override def onFailure(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution,
+      exception: Exception): Unit = ()
+  def snapshotAndClear(spark: SparkSession): Map[String, Seq[(String, Any)]] = {
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+    val out = seen.toMap
+    seen.clear()
+    out
+  }
+}
+
 object Bench {
   /** Locale-fixed decimal rendering: the `f` interpolator formats through
     * the JVM default locale, which under comma-decimal locales would emit
@@ -50,6 +76,8 @@ object Bench {
     // OUTSIDE the timer make the per-query number a median over clean
     // heaps; "total" stays the sum of medians.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val obs = new ObservedMetricsListener
+    spark.listenerManager.register(obs)
     // per query: (median sec, rows, spread = max-min over the reps) — the
     // spread lands in the bench file so a noisy timing is distinguishable
     // from a real regression without re-running
@@ -65,6 +93,19 @@ object Bench {
       graft.operators.Caching.releaseAllRdds(spark)
       name -> ((secs(secs.size / 2), rows, secs.last - secs.head))
     }
+    // Observed-metric telemetry for the timed pass at sfDir (the scale-
+    // growth pass below snapshots its own at the small sf).
+    def telemetryJson(m: Map[String, Seq[(String, Any)]]): String =
+      m.toSeq.sortBy(_._1).map { case (name, fields) =>
+        val fs = fields.map {
+          case (f, v: Long) => s"\"$f\":$v"
+          case (f, v: Int) => s"\"$f\":$v"
+          case (f, v: Double) => s"\"$f\":${jnum(v, 6)}"
+          case (f, v) => s"\"$f\":\"${String.valueOf(v)}\""
+        }.mkString(",")
+        s"\"$name\":{$fs}"
+      }.mkString("{", ",", "}")
+    val telemetryBig = telemetryJson(obs.snapshotAndClear(spark))
     val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rows = results.map { case (k, (_, r, _)) => s"\"" + k + "\":" + r }
@@ -109,13 +150,22 @@ object Bench {
     // sub-second run at sf0.01 would put timer jitter in the denominator.
     // (streaming_dlq_redrive generates its own fixed 10-message queue, so
     // its ratio hovers near 1 — included for uniformity, read accordingly.)
-    val scaleGrowth = if (args.isEmpty) {
+    val (scaleGrowth, telemetrySmall) = if (args.isEmpty) {
       val smallDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
         "/root/testdata/sf0.01")
+      // Join/layout tier added r8 (verdict item): these carry the round-6/7
+      // operator work and have their own growth behavior (exchange-free
+      // bucketed plans, binned interval fan-out, zipWithIndex passes) that
+      // the dedup/ANN families can't stand in for.
+      val joinTier = Seq("asof_join_native", "asof_join_bucketed",
+        "interval_join_binned", "global_shuffle_order", "dataset_diff",
+        "dedup_clusters_incremental", "multimodal_frames")
       val growthQueries = graft.queries.PipelineQueries.timed ++
         graft.streaming.StreamingQueries.queries.view
-          .filterKeys(_.startsWith("streaming_")).toMap
+          .filterKeys(_.startsWith("streaming_")).toMap ++
+        joinTier.flatMap(n => SparkEntry.benchQueries.get(n).map(n -> _))
       if (new java.io.File(smallDir).isDirectory && smallDir != sfDir) {
+        obs.snapshotAndClear(spark) // drop sweep/envelope noise before small
         val entries = growthQueries.toSeq
           .sortBy(_._1).flatMap { case (name, fn) =>
             // rows >= 0 = the query SUCCEEDED at sfDir (failures time the
@@ -133,9 +183,10 @@ object Bench {
             }
           }
         graft.operators.Caching.releaseAllRdds(spark)
-        entries.mkString("{", ",", "}")
-      } else "{}"
-    } else "{}"
+        (entries.mkString("{", ",", "}"),
+          telemetryJson(obs.snapshotAndClear(spark)))
+      } else ("{}", "{}")
+    } else ("{}", "{}")
     // Publish-envelope throughput (untimed extra): the reference's only
     // published number is ~1 GiB serialized+published in 900 s on a 512 MB
     // Lambda (BASELINE.md). Same work here: scan → to_json → ≤10-message
@@ -162,7 +213,7 @@ object Bench {
     // tail window — the full 87-query map is ~4 KB and lands mid-line in
     // that window, so the parseable contract line must stay short.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"spread":$spreads,"ivf_sweep":$sweep,"scale_growth":$scaleGrowth,"publish_envelope":$envelope,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"spread":$spreads,"ivf_sweep":$sweep,"scale_growth":$scaleGrowth,"telemetry":$telemetryBig,"telemetry_small":$telemetrySmall,"publish_envelope":$envelope,"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec",""" +
         s""""n_queries":$nQueries,"sf":"$sfDir"}"""

@@ -17,30 +17,50 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // Some generator versions write events.ts as parquet TIMESTAMP(NANOS),
-      // which Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL); with
-      // nanosAsLong those arrive as raw longs and need an exact integer
-      // nanos→micros conversion (a double division would lose precision at
-      // 1e18 nanoseconds). Newer data is TIMESTAMP(MICROS) and needs
-      // nothing — branch on the type actually read.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts DIV 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          // Normalize to TimestampType (session TZ is UTC) so every
-          // downstream consumer — window(), watermarks, date arithmetic,
-          // the DuckDB oracle round-trip — sees the one timestamp flavor
-          // the whole query surface is contracted against.
-          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
-            .cast(org.apache.spark.sql.types.TimestampType))
-        case _ => df
-      }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(eventsRaw(spark, dir))
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Raw read of the events table, as the reader delivers it. Some generator
+    * versions write events.ts as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects (PARQUET_TYPE_ILLEGAL); the legacy nanosAsLong
+    * conf turns those into raw longs. The conf is a session-global side
+    * effect, so set it only when the file actually needs it (first read
+    * fails) — current MICROS data reads clean and leaves the session
+    * untouched.
+    */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    try spark.read.parquet(path)
+    catch {
+      case e: Throwable if Option(e.getMessage)
+          .exists(m => m.contains("PARQUET_TYPE_ILLEGAL") ||
+            m.contains("Illegal Parquet type")) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
+  }
+
+  /** Normalize the events `ts` column to TimestampType regardless of how the
+    * parquet file encoded it, so every downstream consumer — window(),
+    * watermarks, date arithmetic, the DuckDB oracle round-trip — sees the one
+    * timestamp flavor the whole query surface is contracted against. Both the
+    * batch loader ([[t]]) and the streaming staging helper
+    * (graft.streaming.StreamingQueries) MUST go through here: branching in
+    * only one of them is exactly how round 7 shipped 8 red stream queries.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanosAsLong longs: exact integer nanos→micros (a double division
+        // would lose precision at 1e18 nanoseconds).
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Multi-path scan (union of files) — the Spark-idiomatic restatement of the
     * reference's sequential per-file loop (SURVEY.md §2.7/X3).

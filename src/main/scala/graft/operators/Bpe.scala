@@ -121,22 +121,62 @@ object Bpe {
   }
 
   /** Apply an already-learned merge list to a word table — the ENCODE side
-    * (subword segmentation of new text under a fixed vocabulary). Merges
-    * must be applied in training order: later merges assume the units
-    * earlier ones created. The fold checkpoints every 8 merges: a real
-    * vocabulary is tens of thousands of merges, and folding them into ONE
-    * projection nests an `aggregate` HOF per merge — Catalyst recursion
-    * over that tree is the thing that breaks long before the data does.
+    * (subword segmentation of new text under a fixed vocabulary).
+    *
+    * Single-pass rank-table form: the merge list becomes ONE broadcast
+    * (left, right) → rank map, and each word is segmented by repeatedly
+    * merging its lowest-rank adjacent pair (all occurrences, greedy
+    * left-to-right — the exact per-step semantics of [[mergePair]]) until
+    * no pair remains in the table. That is provably the same segmentation
+    * as replaying the merges in training order: merging pair P only
+    * creates adjacencies involving the new token P.l+P.r, whose own pairs
+    * were necessarily learned LATER (a pair can only be learned once both
+    * its tokens exist), and never re-creates an adjacency of older tokens
+    * (tokens only grow) — so lowest-rank-first is training order,
+    * restricted to the pairs this word actually contains.
+    *
+    * Why it replaces the fold-per-merge form: a real vocabulary is tens of
+    * thousands of merges, and one `aggregate` HOF projection per merge is
+    * O(nMerges) chained projections — Catalyst recursion and per-merge
+    * full-table passes break long before the data does. This is one
+    * projection and one job at ANY vocabulary size; per-word cost is
+    * O(merges-applied × word length), on the vocab-bounded word table,
+    * never the corpus. (A UDF is acceptable exactly here for the same
+    * reason interpreted `aggregate` was: the word table is off the
+    * corpus-scale hot path by construction.)
     */
   def encode(words: DataFrame, merges: Seq[Merge]): DataFrame = {
-    var owned: Option[DataFrame] = None // never unpersist the caller's frame
-    merges.grouped(8).foldLeft(words) { (acc, group) =>
-      val stage = group.foldLeft(acc)((w, m) =>
-        w.withColumn("syms", mergePair(col("syms"), m.left, m.right)))
-        .localCheckpoint()
-      owned.foreach(_.unpersist(blocking = false))
-      owned = Some(stage)
-      stage
+    val ranks: Map[(String, String), Int] = merges.iterator.zipWithIndex
+      .map { case (m, i) => ((m.left, m.right), i) }.toMap
+    val bc = words.sparkSession.sparkContext.broadcast(ranks)
+    val enc = udf { syms: Seq[String] =>
+      val rank = bc.value
+      var cur: Array[String] = syms.toArray
+      var running = cur.length >= 2
+      while (running) {
+        var bestRank = Int.MaxValue
+        var bestL: String = null
+        var bestR: String = null
+        var i = 0
+        while (i < cur.length - 1) {
+          val r = rank.getOrElse((cur(i), cur(i + 1)), Int.MaxValue)
+          if (r < bestRank) { bestRank = r; bestL = cur(i); bestR = cur(i + 1) }
+          i += 1
+        }
+        if (bestRank == Int.MaxValue) running = false
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          cur.foreach { x =>
+            if (out.nonEmpty && out.last == bestL && x == bestR)
+              out(out.length - 1) = bestL + bestR
+            else out += x
+          }
+          cur = out.toArray
+          running = cur.length >= 2
+        }
+      }
+      cur.toSeq
     }
+    words.withColumn("syms", enc(col("syms")))
   }
 }

@@ -21,6 +21,13 @@ import graft.functions.HashExpressions
   */
 object Dedup {
 
+  /** Observation names [[prefixJaccardPairs]] attaches to its candidate
+    * join (PPJoin filter health: raw join volume / distinct pairs). Read
+    * them from `qe.observedMetrics` in a QueryExecutionListener.
+    */
+  val PrefixJoinRawObservation = "jaccard_prefix_join_raw"
+  val PrefixJoinPairsObservation = "jaccard_prefix_join_pairs"
+
   /** Word shingles (n-gram strings) from a materialized token-array column.
     *
     * `ws` MUST be a bound column (project `split(...)` into a column first),
@@ -219,6 +226,11 @@ object Dedup {
     // the near-real set.
     val ubound =
       lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))
+    // Telemetry (the thing local wall-clock can't give: rep-to-rep timing
+    // spread here ran 60 s while the candidate counts are exact and stable):
+    // raw join output = the shuffle/compute volume the filters let through;
+    // distinct pairs = the verification-join volume. Observed metrics land
+    // in bench_out via Bench's listener, keyed by these names.
     val candRep = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.rep") < col("b.rep") &&
           least(col("a.n"), col("b.n")) >=
@@ -226,7 +238,10 @@ object Dedup {
           ubound.cast("double") >=
             (col("a.n") + col("b.n")) * (threshold / (1 + threshold)) - EPS)
       .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
+      .observe(PrefixJoinRawObservation, count(lit(1)).as("n_candidates_raw"))
       .distinct()
+      .observe(PrefixJoinPairsObservation,
+        count(lit(1)).as("n_candidate_pairs"))
     val verifiedRep = candRep
       .join(reps.select(col("rep").as("rep_a"), col("sh").as("sh_a")),
         "rep_a")

@@ -728,17 +728,18 @@ object Similarity {
     * nProbe buys recall linearly in candidate volume; halving nCentroids
     * (8, 3, 2) trades bigger buckets for the same effect.
     *
-    * `nCentroids <= 0` means auto: max(16, ceil(sqrt(n))) — the classic
-    * IVF balance point where the n·nc centroid-scoring kernel and the
-    * n·nProbe·(n/nc) candidate join both grow as n^1.5, instead of the
-    * fixed-nc candidate volume growing as n². This is the setting to run
-    * at scale; the fixed default exists for deterministic recall
-    * contracts. `tools.KnnSweep` measures auto (nc=45 at the sf0.1
-    * n=2000) edge recall 0.47 at nProbe=6 vs 0.69 at fixed nc=16:
-    * finer buckets trade recall for candidate volume at FIXED nProbe, so
-    * when auto-scaling nc, scale nProbe with it (recall tracks the
-    * probed corpus fraction nProbe/nc) — the bench form accepts the
-    * recall trade to measure the at-scale growth shape.
+    * `nCentroids <= 0` means auto: nc = max(16, ceil(sqrt(n))), and nProbe
+    * scales WITH nc to hold the probed corpus fraction at the calibrated
+    * default (nProbe/16 — recall tracks that fraction, measured: 0.69 at
+    * fraction 0.375 vs 0.47 at 0.133 on the sf0.1 corpus). What auto-nc
+    * buys at scale is NOT total candidate volume (holding recall with
+    * unstructured probing pins volume at fraction·n²) but bounded
+    * per-bucket fan-out: bucket size n/nc ≈ sqrt(n), so the bucket-key
+    * shuffle's per-key skew and the per-src top-k window's memory grow as
+    * n^0.5 instead of n — the axis that actually breaks a fixed-nc run.
+    * Sub-quadratic total volume at held recall needs graph refinement
+    * (NN-descent family) on top of this as the initializer; the fixed
+    * default exists for deterministic recall contracts.
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 6, seed: Long = 11L,
@@ -747,6 +748,12 @@ object Similarity {
     val nc =
       if (nCentroids > 0) nCentroids
       else math.max(16, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+    // Auto mode couples nProbe to nc: constant probed fraction nProbe/16
+    // (the default calibration point), capped at nc.
+    val np =
+      if (nCentroids > 0) nProbe
+      else math.min(nc,
+        math.max(nProbe, math.ceil(nc * nProbe / 16.0).toInt))
     val init = seedCentroids(corpus, idCol, vecCol, nc, seed)
     // Persist only when Lloyd refinement re-reads it; with trainIters=0
     // the sole consumer is `assigned` (which persists itself).
@@ -760,7 +767,7 @@ object Similarity {
     val bucketScores = sortedBucketScores(cent) _
     val assigned = corpusNormed
       .withColumn("probes",
-        transform(slice(bucketScores(col("v_n"), col("n_n")), 1, nProbe),
+        transform(slice(bucketScores(col("v_n"), col("n_n")), 1, np),
           x => x.getField("bucket")))
       .persist()
     val members = assigned.select(element_at(col("probes"), 1).as("bucket"),

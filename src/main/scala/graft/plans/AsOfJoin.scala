@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport,
-  SparkPlan, SparkStrategy}
+  InputAdapter, SparkPlan, SparkStrategy, WholeStageCodegenExec}
 import org.apache.spark.sql.functions.col
 
 /** Native backward as-of join — the custom-operator rung of the design
@@ -204,12 +204,34 @@ case class AsOfJoinExec(
   // primitive compares, and the output feeds the parent's consume without
   // an intermediate JoinedRow + projection pass.
 
+  /** This node heads its codegen stage (like SortMergeJoinExec), but
+    * CollapseCodegenStages only special-cases SMJ/SHJ when wrapping children
+    * in InputAdapter(WholeStageCodegenExec(…)) subtrees — its default
+    * recursion leaves OUR codegen-capable children (SortExec, or the scan
+    * itself on pre-sorted bucketed layouts) bare inside the stage, where
+    * `execute()` runs their interpreted doExecute and they lose the separate
+    * whole-stage compilation they'd get under SMJ. Re-create the SMJ shape at
+    * execution time: each bare CodegenSupport child gets its own
+    * WholeStageCodegenExec here. InputAdapter children (non-codegen subtrees,
+    * e.g. a bare exchange) pass through — wrapping them would only add a
+    * copy loop.
+    */
   override def inputRDDs(): Seq[RDD[InternalRow]] =
-    left.execute() :: right.execute() :: Nil
+    Seq(left, right).map {
+      case c: CodegenSupport if c.supportCodegen &&
+          !c.isInstanceOf[InputAdapter] =>
+        WholeStageCodegenExec(c)(codegenStageId = 0).execute()
+      case c => c.execute()
+    }
 
   // The emitted right-side variables alias the carried/head row's buffers,
   // which advance as the merge walks on — a buffering parent must copy.
   override def needCopyResult: Boolean = true
+
+  // Stage head driving its own loop over inputRDDs — the limit guard in
+  // doProduce is exactly the SMJ case the default (children-only) check
+  // refuses.
+  override def canCheckLimitNotReached: Boolean = true
 
   override protected def doProduce(ctx: CodegenContext): String = {
     val leftInput = ctx.addMutableState("scala.collection.Iterator",
@@ -367,8 +389,11 @@ case class AsOfJoinExec(
        """.stripMargin
     }
 
+    // limitNotReachedCond lets a LocalLimit in the same stage short-circuit
+    // the drive loop (SMJ emits the same guard) — without it a hit limit
+    // silently drains the whole left partition.
     s"""
-       |while ($leftInput.hasNext()) {
+       |while ($limitNotReachedCond $leftInput.hasNext()) {
        |  InternalRow $leftRow = (InternalRow) $leftInput.next();
        |  ${lkEv.map(_.code).mkString("\n")}
        |  ${ltEv.code}

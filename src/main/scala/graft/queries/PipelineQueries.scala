@@ -1132,6 +1132,31 @@ object PipelineQueries {
         "compression_ok" -> (after < before))
     }),
 
+    // ENCODE side of the BPE tokenizer: segment text under an
+    // already-learned merge list via the single-pass rank-table form — one
+    // broadcast (l,r)→rank map, one projection, one job at ANY vocabulary
+    // size (each word repeatedly merges its lowest-rank pair, which
+    // provably replays training order; see Bpe.encode). Contract: encoding
+    // with the rank table padded to 10k+ never-matching merges (the
+    // realistic big-vocab shape) reproduces the training-side segmentation
+    // EXACTLY, both directions.
+    "bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wt = Bpe.wordTable(docs, "text").localCheckpoint()
+      val (merges, trained) = Bpe.trainOnWords(wt, nMerges = 16)
+      val padded = merges ++ (1 to 10000).map(i =>
+        Bpe.Merge(merges.size + i, s" z$i", s" q$i", 1L))
+      val encoded = Bpe.encode(wt, padded)
+      val trainedWS = trained.select(col("w"), col("syms"))
+      val encodedWS = encoded.select(col("w"), col("syms"))
+      Contracts.row(s,
+        "n_words" -> wt.count(),
+        "n_merges" -> merges.size.toLong,
+        "encode_matches_training_ok" ->
+          (trainedWS.exceptAll(encodedWS).count() == 0 &&
+            encodedWS.exceptAll(trainedWS).count() == 0))
+    }),
+
     // Statistical quality scoring: per-doc mean log-probability under an
     // add-one-smoothed bigram LM trained on the corpus itself — two count
     // aggregates (the model) + two key-joins (the scoring). Full SQL
@@ -1425,6 +1450,13 @@ object PipelineQueries {
   val timed: Map[String, Q] = Map(
     "bpe_train" -> ((s, dir) =>
       Bpe.train(t(s, dir, "documents"), "text", nMerges = 12)._2),
+    "bpe_encode" -> ((s, dir) => {
+      val wt = Bpe.wordTable(t(s, dir, "documents"), "text").localCheckpoint()
+      val (merges, _) = Bpe.trainOnWords(wt, nMerges = 12)
+      // timed form still pays the realistic 10k-entry rank table
+      Bpe.encode(wt, merges ++ (1 to 10000).map(i =>
+        Bpe.Merge(merges.size + i, s" z$i", s" q$i", 1L)))
+    }),
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.3)),
@@ -1512,10 +1544,12 @@ object PipelineQueries {
       Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5)
     }),
-    // nCentroids=0 → auto sqrt(n): the at-scale setting (candidate volume
-    // n^1.5·nProbe instead of n²·nProbe/nc) — this is what the growth
-    // ratio should measure; the contract form keeps fixed nc=16 for its
-    // deterministic measured-recall floor.
+    // nCentroids=0 → auto: nc = sqrt(n) AND nProbe scaled with it to hold
+    // the probed fraction (recall stays ≥ the 0.6 floor — KnnSweep). Auto
+    // bounds per-bucket fan-out at sqrt(n) (the skew/memory axis); total
+    // candidate volume stays fraction·n², the price of held recall with
+    // unstructured probing — this is what the growth ratio measures. The
+    // contract form keeps fixed nc=16 for its deterministic recall floor.
     "sim_knn_graph" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
@@ -1759,6 +1793,13 @@ object PipelineQueries {
         |  16::BIGINT AS n_merges,
         |  TRUE AS merge_counts_nonincreasing_ok,
         |  TRUE AS roundtrip_ok, TRUE AS compression_ok""".stripMargin,
+
+    "bpe_encode" ->
+      """SELECT (SELECT count(DISTINCT w) FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents) WHERE length(w) > 0) AS n_words,
+        |  16::BIGINT AS n_merges,
+        |  TRUE AS encode_matches_training_ok""".stripMargin,
 
     "quality_lm_score" ->
       """WITH toks AS (

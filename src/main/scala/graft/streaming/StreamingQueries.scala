@@ -22,21 +22,21 @@ object StreamingQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Streaming scan of the events table. Parquet TIMESTAMP(NANOS) is read as
-    * raw longs (same legacy conf as the batch path in Tables.t) and converted
-    * with exact integer division.
+  /** Streaming scan of the events table. The raw schema (and any legacy
+    * nanos conf the file needs) comes from the same batch probe the loader
+    * uses; `ts` normalization is the SHARED [[Tables.normalizeEventTs]] type
+    * branch — duplicating it here unbranched is exactly how round 7 broke
+    * every file-stream query when the testdata switched NANOS→MICROS.
     */
   private def rawEvents(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val schema = Tables.eventsRaw(s, dir).schema
     // FileStreamSource wants a directory it can watch for arriving files;
     // stage the bounded input into one (in production this IS the landing
     // directory and the stream just keeps running).
     val stage = Files.createTempDirectory("graft-stream-in-")
     Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
-    s.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    Tables.normalizeEventTs(s.readStream.schema(schema).parquet(stage.toString))
   }
 
   /** Streaming scan of the documents table (same staging pattern as

@@ -195,6 +195,52 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("codegen parity with object-typed (string) keys, both directions") {
+    // The backward path's carried-key slots hold ev.value from the copied
+    // rHead; for primitive keys that's a long, but UTF8String keys store a
+    // reference into the copied row's buffer — this pins that the stored
+    // value stays valid across iterator advances (nothing else exercises a
+    // non-primitive key through codegen).
+    def confed[T](pairs: (String, String)*)(body: => T): T = {
+      val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val left = (1L to 500L).map(i => (i, s"key${i % 7}", i % 50))
+      .toDF("id", "k", "t")
+    val right = (1L to 200L).map(i => (s"key${i % 7}", i % 40, s"v$i"))
+      .toDF("k", "t", "v")
+      .groupBy("k", "t").agg(max(col("v")).as("v"))
+    for (fwd <- Seq(false, true)) {
+      val df = AsOfJoin.asOf(left, right, "k", "k", "t", "t", forward = fwd)
+        .select(col("id"), col("v"))
+      val gen = confed("spark.sql.codegen.fallback" -> "false") {
+        df.as[(Long, Option[String])].collect().toSet
+      }
+      val interp = confed("spark.sql.codegen.wholeStage" -> "false") {
+        df.as[(Long, Option[String])].collect().toSet
+      }
+      assert(gen == interp && gen.size == 500)
+    }
+  }
+
+  test("limit in the codegen stage short-circuits (plan compiles with the " +
+    "limit guard; result is a correct subset)") {
+    val left = (1L to 10000L).map(i => (i, i % 7, i % 50)).toDF("id", "k", "t")
+    val right = (1L to 200L).map(i => (i % 7, i % 40, s"v$i"))
+      .toDF("k", "t", "v")
+      .groupBy("k", "t").agg(max(col("v")).as("v"))
+    val joined = AsOfJoin.asOf(left, right, "k", "k", "t", "t")
+      .select(col("id"), col("v"))
+    val full = joined.as[(Long, Option[String])].collect().toMap
+    val limited = joined.limit(37).as[(Long, Option[String])].collect()
+    assert(limited.length == 37)
+    limited.foreach { case (id, v) => assert(full(id) == v) }
+  }
+
   test("self-lineage inputs (both sides carved from one scan) stay sound") {
     val base = (1L to 100L).map(i => (i, i % 5, i)).toDF("id", "k", "t")
     val left = base.filter(col("id") % 2 === 0)

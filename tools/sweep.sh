@@ -1,0 +1,37 @@
+#!/bin/bash
+# Full pre-snapshot sweep — the mechanical form of the artifact-only rule.
+#
+# Runs the complete gate (`sbt test` + Verify dump at both sfs + DuckDB
+# oracle compare), REFUSES to go green if any `*.FAILED` marker exists in
+# either verify output (closes the checker's absent-vs-failed blind spot:
+# a query that crashes must fail the sweep, not vanish from the report),
+# and on success records a content hash of src/ to `.last_sweep_src_hash`.
+#
+# The snapshot rule is then checkable, not aspirational:
+#     tools/snapshot_guard.sh
+# exits nonzero if src/ changed since the last green sweep — run it before
+# any end-of-round/“artifact-only” commit. Twice (r5, r7) un-swept source
+# rode the snapshot commit and shipped red driver rows; this pins the rule
+# to a hash instead of discipline.
+#
+# Usage: tools/sweep.sh [query ...]   (optional args restrict Verify's dump)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+sbt -batch test
+
+for sf in 0.001 0.01; do
+  out="/tmp/graft_sweep_sf$sf"
+  rm -rf "$out"
+  tools/run.sh graft.Verify "/root/testdata/sf$sf" "$out" "$@"
+  failed=$(ls "$out"/*.FAILED 2>/dev/null || true)
+  if [ -n "$failed" ]; then
+    echo "SWEEP RED: FAILED markers at sf$sf:"
+    echo "$failed"
+    exit 1
+  fi
+  python3 tools/oracle_check.py "/root/testdata/sf$sf" "$out"
+done
+
+tools/src_hash.sh > .last_sweep_src_hash
+echo "SWEEP GREEN: src hash $(cat .last_sweep_src_hash)"
