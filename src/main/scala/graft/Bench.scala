@@ -19,7 +19,7 @@ private class ObservedMetricsListener
       qe: org.apache.spark.sql.execution.QueryExecution,
       exception: Exception): Unit = ()
   def snapshotAndClear(spark: SparkSession): Map[String, Seq[(String, Any)]] = {
-    spark.sparkContext.listenerBus.waitUntilEmpty()
+    org.apache.spark.sql.GraftSqlShim.waitListenerBusEmpty(spark)
     val out = seen.toMap
     seen.clear()
     out
@@ -187,6 +187,10 @@ object Bench {
           telemetryJson(obs.snapshotAndClear(spark)))
       } else ("{}", "{}")
     } else ("{}", "{}")
+    // Last snapshot taken — drop the listener so the envelope pass below
+    // (and anything after) runs without it; leaving it registered is
+    // harmless in a one-shot main but wrong as a pattern to copy.
+    spark.listenerManager.unregister(obs)
     // Publish-envelope throughput (untimed extra): the reference's only
     // published number is ~1 GiB serialized+published in 900 s on a 512 MB
     // Lambda (BASELINE.md). Same work here: scan → to_json → ≤10-message

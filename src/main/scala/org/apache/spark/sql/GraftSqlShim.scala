@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Drain the listener bus so `observe()` metrics / SparkListener counters
+    * registered by graft are visible before a snapshot is read.
+    * `SparkContext.listenerBus` is `private[spark]`; this package sits inside
+    * that scope, keeping callers (Bench, specs) on graft-visible API only.
+    */
+  def waitListenerBusEmpty(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -33,5 +33,13 @@ for sf in 0.001 0.01; do
   python3 tools/oracle_check.py "/root/testdata/sf$sf" "$out"
 done
 
-tools/src_hash.sh > .last_sweep_src_hash
-echo "SWEEP GREEN: src hash $(cat .last_sweep_src_hash)"
+# Only a FULL sweep (no query-restricting args) may record the green hash:
+# a narrowed Verify certifies only the named queries, and letting it write
+# the hash would have snapshot_guard certify the whole tree off a partial
+# run — exactly the gap the guard exists to close.
+if [ "$#" -eq 0 ]; then
+  tools/src_hash.sh > .last_sweep_src_hash
+  echo "SWEEP GREEN: src hash $(cat .last_sweep_src_hash)"
+else
+  echo "SWEEP GREEN (partial: $*) — hash NOT recorded; run a full sweep before snapshotting"
+fi
