@@ -27,6 +27,15 @@ import graft.functions.HashExpressions
   */
 object Similarity {
 
+  /** Observation names for candidate-volume telemetry (Bench's listener
+    * lands these in bench_out): exact, stable operator-health counts where
+    * local wall-clock is ±40% noise. `KnnGraphCandObservation` counts the
+    * IVF self-join's scored pairs; the descent names count each refinement
+    * round's neighbor-of-neighbor proposals.
+    */
+  val KnnGraphCandObservation = "knn_graph_candidates"
+  def knnDescentObservation(round: Int): String = s"knn_descent_r$round"
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -779,12 +788,121 @@ object Similarity {
       .select(col("src"), col("nid").as("dst"),
         round(cosFast(col("v_s"), col("v_n"), col("n_s"), col("n_n")), 6)
           .as("cos"))
+      .observe(KnnGraphCandObservation, count(lit(1)).as("n_candidates"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst"))
     val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("src"), col("rank"), col("dst"), col("cos"))
     Caching.materializeThenRelease(out, corpusNormed, assigned)
+  }
+
+  /** kNN graph with NN-descent refinement (Dong et al., WWW'11) — the
+    * sub-quadratic-at-held-recall construction [[knnGraph]]'s auto mode
+    * cannot be: unstructured IVF probing holds recall only by pinning
+    * candidate volume at fraction·n², whereas descent exploits the
+    * triangle-ish structure of similarity ("my neighbor's neighbor is
+    * probably my neighbor") to recover recall from a CHEAP seed.
+    *
+    * Shape: seed = [[knnGraph]] with nc = sqrt(n) buckets but a small
+    * FIXED probe count (NOT scaled with nc), so seed candidate volume is
+    * seedProbe · n^1.5 — sub-quadratic. Then `rounds` refinement passes;
+    * each pass:
+    *   1. builds every node's general neighborhood B(v) = out-neighbors
+    *      (≤ k) ∪ in-neighbors CAPPED at k (the cap bounds hub blow-up —
+    *      a node with 10^4 in-edges would otherwise propose 10^8 pairs;
+    *      classic NN-descent's reverse-sample rate ρ plays the same role),
+    *   2. proposes all pairs within each B(v) — per-pivot ≤ (2k)(2k-1)/2,
+    *      so per-round volume ≤ 2k²·n, LINEAR in n — dedups them
+    *      globally, and anti-joins away pairs already in the graph (only
+    *      genuinely new pairs pay the vector join),
+    *   3. scores survivors once (both directions share the score), unions
+    *      with the current edge set, and re-ranks per-src top-k.
+    * Total volume: seedProbe·n^1.5 + rounds·2k²·n — sub-quadratic, vs
+    * fraction·n² for auto [[knnGraph]] at the same recall. Each round's
+    * proposal count lands in telemetry ([[knnDescentObservation]]), so the
+    * sub-quadratic claim is measured per run, not asserted.
+    *
+    * Determinism: with `trainIters = 0` every step is seeded/fixed-order
+    * (hash-ordered in-neighbor cap, rounded scores, id tie-breaks), so the
+    * refined edge set is partition-invariant like the seed — the contract
+    * asserts it.
+    *
+    * Convergence on this corpus (sf0.01/0.1, k=5, kk=4k): seed recall
+    * 0.29/0.20 at seedProbe=2 → 0.92/0.84 after 3 rounds; per-round
+    * proposal counts (telemetry) shrink as the graph stabilizes, the
+    * classic NN-descent termination signal. On near-random data recall
+    * for fixed (rounds, kk) drifts down with n — real embedding corpora
+    * are clustered, which is the regime descent exploits; if recall at a
+    * new scale matters, sweep with `tools.KnnSweep` and raise kk/rounds.
+    */
+  def knnGraphDescent(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int = 3, seedProbe: Int = 2, searchK: Int = 0,
+      seed: Long = 11L, trainIters: Int = 0): DataFrame = {
+    // Internal neighbor-list width: descent explores through the CURRENT
+    // list, so a list wider than the requested k (kk = 4k by default)
+    // converges in far fewer rounds on weakly-clustered data — the
+    // standard NN-descent K-vs-k split. Volume stays linear: 2·kk²·n.
+    // Defaults from tools.KnnSweep on this corpus (near-random 64-d
+    // vectors, the hard case for descent): (rounds=3, seedProbe=2, kk=4k)
+    // measures recall 0.92/0.84 at sf0.01/sf0.1 vs the exact graph —
+    // comfortably above the 0.6 contract floor — with time growth ~1.8×
+    // per 10× data vs 2.81× for the fraction-held auto IVF form.
+    val kk = if (searchK > 0) searchK else 4 * k
+    val normed = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n")
+      .persist()
+    // Auto-nc ALONE (probe fixed): nc = sqrt(n) keeps buckets sqrt(n)-sized
+    // while seedProbe buckets per node keep volume at seedProbe·n^1.5.
+    // knnGraph's auto mode (nCentroids = 0) scales nProbe with nc to hold
+    // the probed FRACTION — exactly what descent exists to avoid — so
+    // compute nc here and pass the fixed probe count explicitly.
+    val nc = math.max(16,
+      math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+    var g = knnGraph(corpus, idCol, vecCol, kk, nCentroids = nc,
+      nProbe = math.min(nc, seedProbe), seed = seed,
+      trainIters = trainIters)
+    val hasher = xxhash64(col("node"), lit(seed))
+    for (r <- 1 to rounds) {
+      val out = g.select(col("src").as("pivot"), col("dst").as("node"))
+      val inn = g.select(col("dst").as("pivot"), col("src").as("node"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("pivot")).orderBy(hasher, col("node"))))
+        .filter(col("rn") <= kk).drop("rn")
+      val nbhd = out.union(inn).distinct()
+      val proposed = nbhd.as("a").join(nbhd.as("b"), Seq("pivot"))
+        .filter(col("a.node") < col("b.node"))
+        .select(col("a.node").as("src"), col("b.node").as("dst"))
+        .distinct()
+      // Only genuinely new pairs pay the two vector joins: existing edges
+      // (either direction) already carry their score in g.
+      val undirected = g.select(col("src"), col("dst"))
+        .union(g.select(col("dst").as("src"), col("src").as("dst")))
+      val fresh = proposed.join(undirected, Seq("src", "dst"), "left_anti")
+        .observe(knnDescentObservation(r), count(lit(1)).as("n_proposed"))
+      val scoredNew = fresh
+        .join(normed.select(col("nid").as("src"), col("v_n").as("v_s"),
+          col("n_n").as("n_s")), "src")
+        .join(normed.select(col("nid").as("dst"), col("v_n").as("v_d"),
+          col("n_n").as("n_d")), "dst")
+        .select(col("src"), col("dst"),
+          round(cosFast(col("v_s"), col("v_d"), col("n_s"), col("n_d")), 6)
+            .as("cos"))
+      val sym = scoredNew.union(scoredNew.select(col("dst").as("src"),
+        col("src").as("dst"), col("cos")))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst"))
+      val prev = g
+      g = g.select(col("src"), col("dst"), col("cos")).union(sym)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= kk)
+        .select(col("src"), col("rank"), col("dst"), col("cos"))
+        .localCheckpoint()
+      prev.unpersist(blocking = false)
+    }
+    normed.unpersist(blocking = false)
+    // Trim the internal kk-wide lists to the requested k (ranks are
+    // already 1..kk in final order, so a filter suffices).
+    g.filter(col("rank") <= k)
   }
 
   /** Mutual-kNN edge set of a [[knnGraph]] result: (a, b) with a < b kept

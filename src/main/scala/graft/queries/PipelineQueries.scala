@@ -451,11 +451,25 @@ object PipelineQueries {
         nCentroids = 16, nProbe = 6, trainIters = 0).localCheckpoint()
       val det13 = Similarity.knnGraph(emb.repartition(13), "vec_id",
         "embedding", k = 5, nCentroids = 16, nProbe = 6, trainIters = 0)
+      // NN-descent form (the bench/scale construction): same recall floor
+      // vs the same exact graph, and partition-invariant end to end
+      // (seeded hash-ordered in-neighbor cap, rounded scores, id
+      // tie-breaks — trainIters = 0 by default).
+      val descent = Similarity.knnGraphDescent(emb, "vec_id", "embedding",
+        k = 5).localCheckpoint()
+      val descent7 = Similarity.knnGraphDescent(emb.repartition(7),
+        "vec_id", "embedding", k = 5)
       Contracts.row(s,
         "n_vecs" -> emb.count(),
         "ranks_ok" -> Contracts.ranksWellFormed(knn, "src", "rank", 5),
         "recall_ok" ->
           (Contracts.recall(knn, exact, "src", "dst") >= 0.6),
+        "descent_ranks_ok" ->
+          Contracts.ranksWellFormed(descent, "src", "rank", 5),
+        "descent_recall_ok" ->
+          (Contracts.recall(descent, exact, "src", "dst") >= 0.6),
+        "descent_partition_invariant_ok" -> Contracts.sameKeys(descent,
+          descent7, Seq("src", "rank", "dst")),
         "mutual_reciprocal_ok" -> (!mutual.isEmpty &&
           mutual.select(col("src"), col("dst"))
             .join(edges, Seq("src", "dst"), "left_anti").isEmpty &&
@@ -1544,16 +1558,18 @@ object PipelineQueries {
       Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5)
     }),
-    // nCentroids=0 → auto: nc = sqrt(n) AND nProbe scaled with it to hold
-    // the probed fraction (recall stays ≥ the 0.6 floor — KnnSweep). Auto
-    // bounds per-bucket fan-out at sqrt(n) (the skew/memory axis); total
-    // candidate volume stays fraction·n², the price of held recall with
-    // unstructured probing — this is what the growth ratio measures. The
-    // contract form keeps fixed nc=16 for its deterministic recall floor.
+    // NN-descent form (r9): sqrt(n)-bucket seed at a FIXED 2-bucket probe
+    // (volume 2·n^1.5) + 3 neighbor-of-neighbor rounds (volume 2·kk²·n,
+    // linear) — sub-quadratic total at held recall (0.92/0.84 at
+    // sf0.01/0.1, floor 0.6), vs the auto-IVF form whose held-recall
+    // probing pinned volume at fraction·n². Per-round proposal counts land
+    // in telemetry (knn_descent_r*), so the sub-quadratic claim is
+    // measured, not asserted. The contract form keeps fixed nc=16
+    // knnGraph for its deterministic recall floor and ALSO verifies this
+    // descent form against the exact graph.
     "sim_knn_graph" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
-        nCentroids = 0, nProbe = 6)
+      Similarity.knnGraphDescent(emb, "vec_id", "embedding", k = 5)
     }),
     "sim_opq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1675,6 +1691,8 @@ object PipelineQueries {
     "sim_knn_graph" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
         |  TRUE AS ranks_ok, TRUE AS recall_ok,
+        |  TRUE AS descent_ranks_ok, TRUE AS descent_recall_ok,
+        |  TRUE AS descent_partition_invariant_ok,
         |  TRUE AS mutual_reciprocal_ok, TRUE AS cluster_label_min_ok,
         |  TRUE AS partition_invariant_ok""".stripMargin,
 

@@ -43,6 +43,21 @@ object KnnSweep {
         println(f"sweep dir=$dir n=$n nCentroids=$nc nProbe=$np " +
           f"trainIters=$ti recall=$recall%.3f sec=$sec%.2f")
       }
+      // NN-descent variant: cheap sqrt(n)-bucket seed at a FIXED probe
+      // count, then neighbor-of-neighbor refinement rounds. The sweep
+      // answers: how many rounds until the 0.6 contract floor holds (with
+      // margin) at each sf, and what does each round cost?
+      for ((rounds, sp, skk) <- Seq((0, 2, 15), (1, 2, 15), (2, 2, 15),
+          (3, 2, 15), (2, 3, 15), (2, 2, 20), (3, 2, 20), (2, 3, 20))) {
+        val t0 = System.nanoTime()
+        val knn = Similarity.knnGraphDescent(emb, "vec_id", "embedding",
+          k = 5, rounds = rounds, seedProbe = sp, searchK = skk)
+        val recall = Contracts.recall(knn, exact, "src", "dst")
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"descent dir=$dir n=$n rounds=$rounds seedProbe=$sp " +
+          f"searchK=$skk recall=$recall%.3f sec=$sec%.2f")
+      }
+      graft.operators.Caching.releaseAllRdds(spark)
     }
     spark.stop()
   }

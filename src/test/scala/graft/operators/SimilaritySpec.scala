@@ -259,6 +259,46 @@ class SimilaritySpec extends SparkSpec {
       "single-pass self-join must reproduce the query-form edge set")
   }
 
+  test("NN-descent refinement beats its own seed and clears the recall " +
+    "floor with well-formed ranks") {
+    val emb = t(spark, sfDir, "embeddings").localCheckpoint()
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      .select(col("qid").as("src"), col("nid").as("dst")).localCheckpoint()
+    val seedOnly = Similarity.knnGraphDescent(emb, "vec_id", "embedding",
+      k = 5, rounds = 0)
+    val refined = Similarity.knnGraphDescent(emb, "vec_id", "embedding",
+      k = 5).localCheckpoint()
+    val seedRecall = graft.queries.Contracts.recall(seedOnly, exact,
+      "src", "dst")
+    val recall = graft.queries.Contracts.recall(refined, exact, "src", "dst")
+    assert(recall >= 0.6, s"descent recall $recall below contract floor")
+    assert(recall > seedRecall,
+      s"refinement must improve on the seed ($seedRecall -> $recall)")
+    assert(graft.queries.Contracts.ranksWellFormed(refined, "src", "rank", 5))
+    // every edge's cos must be the true cosine (descent re-scores, never
+    // carries a stale/approximate score): spot-check against brute-force
+    // scores for the overlapping edges
+    val bruteScored = Similarity.bruteForceTopK(emb, emb, "vec_id",
+        "embedding", k = 5)
+      .select(col("qid").as("src"), col("nid").as("dst"),
+        col("cos").as("cos_exact"))
+    val mismatched = refined.join(bruteScored, Seq("src", "dst"))
+      .filter(abs(col("cos") - col("cos_exact")) > 1e-5).count()
+    assert(mismatched == 0, "descent edge scores must be exact cosines")
+  }
+
+  test("NN-descent graph is partition-invariant (trainIters = 0 path)") {
+    val emb = t(spark, sfDir, "embeddings")
+    val a = Similarity.knnGraphDescent(emb, "vec_id", "embedding", k = 4,
+        rounds = 2)
+      .select("src", "rank", "dst").as[(Long, Int, Long)].collect().toSet
+    val b = Similarity.knnGraphDescent(emb.repartition(13), "vec_id",
+        "embedding", k = 4, rounds = 2)
+      .select("src", "rank", "dst").as[(Long, Int, Long)].collect().toSet
+    assert(a === b, "descent edge set must not depend on partitioning")
+  }
+
   test("mutual-kNN edges are reciprocated and clusters carry min-id labels") {
     val emb = t(spark, sfDir, "embeddings")
     val knn = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
