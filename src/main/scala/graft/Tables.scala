@@ -32,11 +32,29 @@ object Tables {
     val path = s"$dir/events.parquet"
     try spark.read.parquet(path)
     catch {
-      case e: Throwable if Option(e.getMessage)
-          .exists(m => m.contains("PARQUET_TYPE_ILLEGAL") ||
-            m.contains("Illegal Parquet type")) =>
+      case e: Throwable if isNanosTypeError(e) =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(path)
+    }
+  }
+
+  /** Matches the vectorized reader's NANOS rejection ANYWHERE in the cause
+    * chain (ADVICE r8: Spark may wrap the error so the marker only appears
+    * in a nested cause — matching only the top-level message would fail
+    * legacy NANOS files hard), plus the SparkThrowable error class when one
+    * is carried.
+    */
+  private def isNanosTypeError(e: Throwable): Boolean = {
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
+      t =>
+        val cls = t match {
+          case st: org.apache.spark.SparkThrowable =>
+            Option(st.getCondition).getOrElse("")
+          case _ => ""
+        }
+        cls.contains("PARQUET_TYPE_ILLEGAL") || Option(t.getMessage).exists(
+          m => m.contains("PARQUET_TYPE_ILLEGAL") ||
+            m.contains("Illegal Parquet type"))
     }
   }
 

@@ -120,6 +120,18 @@ object Bpe {
     (merges.result(), words)
   }
 
+  /** Max weighted adjacent-pair count of a word table — [[trainOnWords]]'s
+    * stop condition made externally checkable: training legitimately stops
+    * early iff this is < 2 on the final table.
+    */
+  def maxPairCount(words: DataFrame): Long = {
+    val r = words
+      .select(col("cnt"), explode(adjacentPairs(col("syms"))).as("p"))
+      .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")).as("n"))
+      .agg(max(col("n"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** Apply an already-learned merge list to a word table — the ENCODE side
     * (subword segmentation of new text under a fixed vocabulary).
     *

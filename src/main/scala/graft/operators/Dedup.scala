@@ -28,6 +28,14 @@ object Dedup {
   val PrefixJoinRawObservation = "jaccard_prefix_join_raw"
   val PrefixJoinPairsObservation = "jaccard_prefix_join_pairs"
 
+  /** Candidate-volume observations for the other filter-heavy joins (same
+    * role as the PPJoin pair: exact, stable scale-health counts where local
+    * wall-clock is ±40% noise). Bench's listener lands them in bench_out.
+    */
+  val WinnowRawObservation = "winnow_raw_matches"
+  val WinnowPairsObservation = "winnow_candidate_pairs"
+  val EmbeddingLshCandObservation = "embedding_lsh_candidates"
+
   /** Word shingles (n-gram strings) from a materialized token-array column.
     *
     * `ws` MUST be a bound column (project `split(...)` into a column first),
@@ -770,8 +778,12 @@ object Dedup {
     val shared = exRare.as("a")
       .join(exRare.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      // raw hash-match volume = the shuffle/compute the maxDocFreq filter
+      // let through — the count that flags boilerplate blow-up at scale
+      .observe(WinnowRawObservation, count(lit(1)).as("n_raw_matches"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
+      .observe(WinnowPairsObservation, count(lit(1)).as("n_candidate_pairs"))
     val pairs = shared
       .join(sizes.select(col("id").as("id_a"), col("nfp").as("nfp_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("nfp").as("nfp_b")), "id_b")
@@ -964,6 +976,10 @@ object Dedup {
     val b = tabled.select(col("tbl"), col("bucket"), col("id").as("id_b"),
       col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      // bucket-collision volume BEFORE cosine verification: the count that
+      // flags an under-sized nBits (bucket degeneracy) at scale
+      .observe(EmbeddingLshCandObservation,
+        count(lit(1)).as("n_candidates"))
       .select(col("id_a"), col("id_b"),
         round(call_function("vec_dot", col("v_a"), col("v_b")) /
           (col("n_a") * col("n_b")), 6).as("cos"))

@@ -32,6 +32,15 @@ object PipelineQueries {
     * more bits lower per-table collision probability (NOTES.md lesson:
     * floors are scale-dependent).
     */
+  /** Training may return fewer merges than requested only when the final
+    * word table genuinely has no repeated adjacent pair (Bpe.trainOnWords'
+    * stop condition) — the check the bpe_* contracts use instead of
+    * comparing the merge count against a hardcoded request (ADVICE r8).
+    */
+  private def bpeEarlyStopLegitimate(
+      words: org.apache.spark.sql.DataFrame): Boolean =
+    graft.operators.Bpe.maxPairCount(words) < 2
+
   private def lshBits(nVecs: Long, targetBucket: Long = 100L): Int =
     math.max(3, math.ceil(
       math.log(math.max(1L, nVecs / targetBucket).toDouble) / math.log(2)).toInt)
@@ -1138,7 +1147,11 @@ object PipelineQueries {
         .getLong(0)
       Contracts.row(s,
         "n_words" -> wt.count(),
-        "n_merges" -> merges.size.toLong,
+        // NOT the raw count vs a hardcoded 16 (ADVICE r8): training stops
+        // early when no adjacent pair repeats, so a degenerate corpus
+        // would go red for a reason unrelated to correctness. Early stop
+        // is legitimate iff the final table really has no repeated pair.
+        "n_merges_ok" -> (merges.size == 16 || bpeEarlyStopLegitimate(words)),
         "merge_counts_nonincreasing_ok" -> merges.map(_.count)
           .sliding(2).forall(w => w.size < 2 || w(0) >= w(1)),
         "roundtrip_ok" -> Contracts.forAll(words,
@@ -1165,7 +1178,8 @@ object PipelineQueries {
       val encodedWS = encoded.select(col("w"), col("syms"))
       Contracts.row(s,
         "n_words" -> wt.count(),
-        "n_merges" -> merges.size.toLong,
+        "n_merges_ok" ->
+          (merges.size == 16 || bpeEarlyStopLegitimate(trained)),
         "encode_matches_training_ok" ->
           (trainedWS.exceptAll(encodedWS).count() == 0 &&
             encodedWS.exceptAll(trainedWS).count() == 0))
@@ -1452,6 +1466,13 @@ object PipelineQueries {
     })
   )
 
+  /** Per-dir merge-list memo for the timed bpe_encode form — training runs
+    * once per scale dir, outside every timed rep. Driver-side Seq of ≤12
+    * Merge rows: bounded, and immune to the bench's RDD-cache releases.
+    */
+  private val bpeTimedMergeCache =
+    new scala.collection.concurrent.TrieMap[String, Seq[graft.operators.Bpe.Merge]]
+
   /** Bench-only timing variants (see SparkEntry.benchQueries): the contract
     * queries above run the operator PLUS its verification harness — exact
     * quadratic baselines, recomputation joins, repartition re-runs — which
@@ -1465,11 +1486,19 @@ object PipelineQueries {
     "bpe_train" -> ((s, dir) =>
       Bpe.train(t(s, dir, "documents"), "text", nMerges = 12)._2),
     "bpe_encode" -> ((s, dir) => {
-      val wt = Bpe.wordTable(t(s, dir, "documents"), "text").localCheckpoint()
-      val (merges, _) = Bpe.trainOnWords(wt, nMerges = 12)
+      // Training hoisted out of the timed window (memoized per dir,
+      // ADVICE r8): the timer covers the word-table scan + encode
+      // projection only — training cost is bpe_train's number. The first
+      // rep pays the memoization; the bench's median-of-3 discards it.
+      val merges = bpeTimedMergeCache.getOrElseUpdate(dir, {
+        val wt0 = Bpe.wordTable(t(s, dir, "documents"), "text")
+          .localCheckpoint()
+        Bpe.trainOnWords(wt0, nMerges = 12)._1
+      })
       // timed form still pays the realistic 10k-entry rank table
-      Bpe.encode(wt, merges ++ (1 to 10000).map(i =>
-        Bpe.Merge(merges.size + i, s" z$i", s" q$i", 1L)))
+      Bpe.encode(Bpe.wordTable(t(s, dir, "documents"), "text"),
+        merges ++ (1 to 10000).map(i =>
+          Bpe.Merge(merges.size + i, s" z$i", s" q$i", 1L)))
     }),
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1808,7 +1837,7 @@ object PipelineQueries {
       """SELECT (SELECT count(DISTINCT w) FROM (
         |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
         |    FROM documents) WHERE length(w) > 0) AS n_words,
-        |  16::BIGINT AS n_merges,
+        |  TRUE AS n_merges_ok,
         |  TRUE AS merge_counts_nonincreasing_ok,
         |  TRUE AS roundtrip_ok, TRUE AS compression_ok""".stripMargin,
 
@@ -1816,7 +1845,7 @@ object PipelineQueries {
       """SELECT (SELECT count(DISTINCT w) FROM (
         |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
         |    FROM documents) WHERE length(w) > 0) AS n_words,
-        |  16::BIGINT AS n_merges,
+        |  TRUE AS n_merges_ok,
         |  TRUE AS encode_matches_training_ok""".stripMargin,
 
     "quality_lm_score" ->
