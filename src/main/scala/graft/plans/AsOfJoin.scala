@@ -498,7 +498,20 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
+      forward: Boolean = false): DataFrame =
+    asOfMulti(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime,
+      forward)
+
+  /** Multi-column-key form: the plan/exec carry `Seq` keys natively (the
+    * grouped comparison walks every slot — AsOfJoinExec's keyCmp), this
+    * just exposes them on the builder. Keys are compared positionally.
+    */
+  def asOfMulti(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
       forward: Boolean = false): DataFrame = {
+    require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
+      s"key lists must be non-empty and same-length: $leftKeys vs $rightKeys")
     val spark = left.sparkSession
     // The experimental strategy/optimization lists are plain session-global
     // vars: an unsynchronized check-then-append from two threads can lose a
@@ -525,7 +538,7 @@ object AsOfJoin {
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name)}"))
     val node = AsOfJoinPlan(lPlan, rPlan,
-      Seq(attrOf(lPlan, leftKey)), Seq(attrOf(rPlan, rightKey)),
+      leftKeys.map(attrOf(lPlan, _)), rightKeys.map(attrOf(rPlan, _)),
       attrOf(lPlan, leftTime), attrOf(rPlan, rightTime),
       AsOfJoinPlan.freshOutput(lPlan, rPlan), forward)
     GraftSqlShim.ofRows(spark, node)

@@ -31,7 +31,13 @@ object ExtendedQueries {
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
+    // Cluster the dedup by user_id ALONE (a subset of the group keys
+    // satisfies ClusteredDistribution): the aggregate then runs in one
+    // pass on that exchange AND its output partitioning already satisfies
+    // the downstream as-of join's per-key distribution — the native plan
+    // drops a whole exchange+sort on the right side (r9 profile).
     val purchases = ev.filter(col("event_type") === "purchase")
+      .repartition(col("user_id"))
       .groupBy(col("user_id"), col("ts"))
       .agg(max(struct(col("event_id"), col("value"))).as("m"))
       .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),

@@ -227,6 +227,58 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("codegen parity with a multi-column (string, long) key, both " +
+    "directions, vs an independent window-form baseline") {
+    // Exercises EVERY carried-key slot kind at once: slot 0 holds an
+    // object (UTF8String reference into the copied row), slot 1 a
+    // primitive — the grouped keyCmp walk and the carried-key copies must
+    // agree with the interpreted path and with a plain window computation.
+    def confed[T](pairs: (String, String)*)(body: => T): T = {
+      val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val left = (1L to 600L).map(i => (i, s"g${i % 5}", i % 3, i % 60))
+      .toDF("id", "ka", "kb", "t")
+    val right = (1L to 300L).map(i => (s"g${i % 5}", i % 3, i % 45, s"v$i"))
+      .toDF("ka", "kb", "t", "v")
+      .groupBy("ka", "kb", "t").agg(max(col("v")).as("v"))
+      .localCheckpoint()
+    // independent baseline: union-tag + last() over a time window per
+    // composite key (no AsOfJoinExec involved)
+    val lTag = left.select(col("ka"), col("kb"), col("t"),
+      col("id"), lit(null).cast("string").as("v"), lit(1).as("side"))
+    val rTag = right.select(col("ka"), col("kb"), col("t"),
+      lit(null).cast("long").as("id"), col("v"), lit(0).as("side"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ka"), col("kb"))
+      .orderBy(col("t"), col("side"))
+      .rowsBetween(Long.MinValue, 0)
+    val baseline = lTag.unionByName(rTag)
+      .withColumn("vv", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("id"), col("vv").as("v"))
+      .as[(Long, Option[String])].collect().toSet
+    for (fwd <- Seq(false, true)) {
+      val df = AsOfJoin.asOfMulti(left, right, Seq("ka", "kb"),
+          Seq("ka", "kb"), "t", "t", forward = fwd)
+        .select(col("id"), col("v"))
+      val gen = confed("spark.sql.codegen.fallback" -> "false") {
+        df.as[(Long, Option[String])].collect().toSet
+      }
+      val interp = confed("spark.sql.codegen.wholeStage" -> "false") {
+        df.as[(Long, Option[String])].collect().toSet
+      }
+      assert(gen == interp && gen.size == 600,
+        s"codegen/interpreted divergence on composite key (forward=$fwd)")
+      if (!fwd) assert(gen == baseline,
+        "backward composite-key join must match the window-form baseline")
+    }
+  }
+
   test("limit in the codegen stage short-circuits (plan compiles with the " +
     "limit guard; result is a correct subset)") {
     val left = (1L to 10000L).map(i => (i, i % 7, i % 50)).toDF("id", "k", "t")
