@@ -105,6 +105,12 @@ object TemporalJoins {
     * per-bin skew bounded by how many intervals overlap one bin.
     * Fact and range column names must be disjoint.
     */
+  /** Observation name for [[rangeJoinBinned]]'s equi-join volume BEFORE the
+    * residual `[lo, hi)` filter — the bin-width health number: candidates
+    * far above the final match count mean the width is wrong for the data.
+    */
+  val RangeJoinCandObservation = "range_join_binned_candidates"
+
   def rangeJoinBinned(fact: DataFrame, ranges: DataFrame, valueCol: String,
       loCol: String, hiCol: String, binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
@@ -114,8 +120,36 @@ object TemporalJoins {
     val fb = fact.withColumn("_bin",
       floor(col(valueCol) / binWidth).cast("long"))
     fb.join(rb, Seq("_bin"))
+      .observe(RangeJoinCandObservation, count(lit(1)).as("n_candidates"))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("_bin")
+  }
+
+  /** [[rangeJoinBinned]] with the bin width derived from the data:
+    * width = median interval length / 4 (one approxQuantile pass over the
+    * ranges side, driver cost O(1)).
+    *
+    * Why /4 and not the median itself — `tools.BinSweep`, sf0.01+sf0.1:
+    * candidate volume (equi-join rows before the residual filter) is
+    * (len/width + 1)-ish per range meeting width-proportional per-bin
+    * fan-in, so narrowing bins trades a BOUNDED explosion factor (~5 rows
+    * per range) for candidates within ~1.25× of the true match count —
+    * measured 9.75M candidates / 7.8M matches at width = len/4 vs 15.6M
+    * at width = len, and 0.84 s vs 1.23 s wall at sf0.1 (32% faster where
+    * volume dominates; the narrower width costs ~0.2 s fixed at sf0.01
+    * where explosion overhead dominates). Candidates ≈ matches is the
+    * floor for ANY join algorithm, so this is the width that stays sound
+    * as density grows — and with a fixed value domain the match count
+    * itself grows quadratically in data size, which no bin width can
+    * change. At 100 TB run the quantile on a sample or a stats table; the
+    * knob is data-shaped, not corpus-size-shaped.
+    */
+  def rangeJoinBinnedAuto(fact: DataFrame, ranges: DataFrame,
+      valueCol: String, loCol: String, hiCol: String): DataFrame = {
+    val w = ranges.select((col(hiCol) - col(loCol)).as("_len"))
+      .stat.approxQuantile("_len", Array(0.5), 0.01)
+    val width = if (w.nonEmpty && w(0) > 0) w(0) / 4.0 else 1.0
+    rangeJoinBinned(fact, ranges, valueCol, loCol, hiCol, width)
   }
 
   /** Gap-based sessionization: a new session starts when the gap to the

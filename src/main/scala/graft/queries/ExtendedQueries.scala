@@ -111,8 +111,12 @@ object ExtendedQueries {
     // Large x large interval join via bin explosion: purchase-derived value
     // windows [v, v+2) matched against click values as an EQUI join on the
     // bin key — the shape that survives when the ranges side is too big to
-    // broadcast (the broadcast form is range_join_bucket). Aggregated per
-    // click; oracle runs the plain inequality join.
+    // broadcast (the broadcast form is range_join_bucket). The AUTO width
+    // (median interval length / 4 — tools.BinSweep) keeps the candidate
+    // volume within ~1.25x of the match count; telemetry
+    // (range_join_binned_candidates) lands the measured volume in
+    // bench_out. Aggregated per click; oracle runs the plain inequality
+    // join, so the result is width-invariant by construction.
     "interval_join_binned" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
@@ -120,8 +124,8 @@ object ExtendedQueries {
       val ranges = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("range_id"), col("value").as("lo"),
           (col("value") + 2.0).as("hi"))
-      TemporalJoins.rangeJoinBinned(clicks, ranges,
-          "value", "lo", "hi", binWidth = 2.0)
+      TemporalJoins.rangeJoinBinnedAuto(clicks, ranges,
+          "value", "lo", "hi")
         .groupBy(col("event_id"))
         .agg(count(lit(1)).as("n_ranges"), min(col("range_id")).as("first_range"))
         .orderBy(col("event_id"))

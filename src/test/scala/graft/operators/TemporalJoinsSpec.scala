@@ -85,6 +85,25 @@ class TemporalJoinsSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("rangeJoinBinnedAuto picks a data-derived width and matches the " +
+    "naive join exactly (width invariance)") {
+    val rnd = new scala.util.Random(9)
+    val fact = (1L to 500L).map(i => (i, rnd.nextDouble() * 60 - 30))
+      .toDF("id", "value")
+    val ranges = (1L to 200L).map { i =>
+      val lo = rnd.nextDouble() * 60 - 30
+      (i, lo, lo + 2 + rnd.nextDouble() * 6)
+    }.toDF("range_id", "lo", "hi")
+    val auto = TemporalJoins.rangeJoinBinnedAuto(fact, ranges,
+        "value", "lo", "hi")
+      .select(col("id"), col("range_id")).as[(Long, Long)].collect()
+    val naive = fact.join(ranges,
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .select(col("id"), col("range_id")).as[(Long, Long)].collect().toSet
+    assert(auto.length == auto.toSet.size, "auto width must not duplicate")
+    assert(auto.toSet == naive && naive.nonEmpty)
+  }
+
   test("rangeJoinBinned boundaries: lo inclusive, hi exclusive, negatives") {
     val fact = Seq((1L, -4.0), (2L, 0.0), (3L, 3.999), (4L, 4.0))
       .toDF("id", "value")
