@@ -809,15 +809,17 @@ object Similarity {
     * seedProbe · n^1.5 — sub-quadratic. Then `rounds` refinement passes;
     * each pass:
     *   1. builds every node's general neighborhood B(v) = out-neighbors
-    *      (≤ k) ∪ in-neighbors CAPPED at k (the cap bounds hub blow-up —
+    *      (≤ kk) ∪ in-neighbors CAPPED at kk (the cap bounds hub blow-up —
     *      a node with 10^4 in-edges would otherwise propose 10^8 pairs;
     *      classic NN-descent's reverse-sample rate ρ plays the same role),
-    *   2. proposes all pairs within each B(v) — per-pivot ≤ (2k)(2k-1)/2,
-    *      so per-round volume ≤ 2k²·n, LINEAR in n — dedups them
-    *      globally, and anti-joins away pairs already in the graph (only
-    *      genuinely new pairs pay the vector join),
-    *   3. scores survivors once (both directions share the score), unions
-    *      with the current edge set, and re-ranks per-src top-k.
+    *   2. collects each B(v) — WITH member vectors — into a bounded list
+    *      and proposes + scores all pairs within it scan-side (double
+    *      explode, native vec_dot): per-pivot ≤ (2kk)(2kk-1)/2, so
+    *      per-round volume ≤ 2kk²·n, LINEAR in n, and no shuffle ever
+    *      carries a candidate pair,
+    *   3. unions the scored pairs (both directions share the score) with
+    *      the current edge set, dedups (src, dst) and re-ranks per-src
+    *      top-kk on ONE src-partitioned exchange (subset clustering).
     * Total volume: seedProbe·n^1.5 + rounds·2k²·n — sub-quadratic, vs
     * fraction·n² for auto [[knnGraph]] at the same recall. Each round's
     * proposal count lands in telemetry ([[knnDescentObservation]]), so the
@@ -830,8 +832,9 @@ object Similarity {
     *
     * Convergence on this corpus (sf0.01/0.1, k=5, kk=4k): seed recall
     * 0.29/0.20 at seedProbe=2 → 0.92/0.84 after 3 rounds; per-round
-    * proposal counts (telemetry) shrink as the graph stabilizes, the
-    * classic NN-descent termination signal. On near-random data recall
+    * proposal counts (telemetry; includes re-proposals of known pairs —
+    * the bounded-by-2kk²·n claim is about exactly this number). On
+    * near-random data recall
     * for fixed (rounds, kk) drifts down with n — real embedding corpora
     * are clustered, which is the regime descent exploits; if recall at a
     * new scale matters, sweep with `tools.KnnSweep` and raise kk/rounds.
@@ -849,8 +852,10 @@ object Similarity {
     // comfortably above the 0.6 contract floor — with time growth ~1.8×
     // per 10× data vs 2.81× for the fraction-held auto IVF form.
     val kk = if (searchK > 0) searchK else 4 * k
+    // Partitioned by id once: every round's member-vector join reuses this
+    // layout (only the neighborhood side exchanges per round).
     val normed = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n")
-      .persist()
+      .repartition(col("nid")).persist()
     // Auto-nc ALONE (probe fixed): nc = sqrt(n) keeps buckets sqrt(n)-sized
     // while seedProbe buckets per node keep volume at seedProbe·n^1.5.
     // knnGraph's auto mode (nCentroids = 0) scales nProbe with nc to hold
@@ -862,37 +867,48 @@ object Similarity {
       nProbe = math.min(nc, seedProbe), seed = seed,
       trainIters = trainIters)
     val hasher = xxhash64(col("node"), lit(seed))
+    // Shuffle-lean round shape (r9: the first form spent ~10 exchanges per
+    // round on distinct/anti-join/per-side vector joins — pure fixed
+    // overhead at bench scale and extra barriers at cluster scale). Per
+    // round now: (1) cap in-neighbors [exchange on pivot], (2) attach
+    // vectors to neighborhood members [one equi join], (3) collect each
+    // pivot's B(v) into a bounded list [exchange on pivot] and generate +
+    // score all pairs SCAN-SIDE via a double explode — no shuffle carries
+    // a candidate pair, (4) repartition the union by src alone — a subset
+    // of the dedup keys satisfies ClusteredDistribution, so the (src, dst)
+    // dedup AND the per-src top-k window run on that single exchange.
+    // Re-scoring a known pair is harmless (scores are exact and rounded,
+    // so duplicates are byte-identical and the dedup keeps one).
     for (r <- 1 to rounds) {
       val out = g.select(col("src").as("pivot"), col("dst").as("node"))
       val inn = g.select(col("dst").as("pivot"), col("src").as("node"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("pivot")).orderBy(hasher, col("node"))))
         .filter(col("rn") <= kk).drop("rn")
-      val nbhd = out.union(inn).distinct()
-      val proposed = nbhd.as("a").join(nbhd.as("b"), Seq("pivot"))
+      val nbhdV = out.union(inn)
+        .join(normed.select(col("nid").as("node"), col("v_n"), col("n_n")),
+          Seq("node"))
+      // collect_set: |B(v)| ≤ 2kk bounded structs of (id, vec, norm) — KBs
+      // per pivot at any corpus size; dedups out∩in members for free
+      val lists = nbhdV.groupBy(col("pivot"))
+        .agg(collect_set(struct(col("node"), col("v_n"), col("n_n")))
+          .as("bs"))
+      val scoredNew = lists
+        .select(explode(col("bs")).as("a"), col("bs"))
+        .select(col("a"), explode(col("bs")).as("b"))
         .filter(col("a.node") < col("b.node"))
-        .select(col("a.node").as("src"), col("b.node").as("dst"))
-        .distinct()
-      // Only genuinely new pairs pay the two vector joins: existing edges
-      // (either direction) already carry their score in g.
-      val undirected = g.select(col("src"), col("dst"))
-        .union(g.select(col("dst").as("src"), col("src").as("dst")))
-      val fresh = proposed.join(undirected, Seq("src", "dst"), "left_anti")
+        .select(col("a.node").as("src"), col("b.node").as("dst"),
+          round(cosFast(col("a.v_n"), col("b.v_n"), col("a.n_n"),
+            col("b.n_n")), 6).as("cos"))
         .observe(knnDescentObservation(r), count(lit(1)).as("n_proposed"))
-      val scoredNew = fresh
-        .join(normed.select(col("nid").as("src"), col("v_n").as("v_s"),
-          col("n_n").as("n_s")), "src")
-        .join(normed.select(col("nid").as("dst"), col("v_n").as("v_d"),
-          col("n_n").as("n_d")), "dst")
-        .select(col("src"), col("dst"),
-          round(cosFast(col("v_s"), col("v_d"), col("n_s"), col("n_d")), 6)
-            .as("cos"))
       val sym = scoredNew.union(scoredNew.select(col("dst").as("src"),
         col("src").as("dst"), col("cos")))
       val w = Window.partitionBy(col("src"))
         .orderBy(col("cos").desc, col("dst"))
       val prev = g
       g = g.select(col("src"), col("dst"), col("cos")).union(sym)
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst")
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= kk)
         .select(col("src"), col("rank"), col("dst"), col("cos"))

