@@ -866,58 +866,207 @@ object Similarity {
     var g = knnGraph(corpus, idCol, vecCol, kk, nCentroids = nc,
       nProbe = math.min(nc, seedProbe), seed = seed,
       trainIters = trainIters)
-    val hasher = xxhash64(col("node"), lit(seed))
-    // Shuffle-lean round shape (r9: the first form spent ~10 exchanges per
-    // round on distinct/anti-join/per-side vector joins — pure fixed
-    // overhead at bench scale and extra barriers at cluster scale). Per
-    // round now: (1) cap in-neighbors [exchange on pivot], (2) attach
-    // vectors to neighborhood members [one equi join], (3) collect each
-    // pivot's B(v) into a bounded list [exchange on pivot] and generate +
-    // score all pairs SCAN-SIDE via a double explode — no shuffle carries
-    // a candidate pair, (4) repartition the union by src alone — a subset
-    // of the dedup keys satisfies ClusteredDistribution, so the (src, dst)
-    // dedup AND the per-src top-k window run on that single exchange.
-    // Re-scoring a known pair is harmless (scores are exact and rounded,
-    // so duplicates are byte-identical and the dedup keeps one).
     for (r <- 1 to rounds) {
-      val out = g.select(col("src").as("pivot"), col("dst").as("node"))
-      val inn = g.select(col("dst").as("pivot"), col("src").as("node"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("pivot")).orderBy(hasher, col("node"))))
-        .filter(col("rn") <= kk).drop("rn")
-      val nbhdV = out.union(inn)
-        .join(normed.select(col("nid").as("node"), col("v_n"), col("n_n")),
-          Seq("node"))
-      // collect_set: |B(v)| ≤ 2kk bounded structs of (id, vec, norm) — KBs
-      // per pivot at any corpus size; dedups out∩in members for free
-      val lists = nbhdV.groupBy(col("pivot"))
-        .agg(collect_set(struct(col("node"), col("v_n"), col("n_n")))
-          .as("bs"))
-      val scoredNew = lists
-        .select(explode(col("bs")).as("a"), col("bs"))
-        .select(col("a"), explode(col("bs")).as("b"))
-        .filter(col("a.node") < col("b.node"))
-        .select(col("a.node").as("src"), col("b.node").as("dst"),
-          round(cosFast(col("a.v_n"), col("b.v_n"), col("a.n_n"),
-            col("b.n_n")), 6).as("cos"))
-        .observe(knnDescentObservation(r), count(lit(1)).as("n_proposed"))
-      val sym = scoredNew.union(scoredNew.select(col("dst").as("src"),
-        col("src").as("dst"), col("cos")))
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("cos").desc, col("dst"))
       val prev = g
-      g = g.select(col("src"), col("dst"), col("cos")).union(sym)
-        .repartition(col("src"))
-        .dropDuplicates("src", "dst")
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= kk)
-        .select(col("src"), col("rank"), col("dst"), col("cos"))
-        .localCheckpoint()
+      g = descentRound(g, normed, kk, seed, knnDescentObservation(r))
       prev.unpersist(blocking = false)
     }
     normed.unpersist(blocking = false)
     // Trim the internal kk-wide lists to the requested k (ranks are
     // already 1..kk in final order, so a filter suffices).
+    g.filter(col("rank") <= k)
+  }
+
+  /** One NN-descent refinement round — shuffle-lean shape (r9: the first
+    * form spent ~10 exchanges per round on distinct/anti-join/per-side
+    * vector joins — pure fixed overhead at bench scale and extra barriers
+    * at cluster scale). Per round: (1) cap in-neighbors [exchange on
+    * pivot], (2) attach vectors to neighborhood members [one equi join
+    * against the id-partitioned cached `normed`], (3) collect each pivot's
+    * B(v) into a bounded list (|B(v)| ≤ 2kk structs — KBs per pivot at any
+    * corpus size; collect_set dedups out∩in members) and generate + score
+    * all pairs SCAN-SIDE via a double explode — no shuffle ever carries a
+    * candidate pair, (4) repartition the union by src alone — a subset of
+    * the dedup keys satisfies ClusteredDistribution, so the (src, dst)
+    * dedup AND the per-src top-k window run on that single exchange.
+    * Re-scoring a known pair is harmless (scores are exact and rounded, so
+    * duplicates are byte-identical and the dedup keeps one).
+    *
+    */
+  private def descentRound(g0: DataFrame, normed: DataFrame, kk: Int,
+      seed: Long, obsName: String): DataFrame = {
+    val hasher = xxhash64(col("node"), lit(seed))
+    val out = g0.select(col("src").as("pivot"), col("dst").as("node"))
+    val inn = g0.select(col("dst").as("pivot"), col("src").as("node"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("pivot")).orderBy(hasher, col("node"))))
+      .filter(col("rn") <= kk).drop("rn")
+    val nbhdV = out.union(inn)
+      .join(normed.select(col("nid").as("node"), col("v_n"), col("n_n")),
+        Seq("node"))
+    val lists = nbhdV.groupBy(col("pivot"))
+      .agg(collect_set(struct(col("node"), col("v_n"), col("n_n")))
+        .as("bs"))
+    val sym = pairScores(lists, obsName)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    g0.select(col("src"), col("dst"), col("cos")).union(sym)
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kk)
+      .select(col("src"), col("rank"), col("dst"), col("cos"))
+      .localCheckpoint()
+  }
+
+  /** All pairs within each collected B(v), scored scan-side and emitted in
+    * BOTH directions (shared score) — the common tail of the full and
+    * frontier-restricted round forms.
+    */
+  private def pairScores(lists: DataFrame, obsName: String): DataFrame = {
+    val scoredNew = lists
+      .select(explode(col("bs")).as("a"), col("bs"))
+      .select(col("a"), explode(col("bs")).as("b"))
+      .filter(col("a.node") < col("b.node"))
+      .select(col("a.node").as("src"), col("b.node").as("dst"),
+        round(cosFast(col("a.v_n"), col("b.v_n"), col("a.n_n"),
+          col("b.n_n")), 6).as("cos"))
+      .observe(obsName, count(lit(1)).as("n_proposed"))
+    scoredNew.union(scoredNew.select(col("dst").as("src"),
+      col("src").as("dst"), col("cos")))
+  }
+
+  /** One frontier-restricted refinement round for [[knnGraphIncremental]]:
+    * EVERY stage is bounded by the frontier, not the corpus —
+    *  - affected pivots = new nodes ∪ nodes with an edge to/from a new
+    *    node in the current graph (two semi-joins over the edge table);
+    *  - B(v), the bounded-list collect, and pair scoring run only for
+    *    affected pivots (the in-neighbor cap is computed per retained
+    *    pivot over its FULL in-edge set, so restriction does not change
+    *    what a kept pivot sees — capping commutes with the pivot filter);
+    *  - re-ranking touches only srcs that received a candidate this round;
+    *    every other node's rows pass through BYTE-UNCHANGED (no window).
+    * Adoption propagates the frontier one hop per round: an old node that
+    * picks up a new neighbor is affected next round by the semi-join.
+    */
+  private def descentRoundFrontier(g0: DataFrame, normed: DataFrame,
+      kk: Int, seed: Long, obsName: String, newIds: DataFrame): DataFrame = {
+    val hasher = xxhash64(col("node"), lit(seed))
+    val aff = g0
+      .join(newIds.select(col("nid").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src").as("pivot"))
+      .union(g0
+        .join(newIds.select(col("nid").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("pivot")))
+      .union(newIds.select(col("nid").as("pivot")))
+      .distinct()
+    val gOutAff = g0
+      .join(aff.select(col("pivot").as("src")), Seq("src"), "left_semi")
+      .select(col("src").as("pivot"), col("dst").as("node"))
+    val gInnAff = g0
+      .join(aff.select(col("pivot").as("dst")), Seq("dst"), "left_semi")
+      .select(col("dst").as("pivot"), col("src").as("node"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("pivot")).orderBy(hasher, col("node"))))
+      .filter(col("rn") <= kk).drop("rn")
+    val nbhd = gOutAff.union(gInnAff).localCheckpoint()
+    val nbhdV = nbhd
+      .join(normed.select(col("nid").as("node"), col("v_n"), col("n_n")),
+        Seq("node"))
+    val lists = nbhdV.groupBy(col("pivot"))
+      .agg(collect_set(struct(col("node"), col("v_n"), col("n_n")))
+        .as("bs"))
+    val sym = pairScores(lists, obsName)
+    // Srcs that can receive a candidate this round = members of any
+    // affected B(v) (every scored pair's endpoints are members). A cheap
+    // SUPERSET of the exactly-changed set: re-ranking a list that gained
+    // nothing reproduces it verbatim, so over-covering is only wasted
+    // work bounded by the frontier, never wrong output.
+    val changed = nbhd.select(col("node").as("src")).distinct()
+    val keep = g0.join(changed, Seq("src"), "left_anti")
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val reranked = g0.join(changed, Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("cos"))
+      .union(sym)
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kk)
+      .select(col("src"), col("rank"), col("dst"), col("cos"))
+    keep.select(col("src"), col("rank"), col("dst"), col("cos"))
+      .union(reranked)
+      .localCheckpoint()
+  }
+
+  /** Observation names for [[knnGraphIncremental]]'s per-round proposal
+    * counts — the incremental-locality health number: volume tracks the
+    * affected frontier (O(|batch|·kk²)-ish), not the corpus.
+    */
+  def knnDescentIncObservation(round: Int): String =
+    s"knn_descent_inc_r$round"
+
+  /** Incremental kNN-graph maintenance: fold a NEW batch of vectors into an
+    * existing [[knnGraphDescent]]-built graph without rebuilding it — the
+    * daily-embedding-drop shape, completing the incremental family
+    * (minhash/LSH/components/SRP index all have persisted+batch forms).
+    *
+    *  1. Seed: each new vector gets a kk-wide list from a fixed-probe IVF
+    *     pass against old ∪ new ([[ivfTopK]], trainIters = 0 — seed cost
+    *     O(|batch| · seedProbe · (n/√n)) = O(|batch|·√n), never corpus ×
+    *     corpus); the seed edges enter the graph in BOTH directions, so
+    *     old nodes immediately see candidate (old, new) edges and re-rank.
+    *  2. `rounds` × [[descentRound]] restricted to AFFECTED pivots (new
+    *     nodes and nodes whose neighborhood contains one); adoption
+    *     propagates the frontier one hop per round. Unaffected nodes' rows
+    *     pass through the re-rank untouched.
+    *
+    * Output: (src, rank, dst, cos) over old ∪ new, k-wide. Deterministic /
+    * partition-invariant like the full build (seeded hash orders, rounded
+    * scores, id tie-breaks). Old and new ids must be disjoint; lists may
+    * legitimately change for old nodes (a new vector can displace an old
+    * neighbor — that is the point of maintenance).
+    */
+  def knnGraphIncremental(graph: DataFrame, corpus: DataFrame,
+      newBatch: DataFrame, idCol: String, vecCol: String, k: Int,
+      rounds: Int = 2, seedProbe: Int = 2, searchK: Int = 0,
+      seed: Long = 11L): DataFrame = {
+    val kk = if (searchK > 0) searchK else 4 * k
+    val all = corpus.select(col(idCol), col(vecCol))
+      .unionByName(newBatch.select(col(idCol), col(vecCol)))
+    val newIds = newBatch.select(col(idCol).as("nid")).localCheckpoint()
+    val normed = withNorm(all, idCol, vecCol, "nid", "v_n", "n_n")
+      .repartition(col("nid")).persist()
+    val nc = math.max(16, math.ceil(math.sqrt(all.count().toDouble)).toInt)
+    val seedNew = ivfTopK(all, newBatch, idCol, vecCol, kk,
+        nCentroids = nc, nProbe = math.min(nc, seedProbe), seed = seed,
+        trainIters = 0)
+      .select(col("qid").as("src"), col("nid").as("dst"), col("cos"))
+    val seedEdges = seedNew.union(seedNew.select(col("dst").as("src"),
+      col("src").as("dst"), col("cos"))).localCheckpoint()
+    // Seed fold-in is frontier-bounded too: only srcs receiving a seed
+    // edge re-rank; every other stored row passes through unchanged.
+    val seedChanged = seedEdges.select(col("src")).distinct()
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val keep0 = graph.join(seedChanged, Seq("src"), "left_anti")
+      .select(col("src"), col("rank"), col("dst"), col("cos"))
+    val rerank0 = graph.join(seedChanged, Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("cos"))
+      .union(seedEdges)
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kk)
+      .select(col("src"), col("rank"), col("dst"), col("cos"))
+    var g = keep0.union(rerank0).localCheckpoint()
+    for (r <- 1 to rounds) {
+      val prev = g
+      g = descentRoundFrontier(g, normed, kk, seed,
+        knnDescentIncObservation(r), newIds)
+      prev.unpersist(blocking = false)
+    }
+    normed.unpersist(blocking = false)
     g.filter(col("rank") <= k)
   }
 

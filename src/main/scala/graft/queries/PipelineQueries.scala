@@ -493,6 +493,47 @@ object PipelineQueries {
           Seq("src", "rank", "dst")))
     }),
 
+    // Incremental kNN-graph maintenance: fold the top-10%-of-ids batch
+    // into a graph built on the other 90% — the daily-embedding-drop
+    // shape, completing the incremental family. Contract: recall of the
+    // UPDATED graph vs the exact graph on the full corpus holds the same
+    // 0.6 floor as the from-scratch build, ranks well-formed, every new
+    // node integrated, at least one old node adopted a new neighbor (the
+    // maintenance is real, not append-only), and the whole pass is
+    // partition-invariant.
+    "sim_knn_graph_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").localCheckpoint()
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = (maxId * 9) / 10
+      val base = emb.filter(col("vec_id") <= cut)
+      val batch = emb.filter(col("vec_id") > cut)
+      val baseGraph = Similarity.knnGraphDescent(base, "vec_id",
+        "embedding", k = 5).localCheckpoint()
+      val updated = Similarity.knnGraphIncremental(baseGraph, base, batch,
+        "vec_id", "embedding", k = 5).localCheckpoint()
+      val exact = Similarity.bruteForceTopK(emb, emb, "vec_id",
+          "embedding", k = 5)
+        .select(col("qid").as("src"), col("nid").as("dst"))
+        .localCheckpoint()
+      val updated7 = Similarity.knnGraphIncremental(baseGraph,
+        base.repartition(7), batch.repartition(3), "vec_id", "embedding",
+        k = 5)
+      Contracts.row(s,
+        "n_vecs" -> emb.count(),
+        "n_new" -> batch.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(updated, "src", "rank", 5),
+        "recall_ok" ->
+          (Contracts.recall(updated, exact, "src", "dst") >= 0.6),
+        "new_nodes_integrated_ok" -> batch
+          .select(col("vec_id").as("src"))
+          .join(updated.select(col("src")).distinct(), Seq("src"),
+            "left_anti").isEmpty,
+        "old_adopts_new_ok" -> (updated
+          .filter(col("src") <= cut && col("dst") > cut).count() > 0L),
+        "partition_invariant_ok" -> Contracts.sameKeys(updated, updated7,
+          Seq("src", "rank", "dst")))
+    }),
+
     // PCA / whitening: one typed-Aggregator covariance pass (KB buffers
     // shuffle, never vectors), driver-side Jacobi eigendecomposition,
     // literal-component projection. Contract: components orthonormal,
@@ -1479,6 +1520,16 @@ object PipelineQueries {
   private val binWidthCache =
     new scala.collection.concurrent.TrieMap[String, Double]
 
+  /** Per-dir memo of the incremental-kNN timed form's base graph, persisted
+    * to a temp parquet path (the persisted-index pattern — same as the SRP
+    * and IVF-PQ stored forms, and immune to the bench's RDD-cache releases
+    * between reps; a driver-side row cache would be a collect() scale
+    * anti-pattern). Building the 90%-corpus graph is sim_knn_graph's
+    * number; the timer covers read + maintenance only.
+    */
+  private val knnBaseCache =
+    new scala.collection.concurrent.TrieMap[String, (String, Long)]
+
   /** Bench-only timing variants (see SparkEntry.benchQueries): the contract
     * queries above run the operator PLUS its verification harness — exact
     * quadratic baselines, recomputation joins, repartition re-runs — which
@@ -1630,6 +1681,28 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       Similarity.knnGraphDescent(emb, "vec_id", "embedding", k = 5)
     }),
+    // Timed incremental maintenance: base graph built once per dir and
+    // persisted (see knnBaseCache); the timer covers reading the stored
+    // graph + folding a 1% batch in — the daily-drop ratio (the contract
+    // form uses 10% for robust adoption checks; the TIMED question is
+    // "what does folding a small drop cost", where frontier locality is
+    // the point).
+    "sim_knn_graph_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (path, cut) = knnBaseCache.getOrElseUpdate(dir, {
+        val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+        val c = (maxId * 99) / 100
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-knn-base-").toString
+        Similarity.knnGraphDescent(emb.filter(col("vec_id") <= c),
+            "vec_id", "embedding", k = 5)
+          .write.mode("overwrite").parquet(p)
+        (p, c)
+      })
+      Similarity.knnGraphIncremental(s.read.parquet(path),
+        emb.filter(col("vec_id") <= cut),
+        emb.filter(col("vec_id") > cut), "vec_id", "embedding", k = 5)
+    }),
     "sim_opq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.opqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
@@ -1746,6 +1819,15 @@ object PipelineQueries {
         |    AS n_queries,
         |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,
         |  TRUE AS recall_ok""".stripMargin,
+
+    "sim_knn_graph_incremental" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+        |  (SELECT count(*) FROM embeddings
+        |   WHERE vec_id > (9 * (SELECT max(vec_id) FROM embeddings)) // 10)
+        |    AS n_new,
+        |  TRUE AS ranks_ok, TRUE AS recall_ok,
+        |  TRUE AS new_nodes_integrated_ok, TRUE AS old_adopts_new_ok,
+        |  TRUE AS partition_invariant_ok""".stripMargin,
 
     "sim_knn_graph" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vecs,

@@ -299,6 +299,42 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b, "descent edge set must not depend on partitioning")
   }
 
+  test("incremental kNN maintenance: new nodes integrated, recall held, " +
+    "old nodes adopt new neighbors, partition-invariant") {
+    val emb = t(spark, sfDir, "embeddings").localCheckpoint()
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = (maxId * 9) / 10
+    val base = emb.filter(col("vec_id") <= cut)
+    val batch = emb.filter(col("vec_id") > cut)
+    assert(batch.count() > 0)
+    val baseGraph = Similarity.knnGraphDescent(base, "vec_id", "embedding",
+      k = 5).localCheckpoint()
+    val updated = Similarity.knnGraphIncremental(baseGraph, base, batch,
+      "vec_id", "embedding", k = 5).localCheckpoint()
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      .select(col("qid").as("src"), col("nid").as("dst")).localCheckpoint()
+    val recall = graft.queries.Contracts.recall(updated, exact, "src", "dst")
+    assert(recall >= 0.6, s"incremental recall $recall below floor")
+    assert(graft.queries.Contracts.ranksWellFormed(updated, "src", "rank", 5))
+    // every new node has a list
+    val missing = batch.select(col("vec_id").as("src"))
+      .join(updated.select("src").distinct(), Seq("src"), "left_anti")
+      .count()
+    assert(missing == 0, s"$missing new nodes have no neighbor list")
+    // maintenance is real: some old node adopted a new neighbor
+    assert(updated.filter(col("src") <= cut && col("dst") > cut)
+      .count() > 0, "no old node adopted a new neighbor")
+    // partition-invariance of the whole maintenance pass
+    val updated7 = Similarity.knnGraphIncremental(baseGraph,
+        base.repartition(7), batch.repartition(3), "vec_id", "embedding",
+        k = 5)
+      .select("src", "rank", "dst").as[(Long, Int, Long)].collect().toSet
+    val u1 = updated.select("src", "rank", "dst")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(u1 === updated7, "incremental result depends on partitioning")
+  }
+
   test("mutual-kNN edges are reciprocated and clusters carry min-id labels") {
     val emb = t(spark, sfDir, "embeddings")
     val knn = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
