@@ -159,8 +159,16 @@ private[functions] object TempFnNames {
     }
     val list = bindingsFor(registry, role)
     list.synchronized {
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
-      if (!list.stream().anyMatch(_._1 == name)) list.add((name, ref))
+      // Same live object re-bound (e.g. a centroid table used for both the
+      // corpus and the query side of one operator call): the existing
+      // binding already dereferences it — skip the re-register, which
+      // would only log a "function replaced" WARN per extra use.
+      val bound = list.stream()
+        .anyMatch(e => e._1 == name && e._2.get() != null)
+      if (!bound) {
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+        if (!list.stream().anyMatch(_._1 == name)) list.add((name, ref))
+      }
       sweepLocked(registry, list, keep = name)
     }
     val holds = recentHolds.synchronized {

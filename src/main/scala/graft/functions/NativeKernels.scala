@@ -137,6 +137,62 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** Sorted centroid-similarity scores for one normed vector: cosine vs
+    * every centroid as (sim, bucket) structs ordered by (sim desc, bucket
+    * desc) — byte-equal to the expression-forest form
+    * `sort_array(array(struct(vec_dot(v, c_i) / (n * n_i), i)...), desc)`
+    * it replaces (same add order in the dot product, same
+    * Divide(dot, Multiply(n, cn)) float shape, same NaN-largest /
+    * -0.0 < 0.0 comparator as Spark's struct ordering), so IVF bucket
+    * assignments and probe lists are unchanged. One fused loop + one
+    * O(nc log nc) index sort per row, vs nc struct constructions + a
+    * comparator chain inside a single giant codegen method whose janino
+    * compile dominated the ANN family's fixed cost at nc ≈ sqrt(n)
+    * (measured: nc=45 codegen'd ran SLOWER than nc=90 with codegen
+    * disabled — see SCALE.md similarity notes).
+    *
+    * `cents` is the flattened nc×d centroid matrix, `cnorms` the nc norms.
+    */
+  def centroidScores(v: ArrayData, n: Double, cents: Array[Double],
+      cnorms: Array[Double], d: Int): ArrayData = {
+    val nc = cnorms.length
+    val sims = new Array[Double](nc)
+    var i = 0
+    while (i < nc) {
+      var acc = 0.0
+      val off = i * d
+      var j = 0
+      while (j < d) { acc += v.getDouble(j) * cents(off + j); j += 1 }
+      sims(i) = acc / (n * cnorms(i))
+      i += 1
+    }
+    val idx = new Array[Integer](nc)
+    i = 0
+    while (i < nc) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val x = sims(a.intValue()); val y = sims(b.intValue())
+        // Spark's nan-safe double ordering (NaN largest), reversed for desc;
+        // bucket desc breaks exact-sim ties like the struct comparator did.
+        val c =
+          if (x.isNaN && y.isNaN) 0
+          else if (x.isNaN) -1
+          else if (y.isNaN) 1
+          else java.lang.Double.compare(y, x)
+        if (c != 0) c else Integer.compare(b.intValue(), a.intValue())
+      }
+    })
+    val out = new Array[Any](nc)
+    i = 0
+    while (i < nc) {
+      val b = idx(i).intValue()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](sims(b), b))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def vecDot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0

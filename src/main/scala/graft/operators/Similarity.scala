@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,7 +48,7 @@ object Similarity {
     call_function("vec_dot", va, vb) / (na * nb)
 
   /** (id, vec, norm) projection with the norm computed once per vector. */
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+  private[graft] def withNorm(df: DataFrame, idCol: String, vecCol: String,
       idAs: String, vecAs: String, normAs: String): DataFrame = {
     HashExpressions.register(df.sparkSession)
     df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vecAs))
@@ -172,12 +172,7 @@ object Similarity {
       trainIters: Int): Array[(Int, Seq[Double], Double)] = {
     var cent = init
     (0 until trainIters).foreach { _ =>
-      val centLocal = cent
-      def score(v: Column, n: Column): Column =
-        sort_array(array(centLocal.map { case (i, cv, cn) =>
-          struct((call_function("vec_dot", v, typedlit(cv)) / (n * cn))
-            .as("sim"), lit(i).as("bucket"))
-        }: _*), asc = false)
+      val score = sortedBucketScores(c.sparkSession, cent)
       val means = c
         .withColumn("bucket",
           score(col("v_n"), col("n_n")).getItem(0).getField("bucket"))
@@ -489,13 +484,13 @@ object Similarity {
     (coarse, cbFlat)
   }
 
-  /** Descending (sim, bucket) scores of `v` against a centroid table. */
-  private def centroidScores(cent: Array[(Int, Seq[Double], Double)])(
-      v: Column, n: Column): Column =
-    sort_array(array(cent.map { case (i, cv, cn) =>
-      struct((call_function("vec_dot", v, typedlit(cv)) / (n * cn))
-        .as("sim"), lit(i).as("bucket"))
-    }: _*), asc = false)
+  /** Descending (sim, bucket) scores of `v` against a centroid table —
+    * alias of [[sortedBucketScores]] kept for the IVF-PQ family's call
+    * shape.
+    */
+  private def centroidScores(spark: SparkSession,
+      cent: Array[(Int, Seq[Double], Double)])(v: Column, n: Column): Column =
+    sortedBucketScores(spark, cent)(v, n)
 
   /** The shared IVF-PQ query tail: lut queries → nProbe bucket probes →
     * bucket-key ADC scan over the (bucket, nid, codes) table → exact
@@ -513,7 +508,7 @@ object Similarity {
           cbFlat, m, ksub, sub))
       .persist()
     val probes = q.select(col("qid"), col("lut"),
-        explode(slice(centroidScores(coarse)(col("v_q"), col("n_q")), 1,
+        explode(slice(centroidScores(spark, coarse)(col("v_q"), col("n_q")), 1,
           nProbe)).as("probe"))
       .select(col("qid"), col("lut"), col("probe.bucket").as("bucket"))
     val shortlist = adcShortlist(probes, codes, Seq("bucket"), ksub, k,
@@ -538,7 +533,7 @@ object Similarity {
     // the scan table: (bucket, id, codes) — nCentroids-partitionable,
     // m bytes of payload per vector
     val codes = c.select(
-      centroidScores(coarse)(col("v_n"), col("n_n")).getItem(0)
+      centroidScores(spark, coarse)(col("v_n"), col("n_n")).getItem(0)
         .getField("bucket").as("bucket"),
       col("nid"),
       graft.functions.PqExpressions.pqEncode(spark, col("v_n"), col("n_n"),
@@ -571,7 +566,7 @@ object Similarity {
     val (coarse, cbFlat) = trainIvfPq(c, nCentroids, m, ksub, sub, seed,
       trainIters, sampleN)
     c.select(
-        centroidScores(coarse)(col("v_n"), col("n_n")).getItem(0)
+        centroidScores(spark, coarse)(col("v_n"), col("n_n")).getItem(0)
           .getField("bucket").as("bucket"),
         col("nid"),
         graft.functions.PqExpressions.pqEncode(spark, col("v_n"), col("n_n"),
@@ -614,7 +609,7 @@ object Similarity {
     // probed bucket=N directories, guaranteed, instead of relying on
     // dynamic pruning through the probe join to fire.
     val probedBuckets = withNorm(qBase, idCol, vecCol, "qid", "v_q", "n_q")
-      .select(explode(slice(centroidScores(coarse)(col("v_q"), col("n_q")),
+      .select(explode(slice(centroidScores(spark, coarse)(col("v_q"), col("n_q")),
         1, nProbe)).as("p"))
       .select(col("p.bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -657,13 +652,26 @@ object Similarity {
 
   /** Per-vector centroid scores sorted best-first: array of (sim, bucket)
     * structs — `[0]` is the home bucket, a prefix slice is the probe set.
+    * One fused [[graft.functions.CentroidScores]] kernel call per row; the
+    * previous nc-wide struct/sort expression forest compiled into a giant
+    * whole-stage method whose janino compile dominated the ANN family's
+    * fixed cost at auto nc = sqrt(n) (results are byte-identical — see the
+    * kernel's scaladoc for the float/ordering parity argument).
     */
-  private def sortedBucketScores(cent: Array[(Int, Seq[Double], Double)])(
-      v: Column, n: Column): Column =
-    sort_array(array(cent.map { case (i, cv, cn) =>
-      struct((call_function("vec_dot", v, typedlit(cv)) / (n * cn))
-        .as("sim"), lit(i).as("bucket"))
-    }: _*), asc = false)
+  private def sortedBucketScores(spark: SparkSession,
+      cent: Array[(Int, Seq[Double], Double)]): (Column, Column) => Column = {
+    val d = if (cent.isEmpty) 0 else cent(0)._2.length
+    val flat = new Array[Double](cent.length * d)
+    val norms = new Array[Double](cent.length)
+    cent.foreach { case (i, cv, cn) =>
+      var j = 0
+      while (j < d) { flat(i * d + j) = cv(j); j += 1 }
+      norms(i) = cn
+    }
+    val table = graft.functions.CentroidTable(flat, norms, d)
+    (v, n) => graft.functions.CentroidExpressions.centroidScores(
+      spark, v, n, table)
+  }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 6,
@@ -681,7 +689,7 @@ object Similarity {
       if (trainIters <= 0) init
       else refineCentroids(corpusNormed, init, trainIters)
     // Per-bucket scored array → sorted desc by similarity → ranked prefix.
-    val bucketScores = sortedBucketScores(cent) _
+    val bucketScores = sortedBucketScores(corpus.sparkSession, cent)
     val c = corpusNormed
       .withColumn("bucket",
         bucketScores(col("v_n"), col("n_n")).getItem(0).getField("bucket"))
@@ -773,7 +781,7 @@ object Similarity {
     val cent =
       if (trainIters <= 0) init
       else refineCentroids(corpusNormed, init, trainIters)
-    val bucketScores = sortedBucketScores(cent) _
+    val bucketScores = sortedBucketScores(corpus.sparkSession, cent)
     val assigned = corpusNormed
       .withColumn("probes",
         transform(slice(bucketScores(col("v_n"), col("n_n")), 1, np),
@@ -949,9 +957,11 @@ object Similarity {
     * Adoption propagates the frontier one hop per round: an old node that
     * picks up a new neighbor is affected next round by the semi-join.
     */
-  private def descentRoundFrontier(g0: DataFrame, normed: DataFrame,
+  private[graft] def descentRoundFrontier(g0: DataFrame, normed: DataFrame,
       kk: Int, seed: Long, obsName: String, newIds: DataFrame): DataFrame = {
     val hasher = xxhash64(col("node"), lit(seed))
+    // No distinct: aff is only ever the RIGHT side of semi-joins, which
+    // tolerate duplicate keys — the dedup exchange bought nothing.
     val aff = g0
       .join(newIds.select(col("nid").as("dst")), Seq("dst"), "left_semi")
       .select(col("src").as("pivot"))
@@ -959,7 +969,6 @@ object Similarity {
         .join(newIds.select(col("nid").as("src")), Seq("src"), "left_semi")
         .select(col("dst").as("pivot")))
       .union(newIds.select(col("nid").as("pivot")))
-      .distinct()
     val gOutAff = g0
       .join(aff.select(col("pivot").as("src")), Seq("src"), "left_semi")
       .select(col("src").as("pivot"), col("dst").as("node"))
@@ -969,7 +978,11 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("pivot")).orderBy(hasher, col("node"))))
       .filter(col("rn") <= kk).drop("rn")
-    val nbhd = gOutAff.union(gInnAff).localCheckpoint()
+    // persist, not localCheckpoint: both consumers (the member-vector join
+    // and `changed`) execute under the round's single output action, so a
+    // lazy cache dedups the computation without an extra synchronous job;
+    // the output's own localCheckpoint still truncates cross-round lineage.
+    val nbhd = gOutAff.union(gInnAff).persist()
     val nbhdV = nbhd
       .join(normed.select(col("nid").as("node"), col("v_n"), col("n_n")),
         Seq("node"))
@@ -994,9 +1007,11 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kk)
       .select(col("src"), col("rank"), col("dst"), col("cos"))
-    keep.select(col("src"), col("rank"), col("dst"), col("cos"))
+    val out = keep.select(col("src"), col("rank"), col("dst"), col("cos"))
       .union(reranked)
       .localCheckpoint()
+    nbhd.unpersist(blocking = false)
+    out
   }
 
   /** Observation names for [[knnGraphIncremental]]'s per-round proposal
@@ -1042,8 +1057,12 @@ object Similarity {
         nCentroids = nc, nProbe = math.min(nc, seedProbe), seed = seed,
         trainIters = 0)
       .select(col("qid").as("src"), col("nid").as("dst"), col("cos"))
+    // persist, not localCheckpoint: all three consumers (seedChanged, the
+    // anti/semi splits, rerank0's union) run under the single fold-in
+    // action below — a lazy cache dedups the seed computation without a
+    // synchronous materialization job.
     val seedEdges = seedNew.union(seedNew.select(col("dst").as("src"),
-      col("src").as("dst"), col("cos"))).localCheckpoint()
+      col("src").as("dst"), col("cos"))).persist()
     // Seed fold-in is frontier-bounded too: only srcs receiving a seed
     // edge re-rank; every other stored row passes through unchanged.
     val seedChanged = seedEdges.select(col("src")).distinct()
@@ -1060,6 +1079,7 @@ object Similarity {
       .filter(col("rank") <= kk)
       .select(col("src"), col("rank"), col("dst"), col("cos"))
     var g = keep0.union(rerank0).localCheckpoint()
+    seedEdges.unpersist(blocking = false)
     for (r <- 1 to rounds) {
       val prev = g
       g = descentRoundFrontier(g, normed, kk, seed,

@@ -30,7 +30,7 @@ for sf in 0.001 0.01; do
     echo "$failed"
     exit 1
   fi
-  python3 tools/oracle_check.py "/root/testdata/sf$sf" "$out"
+  python3 tools/oracle_check.py "/root/testdata/sf$sf" "$out" "$@"
 done
 
 # Only a FULL sweep (no query-restricting args) may record the green hash:
