@@ -839,9 +839,10 @@ object Similarity {
     * asserts it.
     *
     * Convergence on this corpus (sf0.01/0.1, k=5, kk=4k): seed recall
-    * 0.29/0.20 at seedProbe=2 → 0.92/0.84 after 3 rounds; per-round
-    * proposal counts (telemetry; includes re-proposals of known pairs —
-    * the bounded-by-2kk²·n claim is about exactly this number). On
+    * 0.29/0.20 at seedProbe=2 → 0.995/0.884 after 3 rounds (KnnSweep,
+    * flagged form); the fresh-pair filter makes per-round proposal counts
+    * DECAY with convergence (measured sf0.1: 805k → 450k → 268k vs
+    * ~805k/492k/483k when every pair was re-proposed each round). On
     * near-random data recall
     * for fixed (rounds, kk) drifts down with n — real embedding corpora
     * are clustered, which is the regime descent exploits; if recall at a
@@ -856,7 +857,7 @@ object Similarity {
     // standard NN-descent K-vs-k split. Volume stays linear: 2·kk²·n.
     // Defaults from tools.KnnSweep on this corpus (near-random 64-d
     // vectors, the hard case for descent): (rounds=3, seedProbe=2, kk=4k)
-    // measures recall 0.92/0.84 at sf0.01/sf0.1 vs the exact graph —
+    // measures recall 0.995/0.884 at sf0.01/sf0.1 vs the exact graph —
     // comfortably above the 0.6 contract floor — with time growth ~1.8×
     // per 10× data vs 2.81× for the fraction-held auto IVF form.
     val kk = if (searchK > 0) searchK else 4 * k
@@ -871,71 +872,141 @@ object Similarity {
     // compute nc here and pass the fixed probe count explicitly.
     val nc = math.max(16,
       math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+    // Every seed edge starts FRESH: round 1 explores all neighborhoods
+    // (restrict = false skips the then-pointless frontier semi-joins);
+    // later rounds carry the NN-descent new/old split — only pairs with a
+    // freshly-added member edge are proposed, so proposal volume DECAYS
+    // with convergence instead of re-scoring ~all pairs every round
+    // (measured sf0.1 before: 805k/492k/483k proposals for rounds 1-3 —
+    // rounds 2-3 were mostly re-proposals of already-tried pairs).
+    // restrict = false on EVERY full-build round: on a fresh seed the
+    // affected frontier is ~the whole corpus for the first rounds
+    // (measured: the frontier semi-joins filtered ~nothing and only added
+    // exchanges), so the full build keeps the flat all-pivot shape and
+    // takes its win from the fresh-pair FILTER alone; the incremental
+    // fold, whose frontier genuinely is a small fraction, restricts.
     var g = knnGraph(corpus, idCol, vecCol, kk, nCentroids = nc,
       nProbe = math.min(nc, seedProbe), seed = seed,
       trainIters = trainIters)
+      .withColumn("fresh", lit(true))
     for (r <- 1 to rounds) {
       val prev = g
-      g = descentRound(g, normed, kk, seed, knnDescentObservation(r))
+      g = descentRoundFlagged(g, normed, kk, seed, knnDescentObservation(r),
+        restrict = false)
       prev.unpersist(blocking = false)
     }
     normed.unpersist(blocking = false)
     // Trim the internal kk-wide lists to the requested k (ranks are
     // already 1..kk in final order, so a filter suffices).
-    g.filter(col("rank") <= k)
+    g.filter(col("rank") <= k).drop("fresh")
   }
 
-  /** One NN-descent refinement round — shuffle-lean shape (r9: the first
-    * form spent ~10 exchanges per round on distinct/anti-join/per-side
-    * vector joins — pure fixed overhead at bench scale and extra barriers
-    * at cluster scale). Per round: (1) cap in-neighbors [exchange on
-    * pivot], (2) attach vectors to neighborhood members [one equi join
-    * against the id-partitioned cached `normed`], (3) collect each pivot's
-    * B(v) into a bounded list (|B(v)| ≤ 2kk structs — KBs per pivot at any
-    * corpus size; collect_set dedups out∩in members) and generate + score
-    * all pairs SCAN-SIDE via a double explode — no shuffle ever carries a
-    * candidate pair, (4) repartition the union by src alone — a subset of
-    * the dedup keys satisfies ClusteredDistribution, so the (src, dst)
-    * dedup AND the per-src top-k window run on that single exchange.
-    * Re-scoring a known pair is harmless (scores are exact and rounded, so
-    * duplicates are byte-identical and the dedup keeps one).
+  /** One NN-descent refinement round over a FLAGGED edge table
+    * (src, rank, dst, cos, fresh) — the shuffle-lean shape plus the
+    * classic NN-descent new/old split (Dong et al., WWW'11): a candidate
+    * pair is proposed only if at least one of its two member EDGES is
+    * fresh (added by the previous round), because a pair whose member
+    * edges both pre-date the last round was already proposed when those
+    * edges first appeared — re-scoring it can only reproduce the same
+    * rounded cosine. Proposal volume therefore decays with convergence.
     *
+    * Per round: (1) frontier = endpoints of fresh edges (restrict mode —
+    * pivots with no fresh incident edge would propose zero pairs, so
+    * their B(v) collect is skipped entirely; `restrict = false` skips the
+    * two semi-joins for the all-fresh first round, where they filter
+    * nothing); (2) cap in-neighbors per pivot over its FULL in-edge set
+    * [exchange on pivot — capping commutes with the pivot filter];
+    * (3) attach vectors [one equi join against the id-partitioned cached
+    * `normed`]; (4) collect each pivot's B(v) into a bounded list
+    * (|B(v)| ≤ 2kk structs — KBs per pivot at any corpus size) and
+    * generate + score surviving pairs SCAN-SIDE via a double explode — no
+    * shuffle ever carries a candidate pair; (5) re-rank only srcs that
+    * can have received a candidate (members of an affected B(v)); every
+    * other row passes through byte-unchanged, RETAINING its flag — a
+    * fresh edge whose pivot-side exploration was capped out stays fresh
+    * and is explored next round. Next-round flags come from the re-rank
+    * itself: an edge is fresh iff no pre-round edge with the same
+    * (src, dst) existed — max(was_old) over the union, on the same single
+    * src exchange that deduplicates and ranks.
     */
-  private def descentRound(g0: DataFrame, normed: DataFrame, kk: Int,
-      seed: Long, obsName: String): DataFrame = {
+  private[graft] def descentRoundFlagged(g0: DataFrame, normed: DataFrame,
+      kk: Int, seed: Long, obsName: String, restrict: Boolean): DataFrame = {
     val hasher = xxhash64(col("node"), lit(seed))
-    val out = g0.select(col("src").as("pivot"), col("dst").as("node"))
-    val inn = g0.select(col("dst").as("pivot"), col("src").as("node"))
+    // No distinct: aff is only ever the RIGHT side of semi-joins, which
+    // tolerate duplicate keys — a dedup exchange would buy nothing.
+    val freshE = g0.filter(col("fresh"))
+    val aff = freshE.select(col("src").as("pivot"))
+      .union(freshE.select(col("dst").as("pivot")))
+    val gOut = if (restrict)
+      g0.join(aff.select(col("pivot").as("src")), Seq("src"), "left_semi")
+    else g0
+    val gInn = if (restrict)
+      g0.join(aff.select(col("pivot").as("dst")), Seq("dst"), "left_semi")
+    else g0
+    val gOutAff = gOut
+      .select(col("src").as("pivot"), col("dst").as("node"), col("fresh"))
+    val gInnAff = gInn
+      .select(col("dst").as("pivot"), col("src").as("node"), col("fresh"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("pivot")).orderBy(hasher, col("node"))))
       .filter(col("rn") <= kk).drop("rn")
-    val nbhdV = out.union(inn)
+    // persist, not localCheckpoint: both consumers (the member-vector join
+    // and `changed`) execute under the round's single output action, so a
+    // lazy cache dedups the computation without an extra synchronous job;
+    // the output's own localCheckpoint still truncates cross-round lineage.
+    val nbhd = gOutAff.union(gInnAff)
+    val nbhdP = if (restrict) nbhd.persist() else nbhd
+    val nbhdV = nbhdP
       .join(normed.select(col("nid").as("node"), col("v_n"), col("n_n")),
         Seq("node"))
+    // A member reached through both a fresh and a stale edge yields two
+    // set entries (flags differ). Merge them SCAN-SIDE with an array HOF
+    // (fresh = max over orientations; keep one entry per node) instead of
+    // a (pivot, node) pre-aggregation — |bs| ≤ 2kk, so the O(|bs|²) exists
+    // scan is a few hundred codegen'd comparisons per pivot, while the
+    // pre-agg would be a second full-width exchange. Without the merge the
+    // duplicate entries inflate the pair explode up to 4× (measured: round
+    // 2 of the full build proposed MORE than the unflagged form).
     val lists = nbhdV.groupBy(col("pivot"))
-      .agg(collect_set(struct(col("node"), col("v_n"), col("n_n")))
-        .as("bs"))
+      .agg(collect_set(struct(col("node"), col("fresh"), col("v_n"),
+        col("n_n"))).as("bs0"))
+      .select(col("pivot"), filter(col("bs0"), a =>
+        a.getField("fresh") || !exists(col("bs0"), b =>
+          b.getField("node") === a.getField("node") &&
+            b.getField("fresh"))).as("bs"))
     val sym = pairScores(lists, obsName)
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("cos").desc, col("dst"))
-    g0.select(col("src"), col("dst"), col("cos")).union(sym)
-      .repartition(col("src"))
-      .dropDuplicates("src", "dst")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= kk)
-      .select(col("src"), col("rank"), col("dst"), col("cos"))
-      .localCheckpoint()
+    // Srcs that can receive a candidate this round = members of any
+    // affected B(v) (every scored pair's endpoints are members). A cheap
+    // SUPERSET of the exactly-changed set: re-ranking a list that gained
+    // nothing reproduces it verbatim (including clearing no flag it
+    // shouldn't — see rerankFlagged), so over-covering is only wasted
+    // work bounded by the frontier, never wrong output.
+    val changed = nbhdP.select(col("node").as("src")).distinct()
+    val existing = if (restrict)
+      g0.join(changed, Seq("src"), "left_semi") else g0
+    val reranked = rerankFlagged(existing, sym, kk)
+    val out0 = if (restrict) {
+      val keep = g0.join(changed, Seq("src"), "left_anti")
+        .select(col("src"), col("rank"), col("dst"), col("cos"),
+          col("fresh"))
+      keep.union(reranked)
+    } else reranked
+    val out = out0.localCheckpoint()
+    if (restrict) nbhdP.unpersist(blocking = false)
+    out
   }
 
-  /** All pairs within each collected B(v), scored scan-side and emitted in
-    * BOTH directions (shared score) — the common tail of the full and
-    * frontier-restricted round forms.
+  /** All pairs within each collected B(v) with at least one FRESH member
+    * edge, scored scan-side and emitted in BOTH directions (shared
+    * score) — the common tail of the round forms. When every member is
+    * fresh (a first round over a new seed) the filter passes everything.
     */
   private def pairScores(lists: DataFrame, obsName: String): DataFrame = {
     val scoredNew = lists
       .select(explode(col("bs")).as("a"), col("bs"))
       .select(col("a"), explode(col("bs")).as("b"))
       .filter(col("a.node") < col("b.node"))
+      .filter(col("a.fresh") || col("b.fresh"))
       .select(col("a.node").as("src"), col("b.node").as("dst"),
         round(cosFast(col("a.v_n"), col("b.v_n"), col("a.n_n"),
           col("b.n_n")), 6).as("cos"))
@@ -944,79 +1015,41 @@ object Similarity {
       col("src").as("dst"), col("cos")))
   }
 
-  /** One frontier-restricted refinement round for [[knnGraphIncremental]]:
-    * EVERY stage is bounded by the frontier, not the corpus —
-    *  - affected pivots = new nodes ∪ nodes with an edge to/from a new
-    *    node in the current graph (two semi-joins over the edge table);
-    *  - B(v), the bounded-list collect, and pair scoring run only for
-    *    affected pivots (the in-neighbor cap is computed per retained
-    *    pivot over its FULL in-edge set, so restriction does not change
-    *    what a kept pivot sees — capping commutes with the pivot filter);
-    *  - re-ranking touches only srcs that received a candidate this round;
-    *    every other node's rows pass through BYTE-UNCHANGED (no window).
-    * Adoption propagates the frontier one hop per round: an old node that
-    * picks up a new neighbor is affected next round by the semi-join.
+  /** Merge existing edges (src, dst, cos [, ...]) with freshly proposed
+    * candidates and produce the next flagged, kk-wide ranked lists:
+    * repartition by src alone — a subset of the dedup keys satisfies
+    * ClusteredDistribution, so the (src, dst) dedup-with-provenance
+    * (max(was_old): an edge is FRESH iff it did not exist before this
+    * merge) AND the per-src top-k window all run on that single exchange.
+    * Duplicate (src, dst) rows carry byte-identical rounded cosines, so
+    * max(cos) is a deterministic pick, not a choice.
     */
-  private[graft] def descentRoundFrontier(g0: DataFrame, normed: DataFrame,
-      kk: Int, seed: Long, obsName: String, newIds: DataFrame): DataFrame = {
-    val hasher = xxhash64(col("node"), lit(seed))
-    // No distinct: aff is only ever the RIGHT side of semi-joins, which
-    // tolerate duplicate keys — the dedup exchange bought nothing.
-    val aff = g0
-      .join(newIds.select(col("nid").as("dst")), Seq("dst"), "left_semi")
-      .select(col("src").as("pivot"))
-      .union(g0
-        .join(newIds.select(col("nid").as("src")), Seq("src"), "left_semi")
-        .select(col("dst").as("pivot")))
-      .union(newIds.select(col("nid").as("pivot")))
-    val gOutAff = g0
-      .join(aff.select(col("pivot").as("src")), Seq("src"), "left_semi")
-      .select(col("src").as("pivot"), col("dst").as("node"))
-    val gInnAff = g0
-      .join(aff.select(col("pivot").as("dst")), Seq("dst"), "left_semi")
-      .select(col("dst").as("pivot"), col("src").as("node"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("pivot")).orderBy(hasher, col("node"))))
-      .filter(col("rn") <= kk).drop("rn")
-    // persist, not localCheckpoint: both consumers (the member-vector join
-    // and `changed`) execute under the round's single output action, so a
-    // lazy cache dedups the computation without an extra synchronous job;
-    // the output's own localCheckpoint still truncates cross-round lineage.
-    val nbhd = gOutAff.union(gInnAff).persist()
-    val nbhdV = nbhd
-      .join(normed.select(col("nid").as("node"), col("v_n"), col("n_n")),
-        Seq("node"))
-    val lists = nbhdV.groupBy(col("pivot"))
-      .agg(collect_set(struct(col("node"), col("v_n"), col("n_n")))
-        .as("bs"))
-    val sym = pairScores(lists, obsName)
-    // Srcs that can receive a candidate this round = members of any
-    // affected B(v) (every scored pair's endpoints are members). A cheap
-    // SUPERSET of the exactly-changed set: re-ranking a list that gained
-    // nothing reproduces it verbatim, so over-covering is only wasted
-    // work bounded by the frontier, never wrong output.
-    val changed = nbhd.select(col("node").as("src")).distinct()
-    val keep = g0.join(changed, Seq("src"), "left_anti")
+  private[graft] def rerankFlagged(existing: DataFrame, proposals: DataFrame,
+      kk: Int): DataFrame = {
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst"))
-    val reranked = g0.join(changed, Seq("src"), "left_semi")
-      .select(col("src"), col("dst"), col("cos"))
-      .union(sym)
+    existing.select(col("src"), col("dst"), col("cos"),
+        lit(true).as("was_old"))
+      .union(proposals.select(col("src"), col("dst"), col("cos"),
+        lit(false).as("was_old")))
       .repartition(col("src"))
-      .dropDuplicates("src", "dst")
+      .groupBy(col("src"), col("dst"))
+      .agg(max(col("cos")).as("cos"), max(col("was_old")).as("was_old"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kk)
-      .select(col("src"), col("rank"), col("dst"), col("cos"))
-    val out = keep.select(col("src"), col("rank"), col("dst"), col("cos"))
-      .union(reranked)
-      .localCheckpoint()
-    nbhd.unpersist(blocking = false)
-    out
+      .select(col("src"), col("rank"), col("dst"), col("cos"),
+        (!col("was_old")).as("fresh"))
   }
 
   /** Observation names for [[knnGraphIncremental]]'s per-round proposal
     * counts — the incremental-locality health number: volume tracks the
-    * affected frontier (O(|batch|·kk²)-ish), not the corpus.
+    * ADOPTER frontier (endpoints of edges the previous step actually
+    * added, × their kk²-bounded neighborhoods), never the corpus. On
+    * weakly-clustered data adoption spreads wider than |batch| — a new
+    * near-random vector displaces tail entries in many lists — so the
+    * honest bound is adopters·kk², with |adopters| measured per run here
+    * (sf0.1, 1% batch: 6.4k then 105k proposals vs 805k for a rebuild
+    * round; clustered real embeddings localize much harder).
     */
   def knnDescentIncObservation(round: Int): String =
     s"knn_descent_inc_r$round"
@@ -1031,10 +1064,12 @@ object Similarity {
     *     O(|batch| · seedProbe · (n/√n)) = O(|batch|·√n), never corpus ×
     *     corpus); the seed edges enter the graph in BOTH directions, so
     *     old nodes immediately see candidate (old, new) edges and re-rank.
-    *  2. `rounds` × [[descentRound]] restricted to AFFECTED pivots (new
-    *     nodes and nodes whose neighborhood contains one); adoption
-    *     propagates the frontier one hop per round. Unaffected nodes' rows
-    *     pass through the re-rank untouched.
+    *  2. `rounds` × [[descentRoundFlagged]] restricted to the endpoints of
+    *     FRESH edges — edges the previous step actually added (seed
+    *     fold-in marks exactly the not-already-stored edges fresh), not
+    *     every neighbor of a new node. Adoption propagates the frontier
+    *     one hop per round and the frontier DECAYS as lists converge;
+    *     unaffected nodes' rows pass through the re-rank untouched.
     *
     * Output: (src, rank, dst, cos) over old ∪ new, k-wide. Deterministic /
     * partition-invariant like the full build (seeded hash orders, rounded
@@ -1049,7 +1084,6 @@ object Similarity {
     val kk = if (searchK > 0) searchK else 4 * k
     val all = corpus.select(col(idCol), col(vecCol))
       .unionByName(newBatch.select(col(idCol), col(vecCol)))
-    val newIds = newBatch.select(col(idCol).as("nid")).localCheckpoint()
     val normed = withNorm(all, idCol, vecCol, "nid", "v_n", "n_n")
       .repartition(col("nid")).persist()
     val nc = math.max(16, math.ceil(math.sqrt(all.count().toDouble)).toInt)
@@ -1058,36 +1092,35 @@ object Similarity {
         trainIters = 0)
       .select(col("qid").as("src"), col("nid").as("dst"), col("cos"))
     // persist, not localCheckpoint: all three consumers (seedChanged, the
-    // anti/semi splits, rerank0's union) run under the single fold-in
-    // action below — a lazy cache dedups the seed computation without a
-    // synchronous materialization job.
+    // anti/semi splits, rerankFlagged's union) run under the single
+    // fold-in action below — a lazy cache dedups the seed computation
+    // without a synchronous materialization job.
     val seedEdges = seedNew.union(seedNew.select(col("dst").as("src"),
       col("src").as("dst"), col("cos"))).persist()
     // Seed fold-in is frontier-bounded too: only srcs receiving a seed
-    // edge re-rank; every other stored row passes through unchanged.
+    // edge re-rank; every other stored row passes through unchanged with
+    // fresh = false (the stored graph pre-dates this fold). rerankFlagged
+    // marks exactly the edges that were NOT already stored as fresh, so
+    // round 1's frontier is the true adopter set — not every neighbor of
+    // a new node.
     val seedChanged = seedEdges.select(col("src")).distinct()
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("cos").desc, col("dst"))
     val keep0 = graph.join(seedChanged, Seq("src"), "left_anti")
-      .select(col("src"), col("rank"), col("dst"), col("cos"))
-    val rerank0 = graph.join(seedChanged, Seq("src"), "left_semi")
-      .select(col("src"), col("dst"), col("cos"))
-      .union(seedEdges)
-      .repartition(col("src"))
-      .dropDuplicates("src", "dst")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= kk)
-      .select(col("src"), col("rank"), col("dst"), col("cos"))
+      .select(col("src"), col("rank"), col("dst"), col("cos"),
+        lit(false).as("fresh"))
+    val rerank0 = rerankFlagged(
+      graph.join(seedChanged, Seq("src"), "left_semi")
+        .select(col("src"), col("dst"), col("cos")),
+      seedEdges, kk)
     var g = keep0.union(rerank0).localCheckpoint()
     seedEdges.unpersist(blocking = false)
     for (r <- 1 to rounds) {
       val prev = g
-      g = descentRoundFrontier(g, normed, kk, seed,
-        knnDescentIncObservation(r), newIds)
+      g = descentRoundFlagged(g, normed, kk, seed,
+        knnDescentIncObservation(r), restrict = true)
       prev.unpersist(blocking = false)
     }
     normed.unpersist(blocking = false)
-    g.filter(col("rank") <= k)
+    g.filter(col("rank") <= k).drop("fresh")
   }
 
   /** Mutual-kNN edge set of a [[knnGraph]] result: (a, b) with a < b kept

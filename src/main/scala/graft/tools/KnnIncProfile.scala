@@ -67,9 +67,6 @@ object KnnIncProfile {
     val kk = 4 * k
     val all = base.select(col("vec_id"), col("embedding"))
       .unionByName(batch.select(col("vec_id"), col("embedding")))
-    val newIds = time("newIds checkpoint") {
-      batch.select(col("vec_id").as("nid")).localCheckpoint()
-    }
     val normed = time("normed persist+count") {
       val n = Similarity.withNorm(all, "vec_id", "embedding",
           "nid", "v_n", "n_n")
@@ -89,26 +86,20 @@ object KnnIncProfile {
         col("src").as("dst"), col("cos"))).localCheckpoint()
     }
     val seedChanged = seedEdges.select(col("src")).distinct()
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("cos").desc, col("dst"))
     val keep0 = g0.join(seedChanged, Seq("src"), "left_anti")
-      .select(col("src"), col("rank"), col("dst"), col("cos"))
-    val rerank0 = g0.join(seedChanged, Seq("src"), "left_semi")
-      .select(col("src"), col("dst"), col("cos"))
-      .union(seedEdges)
-      .repartition(col("src"))
-      .dropDuplicates("src", "dst")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= kk)
-      .select(col("src"), col("rank"), col("dst"), col("cos"))
+      .select(col("src"), col("rank"), col("dst"), col("cos"),
+        lit(false).as("fresh"))
+    val rerank0 = Similarity.rerankFlagged(
+      g0.join(seedChanged, Seq("src"), "left_semi")
+        .select(col("src"), col("dst"), col("cos")),
+      seedEdges, kk)
     var g = time("seed fold-in checkpoint") {
       keep0.union(rerank0).localCheckpoint()
     }
     for (r <- 1 to 2) {
       g = time(s"frontier round $r") {
-        Similarity.descentRoundFrontier(g, normed, kk, 11L,
-          s"prof_r$r", newIds)
+        Similarity.descentRoundFlagged(g, normed, kk, 11L,
+          s"prof_r$r", restrict = true)
       }
     }
     time("final filter+count") { g.filter(col("rank") <= k).count() }

@@ -335,6 +335,65 @@ class SimilaritySpec extends SparkSpec {
     assert(u1 === updated7, "incremental result depends on partitioning")
   }
 
+  test("flagged descent converges: the edge set reaches a fixpoint and " +
+    "fresh-edge volume collapses to at most a capped-out residue") {
+    val emb = t(spark, sfDir, "embeddings").localCheckpoint()
+    val kk = 12
+    val normed = Similarity.withNorm(emb, "vec_id", "embedding",
+      "nid", "v_n", "n_n").repartition(col("nid")).persist()
+    var g = Similarity.knnGraph(emb, "vec_id", "embedding", kk,
+        nCentroids = 8, nProbe = 2, trainIters = 0)
+      .withColumn("fresh", lit(true)).localCheckpoint()
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "rank", "dst", "cos")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    // Iterate until the EDGE SET stabilizes. A fresh count of exactly 0
+    // is not guaranteed: an edge whose src was hash-capped out of every
+    // affected B(v) legitimately keeps its flag and re-proposes its
+    // (already-tried) pairs next round — bounded lingering work, never a
+    // growing edge set. What must hold: the edge set reaches a fixpoint
+    // within a few rounds, and once there, further rounds leave it
+    // unchanged while the fresh count never grows.
+    var prev = edges(g)
+    var stable = false
+    var i = 0
+    var lastFresh = g.filter(col("fresh")).count()
+    while (!stable && i < 10) {
+      g = Similarity.descentRoundFlagged(g, normed, kk, 11L,
+        s"fixpoint_r$i", restrict = true)
+      val cur = edges(g)
+      stable = cur == prev
+      prev = cur
+      lastFresh = g.filter(col("fresh")).count()
+      i += 1
+    }
+    assert(stable, s"edge set still changing after $i rounds")
+    // One more round over the converged graph must not change the edges,
+    // and may only SHED flags: with an unchanged edge set every re-ranked
+    // row merges as was_old (fresh cleared), while capped-out rows at
+    // worst keep theirs — so the lingering-fresh residue never grows.
+    val again = Similarity.descentRoundFlagged(g, normed, kk, 11L,
+      "fixpoint_extra", restrict = true)
+    assert(edges(again) === prev, "converged edge set changed again")
+    assert(again.filter(col("fresh")).count() <= lastFresh,
+      "fresh residue grew on a converged graph")
+    normed.unpersist(blocking = false)
+  }
+
+  test("incremental kNN fold of an EMPTY batch returns the stored graph " +
+    "unchanged") {
+    val emb = t(spark, sfDir, "embeddings").localCheckpoint()
+    val graph = Similarity.knnGraphDescent(emb, "vec_id", "embedding",
+      k = 4, rounds = 1).localCheckpoint()
+    val folded = Similarity.knnGraphIncremental(graph, emb,
+      emb.filter(lit(false)), "vec_id", "embedding", k = 4)
+    val a = graph.select("src", "rank", "dst", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val b = folded.select("src", "rank", "dst", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(a === b, "empty-batch fold must be an identity")
+  }
+
   test("mutual-kNN edges are reciprocated and clusters carry min-id labels") {
     val emb = t(spark, sfDir, "embeddings")
     val knn = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
