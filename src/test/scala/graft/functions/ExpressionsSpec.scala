@@ -52,6 +52,90 @@ class ExpressionsSpec extends SparkSpec {
     native.zip(reference).foreach { case (n, r) => assert(n === r) }
   }
 
+  test("fused centroid_scores matches the composed struct/sort reference, " +
+    "codegen and interpreted, including zero-norm NaN ordering") {
+    // nc = 3, d = 2; all norms > 0 for the parity half — SQL division
+    // cannot express the kernel's IEEE zero-denominator behavior (ANSI
+    // throws; non-ANSI returns NULL, not NaN), so the degenerate path is
+    // asserted directly on the kernel below instead. Ties included:
+    // vec 4 scores 1.0 against centroid 2 and vec 2 scores equal sims on
+    // antipodal centroids, exercising the bucket-desc tie-break.
+    val cents = Array(0.0, 1.0, 1.0, 0.0, 0.6, 0.8)
+    val cnorms = Array(1.0, 1.0, 1.0)
+    val table = CentroidTable(cents, cnorms, 2)
+    val df = Seq(
+      (1L, Seq(1.0, 2.0)), (2L, Seq(-1.0, 0.0)),
+      (4L, Seq(0.6, 0.8)), (5L, Seq(3.0, -4.0)))
+      .toDF("id", "v")
+      .withColumn("n", sqrt(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (a, b) => a + b)))
+    val refCol = sort_array(array((0 until 3).map { i =>
+      val dot = col("v").getItem(0) * lit(cents(2 * i)) +
+        col("v").getItem(1) * lit(cents(2 * i + 1))
+      struct((dot / (col("n") * lit(cnorms(i)))).as("sim"),
+        lit(i).as("bucket"))
+    }: _*), asc = false)
+    def rows(c: org.apache.spark.sql.Column): Seq[(Long, Seq[(Double, Int)])] =
+      df.select(col("id"), c.as("s")).collect().toSeq
+        .map { r =>
+          r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(e => (e.getDouble(0), e.getInt(1)))
+        }.sortBy(_._1)
+    def run(): (Seq[(Long, Seq[(Double, Int)])], Seq[(Long, Seq[(Double, Int)])]) =
+      (rows(CentroidExpressions.centroidScores(spark, col("v"), col("n"),
+        table)), rows(refCol))
+    // The kernel's division is raw IEEE float math (x/0 → ±Inf, 0/0 →
+    // NaN, never an error): the composed reference must run with ANSI
+    // off or its Divide throws DIVIDE_BY_ZERO on the zero-norm centroid.
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+    val (f1, r1) = run()
+    // element-wise with boxed-equality semantics (NaN == NaN for java
+    // Double.equals; tuple == uses primitive ==, which NaN fails)
+    def same(a: Seq[(Long, Seq[(Double, Int)])],
+        b: Seq[(Long, Seq[(Double, Int)])]): Unit =
+      a.zip(b).foreach { case ((ida, sa), (idb, sb)) =>
+        assert(ida === idb)
+        assert(sa.length === sb.length)
+        sa.zip(sb).foreach { case ((simA, bktA), (simB, bktB)) =>
+          assert(java.lang.Double.valueOf(simA)
+            .equals(java.lang.Double.valueOf(simB)),
+            s"id=$ida sim $simA != $simB")
+          assert(bktA === bktB, s"id=$ida bucket order differs")
+        }
+      }
+    same(f1, r1)
+    // interpreted path (forces Expression.eval over doGenCode)
+    val prevWs = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFm = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val (f2, r2) = run()
+      same(f2, r2)
+      same(f1, f2)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
+      prevFm.foreach(spark.conf.set("spark.sql.codegen.factoryMode", _))
+      if (prevFm.isEmpty)
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    // Degenerate zero-norm path, asserted on the kernel directly: sims
+    // are all NaN (0/0), NaN sorts FIRST under the nan-safe descending
+    // order, and exact-tie buckets come out descending — deterministic,
+    // never an error (unlike SQL division).
+    val zeroV = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(0.0, 0.0))
+    val res = NativeKernels.centroidScores(zeroV, 0.0, cents, cnorms, 2)
+    val sims = (0 until 3).map(i =>
+      res.getStruct(i, 2).getDouble(0))
+    val buckets = (0 until 3).map(i => res.getStruct(i, 2).getInt(1))
+    assert(sims.forall(_.isNaN), s"expected all-NaN sims, got $sims")
+    assert(buckets === Seq(2, 1, 0), "NaN ties must break bucket-desc")
+  }
+
   test("ngram_gen: one row per window, position-tagged, edge cases empty") {
     HashExpressions.register(spark)
     val rows = Seq(
