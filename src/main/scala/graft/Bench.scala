@@ -160,10 +160,16 @@ object Bench {
       val joinTier = Seq("asof_join_native", "asof_join_bucketed",
         "interval_join_binned", "global_shuffle_order", "dataset_diff",
         "dedup_clusters_incremental", "multimodal_frames")
-      val growthQueries = graft.queries.PipelineQueries.timed ++
+      // Timed overrides LAST: a key present in both a contract map and a
+      // timed map must resolve to the timed form here, or the growth
+      // ratio's small-sf denominator would time the contract while the
+      // numerator timed the operator.
+      val growthQueries =
         graft.streaming.StreamingQueries.queries.view
           .filterKeys(_.startsWith("streaming_")).toMap ++
-        joinTier.flatMap(n => SparkEntry.benchQueries.get(n).map(n -> _))
+        joinTier.flatMap(n => SparkEntry.benchQueries.get(n).map(n -> _)) ++
+        graft.queries.PipelineQueries.timed ++
+        graft.streaming.StreamingQueries.timed
       if (new java.io.File(smallDir).isDirectory && smallDir != sfDir) {
         obs.snapshotAndClear(spark) // drop sweep/envelope noise before small
         val entries = growthQueries.toSeq
