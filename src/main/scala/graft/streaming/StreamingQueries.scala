@@ -104,15 +104,28 @@ object StreamingQueries {
     * directories instead of double-appending, and the anti-join below
     * keeps its recomputation byte-identical.
     */
+  /** Staged 3-file input per source dir — scaffolding, not operator: the
+    * split is deterministic (vec_id % 3 of the same table) and read-only
+    * once written, so reps and the contract/timed pair share it; each RUN
+    * still gets a fresh work dir (checkpoint/corpus/index/pairs), which
+    * is what must start empty (the bpe_encode memoization pattern).
+    */
+  private val embIndexInCache =
+    new scala.collection.concurrent.TrieMap[String, String]
+
   private def runEmbeddingIndexStream(s: SparkSession,
       dir: String): EmbeddingIndexRun = {
     val stage = Files.createTempDirectory("graft-semb-").toString
     val emb = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    (0 until 3).foreach { i =>
-      emb.filter(col("vec_id") % 3 === i).coalesce(1)
-        .write.parquet(s"$stage/in/f$i.parquet")
-    }
+    val inDir = embIndexInCache.getOrElseUpdate(dir, {
+      val d = Files.createTempDirectory("graft-semb-in-").toString
+      (0 until 3).foreach { i =>
+        emb.filter(col("vec_id") % 3 === i).coalesce(1)
+          .write.parquet(s"$d/f$i.parquet")
+      }
+      d
+    })
     // Fixed across the run AND the from-scratch comparison: bucket count
     // sized to the full corpus (the production choice — an index cannot
     // re-bit per ingest without a rebuild).
@@ -134,7 +147,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = s.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$stage/in/*.parquet")
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet")
         .writeStream
         .option("checkpointLocation", s"$stage/ckpt")
         .trigger(Trigger.AvailableNow())
