@@ -107,6 +107,170 @@ object TextAnalysis {
         col("df"), col("tfidf"))
   }
 
+  /** BM25 query→corpus retrieval: top-`k` documents per query under the
+    * Robertson/Sparck-Jones Okapi BM25 ranking (Lucene's idf form,
+    * ln((N − df + 0.5)/(df + 0.5) + 1), which never goes negative).
+    *
+    * Every per-term contribution is snapped to a FIXED-POINT long
+    * (floor(idf·tfNorm·1e6 + 0.5)) before the per-(query, doc) sum: double
+    * addition is order-sensitive and Spark/DuckDB aggregate in different
+    * orders, but long addition is associative, so the summed score — and
+    * therefore the ranking — is bit-identical in any engine and any
+    * partitioning. k1/b default to 1.5/0.75, both exactly representable in
+    * binary, so k1+1 and 1−b are exact on both sides of the oracle too.
+    *
+    * Shape at scale: tf is one (doc, term) hash agg (map-side combined,
+    * materialized — it feeds df, dl, and scoring); df and dl are second-phase
+    * aggs over tf's output, vocabulary- and corpus-row-sized respectively.
+    * Query terms join df broadcast-side into a per-term stats table of
+    * #query-terms rows, which broadcasts onto tf — so the corpus is pruned to
+    * candidate postings (Σ df over query terms — inverted-index volume, not
+    * corpus volume) with NO shuffle before the doc-keyed dl join; the
+    * (query, doc) score agg reuses that doc partitioning (doc ⊆ group key ⇒
+    * ClusteredDistribution satisfied, no extra exchange) and the final top-k
+    * window shuffles only scored candidates by query.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, queryIdCol: String, queryTextCol: String, k: Int,
+      queryTerms: Int = 8, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
+    val n = docs.count().toDouble
+    val avgdl = dl.agg(sum(col("dl"))).head.getLong(0).toDouble / n
+    val qterms = bm25QueryTerms(queries, queryIdCol, queryTextCol, queryTerms)
+    // per-query-term stats: #query-terms rows — broadcast onto the postings
+    val qstats = dfreq.join(broadcast(qterms), "term")
+    val contrib = tf.join(broadcast(qstats), "term").join(dl, "doc")
+      .withColumn("c", bm25Contrib(n, avgdl, k1, b))
+    bm25Rank(contrib, k, queryIdCol, idCol)
+  }
+
+  /** Distinct (qid, term) pairs from the first `queryTerms` tokens. */
+  private def bm25QueryTerms(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, queryTerms: Int): DataFrame =
+    queries.select(col(queryIdCol).as("qid"),
+        explode(slice(tokens(col(queryTextCol)), 1, queryTerms)).as("term"))
+      .distinct()
+
+  /** One term's fixed-point BM25 contribution over (tf, df, dl) columns.
+    * The expression TREE (parenthesization included) is what makes the
+    * from-scratch and indexed paths — and the oracle SQL — bit-identical:
+    * every input is an exact long or a binary-exact constant, so both
+    * engines run the same IEEE double ops in the same order before the snap.
+    */
+  private def bm25Contrib(n: Double, avgdl: Double, k1: Double,
+      b: Double): Column =
+    floor(
+      log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))) *
+        lit(1e6) + lit(0.5))
+
+  /** Shared scoring tail: associative long-sum per (query, doc), dense
+    * top-k ranks per query. The (qid, doc) agg reuses the upstream doc
+    * partitioning (doc ⊆ group key); only scored candidates shuffle to the
+    * per-query window.
+    */
+  private def bm25Rank(contrib: DataFrame, k: Int, queryIdCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_fx").desc, col("doc").asc)
+    contrib.groupBy(col("qid"), col("doc"))
+      .agg(sum(col("c")).as("score_fx"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(queryIdCol), col("rank"), col("doc").as(idCol),
+        (col("score_fx") / lit(1e6)).as("score"))
+  }
+
+  /** Build a persisted, segment-structured inverted index for [[bm25TopK]]
+    * at `path` — the 100 TB serving shape: build once, [[appendToTextIndex]]
+    * per ingest batch, [[queryTextIndex]] many times touching only
+    * hash(term)-pruned bucket directories. Everything the scorer needs is
+    * ADDITIVE across disjoint doc batches — postings rows are per-doc, df is
+    * a per-term doc count, and the corpus stats are one (n_docs, total_len)
+    * row — so an append writes only the new batch's aggregates (history is
+    * never re-read; Lucene's segment model) and query-time merge is a sum
+    * over per-batch rows. Batch subdirs are overwrite-mode keyed by
+    * `batchId`: a replayed append is idempotent (exactly-once under retry).
+    */
+  def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 16, batchId: Long = 0L): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    appendToTextIndex(docs, idCol, textCol, path, batchId)
+  }
+
+  /** Append one disjoint doc batch to a [[buildTextIndex]] index. */
+  def appendToTextIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    // one (doc, term) agg feeds postings, df, norms and the stats row
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .localCheckpoint()
+    tf.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings/batch=$batchId")
+    tf.groupBy(col("bucket"), col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/df/batch=$batchId")
+    val norms = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
+    norms.write.mode("overwrite").parquet(s"$path/norms/batch=$batchId")
+    norms.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats/batch=$batchId")
+  }
+
+  /** BM25 top-`k` over a persisted index — exact same ranking as a
+    * from-scratch [[bm25TopK]] over the union of all appended batches
+    * (contract-checked): the scorer inputs (tf, summed df, dl, summed
+    * stats) are identical longs, and the contribution expression is shared.
+    * The probed bucket set is collected from the (tiny) query-term list and
+    * pushed as LITERAL partition filters, so the postings and df scans read
+    * only matching bucket=N directories — inverted-index I/O, not corpus
+    * I/O.
+    */
+  def queryTextIndex(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, path: String, idCol: String, k: Int,
+      queryTerms: Int = 8, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    val spark = queries.sparkSession
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val qterms = bm25QueryTerms(queries, queryIdCol, queryTextCol, queryTerms)
+      .localCheckpoint()
+    val buckets = qterms
+      .select(pmod(hash(col("term")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")), sum(col("total_dl"))).head()
+    val n = st.getLong(0).toDouble
+    val avgdl = st.getLong(1).toDouble / n
+    val dfreq = spark.read.parquet(s"$path/df")
+      .filter(col("bucket").isin(buckets: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val qstats = dfreq.join(broadcast(qterms), "term")
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("doc"), col("term"), col("tf"))
+    val norms = spark.read.parquet(s"$path/norms")
+      .select(col("doc"), col("dl"))
+    val contrib = postings.join(broadcast(qstats), "term").join(norms, "doc")
+      .withColumn("c", bm25Contrib(n, avgdl, k1, b))
+    bm25Rank(contrib, k, queryIdCol, idCol)
+  }
+
   /** Per-document mean log-probability under an add-one-smoothed bigram
     * language model trained on `ref` (the corpus itself by default) — the
     * statistical quality score that separates fluent text from gibberish the

@@ -1242,6 +1242,56 @@ object PipelineQueries {
           k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // BM25 query→corpus retrieval: 5 query docs (first 8 tokens each)
+    // against the full corpus, top-5 per query. Per-term contributions are
+    // fixed-point longs before the (query, doc) sum, so the score — and the
+    // ranking — is engine- and partitioning-exact (long addition is
+    // associative where double addition is not); k1=1.5 / b=0.75 are
+    // binary-exact so both engines evaluate the identical expression tree.
+    "bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+      TextAnalysis.bm25TopK(docs, qs, "doc_id", "text",
+          "query_id", "text", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Segment-structured persisted inverted index (Lucene's model, Spark
+    // form): built from one doc batch, a second DISJOINT batch appended
+    // without re-reading the first (postings/df/stats are all additive),
+    // then queried with literal bucket partition pruning. Contract: the
+    // indexed ranking — scores included — EQUALS a from-scratch bm25TopK of
+    // the full corpus (fixed-point contributions make that equality exact,
+    // not approximate), both segments exist, and the pruned postings scan
+    // carries PartitionFilters (index I/O, not corpus I/O).
+    "bm25_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-bm25-idx-").toString
+      TextAnalysis.buildTextIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", path, nBuckets = 16, batchId = 0L)
+      TextAnalysis.appendToTextIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", path, batchId = 1L)
+      val stored = TextAnalysis.queryTextIndex(qs, "query_id", "text", path,
+        "doc_id", k = 5).localCheckpoint()
+      val scratch = TextAnalysis.bm25TopK(docs, qs, "doc_id", "text",
+        "query_id", "text", k = 5)
+      val plan = TextAnalysis.queryTextIndex(qs, "query_id", "text", path,
+        "doc_id", k = 5).queryExecution.executedPlan.toString
+      val segments = new java.io.File(s"$path/postings").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("batch="))
+      Contracts.row(s,
+        "n_queries" -> qs.count(),
+        "equals_full_run_ok" ->
+          (Contracts.checksum(stored) == Contracts.checksum(scratch)),
+        "segments_ok" -> (segments == 2),
+        "bucket_pruned_ok" ->
+          (plan.contains("PartitionFilters") && plan.contains("bucket")))
+    }),
+
     // Readability-style metrics (sentence marks, words/sentence, mean word
     // length) — the cheap quality filters a corpus pipeline runs per doc.
     "text_readability" -> ((s, dir) => {
@@ -1530,6 +1580,14 @@ object PipelineQueries {
   private val knnBaseCache =
     new scala.collection.concurrent.TrieMap[String, (String, Long)]
 
+  /** Per-dir memo of the persisted BM25 index path (timed form only):
+    * index CONSTRUCTION is a one-off ingest cost — the serving-path number
+    * a bench should track is pruned-scan query latency. Same persisted-
+    * index pattern as the kNN base cache above.
+    */
+  private val bm25IndexCache =
+    new scala.collection.concurrent.TrieMap[String, String]
+
   /** Bench-only timing variants (see SparkEntry.benchQueries): the contract
     * queries above run the operator PLUS its verification harness — exact
     * quadratic baselines, recomputation joins, repartition re-runs — which
@@ -1540,6 +1598,27 @@ object PipelineQueries {
     * correctness coverage is unchanged.
     */
   val timed: Map[String, Q] = Map(
+    // The timer covers queryTextIndex only — bucket-pruned postings scan,
+    // broadcast term-stats join, (query, doc) sum, top-k window. Build +
+    // append are memoized per dir (one-off ingest cost; the contract form
+    // in Verify still runs the full build-append-compare harness).
+    "bm25_indexed" -> ((s, dir) => {
+      val path = bm25IndexCache.getOrElseUpdate(dir, {
+        val docs = t(s, dir, "documents")
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-bm25-bench-").toString
+        TextAnalysis.buildTextIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", p, nBuckets = 16, batchId = 0L)
+        TextAnalysis.appendToTextIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", p, batchId = 1L)
+        p
+      })
+      val qs = t(s, dir, "documents").filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+      TextAnalysis.queryTextIndex(qs, "query_id", "text", path,
+        "doc_id", k = 5)
+    }),
+
     // Auto bin width memoized per dir (same pattern as the BPE merge
     // cache): the approxQuantile is one-off data statistics — at 0.2 s it
     // would dominate the sub-second small-sf denominator of the
@@ -1997,6 +2076,49 @@ object PipelineQueries {
         |)
         |SELECT doc_id, rank, term, tf, df, tfidf FROM scored
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "bm25_indexed" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 5)
+        |    AS n_queries,
+        |  TRUE AS equals_full_run_ok, TRUE AS segments_ok,
+        |  TRUE AS bucket_pruned_ok""".stripMargin,
+
+    "bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+        |), dl AS (
+        |  SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+        |    (SELECT sum(dl)::DOUBLE FROM dl)
+        |      / (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+        |), qterms AS (
+        |  SELECT DISTINCT doc_id AS query_id,
+        |    unnest((string_split_regex(trim(lower(text)), '\s+'))[1:8])
+        |      AS term
+        |  FROM documents WHERE doc_id < 5
+        |), contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    floor(ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.5)
+        |      / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / s.avgdl))
+        |      * 1e6 + 0.5)::BIGINT AS c
+        |  FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term)
+        |    JOIN dl USING (doc_id) CROSS JOIN stats s
+        |), scored AS (
+        |  SELECT query_id, doc_id, sum(c)::BIGINT AS score_fx,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sum(c) DESC, doc_id ASC)::BIGINT AS rank
+        |  FROM contrib GROUP BY query_id, doc_id
+        |)
+        |SELECT query_id, rank, doc_id, score_fx / 1e6 AS score
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "curation_pipeline" ->
       """WITH base AS (

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 docs, N=4, total tokens 10 → avgdl = 2.5 (exact in binary)
+  private lazy val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry date date"),
+    (4L, "apple cherry")).toDF("doc_id", "text")
+
+  private def run(q: Seq[(Long, String)], k: Int = 5) =
+    TextAnalysis.bm25TopK(docs, q.toDF("query_id", "text"),
+        "doc_id", "text", "query_id", "text", k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+
+  // the operator's exact formula, recomputed independently on the driver
+  private def score(tf: Double, dl: Double, df: Double, n: Double,
+      avgdl: Double): Double = {
+    val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    math.floor(idf * (tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl)) *
+      1e6 + 0.5) / 1e6
+  }
+
+  test("single-term query matches hand computation, higher-tf doc first") {
+    val out = run(Seq((100L, "apple")))
+    // postings of "apple": doc 1 (tf=2, dl=3) and doc 4 (tf=1, dl=2); df=2
+    assert(out.toSeq == Seq(
+      (100L, 1L, 1L, score(2, 3, 2, 4, 2.5)),
+      (100L, 2L, 4L, score(1, 2, 2, 4, 2.5))))
+  }
+
+  test("docs sharing no query term are never candidates") {
+    val out = run(Seq((7L, "date")))
+    assert(out.map(_._3).toSet == Set(3L))
+  }
+
+  test("a document used verbatim as the query retrieves itself first") {
+    val out = run(Seq((1L, "apple banana apple")))
+    assert(out.head._2 == 1L && out.head._3 == 1L)
+  }
+
+  test("multi-term scores are the sum of fixed-point term contributions") {
+    val out = run(Seq((5L, "banana cherry")))
+    // doc 2 contains both terms (tf=1 each, dl=2, df(banana)=2,
+    // df(cherry)=3): its score is the SUM of the two snapped contributions
+    val d2 = out.find(_._3 == 2L).get
+    val want = score(1, 2, 2, 4, 2.5) + score(1, 2, 3, 4, 2.5)
+    assert(math.abs(d2._4 - want) < 1e-9)
+    assert(d2._2 == 1L, "the only both-terms doc must rank first")
+  }
+
+  test("fixed-point scoring is partition-invariant") {
+    val q = Seq((100L, "apple cherry")).toDF("query_id", "text")
+    val a = TextAnalysis.bm25TopK(docs, q,
+      "doc_id", "text", "query_id", "text", 5).collect().toSeq
+    val b = TextAnalysis.bm25TopK(docs.repartition(7), q,
+      "doc_id", "text", "query_id", "text", 5).collect().toSeq
+    assert(a.sortBy(_.getLong(1)) == b.sortBy(_.getLong(1)))
+  }
+
+  test("k bounds the result and ranks are dense from 1") {
+    val out = run(Seq((9L, "apple banana cherry date")), k = 2)
+    assert(out.length == 2 && out.map(_._2).toSeq == Seq(1L, 2L))
+  }
+
+  test("duplicate query terms weigh once (DISTINCT semantics)") {
+    val once = run(Seq((1L, "apple")))
+    val twice = run(Seq((1L, "apple apple")))
+    assert(once.toSeq == twice.toSeq)
+  }
+
+  test("segmented index reproduces the from-scratch ranking exactly") {
+    import org.apache.spark.sql.functions.col
+    val path = tmpDir("bm25-idx")
+    TextAnalysis.buildTextIndex(docs.filter(col("doc_id") <= 2),
+      "doc_id", "text", path, nBuckets = 8, batchId = 0L)
+    TextAnalysis.appendToTextIndex(docs.filter(col("doc_id") > 2),
+      "doc_id", "text", path, batchId = 1L)
+    val q = Seq((100L, "apple cherry date")).toDF("query_id", "text")
+    val stored = TextAnalysis.queryTextIndex(q, "query_id", "text", path,
+      "doc_id", k = 5).collect().toSeq.sortBy(_.getLong(1))
+    val scratch = TextAnalysis.bm25TopK(docs, q, "doc_id", "text",
+      "query_id", "text", k = 5).collect().toSeq.sortBy(_.getLong(1))
+    assert(stored == scratch)
+  }
+
+  test("replayed append is idempotent (overwrite-mode segment)") {
+    import org.apache.spark.sql.functions.col
+    val path = tmpDir("bm25-idx-replay")
+    TextAnalysis.buildTextIndex(docs.filter(col("doc_id") <= 2),
+      "doc_id", "text", path, nBuckets = 8, batchId = 0L)
+    TextAnalysis.appendToTextIndex(docs.filter(col("doc_id") > 2),
+      "doc_id", "text", path, batchId = 1L)
+    // crash-replay: the same batch lands again under the same batchId
+    TextAnalysis.appendToTextIndex(docs.filter(col("doc_id") > 2),
+      "doc_id", "text", path, batchId = 1L)
+    val q = Seq((100L, "banana")).toDF("query_id", "text")
+    val stored = TextAnalysis.queryTextIndex(q, "query_id", "text", path,
+      "doc_id", k = 5).collect().toSeq.sortBy(_.getLong(1))
+    val scratch = TextAnalysis.bm25TopK(docs, q, "doc_id", "text",
+      "query_id", "text", k = 5).collect().toSeq.sortBy(_.getLong(1))
+    assert(stored == scratch)
+  }
+
+  test("query-time scans are bucket-pruned to the query terms' buckets") {
+    import org.apache.spark.sql.functions.col
+    val path = tmpDir("bm25-idx-prune")
+    TextAnalysis.buildTextIndex(docs, "doc_id", "text", path,
+      nBuckets = 8, batchId = 0L)
+    val q = Seq((100L, "apple")).toDF("query_id", "text")
+    val plan = TextAnalysis.queryTextIndex(q, "query_id", "text", path,
+      "doc_id", k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    // one query term → exactly one bucket literal in the partition filter
+    assert(plan.contains("bucket"), plan.take(1500))
+  }
+}
