@@ -204,11 +204,21 @@ object TextAnalysis {
     */
   def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 16, batchId: Long = 0L): Unit = {
-    val spark = docs.sparkSession
+    initTextIndex(docs.sparkSession, path, nBuckets)
+    appendToTextIndex(docs, idCol, textCol, path, batchId)
+  }
+
+  /** Write the index metadata (bucket count) only — the create-before-ingest
+    * step a streaming maintainer runs once; batches then arrive solely via
+    * [[appendToTextIndex]]. The bucket count is fixed for the index's
+    * lifetime (a re-bucket is a rebuild), which is why it lives in a meta
+    * file rather than a parameter the reader could get wrong.
+    */
+  def initTextIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      nBuckets: Int = 16): Unit = {
     import spark.implicits._
     Seq(nBuckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    appendToTextIndex(docs, idCol, textCol, path, batchId)
   }
 
   /** Append one disjoint doc batch to a [[buildTextIndex]] index. */

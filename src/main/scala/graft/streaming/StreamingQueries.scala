@@ -195,6 +195,61 @@ object StreamingQueries {
       batches.get())
   }
 
+  /** Staged 3-file documents input per source dir (same scaffolding
+    * pattern as [[embIndexInCache]]): deterministic doc_id % 3 split,
+    * written once, shared by the contract and timed forms.
+    */
+  private val textIndexInCache =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Streaming maintenance of the persisted BM25 inverted index
+    * ([[graft.operators.TextAnalysis.buildTextIndex]]'s segment model,
+    * continuously ingested): meta is written once before the stream starts
+    * (create-before-ingest), then each micro-batch lands as one additive
+    * segment via `appendToTextIndex` — postings, df and corpus stats are
+    * all per-batch aggregates, so NO history is re-read on any batch and a
+    * replayed batch (overwrite-mode batchId subdirs) is idempotent. At
+    * 100 TB this is the ingest path of a live retrieval index: per-batch
+    * cost is O(batch), the query path merges per-segment df/stats by sum.
+    */
+  private def runTextIndexStream(s: SparkSession,
+      dir: String): (String, Long) = {
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val inDir = textIndexInCache.getOrElseUpdate(dir, {
+      val d = Files.createTempDirectory("graft-stxt-in-").toString
+      (0 until 3).foreach { i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.parquet(s"$d/f$i.parquet")
+      }
+      d
+    })
+    val stage = Files.createTempDirectory("graft-stxt-").toString
+    val idxPath = s"$stage/idx"
+    graft.operators.TextAnalysis.initTextIndex(s, idxPath, nBuckets = 16)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    // batch-sized joins/aggs per micro-batch — 8 shuffle partitions, the
+    // runToTable lesson; restored after the fold
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet")
+        .writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            graft.operators.TextAnalysis.appendToTextIndex(b, "doc_id",
+              "text", idxPath, id)
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+    (idxPath, batches.get())
+  }
+
   /** Bench overrides (the [[graft.queries.PipelineQueries.timed]] pattern):
     * the contract form above runs a full from-scratch LSH pass and two
     * set-equality baselines — QA harness, not operator. The timed form is
@@ -202,7 +257,15 @@ object StreamingQueries {
     */
   val timed: Map[String, Q] = Map(
     "streaming_embedding_index" -> ((s, dir) =>
-      runEmbeddingIndexStream(s, dir).accumulated))
+      runEmbeddingIndexStream(s, dir).accumulated),
+    // fold + one pruned serving query (reads only the final index)
+    "streaming_text_index" -> ((s, dir) => {
+      val (idxPath, _) = runTextIndexStream(s, dir)
+      val qs = Tables.t(s, dir, "documents").filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+      graft.operators.TextAnalysis.queryTextIndex(qs, "query_id", "text",
+        idxPath, "doc_id", k = 5)
+    }))
 
   /** transformWithState processor: per-user running (count, sum) in a
     * ValueState. The v2 arbitrary-state API (Spark 4): typed state handles
@@ -707,6 +770,31 @@ object StreamingQueries {
           Seq("tbl", "bucket", "id")))
     }),
 
+    // Streaming maintenance of the persisted BM25 index: 3 micro-batches
+    // each append one additive segment (postings/df/stats), history never
+    // re-read. Contract: a serving query over the streamed index EQUALS —
+    // scores included, via the fixed-point contributions — a from-scratch
+    // bm25TopK of the full corpus, and one segment exists per batch.
+    "streaming_text_index" -> ((s, dir) => {
+      val (idxPath, nb) = runTextIndexStream(s, dir)
+      val docs = Tables.t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val stored = graft.operators.TextAnalysis.queryTextIndex(qs,
+        "query_id", "text", idxPath, "doc_id", k = 5).localCheckpoint()
+      val scratch = graft.operators.TextAnalysis.bm25TopK(docs, qs,
+        "doc_id", "text", "query_id", "text", k = 5)
+      val segs = new java.io.File(s"$idxPath/postings").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("batch="))
+      graft.queries.Contracts.row(s,
+        "n_docs" -> docs.count(),
+        "multi_batch_ok" -> (nb >= 3L),
+        "segments_match_batches_ok" -> (segs.toLong == nb),
+        "query_equals_scratch_ok" ->
+          (graft.queries.Contracts.checksum(stored) ==
+            graft.queries.Contracts.checksum(scratch)))
+    }),
+
     // The reference's full event flow as ONE streaming query: parquet →
     // publish to queue → format("graft-queue") micro-batch source →
     // from_json → aggregate. Matching the oracle run directly on the source
@@ -940,6 +1028,11 @@ object StreamingQueries {
         |  TRUE AS multi_batch_ok, TRUE AS pairs_well_formed_ok,
         |  TRUE AS equals_batch_run_ok,
         |  TRUE AS index_equals_full_ok""".stripMargin,
+
+    "streaming_text_index" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  TRUE AS multi_batch_ok, TRUE AS segments_match_batches_ok,
+        |  TRUE AS query_equals_scratch_ok""".stripMargin,
 
     "streaming_dedup_watermark" ->
       """SELECT event_type, count(*) AS n FROM events
