@@ -244,6 +244,44 @@ object TextAnalysis {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats/batch=$batchId")
   }
 
+  /** Merge all accumulated segments into ONE (Lucene's segment merge):
+    * many small per-batch files degrade scan fan-in over time, and the
+    * merge is pure aggregation — postings rows are already per-(doc, term)
+    * within disjoint batches so they only re-bucket-partition, df re-sums
+    * per term, norms union, stats re-sum to a single row. Written to
+    * batch=0 of a fresh directory then atomically swapped in via rename;
+    * a [[queryTextIndex]] result is IDENTICAL before and after (the
+    * query-time merge already sums per-segment rows — compaction just
+    * makes that sum trivial).
+    */
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val stage = s"$path/.compact"
+    initTextIndex(spark, stage, nBuckets)
+    spark.read.parquet(s"$path/postings")
+      .select(col("doc"), col("term"), col("tf"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$stage/postings/batch=0")
+    spark.read.parquet(s"$path/df")
+      .groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$stage/df/batch=0")
+    spark.read.parquet(s"$path/norms").select(col("doc"), col("dl"))
+      .write.mode("overwrite").parquet(s"$stage/norms/batch=0")
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
+    st.coalesce(1).write.mode("overwrite").parquet(s"$stage/stats/batch=0")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("postings", "df", "norms", "stats").foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$d"),
+        new org.apache.hadoop.fs.Path(s"$path/$d"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
   /** BM25 top-`k` over a persisted index — exact same ranking as a
     * from-scratch [[bm25TopK]] over the union of all appended batches
     * (contract-checked): the scorer inputs (tf, summed df, dl, summed

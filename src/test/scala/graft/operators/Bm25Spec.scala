@@ -108,6 +108,33 @@ class Bm25Spec extends SparkSpec {
     assert(stored == scratch)
   }
 
+  test("compaction merges segments without changing any served ranking") {
+    import org.apache.spark.sql.functions.col
+    val path = tmpDir("bm25-idx-compact")
+    TextAnalysis.buildTextIndex(docs.filter(col("doc_id") <= 2),
+      "doc_id", "text", path, nBuckets = 8, batchId = 0L)
+    TextAnalysis.appendToTextIndex(docs.filter(col("doc_id") > 2),
+      "doc_id", "text", path, batchId = 1L)
+    val q = Seq((100L, "apple cherry date")).toDF("query_id", "text")
+    val before = TextAnalysis.queryTextIndex(q, "query_id", "text", path,
+      "doc_id", k = 5).collect().toSeq.sortBy(_.getLong(1))
+    TextAnalysis.compactTextIndex(spark, path)
+    val after = TextAnalysis.queryTextIndex(q, "query_id", "text", path,
+      "doc_id", k = 5).collect().toSeq.sortBy(_.getLong(1))
+    assert(after == before)
+    val segs = new java.io.File(s"$path/postings").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(segs == 1, "compaction must leave exactly one segment")
+    // the index stays appendable after a compaction
+    TextAnalysis.appendToTextIndex(
+      Seq((9L, "apple fig")).toDF("doc_id", "text"),
+      "doc_id", "text", path, batchId = 7L)
+    val grown = TextAnalysis.queryTextIndex(
+      Seq((100L, "fig")).toDF("query_id", "text"),
+      "query_id", "text", path, "doc_id", k = 5).collect()
+    assert(grown.map(_.getLong(2)).toSet == Set(9L))
+  }
+
   test("query-time scans are bucket-pruned to the query terms' buckets") {
     import org.apache.spark.sql.functions.col
     val path = tmpDir("bm25-idx-prune")
