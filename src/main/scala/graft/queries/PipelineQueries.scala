@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions.HashExpressions
-import graft.operators.{Bpe, Chunking, Decontaminate, Dedup, Embeddings, Multimodal, Packing, Redaction, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bpe, Chunking, Decontaminate, Dedup, Embeddings, Multimodal, Packing, QualityModel, Redaction, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operators (builder mandate + SURVEY.md §7.3):
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
@@ -1138,6 +1138,57 @@ object PipelineQueries {
     "text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    // The trained-quality-filter feature map, exact: token count, mean word
+    // length, stopword ratio, distinct-token ratio — exact integer counts +
+    // one IEEE division each, floor-rounded for engine-exact comparison.
+    // This is the scan-side half of quality_classifier with a full
+    // row/hash-equality oracle (the training half is contract-checked).
+    "quality_features" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+      QualityModel.featurize(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+          r6(col("mean_wlen")).as("mean_wlen_r"),
+          r6(col("stop_ratio")).as("stop_ratio_r"),
+          r6(col("distinct_ratio")).as("distinct_ratio_r"))
+    }),
+
+    // Trained quality classifier (QualityModel): Newton-fit logistic
+    // regression distilling a weak curation label, the fastText-style
+    // "train a cheap linear filter, score everything" pipeline stage.
+    // Contracts: the accepted-step loss sequence strictly decreases (line
+    // search guarantees it — a broken gradient/Hessian aggregation would
+    // stall it at iteration 1), the final gradient certifies convergence,
+    // training accuracy vs the weak label clears a swept floor (measured
+    // 0.82–0.86 at every sf; the label is an AND of thresholds, carved by
+    // the x1·x2 interaction), scores are valid probabilities, and an
+    // independent fit on a repartitioned corpus scores every document
+    // within 1e-4 (strict convexity → unique optimum; see scaladoc).
+    "quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fit = QualityModel.train(docs, "doc_id", "text")
+      val scored = QualityModel.score(docs, "doc_id", "text", fit.weights)
+        .localCheckpoint()
+      val acc = scored
+        .join(QualityModel.featurize(docs, "doc_id", "text")
+          .select(col("doc_id"), QualityModel.weakLabel.as("y")), "doc_id")
+        .agg(avg(((col("score") >= 0.5) === (col("y") >= 0.5))
+          .cast("double"))).head().getDouble(0)
+      val refit = QualityModel.train(docs.repartition(7), "doc_id", "text")
+      val scored2 = QualityModel.score(docs, "doc_id", "text", refit.weights)
+        .select(col("doc_id"), col("score").as("score2"))
+      Contracts.row(s,
+        "n_docs" -> docs.count(),
+        "loss_strictly_decreases_ok" ->
+          (fit.losses.size >= 2 &&
+            fit.losses.sliding(2).forall(p => p(1) < p(0))),
+        "converged_ok" -> (fit.gradInf <= 1e-3 * fit.n),
+        "accuracy_floor_ok" -> (acc >= 0.75),
+        "scores_in_range_ok" -> Contracts.forAll(scored,
+          col("score") >= 0.0 && col("score") <= 1.0),
+        "fit_partition_invariant_ok" -> scored.join(scored2, "doc_id")
+          .filter(abs(col("score") - col("score2")) > 1e-4).isEmpty)
+    }),
+
     // Gopher-style quality-rule battery: within-doc repetition (duplicate
     // bigram ratio — the classic repeated-n-gram filter), alphabetic-token
     // ratio, and mean token length, plus the composed keep flag. All
@@ -1598,6 +1649,15 @@ object PipelineQueries {
     * correctness coverage is unchanged.
     */
   val timed: Map[String, Q] = Map(
+    // The timer covers one Newton fit + the scoring projection (the
+    // operator); the contract form retrains on a repartitioned corpus and
+    // runs the verification joins — QA harness, not operator.
+    "quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fit = QualityModel.train(docs, "doc_id", "text")
+      QualityModel.score(docs, "doc_id", "text", fit.weights)
+    }),
+
     // The timer covers queryTextIndex only — bucket-pruned postings scan,
     // broadcast term-stats join, (query, doc) sum, top-k window. Build +
     // append are memoized per dir (one-off ingest cost; the contract form
@@ -1989,6 +2049,27 @@ object PipelineQueries {
       """SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
         |  TRUE AS pairs_well_formed_ok, TRUE AS precision_exact_ok,
         |  TRUE AS recall_ok""".stripMargin,
+
+    "quality_features" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |      AS nws
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+        |  floor(nws / len(t) * 1e6 + 0.5) / 1e6 AS mean_wlen_r,
+        |  floor(CAST(len(list_filter(t, x -> x IN ('the','a','of','and',
+        |    'to','in','is','it','for','on'))) AS DOUBLE) / len(t)
+        |    * 1e6 + 0.5) / 1e6 AS stop_ratio_r,
+        |  floor(CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+        |    * 1e6 + 0.5) / 1e6 AS distinct_ratio_r
+        |FROM toks""".stripMargin,
+
+    "quality_classifier" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  TRUE AS loss_strictly_decreases_ok, TRUE AS converged_ok,
+        |  TRUE AS accuracy_floor_ok, TRUE AS scores_in_range_ok,
+        |  TRUE AS fit_partition_invariant_ok""".stripMargin,
 
     "quality_rules" ->
       """WITH toks AS (
