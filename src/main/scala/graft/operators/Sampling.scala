@@ -179,4 +179,46 @@ object Sampling {
         row_number().over(w).cast("long") + offCol)
       .drop("_h", "_pid")
   }
+
+  /** md5-fold split bucket in [0, 100) of an id — the same 4-char ascii
+    * fold `split_assign` uses, factored so cluster-aware splitting buckets
+    * the REPRESENTATIVE with byte-identical math.
+    */
+  def splitBucket(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    ((((ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) * 31
+      + ascii(substring(h, 3, 1))) * 31 + ascii(substring(h, 4, 1)))
+      % 100)
+  }
+
+  /** Leakage-safe train/val/test split: every member of a near-dup cluster
+    * is bucketed by its cluster REPRESENTATIVE (the component-min id from
+    * [[Dedup.clustersStar]]), so near-duplicates can never straddle a split
+    * boundary. Plain per-doc hashing — `split_assign` — leaks: two
+    * near-identical documents hash independently, and with 90/5/5 odds
+    * about 1 in 5.5 near-dup pairs lands its copies in different splits,
+    * putting a paraphrase of a test document into train. Bucketing the
+    * representative makes the split a pure function of the CLUSTER, closing
+    * that channel; singletons (no `clusters` row) represent themselves, so
+    * on dup-free data this IS `split_assign`.
+    *
+    * `clusters` carries (id, cluster) for clustered docs only — exactly
+    * [[Dedup.clustersStar]]'s output, which is doc-keyed and tiny relative
+    * to the corpus (only docs that appeared in a near-dup pair). Shape at
+    * scale: one doc-keyed left join against that minority table + scan-side
+    * hash math; no aggregation, no extra shuffle beyond the join.
+    */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame, idCol: String,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: train=$trainPct val=$valPct")
+    docs
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("cluster"), col(idCol)).cast("long"))
+      .withColumn("split",
+        when(splitBucket(col("rep")) < trainPct, "train")
+          .when(splitBucket(col("rep")) < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("cluster")
+  }
 }

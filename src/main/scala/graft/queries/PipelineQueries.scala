@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions.HashExpressions
-import graft.operators.{Bpe, Chunking, Decontaminate, Dedup, Embeddings, Multimodal, Packing, QualityModel, Redaction, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bpe, Chunking, Decontaminate, Dedup, Embeddings, Multimodal, Packing, QualityModel, Redaction, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operators (builder mandate + SURVEY.md §7.3):
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
@@ -351,6 +351,18 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
+    }),
+
+    // Contrastive triplet mining: anchors with an in-band positive
+    // (cos ≥ 0.4, the dedup_embedding_pairs band) paired with their top-3
+    // hardest negatives below the band. The one quadratic candidate pass is
+    // anchor-bounded and checkpointed once for both windows; full SQL
+    // oracle replays banding + both windows on the same rounded cosines.
+    "contrastive_triplets" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegativeTriplets(emb, emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", k = 3, posThreshold = 0.4)
+        .orderBy(col("anchor"), col("rank"))
     }),
 
     // nBits sizes the bucket count to the corpus: 2^4 here (hundreds of
@@ -1343,6 +1355,70 @@ object PipelineQueries {
           (plan.contains("PartitionFilters") && plan.contains("bucket")))
     }),
 
+    // Hybrid lexical+vector retrieval with reciprocal-rank fusion: a BM25
+    // arm over documents.text and an exact-cosine arm over
+    // embeddings.embedding (id-aligned: vec_id = doc_id), each top-20 per
+    // query, fused as sum of fixed-point floor(1e9/(60+rank)) RRF
+    // contributions — long addition keeps the fused score and ranking
+    // engine- and partitioning-exact, the same design as BM25's own
+    // fixed-point contributions. Fusion cost is candidate-volume, not
+    // corpus-volume: the arms have already pruned to ≤20 rows/query.
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qs = docs.filter(col("doc_id") < 5)
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+          "doc_id")
+        .select(col("doc_id").as("query_id"), col("text"), col("embedding"))
+      Retrieval.hybridTopK(docs, emb, qs,
+          "doc_id", "text", "vec_id", "embedding",
+          "query_id", "text", "embedding", k = 10, armK = 20)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("id").as("doc_id"), col("score_fx"), col("n_arms"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Hybrid retrieval SERVED from the two persisted indexes — the 100 TB
+    // serving shape: inverted-index arm (bucket-pruned postings) + IVF-PQ
+    // arm (bucket-partitioned codes), RRF-fused. Contract: the served
+    // fusion EQUALS the fusion of the same in-memory arms, scores included
+    // (both arm equalities are individually certified by bm25_indexed and
+    // sim_ivfpq_indexed; this pins the composition end to end).
+    "hybrid_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val qv = emb.filter(col("vec_id") < 5)
+      val tpath = java.nio.file.Files
+        .createTempDirectory("graft-hybrid-text-").toString
+      val vpath = java.nio.file.Files
+        .createTempDirectory("graft-hybrid-ivfpq-").toString
+      TextAnalysis.buildTextIndex(docs, "doc_id", "text", tpath,
+        nBuckets = 16, batchId = 0L)
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", vpath,
+        nCentroids = 16, m = 16)
+      def fuse(lex: DataFrame, vec: DataFrame) = Retrieval.rrfFuse(Seq(
+        lex.select(col("query_id").as("qid"), col("doc_id").as("id"),
+          col("rank")),
+        vec.select(col("qid"), col("nid").as("id"), col("rank"))), k = 10)
+      val served = fuse(
+        TextAnalysis.queryTextIndex(qs, "query_id", "text", tpath,
+          "doc_id", k = 20),
+        Similarity.queryIvfPqIndex(emb, qv, "vec_id", "embedding", vpath,
+          k = 20, nProbe = 8, shortlistFactor = 8)).localCheckpoint()
+      val scratch = fuse(
+        TextAnalysis.bm25TopK(docs, qs, "doc_id", "text", "query_id",
+          "text", 20),
+        Similarity.ivfPqTopK(emb, qv, "vec_id", "embedding", k = 20,
+          nCentroids = 16, nProbe = 8, m = 16, shortlistFactor = 8))
+      Contracts.row(s,
+        "n_queries" -> qs.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(served, "qid", "rank", 10),
+        "equals_in_memory_fusion_ok" ->
+          (Contracts.checksum(served) == Contracts.checksum(scratch)))
+    }),
+
     // Readability-style metrics (sentence marks, words/sentence, mean word
     // length) — the cheap quality filters a corpus pipeline runs per doc.
     "text_readability" -> ((s, dir) => {
@@ -1605,6 +1681,21 @@ object PipelineQueries {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("split"))
+    }),
+
+    // Leakage-safe split: near-dup clusters (the dedup_clusters_star
+    // pipeline: shingle-Jaccard pairs → star components) are bucketed by
+    // their representative, so a paraphrase of a test document can never
+    // land in train. Per-doc rows (doc_id, rep, split) hash-matched against
+    // a DuckDB replay of the whole chain (recursive-CTE components + the
+    // same md5 ascii fold on the representative).
+    "split_leakage_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val clusters = Dedup.clustersStar(
+        Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3))
+      Sampling.leakageSafeSplit(docs.select(col("doc_id")), clusters,
+          "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2201,6 +2292,93 @@ object PipelineQueries {
         |SELECT query_id, rank, doc_id, score_fx / 1e6 AS score
         |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "hybrid_indexed" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 5)
+        |    AS n_queries,
+        |  TRUE AS ranks_ok, TRUE AS equals_in_memory_fusion_ok""".stripMargin,
+
+    "contrastive_triplets" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS qid, c.vec_id AS nid,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                 c.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings a JOIN embeddings c ON a.vec_id != c.vec_id
+        |  WHERE a.vec_id < 50),
+        |pos AS (
+        |  SELECT qid, nid AS positive, cos AS pos_cos FROM (
+        |    SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid) AS pr
+        |    FROM scored WHERE cos >= 0.4) WHERE pr = 1),
+        |neg AS (
+        |  SELECT qid, nid AS negative, cos AS neg_cos,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid)::BIGINT AS rank
+        |  FROM scored WHERE cos < 0.4)
+        |SELECT p.qid AS anchor, p.positive, p.pos_cos, n.rank, n.negative,
+        |  n.neg_cos
+        |FROM pos p JOIN neg n USING (qid) WHERE n.rank <= 3
+        |ORDER BY anchor, rank""".stripMargin,
+
+    "hybrid_rrf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+        |), dl AS (
+        |  SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+        |    (SELECT sum(dl)::DOUBLE FROM dl)
+        |      / (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+        |), qterms AS (
+        |  SELECT DISTINCT doc_id AS query_id,
+        |    unnest((string_split_regex(trim(lower(text)), '\s+'))[1:8])
+        |      AS term
+        |  FROM documents WHERE doc_id < 5
+        |), contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    floor(ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.5)
+        |      / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / s.avgdl))
+        |      * 1e6 + 0.5)::BIGINT AS c
+        |  FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term)
+        |    JOIN dl USING (doc_id) CROSS JOIN stats s
+        |), lex AS (
+        |  SELECT query_id AS qid, doc_id AS id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sum(c) DESC, doc_id ASC) AS rank
+        |    FROM contrib GROUP BY query_id, doc_id)
+        |  WHERE rank <= 20
+        |), vec AS (
+        |  SELECT qid, id, rank FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                       c.embedding::DOUBLE[]), 6) DESC,
+        |          c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |    WHERE q.vec_id < 5)
+        |  WHERE rank <= 20
+        |), fused AS (
+        |  SELECT qid, id,
+        |    sum(floor(1e9 / (60 + rank))::BIGINT)::BIGINT AS score_fx,
+        |    count(*)::BIGINT AS n_arms
+        |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+        |  GROUP BY qid, id
+        |)
+        |SELECT qid AS query_id, rank, id AS doc_id, score_fx, n_arms
+        |FROM (
+        |  SELECT qid, id, score_fx, n_arms,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_fx DESC, id ASC)::BIGINT AS rank
+        |  FROM fused)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "curation_pipeline" ->
       """WITH base AS (
         |  SELECT doc_id, text,
@@ -2762,6 +2940,46 @@ object PipelineQueries {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM b GROUP BY split ORDER BY split""".stripMargin,
+
+    "split_leakage_safe" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents WHERE doc_id < 300)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |cl AS (
+        |  SELECT src AS id, least(src, min(dst))::BIGINT AS cluster
+        |  FROM reach GROUP BY src),
+        |r AS (
+        |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id)::BIGINT AS rep
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+        |  LEFT JOIN cl ON cl.id = d.doc_id),
+        |f AS (
+        |  SELECT doc_id, rep,
+        |    ((ascii(substr(md5(CAST(rep AS VARCHAR)), 1, 1)) * 31
+        |      + ascii(substr(md5(CAST(rep AS VARCHAR)), 2, 1))) * 31
+        |      + ascii(substr(md5(CAST(rep AS VARCHAR)), 3, 1))) * 31
+        |      + ascii(substr(md5(CAST(rep AS VARCHAR)), 4, 1)) AS fold
+        |  FROM r)
+        |SELECT doc_id, rep,
+        |  CASE WHEN fold % 100 < 90 THEN 'train'
+        |       WHEN fold % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "length_trim_stats" ->
       """WITH q AS (

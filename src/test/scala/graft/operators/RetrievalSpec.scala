@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rrf(rank: Long, rrfK: Int = 60): Long =
+    math.floor(1e9 / (rrfK + rank)).toLong
+
+  private def fuse(a: Seq[(Long, Long, Long)], b: Seq[(Long, Long, Long)],
+      k: Int = 10) =
+    Retrieval.rrfFuse(
+        Seq(a.toDF("qid", "id", "rank"), b.toDF("qid", "id", "rank")), k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+
+  test("a doc ranked by both arms beats a doc ranked first by one") {
+    // doc 30 is rank 2 in BOTH arms; docs 10 and 20 are rank 1 in one arm
+    // each. RRF: 2/(60+2) > 1/(60+1), so 30 must fuse first.
+    val out = fuse(
+      a = Seq((1L, 10L, 1L), (1L, 30L, 2L)),
+      b = Seq((1L, 20L, 1L), (1L, 30L, 2L)))
+    assert(out.map(t => (t._2, t._3)) ===
+      Seq((1L, 30L), (2L, 10L), (3L, 20L)))
+    // exact fixed-point scores, recomputed independently
+    assert(out.map(_._4) === Seq(2 * rrf(2), rrf(1), rrf(1)))
+    assert(out.map(_._5) === Seq(2L, 1L, 1L))
+  }
+
+  test("equal fused scores break ties on ascending id") {
+    val out = fuse(
+      a = Seq((1L, 9L, 1L), (1L, 4L, 2L)),
+      b = Seq((1L, 4L, 1L), (1L, 9L, 2L)))
+    // both docs score rrf(1)+rrf(2); lower id first
+    assert(out.map(_._3) === Seq(4L, 9L))
+    assert(out.map(_._4).distinct === Seq(rrf(1) + rrf(2)))
+  }
+
+  test("queries fuse independently and k truncates per query") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L))
+    val b = Seq((1L, 12L, 1L), (2L, 20L, 2L))
+    val out = fuse(a, b, k = 2)
+    assert(out.filter(_._1 == 1L).length == 2)
+    assert(out.filter(_._1 == 2L).map(t => (t._3, t._4)) ===
+      Seq((20L, rrf(1) + rrf(2))))
+  }
+
+  test("hybrid equals rrfFuse of the two arms computed separately") {
+    val docs = Seq(
+      (0L, "apple banana apple"), (1L, "banana cherry"),
+      (2L, "cherry date date"), (3L, "apple cherry"),
+      (4L, "date banana")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.5f, 0.5f)), (4L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((0L, "apple banana apple", Seq(1.0f, 0.0f)))
+      .toDF("query_id", "text", "embedding")
+
+    val hybrid = Retrieval.hybridTopK(docs, vecs, qs,
+      "doc_id", "text", "vec_id", "embedding",
+      "query_id", "text", "embedding", k = 5, armK = 3)
+
+    import org.apache.spark.sql.functions.col
+    val lex = TextAnalysis.bm25TopK(docs, qs.select(col("query_id"),
+        col("text")), "doc_id", "text", "query_id", "text", 3)
+      .select(col("query_id").as("qid"), col("doc_id").as("id"), col("rank"))
+    val vec = Similarity.bruteForceTopK(vecs,
+        qs.select(col("query_id").as("vec_id"), col("embedding")),
+        "vec_id", "embedding", 3)
+      .select(col("qid"), col("nid").as("id"), col("rank"))
+    val manual = Retrieval.rrfFuse(Seq(lex, vec), 5)
+
+    assert(hybrid.collect().toSeq === manual.collect().toSeq)
+    // doc 0 is the lexical self-match AND the cosine-identical vector is
+    // excluded as self only on the VECTOR side, so doc 0 still fuses first
+    // through its BM25 rank-1 plus nothing — verify it is present and top.
+    val first = hybrid.orderBy(col("qid"), col("rank")).head()
+    assert(first.getLong(0) == 0L && first.getLong(1) == 1L)
+  }
+
+  test("fusion shuffles candidates, not the corpus (single agg + window)") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "id", "rank")
+    val b = Seq((1L, 12L, 1L)).toDF("qid", "id", "rank")
+    val plan = Retrieval.rrfFuse(Seq(a, b), 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // one hash agg pair (partial+final) over the union, one window sort —
+    // no join at all in the fusion stage
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}

@@ -127,4 +127,49 @@ class SamplingSpec extends SparkSpec {
     // surface as an empty window partition spec + SinglePartition exchange
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("leakageSafeSplit keeps every cluster member in one split") {
+    val docs = spark.range(0, 2000).toDF("doc_id")
+    // clusters: {0..9} rep 0, {100..104} rep 100 — ids chosen so the
+    // members' OWN buckets differ (verified below), i.e. the clusters
+    // would straddle splits under plain per-doc hashing
+    val clusters = ((0L to 9L).map((_, 0L)) ++ (100L to 104L).map((_, 100L)))
+      .toDF("id", "cluster")
+    val out = Sampling.leakageSafeSplit(docs, clusters, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = out.map(t => t._1 -> (t._2, t._3)).toMap
+    assert((0L to 9L).map(byDoc(_)).toSet.size == 1)
+    assert((100L to 104L).map(byDoc(_)).toSet.size == 1)
+    assert(byDoc(0L)._1 == 0L && byDoc(100L)._1 == 100L)
+    // the guarded-against leak is real on this data: per-doc buckets of the
+    // first cluster's members do NOT agree
+    val ownBuckets = docs.filter(col("doc_id") < 10)
+      .select(Sampling.splitBucket(col("doc_id"))).collect().map(_.getInt(0))
+    assert(ownBuckets.distinct.length > 1)
+  }
+
+  test("leakageSafeSplit on dup-free data IS the per-doc split_assign") {
+    val docs = spark.range(0, 5000).toDF("doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("id", "cluster")
+    val out = Sampling.leakageSafeSplit(docs, none, "doc_id")
+    import org.apache.spark.sql.functions.when
+    val direct = docs.select(col("doc_id"), col("doc_id").as("rep"),
+      when(Sampling.splitBucket(col("doc_id")) < 90, "train")
+        .when(Sampling.splitBucket(col("doc_id")) < 95, "val")
+        .otherwise("test").as("split"))
+    assert(out.collect().toSet == direct.collect().toSet)
+    // and the 90/5/5 proportions roughly hold
+    val n = out.filter(col("split") === "train").count()
+    assert(n > 4200 && n < 4800, s"train fraction off: $n/5000")
+  }
+
+  test("leakageSafeSplit is a doc-keyed join plus scan math — no agg") {
+    val docs = spark.range(0, 1000).toDF("doc_id")
+    val clusters = Seq((1L, 0L)).toDF("id", "cluster")
+    val plan = Sampling.leakageSafeSplit(docs, clusters, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      plan)
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

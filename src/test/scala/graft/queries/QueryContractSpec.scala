@@ -27,8 +27,12 @@ class QueryContractSpec extends SparkSpec {
   // (length_trim_stats: its BNLJ broadcasts a ONE-row percentile-bounds
   // frame onto the corpus scan — the non-equi filter against a scalar pair
   // has no equi-join form.)
+  // (hybrid_rrf_topk: its vector arm IS sim_bruteforce_topk's bounded
+  // quadratic — 5 query rows broadcast onto the corpus scan.
+  // contrastive_triplets: same anchor-bounded broadcast candidate pass.)
   private val bnljByDesign = Set("dedup_embedding_pairs", "range_join_bucket",
-    "resample_fill", "sim_bruteforce_topk", "length_trim_stats")
+    "resample_fill", "sim_bruteforce_topk", "length_trim_stats",
+    "hybrid_rrf_topk", "contrastive_triplets")
 
   test("every query runs at sf0.001 with no rogue join in its plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
