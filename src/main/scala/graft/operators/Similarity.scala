@@ -1144,4 +1144,54 @@ object Similarity {
   def knnClusters(knn: DataFrame): DataFrame =
     Dedup.clustersStar(mutualKnnEdges(knn)
       .select(col("src").as("id_a"), col("dst").as("id_b")))
+
+  /** Contrastive-training triplet mining: for each anchor that HAS a
+    * positive (most-similar non-self neighbor with cos ≥ `posThreshold`),
+    * emit its top-`k` HARD negatives — the highest-cosine neighbors BELOW
+    * the positive band. Hard negatives are what make a contrastive
+    * embedding objective informative (random negatives are trivially
+    * separable and the gradient dies); the band boundary keeps true
+    * positives from being mislabeled as negatives.
+    *
+    * Output: (anchor, positive, pos_cos, rank, negative, neg_cos) — one row
+    * per (anchor, negative), rank 1-based by descending neg_cos with id
+    * tie-break on the 6-decimal-rounded cosine, so the mined set is
+    * deterministic and engine-exact. Anchors with no in-band positive emit
+    * nothing (inner join): no positive means no triplet.
+    *
+    * Shape at scale: this exact form scores anchors × corpus through the
+    * same bounded broadcast join as [[bruteForceTopK]] — the ANCHOR side is
+    * the small one (a sampled training batch), the corpus side streams
+    * through one scan, and the single quadratic product is checkpointed
+    * once and shared by the positive and negative windows. At 100 TB swap
+    * candidate generation for the ANN ladder (IVF/PQ top-(k·overfetch) per
+    * anchor, identical (qid, nid, cos) shape) and keep the banding/window
+    * tail unchanged.
+    */
+  def hardNegativeTriplets(corpus: DataFrame, anchors: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      posThreshold: Double): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n")
+    val a = withNorm(anchors, idCol, vecCol, "qid", "v_q", "n_q")
+    val scored = a.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosFast(col("v_q"), col("v_n"), col("n_q"), col("n_n")), 6)
+          .as("cos"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val positives = scored.filter(col("cos") >= posThreshold)
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") === 1)
+      .select(col("qid"), col("nid").as("positive"),
+        col("cos").as("pos_cos"))
+    val negatives = scored.filter(col("cos") < posThreshold)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid").as("negative"),
+        col("cos").as("neg_cos"))
+    positives.join(negatives, "qid")
+      .select(col("qid").as("anchor"), col("positive"), col("pos_cos"),
+        col("rank"), col("negative"), col("neg_cos"))
+  }
 }

@@ -421,4 +421,46 @@ class SimilaritySpec extends SparkSpec {
     assert(clusters.map(_._1).toSet === mutualNodes,
       "clusters must cover exactly the mutual-edge node set")
   }
+
+  test("triplet mining: banded positive, hard negatives, no-positive drop") {
+    // anchor 0 at e1. cos vs: id 10 (e1, cos 1.0 — the only in-band
+    // positive at 0.9), id 11 (cos 0.8 — hardest negative), id 12
+    // (cos 0.6 — next negative), id 13 (orthogonal, 0.0), id 14 (-1.0).
+    // anchor 1 at (-0.6,-0.8): best cos anywhere is 0.6 → no triplets.
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.8f, 0.6f)),
+      (12L, Seq(0.6f, 0.8f)), (13L, Seq(0.0f, 1.0f)),
+      (14L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val anchors = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(-0.6f, -0.8f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hardNegativeTriplets(corpus, anchors,
+        "vec_id", "embedding", k = 2, posThreshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._4))
+    // anchor 1's best cos vs corpus is < 0.9 → dropped entirely
+    assert(out.forall(_._1 == 0L))
+    // anchor 0: positive = 10 (cos 1.0); negatives ranked by descending
+    // cos below the band: 11 (0.8) then 12 (0.6)
+    assert(out.map(t => (t._2, t._3)).distinct.toSeq == Seq((10L, 1.0)))
+    assert(out.map(t => (t._4, t._5, t._6)) ===
+      Seq((1L, 11L, 0.8), (2L, 12L, 0.6)))
+  }
+
+  test("triplet mining scores the quadratic pass once (checkpoint shared)") {
+    val emb = t(spark, sfDir, "embeddings")
+    val out = Similarity.hardNegativeTriplets(emb,
+      emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 3, posThreshold = 0.4)
+    // every anchor in the output has a positive by construction, ranks are
+    // dense from 1, and negatives never enter the positive band
+    val rows = out.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq ==
+        (1L to rs.length.toLong).toSeq)
+      assert(rs.forall(r => r.getDouble(5) < 0.4 && r.getDouble(2) >= 0.4))
+      assert(rs.map(_.getLong(1)).distinct.length == 1)
+    }
+  }
 }
