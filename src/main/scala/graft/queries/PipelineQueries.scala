@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions.HashExpressions
-import graft.operators.{Bpe, Chunking, Decontaminate, Dedup, Embeddings, Multimodal, Packing, QualityModel, Redaction, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bpe, Chunking, Decontaminate, Dedup, Embeddings, Multimodal, Packing, QualityModel, Redaction, Retrieval, Sampling, Selection, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operators (builder mandate + SURVEY.md §7.3):
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
@@ -1683,6 +1683,17 @@ object PipelineQueries {
         .orderBy(col("split"))
     }),
 
+    // DSIR-style importance resampling (Xie et al. 2023): every document
+    // weighted by Σ tokens' fixed-point bucket log-likelihood-ratios
+    // (target = lang='en' vs the full corpus), top-100 flagged selected.
+    // All 500 per-doc rows hash-matched against a full DuckDB replay of
+    // the bucket counts, smoothing, snap, and top-N.
+    "dsir_select" -> ((s, dir) => {
+      Selection.dsirSelect(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", n = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // Leakage-safe split: near-dup clusters (the dedup_clusters_star
     // pipeline: shingle-Jaccard pairs → star components) are bucketed by
     // their representative, so a paraphrase of a test document can never
@@ -2980,6 +2991,40 @@ object PipelineQueries {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM b GROUP BY split ORDER BY split""".stripMargin,
+
+    "dsir_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS is_tgt,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tb AS (
+        |  SELECT doc_id, is_tgt,
+        |    (((ascii(substr(md5(term), 1, 1)) * 31
+        |      + ascii(substr(md5(term), 2, 1))) * 31
+        |      + ascii(substr(md5(term), 3, 1))) * 31
+        |      + ascii(substr(md5(term), 4, 1))) % 64 AS b
+        |  FROM tok
+        |), bc AS (
+        |  SELECT b, count(*)::BIGINT AS n_raw,
+        |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END)::BIGINT AS n_tgt
+        |  FROM tb GROUP BY b
+        |), tots AS (
+        |  SELECT sum(n_raw)::DOUBLE AS nr, sum(n_tgt)::DOUBLE AS nt FROM bc
+        |), lr AS (
+        |  SELECT b, floor(ln(((n_tgt + 0.5) / (nt + 32.0)) /
+        |      ((n_raw + 0.5) / (nr + 32.0))) * 1e6 + 0.5)::BIGINT AS lr_fx
+        |  FROM bc CROSS JOIN tots
+        |), db AS (
+        |  SELECT doc_id, b, count(*)::BIGINT AS n_db FROM tb GROUP BY 1, 2
+        |), w AS (
+        |  SELECT doc_id, sum(n_db * lr_fx)::BIGINT AS w_fx
+        |  FROM db JOIN lr USING (b) GROUP BY doc_id
+        |), top AS (
+        |  SELECT doc_id FROM w ORDER BY w_fx DESC, doc_id LIMIT 100
+        |)
+        |SELECT w.doc_id, w.w_fx,
+        |  w.doc_id IN (SELECT doc_id FROM top) AS selected
+        |FROM w ORDER BY w.doc_id""".stripMargin,
 
     "split_leakage_safe" ->
       """WITH RECURSIVE sh AS (

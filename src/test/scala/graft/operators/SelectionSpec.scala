@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the operator's exact pipeline, recomputed independently on the driver
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bucket(term: String, nBuckets: Int): Int = {
+    val h = md5hex(term)
+    ((((h(0).toInt * 31 + h(1).toInt) * 31 + h(2).toInt) * 31
+      + h(3).toInt) % nBuckets + nBuckets) % nBuckets
+  }
+
+  private def referenceWeights(docs: Seq[(Long, String, Boolean)],
+      nBuckets: Int): Map[Long, Long] = {
+    val tok = docs.flatMap { case (id, text, tgt) =>
+      text.trim.toLowerCase.split("\\s+").toSeq
+        .map(t => (id, tgt, bucket(t, nBuckets)))
+    }
+    val nRaw = tok.size.toDouble
+    val nTgt = tok.count(_._2).toDouble
+    val half = nBuckets / 2.0
+    val lrFx = tok.groupBy(_._3).map { case (b, ts) =>
+      val raw = ts.size.toDouble
+      val tgt = ts.count(_._2).toDouble
+      b -> math.floor(math.log(((tgt + 0.5) / (nTgt + half)) /
+        ((raw + 0.5) / (nRaw + half))) * 1e6 + 0.5).toLong
+    }
+    tok.groupBy(_._1).map { case (id, ts) =>
+      id -> ts.groupBy(_._3)
+        .map { case (b, g) => g.size.toLong * lrFx(b) }.sum
+    }
+  }
+
+  private lazy val corpus = Seq(
+    (0L, "alpha beta alpha gamma", true),
+    (1L, "alpha beta beta", true),
+    (2L, "delta epsilon zeta", false),
+    (3L, "delta delta epsilon", false),
+    (4L, "alpha beta gamma gamma", false), // target-ish text, raw label
+    (5L, "zeta epsilon zeta delta", false))
+
+  test("weights equal an independent recomputation of the exact pipeline") {
+    val df = corpus.toDF("doc_id", "text", "is_tgt")
+    val got = Selection.importanceWeights(df, "doc_id", "text",
+        col("is_tgt"), nBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == referenceWeights(corpus, 64))
+  }
+
+  test("target-looking documents outweigh off-target ones") {
+    val df = corpus.toDF("doc_id", "text", "is_tgt")
+    val w = Selection.importanceWeights(df, "doc_id", "text",
+        col("is_tgt"), nBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 4 shares the target vocabulary despite its raw label; doc 5 is
+    // pure off-target vocabulary
+    assert(w(4L) > w(5L))
+    assert(Seq(0L, 1L).map(w).min > Seq(2L, 3L, 5L).map(w).max)
+  }
+
+  test("selection flags exactly n docs, all outweighing the unselected") {
+    val df = corpus.toDF("doc_id", "text", "is_tgt")
+    val out = Selection.dsirSelect(df, "doc_id", "text", col("is_tgt"),
+        n = 3, nBuckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.count(_._3) == 3)
+    val selMin = out.filter(_._3).map(t => (t._2, -t._1)).min
+    val unselMax = out.filterNot(_._3).map(t => (t._2, -t._1)).max
+    // (w desc, id asc) order: every selected sorts above every unselected
+    assert(selMin._1 > unselMax._1 ||
+      (selMin._1 == unselMax._1 && selMin._2 > unselMax._2))
+  }
+
+  test("weights are partition-invariant") {
+    val df = corpus.toDF("doc_id", "text", "is_tgt")
+    val a = Selection.importanceWeights(df, "doc_id", "text",
+      col("is_tgt"), 64).collect().toSet
+    val b = Selection.importanceWeights(df.repartition(7), "doc_id", "text",
+      col("is_tgt"), 64).collect().toSet
+    assert(a == b)
+  }
+
+  test("top-N plans as TakeOrderedAndProject, never a global sort") {
+    val df = corpus.toDF("doc_id", "text", "is_tgt")
+    val out = Selection.dsirSelect(df, "doc_id", "text", col("is_tgt"), 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
