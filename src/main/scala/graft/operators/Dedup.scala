@@ -807,6 +807,35 @@ object Dedup {
     df.join(dropIds, df(idCol) === dropIds("id"), "left_anti")
   }
 
+  /** Canonical selection: near-duplicate removal that keeps the BEST member
+    * of each near-dup component by `scoreCol` (highest score, ties → lowest
+    * id) instead of [[keepRepresentatives]]'s arbitrary min-id member — the
+    * form curation pipelines actually want (keep the longest / highest-
+    * quality copy of a near-dup group, drop the rest). Documents in no pair
+    * survive untouched.
+    *
+    * Shape at scale: component labels come from the O(log² n) star passes
+    * over the PAIR set (the clustered minority of a deduplicated corpus —
+    * never the whole corpus); the argmax is one per-cluster window over
+    * (id, cluster, score) rows only, then an anti-join drops the losers.
+    * The corpus itself is scanned once and shuffled only by the anti-join's
+    * id key; text/payload columns never enter the argmax shuffle.
+    */
+  def keepCanonical(df: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val labels = clustersStar(pairs) // (id, cluster = component min id)
+    val scored = labels.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("__s").desc, col("id").asc)
+    val losers = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
   /** Embedding near-dup pairs by cosine similarity (exact quadratic form for
     * bounded subsets; the ANN path lives in Similarity).
     */

@@ -53,4 +53,52 @@ object Packing {
         max(col("n_tokens")).as("max_doc_tokens"))
       .withColumn("over_budget",
         greatest(col("pack_tokens") - budget, lit(0L)))
+
+  /** Length-bucketed batching (the pad-to-static-shape alternative to
+    * [[packSequences]]'s concatenation): docs go to the smallest
+    * power-of-two length bucket ≥ their token count, then into
+    * deterministic fixed-size batches inside each bucket (hash-ordered),
+    * and every doc in a batch is padded to the bucket length — the shape a
+    * compiled/static-graph trainer wants. The payoff metric is padding
+    * waste, reported per batch as exact integer parts-per-million:
+    * `pad_ppm = (envelope − sum_tok)·10^6 div envelope`, envelope =
+    * bucket·n_docs — no float in the output, so the result is engine- and
+    * partition-exact.
+    *
+    * Bucket math is integer-only and portable: bucket = 2^len(bin(tok−1))
+    * (the binary-digit count of tok−1), with tok clamped to ≥ 1, so both
+    * engines compute identical buckets with no log2 rounding hazard.
+    *
+    * Output: one row per (bucket, batch_id) with n_docs, max_tok, sum_tok,
+    * pad_ppm. Only the final batch of a bucket may be short.
+    *
+    * Shape at scale: bucket assignment is scan-side column math; batching
+    * is ONE hash shuffle for the per-bucket row_number window (same
+    * envelope as any keyed agg — bucket count is small and fixed, so at
+    * extreme scale shard the window key to (bucket, pmod(hash, s)) exactly
+    * like packSequences shards its sequential scan).
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokensCol: Column,
+      batchSize: Int, salt: String = ""): DataFrame = {
+    require(batchSize > 0)
+    val tok = greatest(tokensCol.cast("long"), lit(1L))
+    // Scala's shiftleft(Column, Int) can't take a Column shift amount;
+    // route through the SQL function registry for the column-column form.
+    val bucket = call_function("shiftleft",
+        lit(1L), length(bin(tok - 1)).cast("int"))
+      .cast("long").as("bucket")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+    val batched = df
+      .withColumn("__tok", tok)
+      .withColumn("bucket", bucket)
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1) / batchSize).cast("long"))
+    batched.groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("__tok")).as("max_tok"),
+        sum(col("__tok")).as("sum_tok"))
+      .withColumn("pad_ppm",
+        expr("(bucket * n_docs - sum_tok) * 1000000 div (bucket * n_docs)"))
+  }
 }

@@ -131,6 +131,105 @@ object Sampling {
     out
   }
 
+  /** Token-budget domain mixing: like [[mixToTarget]] but the `targets`
+    * proportions are TOKEN shares, which is how pretraining mixes are
+    * actually specified (a corpus is a token budget, not a row budget —
+    * domains with systematically longer documents would otherwise be
+    * over-represented). `tokenCol` is the per-row token count (so the op
+    * composes with any tokenizer — exact counts, BPE estimates, chars/4).
+    *
+    * The total budget T = min over domains of (domain_tokens / p_d) — the
+    * largest total such that every domain can fill its share from what it
+    * has; each domain keeps its hash-ordered document prefix while the
+    * EXCLUSIVE cumulative token count stays under floor(p_d · T), so the
+    * kept set is deterministic, partition-invariant, and coordinated the
+    * same way [[mixToTarget]]'s is (the hash order never changes, so a
+    * bigger budget strictly grows every domain's prefix). Budgets land
+    * within one document of the target share — exact proportions are
+    * impossible with atomic documents.
+    *
+    * Shape at scale: one per-domain count agg (rows = #domains, broadcast
+    * back), then ONE hash shuffle for the per-domain window — the same
+    * envelope as any keyed aggregation; no global sort, no driver data.
+    */
+  def mixToTokenTarget(df: DataFrame, idCol: String, domainCol: String,
+      tokenCol: String, targets: Map[String, Double],
+      salt: String = ""): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(p => p > 0.0),
+      "targets must be non-empty with positive proportions")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.toDF("__dom", "__p")
+    val quotas = df.groupBy(col(domainCol).as("__dom"))
+      .agg(sum(col(tokenCol)).as("__tok"))
+      .join(broadcast(tgt), "__dom")
+      .persist()
+    val present = quotas.select(col("__dom"))
+      .collect().map(_.getString(0)).toSet
+    val missing = targets.keySet -- present
+    require(missing.isEmpty,
+      s"target domains absent from the corpus: ${missing.mkString(", ")}")
+    val tTotal = quotas
+      .agg(min(floor(col("__tok") / col("__p")))).head().getLong(0)
+    val kd = broadcast(quotas.select(col("__dom"),
+      floor(col("__p") * tTotal).as("__budget")))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(domainCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+    val out = df
+      .withColumn("__cum",
+        sum(col(tokenCol)).over(w.rowsBetween(W.unboundedPreceding,
+          W.currentRow)) - col(tokenCol))
+      .join(kd, col(domainCol) === col("__dom"))
+      .filter(col("__cum") < col("__budget"))
+      .drop("__dom", "__budget", "__cum")
+    quotas.unpersist(blocking = false)
+    out
+  }
+
+  /** Temperature-scaled domain mixing — the multilingual-pretraining
+    * upsampling form (cf. mT5 / XLM-R α-sampling): kept rows per domain are
+    * proportional to sqrt(n_d) (α = 1/2), which upweights low-resource
+    * domains relative to their raw share, at the largest total every domain
+    * can fill from what it has. General α reduces to [[mixToTarget]] with
+    * driver-computed targets; this method hard-codes α = 1/2 because it is
+    * the one exponent with ENGINE-EXACT arithmetic: w_d = floor(sqrt(n_d))
+    * is exact for n_d < 2^52 (IEEE sqrt is correctly rounded; pow is not),
+    * and everything after is long multiply/divide —
+    *   W = Σ w_d,  T = min_d (n_d·W div w_d),  budget_d = w_d·T div W
+    * so the kept set (the hash-ordered per-domain prefix of `budget_d`
+    * rows) is bit-reproducible in any engine, with no float normalization
+    * whose summation order could flip a boundary row. budget_d ≤ n_d by
+    * construction. `n_d·W` must fit a long — true through ~10^12 rows per
+    * domain at 10^6 total weight; switch the two products to decimal(38,0)
+    * beyond that.
+    *
+    * Shape at scale: one count agg (rows = #domains, collected — bounded),
+    * budgets broadcast back, ONE hash shuffle for the per-domain
+    * row_number window. Same envelope as any keyed aggregation.
+    */
+  def mixTemperatureSqrt(df: DataFrame, idCol: String, domainCol: String,
+      salt: String = ""): DataFrame = {
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(counts.nonEmpty, "empty corpus")
+    val totW = counts.map(_._3).sum
+    val tTotal = counts.map { case (_, n, w) => n * totW / w }.min
+    val budgets = counts.map { case (d, _, w) => (d, w * tTotal / totW) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kd = broadcast(budgets.toSeq.toDF("__dom", "__budget"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+    df.withColumn("__rn", row_number().over(win))
+      .join(kd, col(domainCol) === col("__dom"))
+      .filter(col("__rn") <= col("__budget"))
+      .drop("__dom", "__budget", "__rn")
+  }
+
   /** Deterministic global shuffle order for training-example serving: a
     * total 1-based `shuffle_rank` over the whole corpus, ordered by
     * `md5(id || salt)` (id tiebreak) — the epoch-reproducible "random"

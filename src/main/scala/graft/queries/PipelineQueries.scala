@@ -129,6 +129,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Canonical selection: same near-dup components, but the survivor of
+    // each cluster is the BEST member (longest text, tie → lowest id) —
+    // the keep-the-highest-quality-copy form curation pipelines want,
+    // vs dedup_near_keep's arbitrary min-id representative. The oracle
+    // replays components (recursive CTE) + the per-cluster argmax window.
+    "dedup_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      Dedup.keepCanonical(docs,
+          Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3),
+          "doc_id", "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental exact dedup across snapshots: the new batch anti-joins
     // the previous snapshot's 16-byte content-key table, then dedups
     // within itself. The batch plants re-ingested copies of 30 already-
@@ -852,6 +866,45 @@ object PipelineQueries {
           salt = "mt1")
         .select(col("c_mktsegment"), col("rn"), col("c_custkey"))
         .orderBy(col("c_mktsegment"), col("rn"))),
+
+    // Token-budget mixing: the pretraining form of mix_resample — targets
+    // are TOKEN shares (50/20/10/10/10 across languages), T = min
+    // floor(domain_tokens / p_d), each domain keeps its hash-ordered doc
+    // prefix while the exclusive cumulative token count stays under
+    // floor(p_d·T). The oracle re-derives the budgets and every prefix sum,
+    // pinning the exact kept set.
+    "mix_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok",
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      Sampling.mixToTokenTarget(docs, "doc_id", "lang", "n_tok",
+          Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.1, "es" -> 0.1,
+            "zh" -> 0.1), salt = "tb1")
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-scaled mixing (α = 1/2): kept rows per language ∝
+    // floor(sqrt(n_lang)) — upweights low-resource languages vs their raw
+    // share. All-integer budget math (see mixTemperatureSqrt scaladoc), so
+    // the oracle replays every budget and prefix exactly.
+    "mix_temperature" -> ((s, dir) => {
+      Sampling.mixTemperatureSqrt(t(s, dir, "documents"), "doc_id", "lang",
+          salt = "mt1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Length-bucketed batching: pad-to-static-shape packing with exact
+    // integer padding-waste telemetry (pad_ppm) per (bucket, batch).
+    "pack_length_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok",
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      Packing.lengthBucketBatches(docs, "doc_id", col("n_tok"),
+          batchSize = 8, salt = "lb1")
+        .orderBy(col("bucket"), col("batch_id"))
+    }),
 
     // Exact-k per-group sampling: the k rows per stratum with the smallest
     // salted-md5 rank — deterministic, partition-invariant, reproducible by
@@ -2465,6 +2518,75 @@ object PipelineQueries {
         |             c_custkey)::BIGINT AS shuffle_rank
         |FROM customer ORDER BY shuffle_rank""".stripMargin,
 
+    "mix_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT
+        |      AS n_tok
+        |  FROM documents),
+        |tgt(dom, p) AS (VALUES
+        |    ('en', 0.5::DOUBLE), ('de', 0.2::DOUBLE), ('fr', 0.1::DOUBLE),
+        |    ('es', 0.1::DOUBLE), ('zh', 0.1::DOUBLE)),
+        |j AS (
+        |  SELECT lang AS dom, sum(n_tok)::BIGINT AS tok, p
+        |  FROM d JOIN tgt ON lang = dom GROUP BY lang, p),
+        |tt AS (SELECT min(floor(tok / p))::BIGINT AS t FROM j),
+        |k AS (SELECT dom, floor(p * t)::BIGINT AS budget
+        |      FROM j CROSS JOIN tt),
+        |r AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    (sum(n_tok) OVER (PARTITION BY lang
+        |       ORDER BY md5(doc_id::VARCHAR || 'tb1'), doc_id
+        |       ROWS UNBOUNDED PRECEDING) - n_tok)::BIGINT AS cum
+        |  FROM d)
+        |SELECT r.doc_id, r.lang, r.n_tok
+        |FROM r JOIN k ON r.lang = k.dom AND r.cum < k.budget
+        |ORDER BY r.doc_id""".stripMargin,
+
+    "mix_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, CAST(floor(sqrt(n)) AS BIGINT) AS w, n FROM c),
+        |tw AS (SELECT sum(w)::BIGINT AS tot FROM w),
+        |tt AS (SELECT min(n * tot // w)::BIGINT AS t
+        |       FROM w CROSS JOIN tw),
+        |k AS (SELECT w.lang, (w.w * tt.t // tw.tot)::BIGINT AS budget
+        |      FROM w CROSS JOIN tw CROSS JOIN tt),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR || 'mt1'), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang
+        |FROM r JOIN k ON r.lang = k.lang AND r.rn <= k.budget
+        |ORDER BY r.doc_id""".stripMargin,
+
+    "pack_length_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, greatest(
+        |    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT,
+        |    1) AS tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, tok,
+        |    (1::BIGINT << len(bin(tok - 1)))::BIGINT AS bucket
+        |  FROM d),
+        |r AS (
+        |  SELECT bucket, tok,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket
+        |      ORDER BY md5(doc_id::VARCHAR || 'lb1'), doc_id) AS rn
+        |  FROM b),
+        |g AS (
+        |  SELECT bucket, ((rn - 1) // 8)::BIGINT AS batch_id,
+        |    count(*)::BIGINT AS n_docs, max(tok)::BIGINT AS max_tok,
+        |    sum(tok)::BIGINT AS sum_tok
+        |  FROM r GROUP BY bucket, batch_id)
+        |SELECT bucket, batch_id, n_docs, max_tok, sum_tok,
+        |  ((bucket * n_docs - sum_tok) * 1000000
+        |    // (bucket * n_docs))::BIGINT AS pad_ppm
+        |FROM g ORDER BY bucket, batch_id""".stripMargin,
+
     "mix_resample" ->
       """WITH tgt(dom, p) AS (VALUES
         |    ('BUILDING', 0.5::DOUBLE), ('AUTOMOBILE', 0.3::DOUBLE),
@@ -2722,6 +2844,43 @@ object PipelineQueries {
         |  HAVING src != least(src, min(dst)))
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id < 300 AND doc_id NOT IN (SELECT id FROM drop_ids)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_canonical" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents WHERE doc_id < 300)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |cl AS (
+        |  SELECT src AS id, least(src, min(dst))::BIGINT AS cluster
+        |  FROM reach GROUP BY src),
+        |r AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    coalesce(cl.cluster, d.doc_id)::BIGINT AS rep
+        |  FROM (SELECT doc_id, lang, n_chars FROM documents
+        |        WHERE doc_id < 300) d
+        |  LEFT JOIN cl ON cl.id = d.doc_id),
+        |w AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY rep
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM r)
+        |SELECT doc_id, lang, n_chars FROM w WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_clusters" ->

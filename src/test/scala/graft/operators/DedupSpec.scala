@@ -344,4 +344,37 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(noop == Set((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)))
   }
+
+  test("keepCanonical keeps the highest-score member per component " +
+      "(ties → lowest id), singletons untouched") {
+    // components: {1,2,3} (via 1-2, 2-3), {10,11}; 20 and 21 are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L),   // 2 and 3 tie on score → keep 2
+      (10L, 1L), (11L, 7L),           // 11 wins outright
+      (20L, 0L), (21L, 100L)          // unpaired → both survive
+    ).toDF("id", "score")
+    val kept = Dedup.keepCanonical(docs, pairs, "id", "score")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 11L, 20L, 21L))
+    // contrast with keepRepresentatives: min-id keeps 1 and 10 instead
+    val reps = Dedup.keepRepresentatives(docs, pairs, "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(reps == Set(1L, 10L, 20L, 21L))
+  }
+
+  test("keepCanonical is partition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 150).map(_ =>
+        (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val docs = (0L until 100L).map(i => (i, (i * 37) % 13)).toDF("id", "s")
+    val a = Dedup.keepCanonical(docs, pairs, "id", "s")
+      .collect().map(_.getLong(0)).toSet
+    val b = Dedup.keepCanonical(docs.repartition(9), pairs.repartition(5),
+        "id", "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
 }

@@ -83,4 +83,43 @@ class PackingSpec extends SparkSpec {
     assert(exchanges == 1, plan)
     assert(!plan.contains("rangepartitioning"), plan)
   }
+
+  test("lengthBucketBatches: buckets are the smallest pow2 ≥ tok, batches " +
+      "are full except at most the last per bucket, pad_ppm is exact") {
+    val bs = 8
+    val out = Packing.lengthBucketBatches(docs, "doc", col("toks"), bs, "p1")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (bucket, _, nDocs, maxTok, sumTok, padPpm) =>
+      assert((bucket & (bucket - 1)) == 0 && bucket >= 2, s"bucket $bucket")
+      // bucket 2 is the clamp floor (tok = 1 maps there), so only larger
+      // buckets guarantee max_tok lands in the upper half
+      assert(maxTok <= bucket && (bucket == 2L || maxTok > bucket / 2),
+        s"max_tok $maxTok outside ($bucket/2, $bucket]")
+      assert(nDocs <= bs)
+      val envelope = bucket * nDocs
+      assert(padPpm == (envelope - sumTok) * 1000000L / envelope)
+    }
+    // at most one short batch per bucket, and it carries the max batch_id
+    out.groupBy(_._1).foreach { case (bucket, batches) =>
+      val short = batches.filter(_._3 < bs)
+      assert(short.length <= 1, s"bucket $bucket has ${short.length} short")
+      short.foreach { b =>
+        assert(b._2 == batches.map(_._2).max,
+          s"short batch of bucket $bucket is not the last") }
+    }
+    // every doc is batched exactly once
+    assert(out.map(_._3).sum == docs.count())
+  }
+
+  test("lengthBucketBatches is partition-invariant") {
+    val a = Packing.lengthBucketBatches(docs, "doc", col("toks"), 8, "p1")
+      .collect().map(_.toSeq).toSet
+    val b = Packing.lengthBucketBatches(docs.repartition(17), "doc",
+        col("toks"), 8, "p1")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

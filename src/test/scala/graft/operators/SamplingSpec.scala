@@ -128,6 +128,108 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("mixToTokenTarget hits token shares within one document") {
+    // domains with deliberately different doc lengths: A docs are 10x
+    // longer, so a ROW mix at these targets would badly over-token A
+    val df = (0L until 300L).map { i =>
+      val dom = if (i % 3 == 0) "A" else if (i % 3 == 1) "B" else "C"
+      val tok = if (dom == "A") 100L else 10L
+      (i, dom, tok)
+    }.toDF("id", "dom", "n_tok")
+    val out = Sampling.mixToTokenTarget(df, "id", "dom", "n_tok",
+        Map("A" -> 0.5, "B" -> 0.3, "C" -> 0.2), salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDom = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // B binds: 1000 tokens / 0.3 → T = 3333; budgets 1666/999/666. Each
+    // domain's kept tokens are within one document of its budget.
+    val budgets = Map("A" -> 1666L, "B" -> 999L, "C" -> 666L)
+    val docTok = Map("A" -> 100L, "B" -> 10L, "C" -> 10L)
+    budgets.foreach { case (d, b) =>
+      assert(byDom(d) <= b + docTok(d) && byDom(d) > b - docTok(d),
+        s"$d kept ${byDom(d)} vs budget $b")
+    }
+  }
+
+  test("mixToTokenTarget keeps a gap-free hash-order prefix per domain") {
+    val df = (0L until 200L)
+      .map(i => (i, if (i % 2 == 0) "A" else "B", 5L + i % 7))
+      .toDF("id", "dom", "n_tok")
+    val kept = Sampling.mixToTokenTarget(df, "id", "dom", "n_tok",
+        Map("A" -> 0.6, "B" -> 0.4), salt = "s2")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(s"${id}s2".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Seq("A", "B").foreach { d =>
+      val order = (0L until 200L)
+        .filter(i => (if (i % 2 == 0) "A" else "B") == d)
+        .sortBy(i => (h(i), i))
+      val keptRanks = order.zipWithIndex
+        .filter { case (i, _) => kept((d, i)) }.map(_._2)
+      assert(keptRanks == (0 until keptRanks.length),
+        s"$d kept set is not a prefix of the hash order")
+    }
+  }
+
+  test("mixToTokenTarget is partition-invariant") {
+    val df = (0L until 200L)
+      .map(i => (i, if (i % 2 == 0) "A" else "B", 5L + i % 7))
+      .toDF("id", "dom", "n_tok")
+    val a = Sampling.mixToTokenTarget(df, "id", "dom", "n_tok",
+      Map("A" -> 0.6, "B" -> 0.4), "s2").select("id").collect().toSet
+    val b = Sampling.mixToTokenTarget(df.repartition(13), "id", "dom",
+      "n_tok", Map("A" -> 0.6, "B" -> 0.4), "s2")
+      .select("id").collect().toSet
+    assert(a == b)
+  }
+
+  test("mixTemperatureSqrt budgets follow integer-sqrt weights and " +
+      "upweight the low-resource domain") {
+    // raw shares 90/9/1 (%); sqrt-weights flatten that dramatically
+    val df = (0L until 10000L).map { i =>
+      val dom = if (i < 9000) "big" else if (i < 9900) "mid" else "small"
+      (i, dom)
+    }.toDF("id", "dom")
+    val kept = Sampling.mixTemperatureSqrt(df, "id", "dom", "t1")
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val byDom = kept.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    // replay the exact integer budget math
+    val n = Map("big" -> 9000L, "mid" -> 900L, "small" -> 100L)
+    val w = n.view.mapValues(v => math.sqrt(v.toDouble).toLong).toMap
+    val totW = w.values.sum
+    val t = n.keys.map(d => n(d) * totW / w(d)).min
+    n.keys.foreach { d =>
+      assert(byDom(d) == w(d) * t / totW, s"$d kept ${byDom(d)}")
+    }
+    // the binding domain is fully consumed; shares are far flatter than raw
+    assert(byDom("small") == 100L)
+    val smallShare = byDom("small").toDouble / byDom.values.sum
+    assert(smallShare > 0.05, s"small share $smallShare not upweighted")
+  }
+
+  test("mixTemperatureSqrt keeps a hash-order prefix and is " +
+      "partition-invariant") {
+    val df = (0L until 500L)
+      .map(i => (i, if (i % 5 == 0) "A" else "B")).toDF("id", "dom")
+    val kept = Sampling.mixTemperatureSqrt(df, "id", "dom", "t2")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(s"${id}t2".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Seq("A", "B").foreach { d =>
+      val order = (0L until 500L)
+        .filter(i => (if (i % 5 == 0) "A" else "B") == d)
+        .sortBy(i => (h(i), i))
+      val keptRanks = order.zipWithIndex
+        .filter { case (i, _) => kept((d, i)) }.map(_._2)
+      assert(keptRanks == (0 until keptRanks.length),
+        s"$d kept set is not a prefix of the hash order")
+    }
+    val again = Sampling.mixTemperatureSqrt(df.repartition(11), "id", "dom",
+      "t2").collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(kept == again)
+  }
+
   test("leakageSafeSplit keeps every cluster member in one split") {
     val docs = spark.range(0, 2000).toDF("doc_id")
     // clusters: {0..9} rep 0, {100..104} rep 100 — ids chosen so the
