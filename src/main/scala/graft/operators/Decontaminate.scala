@@ -86,6 +86,53 @@ object Decontaminate {
     Caching.materializeThenRelease(out, evalGrams)
   }
 
+  /** Fuzzy (near-duplicate) decontamination: corpus documents whose n-gram
+    * JACCARD similarity to some eval/benchmark document reaches `threshold`
+    * — the Dolma/Llama-style hygiene step that catches paraphrased or
+    * lightly-edited benchmark leaks verbatim overlap ([[contaminated]])
+    * misses. Output: one row per contaminated (corpus doc, eval doc) pair
+    * with the exact Jaccard — richer than a drop list, it names WHICH eval
+    * doc leaked.
+    *
+    * Per-doc distinct shingle counts come from `size(word_shingles(...))`
+    * SCAN-SIDE (the native expression already dedups grams), so neither
+    * corpus-wide count aggregation nor corpus shuffle exists: the only
+    * joins are the broadcast gram-hash join against the (small) eval side
+    * and the (doc, eval) group-by over broadcast-HIT rows only. At 100 TB
+    * the moved bytes are proportional to corpus∩eval gram volume — the
+    * contamination rate — not corpus size. Jaccard uses 64-bit gram hashes;
+    * as with [[contaminated]], a hash collision could perturb a count
+    * (~2⁻⁶⁴ per gram pair — accepted, same stance as the verbatim path).
+    */
+  def fuzzyContaminated(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    HashExpressions.register(corpus.sparkSession)
+    def sides(df: DataFrame, doc: String, cnt: String) = df
+      .select(col(doc),
+        expr(s"word_shingles(split(trim(lower(__text)), '\\\\s+'), $n)")
+          .as("__sh"))
+      .select(col(doc), size(col("__sh")).as(cnt),
+        explode(col("__sh")).as("__g"))
+      .select(col(doc), col(cnt), xxhash64(col("__g")).as("gh"))
+    // Shingle AFTER spreading raw text across cores (the shingleFrame
+    // lesson: a single local parquet file scans as one split and would run
+    // the kernel on one core). The eval side is small and skips it.
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = sides(corpus
+      .select(col(idCol).as("__cdoc"), col(textCol).as("__text"))
+      .repartition(par, col("__cdoc")), "__cdoc", "n_c")
+    val e = sides(evalSet
+      .select(col(idCol).as("eval_id"), col(textCol).as("__text")),
+      "eval_id", "n_e")
+    c.join(broadcast(e), "gh")
+      .groupBy(col("__cdoc"), col("eval_id"), col("n_c"), col("n_e"))
+      .agg(count(lit(1)).as("__shared"))
+      .withColumn("jaccard", round(col("__shared").cast("double") /
+        (col("n_c") + col("n_e") - col("__shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__cdoc").as(idCol), col("eval_id"), col("jaccard"))
+  }
+
   /** The clean corpus: anti-join away contaminated docs. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int = 8, minOverlap: Int = 1): DataFrame =

@@ -279,6 +279,97 @@ object Sampling {
       .drop("_h", "_pid")
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling: ~`n` rows
+    * drawn with inclusion probability proportional to `weightCol` (clamped
+    * to ≥ 1) — the weighted form of corpus subsampling (sample documents
+    * proportional to token count, or to a soft-dedup weight), kept fully
+    * deterministic and engine-exact.
+    *
+    * Classic systematic PPS: lay every row's weight end-to-end along a line
+    * in the deterministic md5(id‖salt) order (id tiebreak), place sample
+    * points at `off + k·step` for `step = max(W div n, 1)`, `off = step div
+    * 2`, and keep each row whose interval [cum, cum+w) contains a point.
+    * All arithmetic is long division on non-negative operands — the kept
+    * set is bit-reproducible in any engine, and a row with w ≥ step is kept
+    * with certainty (PPS's size-biased guarantee). The membership test is
+    * `off + k_min·step < cum + w` with `k_min = (cum − off + step − 1) div
+    * step`, whose numerator is never negative because cum ≥ 0 and
+    * off ≤ step − 1.
+    *
+    * The exclusive cumulative weight `cum` is the [[globalShuffle]] two-pass
+    * prefix sum, not a single-partition window: range-partition on the
+    * hash, per-partition running sums, per-partition TOTALS (≤ numPartitions
+    * rows) collected and broadcast back as offsets. Output keeps the input
+    * columns plus `w` and `cum` so callers (and oracles) can pin the
+    * internals.
+    *
+    * `numPartitions = 0` uses `spark.sql.shuffle.partitions`; at 100 TB set
+    * it so each range partition fits an executor's sort buffer.
+    */
+  def ppsSystematic(df: DataFrame, idCol: String, weightCol: Column,
+      n: Long, salt: String = "", numPartitions: Int = 0): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val spark = df.sparkSession
+    val np = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .withColumn("w", greatest(weightCol.cast("long"), lit(1L)))
+      .withColumn("__h", md5(concat(col(idCol).cast("string"), lit(salt))))
+      .repartitionByRange(np, col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // pass 1: per-partition weight totals — ≤ np rows to the driver
+    val sums = ranged.groupBy(col("__pid")).agg(sum(col("w")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.map(_._1)
+      .zip(sums.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    val total = sums.map(_._2).sum
+    val step = math.max(total / n, 1L)
+    val off = step / 2
+    // pass 2: local running sums + broadcast offset lookup (map literal,
+    // not a when-chain — the globalShuffle lesson)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("__pid")).orderBy(col("__h"), col(idCol))
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedlit(offsets), col("__pid"))
+    ranged
+      .withColumn("cum",
+        sum(col("w")).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+          - col("w") + offCol)
+      .filter(lit(off) +
+        expr(s"(cum - $off + $step - 1) div $step") * step <
+        col("cum") + col("w"))
+      .drop("__h", "__pid")
+  }
+
+  /** Soft-dedup weights (SemDeDup-adjacent "count a near-dup family once"):
+    * each document's effective weight is its token count divided by its
+    * near-dup CLUSTER size (long division, clamped to ≥ 1) — a family of k
+    * near-duplicates contributes ~one document's worth of sampling mass
+    * instead of k. `clusters` is [[Dedup.clustersStar]] output ((id,
+    * cluster) for docs that appeared in a pair — the clustered minority);
+    * singletons keep their full token weight. Feed the result straight into
+    * [[ppsSystematic]] for the "sample as if deduplicated, without
+    * dropping anything outright" curation posture.
+    *
+    * Shape at scale: one count agg over the minority cluster table + one
+    * doc-keyed left join; token math is scan-side. No corpus-wide shuffle
+    * beyond the join.
+    */
+  def softDedupWeights(df: DataFrame, clusters: DataFrame, idCol: String,
+      tokenCol: Column): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__csz"))
+    val labeled = clusters.join(sizes, "cluster")
+      .select(col("id").as(idCol), col("__csz"))
+    df.join(labeled, Seq(idCol), "left")
+      .withColumn("__tok", greatest(tokenCol.cast("long"), lit(1L)))
+      .withColumn("eff_w",
+        greatest(expr("__tok div coalesce(__csz, 1)").cast("long"), lit(1L)))
+      .drop("__csz", "__tok")
+  }
+
   /** md5-fold split bucket in [0, 100) of an id — the same 4-char ascii
     * fold `split_assign` uses, factored so cluster-aware splitting buckets
     * the REPRESENTATIVE with byte-identical math.

@@ -91,4 +91,41 @@ object Selection {
       .select(col(idCol), col("w_fx"),
         coalesce(col("_sel"), lit(false)).as("selected"))
   }
+
+  /** Top-p (nucleus) selection per domain: within each domain, keep the
+    * MINIMAL score-descending prefix of documents whose score mass reaches
+    * `pPpm` parts-per-million of the domain total — "keep the top half of
+    * the quality mass per language", the budgeted-by-value cousin of
+    * [[Sampling.mixToTarget]]'s budgeted-by-count quotas. A kept row
+    * satisfies `cum_excl · 10⁶ < total · pPpm` (exclusive cumulative
+    * score, ties broken by id) — all-long arithmetic, so the kept set is
+    * engine- and partition-exact; the first excluded row is exactly the one
+    * whose exclusive mass already covers the target.
+    *
+    * Scores clamp to ≥ 0 (negative "quality" contributes nothing to mass).
+    * `total · pPpm` needs total < 2⁶³/10⁶ ≈ 9.2·10¹² per domain — switch
+    * both products to decimal(38,0) beyond that (the mixTemperatureSqrt
+    * caveat).
+    *
+    * Shape at scale: ONE hash shuffle on the domain key feeds both windows
+    * (the unbounded total and the running prefix share the partition spec);
+    * everything else is scan-side math. Same envelope as any keyed agg; a
+    * hot domain shards to (domain, pmod(hash, s)) sub-prefixes exactly like
+    * packSequences' sharded scan.
+    */
+  def topPPerDomain(df: DataFrame, idCol: String, domainCol: String,
+      scoreCol: Column, pPpm: Long): DataFrame = {
+    require(pPpm > 0 && pPpm <= 1000000L, s"pPpm out of (0, 1e6]: $pPpm")
+    val W = org.apache.spark.sql.expressions.Window
+    val part = W.partitionBy(col(domainCol))
+    val ord = part.orderBy(col("__score").desc, col(idCol).asc)
+    df.withColumn("__score", greatest(scoreCol.cast("long"), lit(0L)))
+      .withColumn("__tot", sum(col("__score")).over(part))
+      .withColumn("__cum",
+        sum(col("__score")).over(
+          ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+          - col("__score"))
+      .filter(col("__cum") * lit(1000000L) < col("__tot") * lit(pPpm))
+      .drop("__score", "__tot", "__cum")
+  }
 }

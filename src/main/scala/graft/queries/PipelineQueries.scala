@@ -906,6 +906,73 @@ object PipelineQueries {
         .orderBy(col("bucket"), col("batch_id"))
     }),
 
+    // Systematic PPS sampling: ~100 docs drawn with probability ∝ token
+    // count along the md5(id||salt) order — all-long interval math
+    // (step = W div n, points at off + k·step, off = step div 2), so the
+    // oracle replays the exact kept set including each row's weight and
+    // global exclusive cumulative weight.
+    "sample_pps" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok",
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      Sampling.ppsSystematic(docs, "doc_id", col("n_tok"), n = 100,
+          salt = "pps1")
+        .select(col("doc_id"), col("w"), col("cum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Soft-dedup weighted sampling: near-dup cluster members SPLIT their
+    // token mass (w = tok div cluster_size, clamped ≥ 1) before PPS — a
+    // family of k near-dups contributes ~one doc's sampling mass without
+    // dropping any copy outright. Oracle replays components (recursive
+    // CTE), the weight math, and the PPS interval test.
+    "soft_dedup_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .withColumn("n_tok",
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      val labels = Dedup.clustersStar(
+        Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3))
+      val weighted = Sampling.softDedupWeights(docs, labels, "doc_id",
+        col("n_tok"))
+      Sampling.ppsSystematic(weighted, "doc_id", col("eff_w"), n = 40,
+          salt = "sd1")
+        .select(col("doc_id"), col("w"), col("cum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Top-p (nucleus) selection: per language, the minimal n_chars-desc
+    // prefix covering ≥ 50% of the domain's char mass — keep the top half
+    // of the quality mass per domain, in all-long arithmetic.
+    "select_top_p" -> ((s, dir) =>
+      Selection.topPPerDomain(t(s, dir, "documents"), "doc_id", "lang",
+          col("n_chars"), pPpm = 500000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Pretraining-mix capstone, COMPOSED end-to-end from this round's
+    // operators in one plan: token floor → leakage-safe train split
+    // (near-dup clusters bucketed by representative) → token-budget lang
+    // mix → length-bucketed batches. The oracle replays the ENTIRE chain
+    // (recursive-CTE components, md5-fold split, budget prefix sums,
+    // bucket bit math, pad_ppm) — integration proof that the stage
+    // contracts compose without drift.
+    "pretrain_mix_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .withColumn("n_tok",
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      val quality = docs.filter(col("n_tok") >= 10)
+      val clusters = Dedup.clustersStar(
+        Dedup.jaccardPairs(quality, "doc_id", "text", threshold = 0.3))
+      val train = Sampling.leakageSafeSplit(quality, clusters, "doc_id")
+        .filter(col("split") === "train")
+      val mixed = Sampling.mixToTokenTarget(train, "doc_id", "lang",
+        "n_tok", Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.1, "es" -> 0.1,
+          "zh" -> 0.1), salt = "pm1")
+      Packing.lengthBucketBatches(mixed, "doc_id", col("n_tok"),
+          batchSize = 8, salt = "pm2")
+        .orderBy(col("bucket"), col("batch_id"))
+    }),
+
     // Exact-k per-group sampling: the k rows per stratum with the smallest
     // salted-md5 rank — deterministic, partition-invariant, reproducible by
     // the oracle (both engines share md5). The per-stratum eval-split /
@@ -964,6 +1031,20 @@ object PipelineQueries {
         "no_false_negatives_ok" ->
           ex.select(col("doc_id"))
             .join(blOnly, Seq("doc_id"), "left_anti").isEmpty)
+    }),
+
+    // Fuzzy (near-dup) decontamination: corpus docs whose 3-gram Jaccard
+    // vs ANY eval doc (doc_id % 13 == 0 slice) reaches 0.3 — catches the
+    // paraphrased/lightly-edited benchmark leaks verbatim 8-gram overlap
+    // misses. Output names the leaking (corpus, eval) pair with its exact
+    // Jaccard; the oracle replays the shared-gram join over the full table.
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.fuzzyContaminated(
+          docs.filter(col("doc_id") % 13 =!= 0),
+          docs.filter(col("doc_id") % 13 === 0),
+          "doc_id", "text", n = 3, threshold = 0.3)
+        .orderBy(col("doc_id"), col("eval_id"))
     }),
 
     // The full curation flow COMPOSED: quality floor → exact dedup →
@@ -2587,6 +2668,162 @@ object PipelineQueries {
         |    // (bucket * n_docs))::BIGINT AS pad_ppm
         |FROM g ORDER BY bucket, batch_id""".stripMargin,
 
+    "sample_pps" ->
+      """WITH d AS (
+        |  SELECT doc_id, greatest(
+        |    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT,
+        |    1) AS w
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, w,
+        |    (sum(w) OVER (ORDER BY md5(doc_id::VARCHAR || 'pps1'), doc_id
+        |       ROWS UNBOUNDED PRECEDING) - w)::BIGINT AS cum
+        |  FROM d),
+        |t AS (SELECT sum(w)::BIGINT AS tot FROM d),
+        |s AS (SELECT greatest(tot // 100, 1)::BIGINT AS step,
+        |             (greatest(tot // 100, 1) // 2)::BIGINT AS off FROM t)
+        |SELECT doc_id, w, cum FROM o, s
+        |WHERE off + ((cum - off + step - 1) // step) * step < cum + w
+        |ORDER BY doc_id""".stripMargin,
+
+    "soft_dedup_sample" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents WHERE doc_id < 300)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |cl AS (
+        |  SELECT src AS id, least(src, min(dst))::BIGINT AS cluster
+        |  FROM reach GROUP BY src),
+        |csz AS (SELECT cluster, count(*)::BIGINT AS n FROM cl
+        |        GROUP BY cluster),
+        |d AS (
+        |  SELECT doc_id, greatest(
+        |    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT,
+        |    1) AS tok
+        |  FROM documents WHERE doc_id < 300),
+        |wts AS (
+        |  SELECT d.doc_id,
+        |    greatest(d.tok // coalesce(csz.n, 1), 1)::BIGINT AS w
+        |  FROM d LEFT JOIN cl ON cl.id = d.doc_id
+        |  LEFT JOIN csz ON csz.cluster = cl.cluster),
+        |o AS (
+        |  SELECT doc_id, w,
+        |    (sum(w) OVER (ORDER BY md5(doc_id::VARCHAR || 'sd1'), doc_id
+        |       ROWS UNBOUNDED PRECEDING) - w)::BIGINT AS cum
+        |  FROM wts),
+        |t AS (SELECT sum(w)::BIGINT AS tot FROM o),
+        |s AS (SELECT greatest(tot // 40, 1)::BIGINT AS step,
+        |             (greatest(tot // 40, 1) // 2)::BIGINT AS off FROM t)
+        |SELECT doc_id, w, cum FROM o, s
+        |WHERE off + ((cum - off + step - 1) // step) * step < cum + w
+        |ORDER BY doc_id""".stripMargin,
+
+    "select_top_p" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    sum(greatest(n_chars, 0)::BIGINT) OVER (PARTITION BY lang)
+        |      AS tot,
+        |    (sum(greatest(n_chars, 0)::BIGINT) OVER (PARTITION BY lang
+        |       ORDER BY greatest(n_chars, 0) DESC, doc_id
+        |       ROWS UNBOUNDED PRECEDING) - greatest(n_chars, 0)) AS cum
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM r
+        |WHERE cum * 1000000 < tot * 500000
+        |ORDER BY doc_id""".stripMargin,
+
+    "pretrain_mix_pipeline" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents WHERE doc_id < 300),
+        |q AS (
+        |  SELECT doc_id, lang, ws, len(ws)::BIGINT AS n_tok
+        |  FROM d0 WHERE len(ws) >= 10),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
+        |  FROM q),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |cl AS (
+        |  SELECT src AS id, least(src, min(dst))::BIGINT AS cluster
+        |  FROM reach GROUP BY src),
+        |r AS (
+        |  SELECT q.doc_id, q.lang, q.n_tok,
+        |    coalesce(cl.cluster, q.doc_id)::BIGINT AS rep
+        |  FROM q LEFT JOIN cl ON cl.id = q.doc_id),
+        |tr AS (
+        |  SELECT doc_id, lang, n_tok FROM (
+        |    SELECT doc_id, lang, n_tok,
+        |      (((ascii(substr(md5(CAST(rep AS VARCHAR)), 1, 1)) * 31
+        |        + ascii(substr(md5(CAST(rep AS VARCHAR)), 2, 1))) * 31
+        |        + ascii(substr(md5(CAST(rep AS VARCHAR)), 3, 1))) * 31
+        |        + ascii(substr(md5(CAST(rep AS VARCHAR)), 4, 1))) % 100
+        |        AS fold
+        |    FROM r) WHERE fold < 90),
+        |tgt(dom, pr) AS (VALUES
+        |    ('en', 0.5::DOUBLE), ('de', 0.2::DOUBLE), ('fr', 0.1::DOUBLE),
+        |    ('es', 0.1::DOUBLE), ('zh', 0.1::DOUBLE)),
+        |j AS (
+        |  SELECT lang AS dom, sum(n_tok)::BIGINT AS tok, pr
+        |  FROM tr JOIN tgt ON lang = dom GROUP BY lang, pr),
+        |tt AS (SELECT min(floor(tok / pr))::BIGINT AS t FROM j),
+        |k AS (SELECT dom, floor(pr * t)::BIGINT AS budget
+        |      FROM j CROSS JOIN tt),
+        |m AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    (sum(n_tok) OVER (PARTITION BY lang
+        |       ORDER BY md5(doc_id::VARCHAR || 'pm1'), doc_id
+        |       ROWS UNBOUNDED PRECEDING) - n_tok)::BIGINT AS cum
+        |  FROM tr),
+        |mx AS (
+        |  SELECT m.doc_id, greatest(m.n_tok, 1) AS tok
+        |  FROM m JOIN k ON m.lang = k.dom AND m.cum < k.budget),
+        |bk AS (
+        |  SELECT doc_id, tok,
+        |    (1::BIGINT << len(bin(tok - 1)))::BIGINT AS bucket
+        |  FROM mx),
+        |rn AS (
+        |  SELECT bucket, tok,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket
+        |      ORDER BY md5(doc_id::VARCHAR || 'pm2'), doc_id) AS rn
+        |  FROM bk),
+        |g AS (
+        |  SELECT bucket, ((rn - 1) // 8)::BIGINT AS batch_id,
+        |    count(*)::BIGINT AS n_docs, max(tok)::BIGINT AS max_tok,
+        |    sum(tok)::BIGINT AS sum_tok
+        |  FROM rn GROUP BY bucket, batch_id)
+        |SELECT bucket, batch_id, n_docs, max_tok, sum_tok,
+        |  ((bucket * n_docs - sum_tok) * 1000000
+        |    // (bucket * n_docs))::BIGINT AS pad_ppm
+        |FROM g ORDER BY bucket, batch_id""".stripMargin,
+
     "mix_resample" ->
       """WITH tgt(dom, p) AS (VALUES
         |    ('BUILDING', 0.5::DOUBLE), ('AUTOMOBILE', 0.3::DOUBLE),
@@ -2646,6 +2883,30 @@ object PipelineQueries {
         |WHERE c.doc_id >= 20
         |GROUP BY c.doc_id HAVING count(DISTINCT c.g) >= 1
         |ORDER BY c.doc_id""".stripMargin,
+
+    "decontaminate_fuzzy" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents)),
+        |c AS (SELECT doc_id, len(s)::BIGINT AS n_c, unnest(s) AS g FROM sh
+        |      WHERE doc_id % 13 <> 0),
+        |e AS (SELECT doc_id AS eval_id, len(s)::BIGINT AS n_e,
+        |        unnest(s) AS g
+        |      FROM sh WHERE doc_id % 13 = 0),
+        |j AS (
+        |  SELECT c.doc_id, e.eval_id, count(*)::BIGINT AS shared,
+        |    any_value(n_c) AS n_c, any_value(n_e) AS n_e
+        |  FROM c JOIN e USING (g) GROUP BY c.doc_id, e.eval_id)
+        |SELECT doc_id, eval_id,
+        |  round(shared::DOUBLE / (n_c + n_e - shared), 6) AS jaccard
+        |FROM j
+        |WHERE round(shared::DOUBLE / (n_c + n_e - shared), 6) >= 0.3
+        |ORDER BY doc_id, eval_id""".stripMargin,
 
     "decontaminate_bloom" ->
       """WITH toks AS (

@@ -87,4 +87,43 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("fuzzyContaminated equals brute-force cross-corpus Jaccard") {
+    // corpus doc 10 is a light edit of eval doc 1 (near-dup, no long
+    // verbatim run survives the edits); 11 is clean; 12 shares only a
+    // couple of grams (below threshold)
+    val corpus = df(
+      10L -> ("the quick brown fox leaps over the lazy dog close to the " +
+        "river bank"),
+      11L -> "a completely unrelated document about spark shuffle mechanics",
+      12L -> "the quick brown cat sits still ignoring every dog entirely")
+    val got = Decontaminate.fuzzyContaminated(corpus, evalSet,
+        "doc_id", "text", n = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute-force replay on the driver
+    def sh(s: String) = s.trim.toLowerCase.split("\\s+").toSeq
+      .sliding(3).map(_.mkString(" ")).toSet
+    val expect = for {
+      (cid, ct) <- Seq(10L, 11L, 12L).zip(corpus.orderBy("doc_id")
+        .collect().map(_.getString(1)))
+      (eid, et) <- evalSet.orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      j = BigDecimal(sh(ct).intersect(sh(et)).size.toDouble /
+          sh(ct).union(sh(et)).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.2
+    } yield (cid, eid, j)
+    assert(got.toSet == expect.toSet)
+    assert(got.map(_._1).contains(10L) && !got.map(_._1).contains(11L))
+  }
+
+  test("fuzzyContaminated joins on broadcast gram hashes (no corpus-wide " +
+      "shuffle before the hit aggregation)") {
+    val corpus = df((0L until 50L).map(i =>
+      i -> s"document number $i with some words for shingling tests"): _*)
+    val plan = Decontaminate.fuzzyContaminated(corpus, evalSet,
+        "doc_id", "text").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }

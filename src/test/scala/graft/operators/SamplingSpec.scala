@@ -274,4 +274,65 @@ class SamplingSpec extends SparkSpec {
       plan)
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("ppsSystematic equals the single-threaded PPS replay exactly") {
+    val df = (0L until 500L).map(i => (i, 1L + i % 97)).toDF("id", "wt")
+    val got = Sampling.ppsSystematic(df, "id", col("wt"), n = 50,
+        salt = "pp").select("id", "w", "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver replay: same md5 order, same long interval math
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(s"${id}pp".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ordered = (0L until 500L).map(i => (i, 1L + i % 97))
+      .sortBy { case (i, _) => (h(i), i) }
+    val total = ordered.map(_._2).sum
+    val step = math.max(total / 50, 1L)
+    val off = step / 2
+    var cum = 0L
+    val expect = ordered.flatMap { case (i, w) =>
+      val kMin = (cum - off + step - 1) / step
+      val keep = off + kMin * step < cum + w
+      val row = if (keep) Some((i, w, cum)) else None
+      cum += w
+      row
+    }.toSet
+    assert(got == expect)
+    assert(got.size >= 49 && got.size <= 51, s"kept ${got.size} of ~50")
+  }
+
+  test("ppsSystematic keeps heavy rows with certainty and is " +
+      "partition-invariant") {
+    // one row owns ~half the total mass: w=5000 vs 499 rows of ~avg 5
+    val df = (0L until 500L).map(i => (i, if (i == 7L) 5000L else 1L + i % 9))
+      .toDF("id", "wt")
+    val kept = Sampling.ppsSystematic(df, "id", col("wt"), n = 20, "hv")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(7L), "a row with w >= step must always be sampled")
+    val again = Sampling.ppsSystematic(df.repartition(17), "id", col("wt"),
+      n = 20, "hv").select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == again)
+  }
+
+  test("ppsSystematic never plans a single-partition sort") {
+    val df = (0L until 2000L).map(i => (i, 1L + i % 13)).toDF("id", "wt")
+    val plan = Sampling.ppsSystematic(df, "id", col("wt"), n = 100, "pl")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("softDedupWeights split a family's mass and leave singletons whole") {
+    val docs = (0L until 20L).map(i => (i, 60L)).toDF("doc_id", "n_tok")
+    // docs 0..3 form one near-dup family (rep 0); 10,11 another (rep 10)
+    val clusters = (Seq(0L, 1L, 2L, 3L).map((_, 0L)) ++
+      Seq(10L, 11L).map((_, 10L))).toDF("id", "cluster")
+    val w = Sampling.softDedupWeights(docs, clusters, "doc_id",
+        col("n_tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(w(_) == 15L))
+    assert(Seq(10L, 11L).forall(w(_) == 30L))
+    assert(w(5L) == 60L)
+    // family mass ≈ one doc's mass, not four docs'
+    assert(Seq(0L, 1L, 2L, 3L).map(w).sum == 60L)
+  }
 }

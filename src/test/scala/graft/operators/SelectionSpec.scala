@@ -95,4 +95,46 @@ class SelectionSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("topPPerDomain keeps the MINIMAL score-desc prefix covering p") {
+    // domain A: scores 50,30,10,10 (total 100); p=0.5 → only the 50 row
+    // (its exclusive cum 0 < 50; the 30 row's exclusive cum 50 !< 50).
+    // domain B: scores 40,40,20 (total 100); p=0.5 → 40+40 (second row's
+    // exclusive cum 40 < 50, third's 80 !< 50).
+    val df = Seq(
+      (0L, "A", 50L), (1L, "A", 30L), (2L, "A", 10L), (3L, "A", 10L),
+      (4L, "B", 40L), (5L, "B", 40L), (6L, "B", 20L)
+    ).toDF("id", "dom", "score")
+    val kept = Selection.topPPerDomain(df, "id", "dom", col("score"),
+      pPpm = 500000L).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 4L, 5L))
+  }
+
+  test("topPPerDomain breaks score ties by id and is partition-invariant") {
+    val df = (0L until 400L)
+      .map(i => (i, if (i % 2 == 0) "X" else "Y", 10L))
+      .toDF("id", "dom", "score")
+    val kept = Selection.topPPerDomain(df, "id", "dom", col("score"),
+      pPpm = 250000L).select("id").collect().map(_.getLong(0)).toSet
+    // all scores equal → ties resolve by ascending id: the first quarter
+    // of each domain's id order
+    val expect = ((0L until 400L by 2).take(50) ++
+      (1L until 400L by 2).take(50)).toSet
+    assert(kept == expect)
+    val again = Selection.topPPerDomain(df.repartition(13), "id", "dom",
+      col("score"), pPpm = 250000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == again)
+  }
+
+  test("topPPerDomain shuffles once: both windows share the domain key") {
+    val df = (0L until 1000L).map(i => (i, s"d${i % 5}", i % 100))
+      .toDF("id", "dom", "score")
+    val plan = Selection.topPPerDomain(df, "id", "dom", col("score"),
+      pPpm = 500000L).queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 1, s"expected one domain-key exchange, got $ex:\n" +
+      plan.take(2000))
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }
