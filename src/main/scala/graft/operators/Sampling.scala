@@ -374,6 +374,42 @@ object Sampling {
     * fold `split_assign` uses, factored so cluster-aware splitting buckets
     * the REPRESENTATIVE with byte-identical math.
     */
+  /** Deterministic uniform bucket in [0, 1e6) — the parts-per-million
+    * analogue of [[splitBucket]]: the first SIX md5 hex chars (16⁶ ≈ 16.8M
+    * distinct inputs, so every ppm cell is reachable) folded by the same
+    * ascii·31 polynomial both engines share, mod 1e6. The fold runs in
+    * long arithmetic — the polynomial peaks at ~3.0e9, past Int range.
+    */
+  def ppmBucket(id: Column, salt: String): Column = {
+    val h = md5(concat(id.cast("string"), lit(salt)))
+    val folded = (2 to 6).foldLeft(ascii(substring(h, 1, 1)).cast("long")) {
+      (acc, i) => acc * 31L + ascii(substring(h, i, 1)).cast("long")
+    }
+    folded % 1000000L
+  }
+
+  /** Rejection sampling by a PER-ROW keep probability — the "keep each
+    * document with probability equal to its quality score" curation move
+    * (classifier-score thinning; e.g. the LLaMA CCNet-style quality
+    * sampling). Row kept iff its [[ppmBucket]] draw is below `scorePpm`
+    * (the row's keep probability in parts-per-million, clamped to
+    * [0, 1e6]): score 0 never keeps, 1e6 always keeps, and the decision is
+    * a pure function of (id, salt, score) — re-runs, engines, and
+    * partitionings all agree, unlike `rand()`-based thinning which is
+    * irreproducible by construction.
+    *
+    * Shape at scale: scan-side column math only — ZERO shuffles, fused
+    * into whatever scan already computes the score.
+    */
+  def rejectionSample(df: DataFrame, idCol: String, scorePpm: Column,
+      salt: String): DataFrame = {
+    val clamped = greatest(lit(0L), least(scorePpm.cast("long"),
+      lit(1000000L)))
+    df.withColumn("score_ppm", clamped)
+      .withColumn("draw_ppm", ppmBucket(col(idCol), salt))
+      .filter(col("draw_ppm") < col("score_ppm"))
+  }
+
   def splitBucket(id: Column): Column = {
     val h = md5(id.cast("string"))
     ((((ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) * 31

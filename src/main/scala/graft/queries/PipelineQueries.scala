@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions.HashExpressions
-import graft.operators.{Bpe, Chunking, Decontaminate, Dedup, Embeddings, Multimodal, Packing, QualityModel, Redaction, Retrieval, Sampling, Selection, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bpe, Chunking, Decontaminate, Dedup, Embeddings, Filtering, Multimodal, Packing, QualityModel, Redaction, Retrieval, Sampling, Selection, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operators (builder mandate + SURVEY.md §7.3):
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
@@ -1359,6 +1359,37 @@ object PipelineQueries {
           (floor(meanTok * 1e6 + 0.5) / 1e6).as("mean_tok_len"),
           (rep <= 0.02 && alphaRaw >= 0.6 &&
             meanTok.between(2.0, 12.0)).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4-style blocklist phrase filter (Raffel et al. 2020 dropped any page
+    // containing a banned phrase): word-boundary-exact match of a broadcast
+    // literal phrase list against the padded token stream — one scan-side
+    // exists()/filter() higher-order function, ZERO shuffles. The dump
+    // keeps the annotation (n_hits + which phrase fired first) because
+    // removal-rate-per-phrase is the standard blocklist health metric.
+    "blocklist_filter" -> ((s, dir) => {
+      val annotated = Filtering.blocklistAnnotate(t(s, dir, "documents"),
+        "text", Seq("vector table", "slow fast", "customer group",
+          "big vector table"))
+      annotated.select(col("doc_id"), col("n_hits"), col("keep"),
+          when(col("n_hits") > 0, col("hits")(0)).as("first_hit"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Rejection sampling by a per-row keep probability (classifier-score
+    // thinning: keep each doc with probability = its quality score). The
+    // draw is the deterministic ppm fold of md5(id||salt) — engine-exact,
+    // partition-invariant, rerun-stable — compared against the score in
+    // integer ppm. Scan-side math only; zero shuffles.
+    "sample_rejection" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.withColumn("q",
+        TextAnalysis.qualityScore(col("text"),
+          TextAnalysis.tokens(col("text"))))
+        .withColumn("qppm", floor(col("q") * 1e6 + 0.5).cast("long"))
+      Sampling.rejectionSample(scored, "doc_id", col("qppm"), salt = "rj1")
+        .select(col("doc_id"), col("score_ppm"), col("draw_ppm"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3361,6 +3392,51 @@ object PipelineQueries {
         |      w -> w IN ('le','les','des','et','une','est','dans'))) AS fr
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "blocklist_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, ' ' || array_to_string(
+        |    string_split_regex(trim(lower(text)), '\s+'), ' ') || ' ' AS pad
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_filter(
+        |    ['vector table', 'slow fast', 'customer group',
+        |     'big vector table'],
+        |    p -> contains(pad, ' ' || p || ' ')) AS hits
+        |  FROM d)
+        |SELECT doc_id, len(hits)::BIGINT AS n_hits, len(hits) = 0 AS keep,
+        |  hits[1] AS first_hit
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "sample_rejection" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    floor((least(nt / 100.0, 1.0) * 0.4 + (en / nt) * 0.3 +
+        |           least((ns / nt) / 8.0, 1.0) * 0.3) * 1e6 + 0.5) / 1e6
+        |      AS quality
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(string_split_regex(trim(lower(text)), '\s+'))::DOUBLE
+        |        AS nt,
+        |      length(regexp_replace(text, '\s', '', 'g'))::DOUBLE AS ns,
+        |      len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        w -> w IN ('the','and','of','to','a','in','is'))) AS en
+        |    FROM documents)),
+        |s AS (
+        |  SELECT doc_id,
+        |    greatest(0, least(floor(quality * 1e6 + 0.5)::BIGINT, 1000000))
+        |      AS score_ppm,
+        |    md5(doc_id::VARCHAR || 'rj1') AS h
+        |  FROM q),
+        |b AS (
+        |  SELECT doc_id, score_ppm,
+        |    (((((ascii(substr(h,1,1))::BIGINT * 31 + ascii(substr(h,2,1)))
+        |       * 31 + ascii(substr(h,3,1))) * 31 + ascii(substr(h,4,1)))
+        |       * 31 + ascii(substr(h,5,1))) * 31 + ascii(substr(h,6,1)))
+        |      % 1000000 AS draw_ppm
+        |  FROM s)
+        |SELECT doc_id, score_ppm, draw_ppm FROM b
+        |WHERE draw_ppm < score_ppm ORDER BY doc_id""".stripMargin,
 
     "pagerank_transitions" ->
       """WITH seq AS (

@@ -335,4 +335,50 @@ class SamplingSpec extends SparkSpec {
     // family mass ≈ one doc's mass, not four docs'
     assert(Seq(0L, 1L, 2L, 3L).map(w).sum == 60L)
   }
+
+  test("rejectionSample keep rate tracks the per-row score") {
+    val df = ids.withColumn("ppm",
+      when(col("id") % 2 === 0, lit(200000L)).otherwise(lit(800000L)))
+    val kept = Sampling.rejectionSample(df, "id", col("ppm"), "rj")
+    val even = kept.filter(col("id") % 2 === 0).count().toDouble / 10000
+    val odd = kept.filter(col("id") % 2 === 1).count().toDouble / 10000
+    assert(math.abs(even - 0.2) < 0.02, s"even rate $even")
+    assert(math.abs(odd - 0.8) < 0.02, s"odd rate $odd")
+  }
+
+  test("rejectionSample is deterministic, partition-invariant, clamped") {
+    val df = ids.withColumn("ppm", (col("id") % 3000000L) - 1000000L)
+    val a = Sampling.rejectionSample(df, "id", col("ppm"), "rj2")
+      .collect().map(_.getLong(0)).sorted
+    val b = Sampling.rejectionSample(df.repartition(13), "id", col("ppm"),
+        "rj2").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    // negative scores keep nothing; scores ≥ 1e6 keep everything
+    val neg = Sampling.rejectionSample(
+      ids.withColumn("ppm", lit(-5L)), "id", col("ppm"), "rj2")
+    assert(neg.isEmpty)
+    val full = Sampling.rejectionSample(
+      ids.withColumn("ppm", lit(2000000L)), "id", col("ppm"), "rj2")
+    assert(full.count() == 20000)
+  }
+
+  test("rejectionSample is scan-side: zero exchanges, no rand") {
+    val plan = Sampling.rejectionSample(
+        ids.withColumn("ppm", lit(500000L)), "id", col("ppm"), "rj3")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.toLowerCase.contains("rand"), plan)
+  }
+
+  test("ppmBucket is uniform across the ppm range") {
+    val buckets = ids.select(
+        Sampling.ppmBucket(col("id"), "u1").as("b"))
+      .agg(min("b"), max("b"),
+        sum(when(col("b") < 500000L, 1).otherwise(0)))
+      .head()
+    assert(buckets.getLong(0) < 10000L, s"min ${buckets.getLong(0)}")
+    assert(buckets.getLong(1) > 990000L, s"max ${buckets.getLong(1)}")
+    val below = buckets.getLong(2).toDouble / 20000
+    assert(math.abs(below - 0.5) < 0.02, s"median skew $below")
+  }
 }
