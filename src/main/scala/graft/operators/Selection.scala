@@ -128,4 +128,35 @@ object Selection {
       .filter(col("__cum") * lit(1000000L) < col("__tot") * lit(pPpm))
       .drop("__score", "__tot", "__cum")
   }
+
+  /** Curriculum ordering with domain interleaving — the deterministic
+    * "easy examples first, domains round-robin" training-order assignment
+    * (curriculum learning, Bengio et al. ICML'09; interleaving avoids the
+    * domain clumping that a pure difficulty sort produces, which destroys
+    * a run's early loss signal when one domain dominates a tier).
+    *
+    * `tierCol` is the caller's integer difficulty tier (bucketed token
+    * count, quantile bin, classifier band — anything integer and
+    * deterministic). Within each (tier, domain) cell, rows take a salted
+    * md5 rank `rn`; the training order is then the lexicographic triple
+    * (tier, rn, domain): all of tier 0 before tier 1, and within a tier
+    * one row from every domain in turn (rn=1 for each domain, then rn=2,
+    * …). The order is a pure function of (id, tier, domain, salt) —
+    * partition-invariant, rerun-stable, engine-exact.
+    *
+    * The output carries the (tier, rn) sort key rather than a single
+    * global position column: materializing a global rank would force a
+    * single-partition window, and every consumer (the pack/batch writers)
+    * range-partitions on the triple anyway. Shape at scale: ONE hash
+    * shuffle for the (tier, domain) window; everything else is scan-side.
+    */
+  def curriculumInterleave(df: DataFrame, idCol: String, domainCol: String,
+      tierCol: Column, salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tier"), col(domainCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))),
+        col(idCol))
+    df.withColumn("tier", tierCol.cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+  }
 }

@@ -363,6 +363,38 @@ object TextAnalysis {
     Caching.materializeThenRelease(scored, uni)
   }
 
+  /** Novelty scoring — per document, the fraction of its distinct word
+    * n-grams that occur in NO other document (corpus document frequency 1).
+    * A high-novelty document carries content the corpus does not already
+    * have; near-boilerplate scores near zero. The inverse signal of the
+    * dedup family: where MinHash asks "is this a copy of something", novelty
+    * asks "how much of this is new anywhere" — the uniqueness axis quality
+    * stacks weigh alongside classifier scores.
+    *
+    * All-integer output (`novelty_ppm = n_novel·10⁶ div n_grams`) —
+    * engine-exact. Shape at scale: distinct shingles stream from the native
+    * `word_shingles` expression (never the text), the df table is one
+    * two-phase hash agg on the gram key (vocabulary-sized, Zipf skew →
+    * AQE), one gram-keyed join back, one doc-keyed agg. The corpus is
+    * scanned once; no row ever carries more than a gram hash and two longs.
+    */
+  def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val sh = docs
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
+      .select(col("doc"), explode(expr(s"word_shingles(ws, $n)")).as("g"))
+    val gdf = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    sh.join(gdf, Seq("g"))
+      .groupBy(col("doc"))
+      .agg(sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc").as(idCol), col("n_novel"), col("n_grams"),
+        // `div`, not `/`: long division stays in long arithmetic (the
+        // fractional `/` would detour through double)
+        expr("n_novel * 1000000 div n_grams").as("novelty_ppm"))
+  }
+
   /** Full per-document analysis projection used by the registered queries.
     * Tokenizes ONCE into a bound column, then derives every measure from it —
     * the stopword/langid lambdas are interpreted (CodegenFallback), and an

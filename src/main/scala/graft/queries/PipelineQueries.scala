@@ -1393,6 +1393,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Curriculum ordering with domain interleaving: easy tiers first
+    // (tier = token count div 25, capped), domains round-robin within a
+    // tier via per-(tier, lang) salted-md5 ranks. The training order is
+    // the (tier, rn, lang) triple; no global rank column (that would be a
+    // single-partition window). One (tier, domain) window shuffle.
+    "curriculum_order" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok",
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      Selection.curriculumInterleave(docs, "doc_id", "lang",
+          least(expr("n_tok div 25"), lit(3L)), salt = "cu1")
+        .select(col("doc_id"), col("lang"), col("tier"), col("rn"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Novelty scoring: the fraction of each doc's distinct word 3-grams
+    // with corpus document frequency 1 — "how much of this document is new
+    // anywhere", the uniqueness axis of a quality stack (inverse of the
+    // dedup signal). All-integer ppm output; gram hashes shuffle, text
+    // never does.
+    "novelty_score" -> ((s, dir) =>
+      TextAnalysis.noveltyScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Distributed BPE tokenizer training (Sennrich ACL'16): the corpus is
     // reduced ONCE to the vocab-bounded word-frequency table; each merge is
     // one weighted pair-count aggregate + a one-row argmax + an in-place
@@ -3392,6 +3416,36 @@ object PipelineQueries {
         |      w -> w IN ('le','les','des','et','une','est','dans'))) AS fr
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "curriculum_order" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    least(len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT
+        |      // 25, 3) AS tier
+        |  FROM documents)
+        |SELECT doc_id, lang, tier,
+        |  (row_number() OVER (PARTITION BY tier, lang
+        |     ORDER BY md5(doc_id::VARCHAR || 'cu1'), doc_id))::BIGINT AS rn
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "novelty_score" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END))
+        |      AS g
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents)),
+        |gdf AS (SELECT g, count(*)::BIGINT AS df FROM sh GROUP BY g)
+        |SELECT s.doc_id,
+        |  sum(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  count(*)::BIGINT AS n_grams,
+        |  (sum(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) * 1000000
+        |     // count(*))::BIGINT AS novelty_ppm
+        |FROM sh s JOIN gdf USING (g)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "blocklist_filter" ->
       """WITH d AS (

@@ -137,4 +137,41 @@ class SelectionSpec extends SparkSpec {
       plan.take(2000))
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("curriculumInterleave: tiers ordered, domains round-robin in tier") {
+    val df = (0L until 600L).map(i => (i, s"d${i % 3}", i % 4))
+      .toDF("id", "dom", "difficulty")
+    val out = Selection.curriculumInterleave(df, "id", "dom",
+        col("difficulty"), "cs1")
+      .select("id", "dom", "tier", "rn").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the training order is the (tier, rn, dom) triple: sorting by it puts
+    // all of tier t before tier t+1, and within a tier cycles the domains
+    val ordered = out.sortBy(t => (t._3, t._4, t._2))
+    assert(ordered.map(_._3).sliding(2).forall(w => w(0) <= w(1)))
+    // within tier 0, the first 3 rows are one from each domain (rn = 1)
+    val tier0 = ordered.filter(_._3 == 0L).take(3)
+    assert(tier0.map(_._2).toSet == Set("d0", "d1", "d2"))
+    assert(tier0.forall(_._4 == 1L))
+  }
+
+  test("curriculumInterleave is partition-invariant and shuffles once") {
+    val df = (0L until 600L).map(i => (i, s"d${i % 3}", i % 4))
+      .toDF("id", "dom", "difficulty")
+    val a = Selection.curriculumInterleave(df, "id", "dom",
+        col("difficulty"), "cs2")
+      .select("id", "tier", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = Selection.curriculumInterleave(df.repartition(13), "id", "dom",
+        col("difficulty"), "cs2")
+      .select("id", "tier", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.sameElements(b))
+    val plan = Selection.curriculumInterleave(df, "id", "dom",
+        col("difficulty"), "cs2").queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 1, s"expected one (tier, domain) exchange, got $ex:\n" +
+      plan.take(2000))
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }

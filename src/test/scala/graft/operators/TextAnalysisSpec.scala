@@ -85,6 +85,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores(1L) > scores(2L))
   }
 
+  test("noveltyScore: df-1 grams count as novel, shared grams do not") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),      // grams: abg, bgd — both unique
+      (2L, "one two three four five"),     // otf, ttf, tff — all unique
+      (3L, "one two three four six")       // shares "one two three",
+                                           // "two three four" with doc 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 2L, 1000000L)))
+    assert(out(2L) == ((1L, 3L, 333333L)))
+    assert(out(3L) == ((1L, 3L, 333333L)))
+  }
+
+  test("noveltyScore short docs fall back to the whole-text shingle") {
+    val docs = Seq((1L, "just two"), (2L, "just two")).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // both docs share their single whole-text gram: nothing is novel
+    assert(out(1L) == 0L && out(2L) == 0L)
+  }
+
   test("simhash64 registered function rejects wrong input type") {
     HashExpressions.register(spark)
     val err = intercept[Exception] {
