@@ -380,11 +380,21 @@ object TextAnalysis {
     */
   def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
+    val sh = docGrams(docs, idCol, textCol, n)
+    scoreNovelty(sh, sh.groupBy(col("g")).agg(count(lit(1)).as("df")),
+      idCol)
+  }
+
+  /** (doc, g) distinct word n-grams per document. */
+  private def docGrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
-    val sh = docs
-      .select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
+    docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
       .select(col("doc"), explode(expr(s"word_shingles(ws, $n)")).as("g"))
-    val gdf = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+  }
+
+  private def scoreNovelty(sh: DataFrame, gdf: DataFrame,
+      idCol: String): DataFrame =
     sh.join(gdf, Seq("g"))
       .groupBy(col("doc"))
       .agg(sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"),
@@ -393,6 +403,40 @@ object TextAnalysis {
         // `div`, not `/`: long division stays in long arithmetic (the
         // fractional `/` would detour through double)
         expr("n_novel * 1000000 div n_grams").as("novelty_ppm"))
+
+  /** The persisted novelty state: the corpus gram document-frequency table
+    * (g, df). Vocabulary-sized, not corpus-sized — the snapshot a nightly
+    * ingest reads and rewrites, same posture as `Dedup.bandIndex` /
+    * `Sketches.hllByGroup`.
+    */
+  def gramDf(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docGrams(docs, idCol, textCol, n)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+
+  /** Incremental novelty: score an arriving batch against the persisted
+    * gram-df snapshot and fold the batch in — WITHOUT rescanning the
+    * corpus. Document frequencies add exactly (unlike sketch estimates),
+    * so both outputs are exact: the updated snapshot equals a from-scratch
+    * [[gramDf]] over corpus+batch, and the batch scores equal the rows a
+    * from-scratch [[noveltyScore]] over corpus+batch would give those
+    * SAME documents. Semantics are score-on-arrival: a batch gram already
+    * in the corpus is not novel; prior documents' scores are not revised
+    * retroactively (re-run the batch pass over history when that is
+    * wanted).
+    *
+    * Shape at scale: the batch is shingled once; the merge and the scoring
+    * join are gram-keyed against the vocabulary-sized snapshot. The corpus
+    * text is never touched.
+    */
+  def noveltyIncremental(batch: DataFrame, snapshot: DataFrame,
+      idCol: String, textCol: String, n: Int = 3)
+      : (DataFrame, DataFrame) = {
+    val shB = docGrams(batch, idCol, textCol, n)
+    val updated = snapshot
+      .unionByName(shB.groupBy(col("g")).agg(count(lit(1)).as("df")))
+      .groupBy(col("g")).agg(sum(col("df")).as("df"))
+    (updated, scoreNovelty(shB, updated, idCol))
   }
 
   /** Full per-document analysis projection used by the registered queries.

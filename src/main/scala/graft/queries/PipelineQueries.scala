@@ -1417,6 +1417,23 @@ object PipelineQueries {
       TextAnalysis.noveltyScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Incremental novelty: the batch (top fifth of ids) scores against
+    // the persisted gram-df snapshot of the prior corpus, never rescanning
+    // it. Document frequencies add exactly, so the dump — the batch's
+    // scores — must EQUAL the rows a from-scratch full-corpus novelty run
+    // gives those same documents; the oracle replays exactly that
+    // (full-corpus gram df, batch docs only). Snapshot == from-scratch
+    // equality is spec-asserted.
+    "novelty_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+      val snap = TextAnalysis.gramDf(corpus, "doc_id", "text")
+        .localCheckpoint()
+      TextAnalysis.noveltyIncremental(batch, snap, "doc_id", "text")._2
+        .orderBy(col("doc_id"))
+    }),
+
     // Distributed BPE tokenizer training (Sennrich ACL'16): the corpus is
     // reduced ONCE to the vocab-bounded word-frequency table; each merge is
     // one weighted pair-count aggregate + a one-row argmax + an in-place
@@ -3445,6 +3462,26 @@ object PipelineQueries {
         |  (sum(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) * 1000000
         |     // count(*))::BIGINT AS novelty_ppm
         |FROM sh s JOIN gdf USING (g)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "novelty_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END))
+        |      AS g
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents)),
+        |gdf AS (SELECT g, count(*)::BIGINT AS df FROM sh GROUP BY g)
+        |SELECT s.doc_id,
+        |  sum(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  count(*)::BIGINT AS n_grams,
+        |  (sum(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) * 1000000
+        |     // count(*))::BIGINT AS novelty_ppm
+        |FROM sh s JOIN gdf USING (g)
+        |WHERE s.doc_id >= 400
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "blocklist_filter" ->

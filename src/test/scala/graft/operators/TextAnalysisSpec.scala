@@ -108,6 +108,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == 0L && out(2L) == 0L)
   }
 
+  test("noveltyIncremental equals from-scratch, snapshot and scores") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "one two three nine ten"),   // shares "one two three" w/ doc 2
+      (11L, "fresh words only here now") // all novel
+    ).toDF("doc_id", "text")
+    val all = corpus.unionByName(batch)
+    val snap = TextAnalysis.gramDf(corpus, "doc_id", "text")
+    val (updated, scores) =
+      TextAnalysis.noveltyIncremental(batch, snap, "doc_id", "text")
+    // snapshot folds to exactly the from-scratch df table
+    val scratch = TextAnalysis.gramDf(all, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inc = updated.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inc == scratch)
+    // batch scores equal the from-scratch scores of those same docs
+    val full = TextAnalysis.noveltyScore(all, "doc_id", "text")
+      .filter(col("doc_id") >= 10L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val got = scores.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == full)
+    // and the corpus overlap actually bit: doc 10 is not fully novel
+    assert(got(10L)._3 < 1000000L && got(11L)._3 == 1000000L)
+  }
+
   test("simhash64 registered function rejects wrong input type") {
     HashExpressions.register(spark)
     val err = intercept[Exception] {
