@@ -63,4 +63,48 @@ object Filtering {
       phrases: Seq[String]): DataFrame =
     blocklistAnnotate(docs, textCol, phrases)
       .filter(col("keep")).drop("hits", "n_hits", "keep")
+
+  /** The LARGE-blocklist form: phrases arrive as a TABLE (too many to
+    * constant-fold into the scan), and matching goes prefilter-then-verify
+    * — the `Decontaminate` posture — instead of per-row scans over the
+    * whole list:
+    *
+    *  1. one corpus token document-frequency agg (vocabulary-sized);
+    *  2. each phrase picks its RAREST corpus token as join key (min (df,
+    *     token) — deterministic tie-break; a phrase with any token absent
+    *     from the corpus can match nothing word-aligned and drops out
+    *     here, for free);
+    *  3. the corpus (doc, distinct token) stream semi-joins that key table
+    *     — candidate volume is Σ_p df(rarest-token of p), the same
+    *     sum-of-df bound PPJoin's prefix filter gives;
+    *  4. only candidates pay the exact padded-`contains` verify.
+    *
+    * Returns (id, phrase) hit pairs — aggregate for per-doc keep flags or
+    * per-phrase removal rates. Result-identical to [[phraseHits]] over the
+    * same list (spec-asserted); only the route differs.
+    */
+  def blocklistHitsLarge(docs: DataFrame, idCol: String, textCol: String,
+      phrases: DataFrame, phraseCol: String = "phrase"): DataFrame = {
+    val corpusToks = docs.select(col(idCol),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("w"))
+    val dfTab = corpusToks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val joinTok = phrases
+      .select(col(phraseCol).as("phrase"),
+        explode(TextAnalysis.tokens(col(phraseCol))).as("w"))
+      .join(dfTab, Seq("w"), "left")
+      .groupBy(col("phrase"))
+      .agg(min(when(col("df").isNotNull,
+          struct(col("df"), col("w")))).as("rarest"),
+        max(col("df").isNull.cast("int")).as("missing"))
+      .filter(col("missing") === 0)
+      .select(col("rarest.w").as("w"), col("phrase"))
+    val padded = docs.select(col(idCol),
+      paddedTokens(col(textCol)).as("pad"))
+    corpusToks.join(joinTok, Seq("w"))
+      .select(col(idCol), col("phrase")).distinct()
+      .join(padded, Seq(idCol))
+      .filter(col("pad").contains(
+        concat(lit(" "), col("phrase"), lit(" "))))
+      .select(col(idCol), col("phrase"))
+  }
 }

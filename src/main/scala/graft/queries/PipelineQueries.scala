@@ -1377,6 +1377,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The LARGE-blocklist route, result-identical to blocklist_filter's
+    // scan-side form but shaped for 10⁵+ phrases: corpus token df → each
+    // phrase's rarest corpus token as semi-join key (a phrase with an
+    // absent token drops out free — the fifth phrase here) → candidates
+    // pay the exact verify. Dump = (doc, phrase) hit pairs.
+    "blocklist_scale" -> ((s, dir) => {
+      import s.implicits._
+      val phrases = Seq("vector table", "slow fast", "customer group",
+        "big vector table", "warp drive table").toDF("phrase")
+      Filtering.blocklistHitsLarge(t(s, dir, "documents"), "doc_id",
+          "text", phrases)
+        .orderBy(col("doc_id"), col("phrase"))
+    }),
+
     // Rejection sampling by a per-row keep probability (classifier-score
     // thinning: keep each doc with probability = its quality score). The
     // draw is the deterministic ppm fold of md5(id||salt) — engine-exact,
@@ -3498,6 +3512,18 @@ object PipelineQueries {
         |SELECT doc_id, len(hits)::BIGINT AS n_hits, len(hits) = 0 AS keep,
         |  hits[1] AS first_hit
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "blocklist_scale" ->
+      """WITH d AS (
+        |  SELECT doc_id, ' ' || array_to_string(
+        |    string_split_regex(trim(lower(text)), '\s+'), ' ') || ' ' AS pad
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest(['vector table', 'slow fast', 'customer group',
+        |    'big vector table', 'warp drive table']) AS phrase)
+        |SELECT doc_id, phrase FROM d CROSS JOIN p
+        |WHERE contains(pad, ' ' || phrase || ' ')
+        |ORDER BY doc_id, phrase""".stripMargin,
 
     "sample_rejection" ->
       """WITH q AS (

@@ -55,6 +55,27 @@ class FilteringSpec extends SparkSpec {
       plan)
   }
 
+  test("blocklistHitsLarge equals the scan-side form on the same list") {
+    val phrases = Seq("quick brown", "ssh", "nothing to see",
+      "unicorn rainbow")
+    val viaScan = docs.select(col("doc_id"),
+        explode(Filtering.phraseHits(col("text"), phrases)).as("phrase"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val viaLarge = Filtering.blocklistHitsLarge(docs, "doc_id", "text",
+        phrases.toDF("phrase"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(viaLarge.sameElements(viaScan))
+    assert(viaScan.nonEmpty)
+  }
+
+  test("blocklistHitsLarge drops phrases with corpus-absent tokens early") {
+    val phrases = Seq("unicorn rainbow", "quick unicorn").toDF("phrase")
+    // neither phrase has all tokens in the corpus → zero candidates, and
+    // the verify stage must see no rows at all
+    assert(Filtering.blocklistHitsLarge(docs, "doc_id", "text", phrases)
+      .isEmpty)
+  }
+
   test("filter ≡ annotate.filter(keep) and empty blocklist is rejected") {
     val viaFilter = Filtering
       .blocklistFilter(docs, "text", Seq("quick brown"))
