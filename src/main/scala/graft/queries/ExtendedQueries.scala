@@ -131,6 +131,15 @@ object ExtendedQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Ordered conversion funnel (view → click → purchase, each step
+    // strictly after the user's earliest previous-step event): chained
+    // min(when(...)) windows over ONE user-key exchange — never a join or
+    // self-join per step. Dump = per-step reach + conversion ppm.
+    "conversion_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.conversionFunnel(t(s, dir, "events"),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy(col("step"))),
+
     // Gap-based sessionization (30-minute inactivity gap per user).
     "sessionize" -> ((s, dir) =>
       TemporalJoins.sessionize(t(s, dir, "events"),
@@ -569,6 +578,41 @@ object ExtendedQueries {
         |             ('m', 150.0, 300.0), ('l', 300.0, 1000.0)) r(band, lo, hi)
         |  ON e.value >= r.lo AND e.value < r.hi
         |ORDER BY e.event_id""".stripMargin,
+
+    "conversion_funnel" ->
+      """WITH t0 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t
+        |  FROM events GROUP BY user_id),
+        |t1 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts > t0.t
+        |        THEN e.ts END) AS t
+        |  FROM events e JOIN t0 USING (user_id) GROUP BY e.user_id),
+        |t2 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > t1.t
+        |        THEN e.ts END) AS t
+        |  FROM events e JOIN t1 USING (user_id) GROUP BY e.user_id),
+        |c AS (
+        |  SELECT (SELECT count(*) FROM t0) AS n_users,
+        |    (SELECT count(*) FROM t0 WHERE t IS NOT NULL) AS n0,
+        |    (SELECT count(*) FROM t1 WHERE t IS NOT NULL) AS n1,
+        |    (SELECT count(*) FROM t2 WHERE t IS NOT NULL) AS n2)
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS step, 'view' AS event_type,
+        |    n0::BIGINT AS n_reached,
+        |    (CASE WHEN n_users > 0 THEN n0 * 1000000 // n_users
+        |          ELSE 0 END)::BIGINT AS conv_ppm FROM c
+        |  UNION ALL
+        |  SELECT 2::BIGINT, 'click', n1::BIGINT,
+        |    (CASE WHEN n0 > 0 THEN n1 * 1000000 // n0 ELSE 0 END)::BIGINT
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 3::BIGINT, 'purchase', n2::BIGINT,
+        |    (CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END)::BIGINT
+        |  FROM c)
+        |ORDER BY step""".stripMargin,
 
     "sessionize" ->
       """SELECT event_id, user_id, session_idx,
