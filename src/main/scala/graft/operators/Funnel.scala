@@ -69,4 +69,34 @@ object Funnel {
       .select(col("s.step"), col("s.event_type"), col("s.n_reached"),
         col("s.conv_ppm"))
   }
+
+  /** Retention cohort table — users cohorted by the week of their first
+    * `signupType` event, counted as active in each subsequent week they
+    * have ANY event (the week-over-week retention triangle).
+    *
+    * Week arithmetic is ALL-INTEGER off epoch days (`datediff div 7`), not
+    * calendar `date_trunc('week', …)`: day-count division is identical in
+    * every engine, while week truncation drags in week-start conventions.
+    * Pre-signup events are excluded by a day-diff >= 0 filter BEFORE the
+    * division (integer `div` truncates toward zero, so a negative day
+    * count would alias into week 0).
+    *
+    * Shape at scale: one user-key agg for first-signup dates (user-sized),
+    * one user-keyed join back to the event stream, one (cohort, offset)
+    * count-distinct — the partial-aggregated two-shuffle shape of any
+    * distinct-count rollup. Only (user, date) pairs move.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, signupType: String): DataFrame = {
+    val first = events.filter(col(typeCol) === lit(signupType))
+      .groupBy(col(userCol)).agg(min(to_date(col(tsCol))).as("d0"))
+    events.join(first, Seq(userCol))
+      .withColumn("dd", datediff(to_date(col(tsCol)), col("d0")))
+      .filter(col("dd") >= 0)
+      .select(col(userCol),
+        expr("datediff(d0, DATE '1970-01-01') div 7").as("cohort_week"),
+        expr("dd div 7").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+  }
 }

@@ -140,6 +140,15 @@ object ExtendedQueries {
           "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
         .orderBy(col("step"))),
 
+    // Retention cohorts: users cohorted by first-signup week, active-user
+    // counts per week offset. All-integer week math off epoch days (div 7)
+    // — engine-exact, no week-start conventions; pre-signup events
+    // excluded before the division.
+    "retention_cohorts" -> ((s, dir) =>
+      graft.operators.Funnel.retentionCohorts(t(s, dir, "events"),
+          "user_id", "event_type", "ts", signupType = "signup")
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
     // Gap-based sessionization (30-minute inactivity gap per user).
     "sessionize" -> ((s, dir) =>
       TemporalJoins.sessionize(t(s, dir, "events"),
@@ -613,6 +622,20 @@ object ExtendedQueries {
         |    (CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END)::BIGINT
         |  FROM c)
         |ORDER BY step""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH f AS (
+        |  SELECT user_id, min(ts::DATE) AS d0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (
+        |  SELECT e.user_id,
+        |    ((f.d0 - DATE '1970-01-01') // 7)::BIGINT AS cohort_week,
+        |    ((e.ts::DATE - f.d0) // 7)::BIGINT AS week_offset
+        |  FROM events e JOIN f USING (user_id)
+        |  WHERE e.ts::DATE - f.d0 >= 0)
+        |SELECT cohort_week, week_offset,
+        |  count(DISTINCT user_id)::BIGINT AS n_active
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "sessionize" ->
       """SELECT event_id, user_id, session_idx,

@@ -57,6 +57,26 @@ class FunnelSpec extends SparkSpec {
       !plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("retentionCohorts: epoch-week cohorts, pre-signup rows excluded") {
+    def day(d: Int) = new Timestamp(d * 86400000L)
+    val events = Seq(
+      // user 1 signs up day 0 (epoch week 0); active days 0, 8 (week 1)
+      (1L, "signup", day(0)), (1L, "click", day(8)),
+      // user 2 signs up day 7 (week 1); has a PRE-signup event day 3
+      // that must not count, and activity day 15 (offset week 1)
+      (2L, "click", day(3)), (2L, "signup", day(7)), (2L, "view", day(15)),
+      // user 3 never signs up — excluded entirely
+      (3L, "click", day(1))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnel.retentionCohorts(events, "user_id", "event_type",
+        "ts", "signup")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L,   // user 1: signup week + next week
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))  // user 2: day-3 click excluded
+  }
+
   test("empty previous step yields conv_ppm 0, not a division error") {
     val events = Seq((1L, "error", ts(1))).toDF("user_id", "event_type", "ts")
     val out = Funnel.conversionFunnel(events, "user_id", "event_type",
