@@ -1407,6 +1407,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Robust per-language length outliers via MAD: median/median-absolute-
+    // deviation flags — unlike the mean/stddev z-score pass, one enormous
+    // document cannot drag the threshold. Exact interpolated percentiles
+    // are engine-identical on integer token counts; both windows share one
+    // lang-key exchange.
+    "length_outliers_mad" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok",
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      graft.operators.Robust.madOutliers(docs, "lang", col("n_tok"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          col("med"), col("mad"), col("is_outlier"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Curriculum ordering with domain interleaving: easy tiers first
     // (tier = token count div 25, capped), domains round-robin within a
     // tier via per-(tier, lang) salted-md5 ranks. The training order is
@@ -3447,6 +3462,20 @@ object PipelineQueries {
         |      w -> w IN ('le','les','des','et','une','est','dans'))) AS fr
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "length_outliers_mad" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT
+        |      AS n_tok
+        |  FROM documents),
+        |m AS (SELECT *, median(n_tok::DOUBLE) OVER (PARTITION BY lang)
+        |        AS med FROM d),
+        |x AS (SELECT *, median(abs(n_tok - med)) OVER (PARTITION BY lang)
+        |        AS mad FROM m)
+        |SELECT doc_id, lang, n_tok, med, mad,
+        |  abs(n_tok - med) > 3 * mad AS is_outlier
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     "curriculum_order" ->
       """WITH d AS (
