@@ -149,6 +149,25 @@ object ExtendedQueries {
           "user_id", "event_type", "ts", signupType = "signup")
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // Top navigation paths: gap-sessionized event-type sequences, counted
+    // and ranked. Path assembly is order-deterministic via
+    // array_sort(collect_list(struct(ts, event_id, type))) — the struct
+    // sort, not collection order, fixes the sequence — and top-k is the
+    // total (n desc, path asc) order under an exact global cutoff
+    // (TakeOrderedAndProject).
+    "session_paths_topk" -> ((s, dir) => {
+      val sess = TemporalJoins.sessionize(t(s, dir, "events"),
+        "user_id", "ts", gapSeconds = 1800L, tiebreakCol = "event_id")
+      sess.groupBy(col("user_id"), col("session_idx"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    }),
+
     // Gap-based sessionization (30-minute inactivity gap per user).
     "sessionize" -> ((s, dir) =>
       TemporalJoins.sessionize(t(s, dir, "events"),
@@ -636,6 +655,25 @@ object ExtendedQueries {
         |SELECT cohort_week, week_offset,
         |  count(DISTINCT user_id)::BIGINT AS n_active
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "session_paths_topk" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM (
+        |    SELECT user_id, ts, event_id, event_type,
+        |      CASE WHEN lag(ts) OVER w IS NULL
+        |             OR epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+        |        AS is_new
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
+        |p AS (
+        |  SELECT user_id, session_idx,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY user_id, session_idx)
+        |SELECT path, count(*)::BIGINT AS n FROM p GROUP BY path
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin,
 
     "sessionize" ->
       """SELECT event_id, user_id, session_idx,
