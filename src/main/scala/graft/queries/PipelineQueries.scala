@@ -1422,6 +1422,29 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Score-and-thin capstone, COMPOSED from this round's signals in one
+    // plan: scan-side quality score + gram-df novelty (the uniqueness
+    // axis), fused to an all-integer ensemble ppm, then deterministic
+    // rejection sampling at that per-row probability. The oracle replays
+    // the ENTIRE chain — quality double math, gram df, integer mean, md5
+    // ppm fold — so the kept set is pinned end to end.
+    "quality_ensemble_thin" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = docs.withColumn("q",
+        TextAnalysis.qualityScore(col("text"),
+          TextAnalysis.tokens(col("text"))))
+        .withColumn("q_ppm", floor(col("q") * 1e6 + 0.5).cast("long"))
+      val novelty = TextAnalysis.noveltyScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("novelty_ppm"))
+      val scored = quality.join(novelty, Seq("doc_id"))
+        .withColumn("ens_ppm", expr("(q_ppm + novelty_ppm) div 2"))
+      Sampling.rejectionSample(scored, "doc_id", col("ens_ppm"),
+          salt = "qe1")
+        .select(col("doc_id"), col("q_ppm"), col("novelty_ppm"),
+          col("ens_ppm"), col("draw_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Curriculum ordering with domain interleaving: easy tiers first
     // (tier = token count div 25, capped), domains round-robin within a
     // tier via per-(tier, lang) salted-md5 ranks. The training order is
@@ -3461,6 +3484,54 @@ object PipelineQueries {
         |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |      w -> w IN ('le','les','des','et','une','est','dans'))) AS fr
         |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "quality_ensemble_thin" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    floor((least(nt / 100.0, 1.0) * 0.4 + (en / nt) * 0.3 +
+        |           least((ns / nt) / 8.0, 1.0) * 0.3) * 1e6 + 0.5) / 1e6
+        |      AS quality
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(string_split_regex(trim(lower(text)), '\s+'))::DOUBLE
+        |        AS nt,
+        |      length(regexp_replace(text, '\s', '', 'g'))::DOUBLE AS ns,
+        |      len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        w -> w IN ('the','and','of','to','a','in','is'))) AS en
+        |    FROM documents)),
+        |qp AS (
+        |  SELECT doc_id, floor(quality * 1e6 + 0.5)::BIGINT AS q_ppm
+        |  FROM q),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END))
+        |      AS g
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents)),
+        |gdf AS (SELECT g, count(*)::BIGINT AS df FROM sh GROUP BY g),
+        |nv AS (
+        |  SELECT s.doc_id,
+        |    (sum(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) * 1000000
+        |       // count(*))::BIGINT AS novelty_ppm
+        |  FROM sh s JOIN gdf USING (g) GROUP BY s.doc_id),
+        |e AS (
+        |  SELECT qp.doc_id, qp.q_ppm, nv.novelty_ppm,
+        |    ((qp.q_ppm + nv.novelty_ppm) // 2)::BIGINT AS ens_ppm,
+        |    md5(qp.doc_id::VARCHAR || 'qe1') AS h
+        |  FROM qp JOIN nv USING (doc_id)),
+        |b AS (
+        |  SELECT doc_id, q_ppm, novelty_ppm, ens_ppm,
+        |    (((((ascii(substr(h,1,1))::BIGINT * 31 + ascii(substr(h,2,1)))
+        |       * 31 + ascii(substr(h,3,1))) * 31 + ascii(substr(h,4,1)))
+        |       * 31 + ascii(substr(h,5,1))) * 31 + ascii(substr(h,6,1)))
+        |      % 1000000 AS draw_ppm
+        |  FROM e)
+        |SELECT doc_id, q_ppm, novelty_ppm, ens_ppm, draw_ppm FROM b
+        |WHERE draw_ppm < greatest(0, least(ens_ppm, 1000000))
         |ORDER BY doc_id""".stripMargin,
 
     "length_outliers_mad" ->
