@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
 
 import graft.Tables
 
@@ -267,6 +267,10 @@ object StreamingQueries {
   private val noveltyInCache =
     new scala.collection.concurrent.TrieMap[String, String]
 
+  /** Staged time-scrambled 3-file events split for the streaming funnel. */
+  private val funnelInCache =
+    new scala.collection.concurrent.TrieMap[String, String]
+
   private def runNoveltyStream(s: SparkSession,
       dir: String): (String, String, Long) = {
     val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -371,6 +375,49 @@ object StreamingQueries {
       rows.foreach { case (_, v) => n += 1; s += v }
       state.update((n, s))
       Iterator.single((key, n, s))
+    }
+  }
+
+  /** Streaming strict-sequence funnel: per user, a ListState of
+    * (stepIdx, tsMicros) funnel-relevant events, with the reached-step
+    * chain RECOMPUTED from state on every update. Recompute-not-fold is
+    * the point: micro-batches arrive in file order, not time order, and a
+    * folded "current step" state machine is order-sensitive (a later
+    * batch can deliver an EARLIER view that unlocks a click the machine
+    * already discarded) — recomputing the batch recurrence
+    * t_i = min{ts of step i strictly after t_(i-1)} over the full list is
+    * correct under any arrival order, which the contract proves by
+    * splitting events on event_id (time-scrambled batches). State is the
+    * user's funnel-type events only — product funnels are a handful of
+    * rows per user; an unbounded deployment adds event-time retention,
+    * which bounds state without changing the recurrence. step_reached is
+    * monotone in data, so the final value is max-over-updates.
+    */
+  private class FunnelSteps(nSteps: Int)
+      extends StatefulProcessor[Long, (Long, Int, Long), (Long, Long)] {
+    @transient private var evs: ListState[(Int, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      evs = getHandle.getListState("evs",
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Int, Long)],
+        timers: TimerValues): Iterator[(Long, Long)] = {
+      rows.foreach { case (_, si, tm) => evs.appendValue((si, tm)) }
+      val all = evs.get().toArray
+      var prev = Long.MinValue
+      var reached = 0L
+      var i = 0
+      var stuck = false
+      while (i < nSteps && !stuck) {
+        var best = Long.MaxValue
+        all.foreach { case (si, tm) =>
+          if (si == i && (i == 0 || tm > prev) && tm < best) best = tm
+        }
+        if (best == Long.MaxValue) stuck = true
+        else { prev = best; reached = i + 1L; i += 1 }
+      }
+      Iterator.single((key, reached))
     }
   }
 
@@ -530,6 +577,58 @@ object StreamingQueries {
     // Arbitrary stateful v2 (transformWithState + RocksDB state store):
     // per-user running count/sum; max(n) per key is the final value
     // regardless of batching, and must equal the batch aggregate.
+    // Streaming strict-sequence funnel (see FunnelSteps): events split by
+    // event_id % 3 — TIME-SCRAMBLED batches, so this passes only if the
+    // state recompute is arrival-order-correct — then per-user reached
+    // steps from the ListState recurrence. Oracle = the batch funnel
+    // recurrence per user in SQL, over users with ≥1 funnel-type event.
+    "streaming_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val steps = Seq("view", "click", "purchase")
+      val ev = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+      val inDir = funnelInCache.getOrElseUpdate(dir, {
+        val d = Files.createTempDirectory("graft-sfun-in-").toString
+        (0 until 3).foreach { i =>
+          ev.filter(col("event_id") % 3 === i).coalesce(1)
+            .write.parquet(s"$d/f$i.parquet")
+        }
+        d
+      })
+      val stepCol = steps.zipWithIndex.foldLeft(lit(-1)) {
+        case (acc, (st, i)) =>
+          when(col("event_type") === lit(st), lit(i)).otherwise(acc)
+      }
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet")
+          .withColumn("si", stepCol).filter(col("si") >= 0)
+          .select(col("user_id"), col("si"),
+            unix_micros(col("ts")).as("tm"))
+          .as[(Long, Int, Long)]
+        val perKey = in.groupByKey(_._1)
+          .transformWithState(new FunnelSteps(steps.size), TimeMode.None(),
+            OutputMode.Update())
+          .toDF("user_id", "step_reached")
+        runToTable(perKey, "update", s)
+          .groupBy(col("user_id"))
+          .agg(max(col("step_reached")).as("step_reached"))
+          .orderBy(col("user_id"))
+      } finally {
+        prev match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
+
     "streaming_tws_stats" -> ((s, dir) => {
       import s.implicits._
       val prev = s.conf.getOption(
@@ -1182,6 +1281,31 @@ object StreamingQueries {
     "streaming_tws_stats" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "streaming_funnel" ->
+      """WITH t0 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY user_id),
+        |t1 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts > t0.t
+        |        THEN e.ts END) AS t
+        |  FROM events e JOIN t0 USING (user_id) GROUP BY e.user_id),
+        |t2 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > t1.t
+        |        THEN e.ts END) AS t
+        |  FROM events e JOIN t1 USING (user_id) GROUP BY e.user_id)
+        |SELECT t0.user_id,
+        |  (CASE WHEN t2.t IS NOT NULL THEN 3
+        |        WHEN t1.t IS NOT NULL THEN 2
+        |        WHEN t0.t IS NOT NULL THEN 1
+        |        ELSE 0 END)::BIGINT AS step_reached
+        |FROM t0 JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "streaming_stateful_count" ->
       """SELECT user_id, count(*) AS n FROM events
