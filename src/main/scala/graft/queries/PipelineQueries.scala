@@ -1445,6 +1445,29 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus audit report — the "dataset card" numbers a corpus release
+    // ships, per language in ONE pass: doc/token counts, redundant exact
+    // copies (docs minus distinct content keys), mean quality in integer
+    // ppm, and the exact median length (interpolated percentile — engine-
+    // identical on integers). One lang-key agg; the md5 content key is
+    // 16 bytes on the shuffle, never text.
+    "corpus_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok",
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+        .withColumn("q_ppm",
+          floor(TextAnalysis.qualityScore(col("text"),
+            TextAnalysis.tokens(col("text"))) * 1e6 + 0.5).cast("long"))
+      docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          (count(lit(1)) - countDistinct(md5(col("text"))))
+            .as("n_dup_copies"),
+          expr("sum(q_ppm) div count(1)").as("mean_q_ppm"),
+          percentile(col("n_tok").cast("double"), lit(0.5)).as("p50_tok"))
+        .orderBy(col("lang"))
+    }),
+
     // Curriculum ordering with domain interleaving: easy tiers first
     // (tier = token count div 25, capped), domains round-robin within a
     // tier via per-(tier, lang) salted-md5 ranks. The training order is
@@ -3533,6 +3556,29 @@ object PipelineQueries {
         |SELECT doc_id, q_ppm, novelty_ppm, ens_ppm, draw_ppm FROM b
         |WHERE draw_ppm < greatest(0, least(ens_ppm, 1000000))
         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_report" ->
+      """WITH base AS (
+        |  SELECT lang, text,
+        |    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT
+        |      AS n_tok,
+        |    floor(floor((least(nt / 100.0, 1.0) * 0.4 + (en / nt) * 0.3 +
+        |          least((ns / nt) / 8.0, 1.0) * 0.3) * 1e6 + 0.5) / 1e6
+        |        * 1e6 + 0.5)::BIGINT AS q_ppm
+        |  FROM (
+        |    SELECT lang, text,
+        |      len(string_split_regex(trim(lower(text)), '\s+'))::DOUBLE
+        |        AS nt,
+        |      length(regexp_replace(text, '\s', '', 'g'))::DOUBLE AS ns,
+        |      len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        w -> w IN ('the','and','of','to','a','in','is'))) AS en
+        |    FROM documents))
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_tok)::BIGINT AS n_tokens,
+        |  (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dup_copies,
+        |  (sum(q_ppm) // count(*))::BIGINT AS mean_q_ppm,
+        |  median(n_tok::DOUBLE) AS p50_tok
+        |FROM base GROUP BY lang ORDER BY lang""".stripMargin,
 
     "length_outliers_mad" ->
       """WITH d AS (
