@@ -414,6 +414,31 @@ object TextAnalysis {
     docGrams(docs, idCol, textCol, n)
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
 
+  /** Merge accumulated gram-df segments (`b*` subdirs of additive (g, df)
+    * tables — the streaming novelty state) into ONE summed segment: the
+    * same Lucene-style segment merge as [[compactTextIndex]], for the same
+    * reason — per-batch segments degrade scan fan-in over time, and since
+    * the snapshot at any moment IS the sum over segments, compaction
+    * changes nothing a reader can observe (readers group-sum either way).
+    * Staged write, then delete-and-rename swap; compacting twice is a
+    * no-op by construction (summing one segment re-produces it).
+    */
+  def compactGramDf(spark: org.apache.spark.sql.SparkSession,
+      segDir: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(segDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$segDir/.compact"
+    spark.read.parquet(s"$segDir/b*")
+      .groupBy(col("g")).agg(sum(col("df")).as("df"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/b0")
+    fs.listStatus(hp)
+      .filter(st => st.getPath.getName.startsWith("b"))
+      .foreach(st => fs.delete(st.getPath, true))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/b0"),
+      new org.apache.hadoop.fs.Path(s"$segDir/b0"))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
   /** Incremental novelty: score an arriving batch against the persisted
     * gram-df snapshot and fold the batch in — WITHOUT rescanning the
     * corpus. Document frequencies add exactly (unlike sketch estimates),

@@ -1509,6 +1509,51 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gram-df segment compaction (the streaming-novelty state's Lucene-
+    // style segment merge): 3 per-slice segments → one summed segment.
+    // Contract: exactly one segment remains, it equals the from-scratch
+    // full-corpus gram-df table, compacting again is a no-op, and an
+    // incremental batch scored against the compacted state equals the
+    // same score against the uncompacted segments.
+    "compact_gram_segments" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val segDir = java.nio.file.Files
+        .createTempDirectory("graft-gseg-").toString
+      (0 until 3).foreach { i =>
+        TextAnalysis.gramDf(docs.filter(col("doc_id") % 3 === i),
+            "doc_id", "text")
+          .coalesce(1).write.parquet(s"$segDir/b$i")
+      }
+      val batch = docs.filter(col("doc_id") < 50)
+      val scoreBefore = TextAnalysis.noveltyIncremental(batch,
+        s.read.parquet(s"$segDir/b*"), "doc_id", "text")._2
+        .localCheckpoint()
+      TextAnalysis.compactGramDf(s, segDir)
+      val fs = new org.apache.hadoop.fs.Path(segDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val segsOnce = fs.listStatus(
+        new org.apache.hadoop.fs.Path(segDir))
+        .count(_.getPath.getName.startsWith("b"))
+      val afterOnce = s.read.parquet(s"$segDir/b*").localCheckpoint()
+      TextAnalysis.compactGramDf(s, segDir)
+      val afterTwice = s.read.parquet(s"$segDir/b*").localCheckpoint()
+      val scratch = TextAnalysis.gramDf(docs, "doc_id", "text")
+        .localCheckpoint()
+      val scoreAfter = TextAnalysis.noveltyIncremental(batch,
+        afterOnce, "doc_id", "text")._2.localCheckpoint()
+      Contracts.row(s,
+        "n_grams" -> scratch.count(),
+        "one_segment_ok" -> (segsOnce == 1),
+        "equals_scratch_ok" -> (Contracts.sameKeys(afterOnce, scratch,
+          Seq("g", "df")) && afterOnce.count() == scratch.count()),
+        "idempotent_ok" -> (Contracts.sameKeys(afterTwice, afterOnce,
+          Seq("g", "df")) && afterTwice.count() == afterOnce.count()),
+        "scores_unchanged_ok" -> (Contracts.sameKeys(scoreAfter,
+          scoreBefore,
+          Seq("doc_id", "n_novel", "n_grams", "novelty_ppm")) &&
+          scoreAfter.count() == scoreBefore.count()))
+    }),
+
     // Distributed BPE tokenizer training (Sennrich ACL'16): the corpus is
     // reduced ONCE to the vocab-bounded word-frequency table; each merge is
     // one weighted pair-count aggregate + a one-row argmax + an in-place
@@ -3623,6 +3668,20 @@ object PipelineQueries {
         |     // count(*))::BIGINT AS novelty_ppm
         |FROM sh s JOIN gdf USING (g)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "compact_gram_segments" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END))
+        |      AS g
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents))
+        |SELECT (SELECT count(DISTINCT g) FROM sh) AS n_grams,
+        |  TRUE AS one_segment_ok, TRUE AS equals_scratch_ok,
+        |  TRUE AS idempotent_ok, TRUE AS scores_unchanged_ok""".stripMargin,
 
     "novelty_incremental" ->
       """WITH sh AS (
