@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.theta.{CompactSketch, Intersection, SetOperation, Sketches => DsSketches, Union, UpdateSketch}
@@ -367,5 +369,118 @@ object Sketches {
     val d = SetOperation.builder().buildANotB()
     d.setA(wrapTheta(a)); d.notB(wrapTheta(b))
     d.getResult(true).getEstimate
+  }
+
+  // --- Mergeable frequent items (Misra-Gries, Datasketches ItemsSketch) ---
+  //
+  // The heavy-hitters member of the sketch family: HLL answers "how many
+  // distinct", KLL "what distribution", theta "how much overlap" — this one
+  // answers "WHICH items dominate, with guarantees". Deterministic (no
+  // hashing), mergeable (associative, same purge semantics), maxMapSize
+  // bounds both memory and error: maxError ≤ streamLength · 3.5/maxMapSize,
+  // and with NO_FALSE_NEGATIVES every item whose true count exceeds
+  // maxError IS returned. Estimates are not invariant across merge trees
+  // (purge points differ) but the [lower, upper] bounds ALWAYS bracket the
+  // exact count — so contracts here assert brackets and the no-false-
+  // negative guarantee, never estimate equality (the HLL/KLL posture).
+
+  private[operators] final class FiBuf(
+      @transient var sk: ItemsSketch[String]) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit =
+      out.writeObject(
+        if (sk == null) null else sk.toByteArray(new ArrayOfStringsSerDe))
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val bytes = in.readObject().asInstanceOf[Array[Byte]]
+      sk = if (bytes == null) null
+      else ItemsSketch.getInstance(Memory.wrap(bytes),
+        new ArrayOfStringsSerDe)
+    }
+  }
+
+  private[operators] final case class FiBuild(maxMapSize: Int)
+      extends Aggregator[String, FiBuf, Array[Byte]] {
+    override def zero: FiBuf = new FiBuf(null)
+    override def reduce(b: FiBuf, x: String): FiBuf = {
+      if (x != null) {
+        if (b.sk == null) b.sk = new ItemsSketch[String](maxMapSize)
+        b.sk.update(x)
+      }
+      b
+    }
+    override def merge(a: FiBuf, b: FiBuf): FiBuf = {
+      if (b.sk != null) {
+        if (a.sk == null) a.sk = b.sk else a.sk.merge(b.sk)
+      }
+      a
+    }
+    override def finish(b: FiBuf): Array[Byte] =
+      (if (b.sk == null) new ItemsSketch[String](maxMapSize) else b.sk)
+        .toByteArray(new ArrayOfStringsSerDe)
+    override def bufferEncoder: Encoder[FiBuf] =
+      Encoders.javaSerialization(classOf[FiBuf])
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  private[operators] final case class FiUnion(maxMapSize: Int)
+      extends Aggregator[Array[Byte], FiBuf, Array[Byte]] {
+    override def zero: FiBuf = new FiBuf(null)
+    override def reduce(b: FiBuf, bytes: Array[Byte]): FiBuf = {
+      if (bytes != null) {
+        val sk = ItemsSketch.getInstance(Memory.wrap(bytes),
+          new ArrayOfStringsSerDe)
+        if (b.sk == null) b.sk = sk else b.sk.merge(sk)
+      }
+      b
+    }
+    override def merge(a: FiBuf, b: FiBuf): FiBuf = {
+      if (b.sk != null) {
+        if (a.sk == null) a.sk = b.sk else a.sk.merge(b.sk)
+      }
+      a
+    }
+    override def finish(b: FiBuf): Array[Byte] =
+      (if (b.sk == null) new ItemsSketch[String](maxMapSize) else b.sk)
+        .toByteArray(new ArrayOfStringsSerDe)
+    override def bufferEncoder: Encoder[FiBuf] =
+      Encoders.javaSerialization(classOf[FiBuf])
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Per-group frequent-items sketch table: (groupCol, fi binary) — the
+    * snapshot format, mirroring [[hllByGroup]]/[[kllByGroup]].
+    */
+  def fiByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      maxMapSize: Int = 64): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(udaf(FiBuild(maxMapSize)).apply(col(valueCol).cast("string"))
+        .as("fi"))
+
+  /** Merge two sketch tables (persisted snapshot + new batch). */
+  def fiMergeSnapshots(snapshot: DataFrame, batch: DataFrame,
+      groupCol: String, maxMapSize: Int = 64): DataFrame =
+    snapshot.unionByName(batch)
+      .groupBy(col(groupCol))
+      .agg(udaf(FiUnion(maxMapSize)).apply(col("fi")).as("fi"))
+
+  /** Long-form heavy hitters per group under NO_FALSE_NEGATIVES: one row
+    * per (group, item) with estimate and [lb, ub] bounds, plus the
+    * sketch's exact stream length and its maximum error.
+    */
+  def fiFrequentItems(sketches: DataFrame, groupCol: String): DataFrame = {
+    val extract = udf { (bytes: Array[Byte]) =>
+      val sk = ItemsSketch.getInstance(Memory.wrap(bytes),
+        new ArrayOfStringsSerDe)
+      val rows = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+        .map(r => (r.getItem, r.getEstimate, r.getLowerBound,
+          r.getUpperBound))
+      (sk.getStreamLength, sk.getMaximumError, rows)
+    }
+    sketches
+      .select(col(groupCol), extract(col("fi")).as("_x"))
+      .select(col(groupCol), col("_x._1").as("n"),
+        col("_x._2").as("max_error"), explode(col("_x._3")).as("r"))
+      .select(col(groupCol), col("r._1").as("item"),
+        col("r._2").as("est"), col("r._3").as("lb"), col("r._4").as("ub"),
+        col("n"), col("max_error"))
   }
 }

@@ -1143,6 +1143,56 @@ object PipelineQueries {
           java.util.Arrays.equals(bytes, sketchOf(toks.repartition(7))))
     }),
 
+    // Mergeable frequent-items sketches (Misra-Gries, Datasketches
+    // ItemsSketch): per-lang token heavy hitters at maxMapSize=8 —
+    // deliberately SMALLER than the vocabulary, so purging is active and
+    // the guarantees are doing real work. Contract = what the sketch
+    // actually promises: [lb, ub] brackets the exact count for every
+    // returned item, NO_FALSE_NEGATIVES returns every item whose exact
+    // count exceeds the sketch's max error, and a two-half merge keeps
+    // both properties (estimates are NOT merge-tree-invariant — the
+    // HLL/KLL posture, never estimate equality).
+    "sketch_frequent_items" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .localCheckpoint()
+      val exact = toks.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("cnt")).localCheckpoint()
+      def brackets(items: DataFrame): Boolean = {
+        val j2 = items.alias("i").join(exact.alias("e"),
+          col("i.lang") === col("e.lang") &&
+            col("i.item") === col("e.token"), "left")
+          .select(col("i.lb"), col("i.ub"),
+            coalesce(col("e.cnt"), lit(0L)).as("cnt"))
+        Contracts.forAll(j2,
+          col("lb") <= col("cnt") && col("cnt") <= col("ub"))
+      }
+      val sk = Sketches.fiByGroup(toks, "lang", "token", maxMapSize = 8)
+        .localCheckpoint()
+      val items = Sketches.fiFrequentItems(sk, "lang").localCheckpoint()
+      val maxErr = items.select(col("lang"), col("max_error")).distinct()
+      val missing = exact.join(maxErr, Seq("lang"))
+        .filter(col("cnt") > col("max_error"))
+        .join(items.select(col("lang"), col("item").as("token")),
+          Seq("lang", "token"), "left_anti")
+      val mid = docs.agg(floor(max(col("doc_id")) * 0.5)).head().getLong(0)
+      val merged = Sketches.fiMergeSnapshots(
+        Sketches.fiByGroup(toks.filter(col("doc_id") < mid), "lang",
+          "token", maxMapSize = 8),
+        Sketches.fiByGroup(toks.filter(col("doc_id") >= mid), "lang",
+          "token", maxMapSize = 8),
+        "lang", maxMapSize = 8)
+      val itemsM = Sketches.fiFrequentItems(merged, "lang")
+        .localCheckpoint()
+      Contracts.row(s,
+        "n_groups" -> sk.count(),
+        "bounds_bracket_exact_ok" -> brackets(items),
+        "no_false_negatives_ok" -> missing.isEmpty,
+        "merge_bounds_bracket_ok" -> brackets(itemsM),
+        "nonvacuous_ok" -> (items.count() >= 1L))
+    }),
+
     // Incremental distinct counting via mergeable HLL sketches: the corpus
     // snapshot is a per-group sketch table (groups × KB), a new batch
     // sketches itself and MERGES — the corpus is never rescanned (the
@@ -3682,6 +3732,12 @@ object PipelineQueries {
         |SELECT (SELECT count(DISTINCT g) FROM sh) AS n_grams,
         |  TRUE AS one_segment_ok, TRUE AS equals_scratch_ok,
         |  TRUE AS idempotent_ok, TRUE AS scores_unchanged_ok""".stripMargin,
+
+    "sketch_frequent_items" ->
+      """SELECT (SELECT count(DISTINCT lang) FROM documents) AS n_groups,
+        |  TRUE AS bounds_bracket_exact_ok, TRUE AS no_false_negatives_ok,
+        |  TRUE AS merge_bounds_bracket_ok,
+        |  TRUE AS nonvacuous_ok""".stripMargin,
 
     "novelty_incremental" ->
       """WITH sh AS (

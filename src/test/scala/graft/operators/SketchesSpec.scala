@@ -130,6 +130,44 @@ class SketchesSpec extends SparkSpec {
     assert(got("y")._1 == 9.0, "a 1-value sketch answers exactly")
   }
 
+  test("frequent-items guarantees hold with active purging") {
+    // 2000 distinct rare items + two heavy hitters, maxMapSize 8 — the
+    // sketch is purging constantly, so the bounds/no-false-negative
+    // guarantees are doing real work here
+    val rows = (1 to 2000).map(i => ("g", s"rare$i")) ++
+      Seq.fill(900)(("g", "heavy1")) ++ Seq.fill(500)(("g", "heavy2"))
+    val df = rows.toDF("g", "v")
+    val items = Sketches.fiFrequentItems(
+        Sketches.fiByGroup(df, "g", "v", maxMapSize = 8), "g")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    val byItem = items.map(r => r._2 -> r).toMap
+    // both heavy hitters exceed max error (3400 * 3.5/8 bound is loose;
+    // the sketch's own getMaximumError is what the guarantee quotes)
+    val maxErr = items.head._7
+    assert(900 > maxErr && byItem.contains("heavy1"),
+      s"heavy1 must be returned (maxErr=$maxErr)")
+    // bounds bracket the exact counts for the heavies
+    assert(byItem("heavy1")._4 <= 900L && 900L <= byItem("heavy1")._5)
+    if (byItem.contains("heavy2"))
+      assert(byItem("heavy2")._4 <= 500L && 500L <= byItem("heavy2")._5)
+    assert(items.head._6 == 3400L, "stream length is exact")
+  }
+
+  test("frequent-items sketches merge and empty groups don't crash") {
+    val a = Seq(("g", "x"), ("g", "x"), ("g", "y")).toDF("g", "v")
+    val b = Seq(("g", "x"), ("h", "z")).toDF("g", "v")
+    val merged = Sketches.fiMergeSnapshots(
+      Sketches.fiByGroup(a, "g", "v", maxMapSize = 8),
+      Sketches.fiByGroup(b, "g", "v", maxMapSize = 8), "g",
+      maxMapSize = 8)
+    val got = Sketches.fiFrequentItems(merged, "g")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // below maxMapSize the sketch is exact: merged counts add
+    assert(got(("g", "x")) == 3L && got(("g", "y")) == 1L &&
+      got(("h", "z")) == 1L)
+  }
+
   test("KLL groups with all-NULL values surface with n=0, not dropped") {
     val df = Seq(("x", Some(1.0)), ("x", Some(2.0)),
       ("z", Option.empty[Double]), ("z", Option.empty[Double]))
