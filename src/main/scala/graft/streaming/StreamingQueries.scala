@@ -847,6 +847,78 @@ object StreamingQueries {
             col("exact") * lit(0.05)))
     }),
 
+    // Frequent-items analog of streaming_sketch_snapshot: per-lang token
+    // heavy-hitter sketches maintained across micro-batches (trending-
+    // vocabulary monitoring on an ingest stream). maxMapSize=8 keeps
+    // purging ACTIVE, so the contract is the sketch's real guarantees
+    // against the exact distributed counts: bounds bracket every reported
+    // item, and nothing above the max error is missed — across the
+    // merge-per-batch build, never estimate equality.
+    "streaming_freq_snapshot" -> ((s, dir) => {
+      val stage = Files.createTempDirectory("graft-sfi-").toString
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      (0 until 3).foreach { i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.parquet(s"$stage/in/f$i.parquet")
+      }
+      val snapPath = s"$stage/snap"
+      val snapDir = new org.apache.hadoop.fs.Path(snapPath)
+      val fs = snapDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val batches = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stage/in/*.parquet")
+        .writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            val toks = b.select(col("lang"),
+              explode(graft.operators.TextAnalysis.tokens(col("text")))
+                .as("token"))
+            val batchSk = graft.operators.Sketches.fiByGroup(
+              toks, "lang", "token", maxMapSize = 8)
+            val merged =
+              if (fs.exists(snapDir))
+                graft.operators.Sketches.fiMergeSnapshots(
+                  s.read.parquet(snapPath), batchSk, "lang",
+                  maxMapSize = 8)
+              else batchSk
+            val next = new org.apache.hadoop.fs.Path(s"$snapPath-next-$id")
+            merged.write.mode("overwrite").parquet(next.toString)
+            if (fs.exists(snapDir)) fs.delete(snapDir, true)
+            fs.rename(next, snapDir)
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+      val items = graft.operators.Sketches.fiFrequentItems(
+        s.read.parquet(snapPath), "lang").localCheckpoint()
+      val exact = docs.select(col("lang"),
+          explode(graft.operators.TextAnalysis.tokens(col("text")))
+            .as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("cnt")).localCheckpoint()
+      val bracketed = items.alias("i").join(exact.alias("e"),
+          col("i.lang") === col("e.lang") &&
+            col("i.item") === col("e.token"), "left")
+        .select(col("i.lb"), col("i.ub"),
+          coalesce(col("e.cnt"), lit(0L)).as("cnt"))
+      val missing = exact
+        .join(items.select(col("lang"), col("max_error")).distinct(),
+          Seq("lang"))
+        .filter(col("cnt") > col("max_error"))
+        .join(items.select(col("lang"), col("item").as("token")),
+          Seq("lang", "token"), "left_anti")
+      graft.queries.Contracts.row(s,
+        "n_groups" -> s.read.parquet(snapPath).count(),
+        "multi_batch_ok" -> (batches.get() >= 3L),
+        "bounds_bracket_exact_ok" -> graft.queries.Contracts.forAll(
+          bracketed, col("lb") <= col("cnt") && col("cnt") <= col("ub")),
+        "no_false_negatives_ok" -> missing.isEmpty)
+    }),
+
     // KLL analog of streaming_sketch_snapshot: per-group QUANTILE sketches
     // maintained across micro-batches — each batch is sketched once and
     // merged into the persisted snapshot (groups × KB), so the nightly
@@ -1247,6 +1319,11 @@ object StreamingQueries {
       """SELECT (SELECT count(DISTINCT event_type) FROM events) AS n_groups,
         |  TRUE AS multi_batch_ok, TRUE AS rank_envelope_ok,
         |  TRUE AS merged_n_exact_ok""".stripMargin,
+
+    "streaming_freq_snapshot" ->
+      """SELECT (SELECT count(DISTINCT lang) FROM documents) AS n_groups,
+        |  TRUE AS multi_batch_ok, TRUE AS bounds_bracket_exact_ok,
+        |  TRUE AS no_false_negatives_ok""".stripMargin,
 
     "streaming_embedding_index" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
