@@ -140,6 +140,23 @@ object ExtendedQueries {
           "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
         .orderBy(col("step"))),
 
+    // Time-to-convert: for every user completing the full funnel, the
+    // first-view → first-qualifying-purchase latency in whole seconds
+    // (all-integer micros div). Same one-exchange window chain as
+    // conversion_funnel — the latency is free once the step timestamps
+    // exist.
+    "funnel_latency" -> ((s, dir) => {
+      val ts = graft.operators.Funnel.stepTimestamps(t(s, dir, "events"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      ts.filter(col("__t2").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(col("__t0")).as("t0"), min(col("__t2")).as("t2"))
+        .select(col("user_id"),
+          expr("(unix_micros(t2) - unix_micros(t0)) div 1000000")
+            .as("latency_sec"))
+        .orderBy(col("user_id"))
+    }),
+
     // Retention cohorts: users cohorted by first-signup week, active-user
     // counts per week offset. All-integer week math off epoch days (div 7)
     // — engine-exact, no week-start conventions; pre-signup events
@@ -641,6 +658,28 @@ object ExtendedQueries {
         |    (CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END)::BIGINT
         |  FROM c)
         |ORDER BY step""".stripMargin,
+
+    "funnel_latency" ->
+      """WITH t0 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t
+        |  FROM events GROUP BY user_id),
+        |t1 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts > t0.t
+        |        THEN e.ts END) AS t
+        |  FROM events e JOIN t0 USING (user_id) GROUP BY e.user_id),
+        |t2 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > t1.t
+        |        THEN e.ts END) AS t
+        |  FROM events e JOIN t1 USING (user_id) GROUP BY e.user_id)
+        |SELECT t0.user_id,
+        |  (date_diff('microsecond', t0.t, t2.t) // 1000000)::BIGINT
+        |    AS latency_sec
+        |FROM t0 JOIN t2 USING (user_id)
+        |WHERE t2.t IS NOT NULL
+        |ORDER BY user_id""".stripMargin,
 
     "retention_cohorts" ->
       """WITH f AS (
