@@ -984,6 +984,34 @@ object Dedup {
     Caching.materializeThenRelease(pairs, bandedNew)
   }
 
+  /** Merge `b*` segment subdirs of DISJOINT rows — the streaming
+    * embedding index's corpus/ and idx/ stores — into one segment.
+    * Unlike [[TextAnalysis.compactGramDf]]'s summing merge, rows here
+    * pass through unchanged (each vector/band row lives in exactly one
+    * batch segment), so compaction is purely scan-fan-in repair: a
+    * long-running ingest accumulates one subdir per micro-batch and the
+    * per-batch candidate read degrades with file count, not data. Staged
+    * write + delete-and-rename swap; reader-invisible and idempotent.
+    * Schema metadata (the SRP parameter block on `bucket`) survives the
+    * parquet round trip, so a compacted index still fails loudly on
+    * parameter mismatch. At 100 TB keep the write partitioned (this
+    * coalesces — segment stores here are batch-scaled, not corpus-scaled).
+    */
+  def compactSegmentDirs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$dir/.compact"
+    spark.read.parquet(s"$dir/b*").coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/b0")
+    fs.listStatus(hp)
+      .filter(st => st.getPath.getName.startsWith("b"))
+      .foreach(st => fs.delete(st.getPath, true))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/b0"),
+      new org.apache.hadoop.fs.Path(s"$dir/b0"))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 4, nTables: Int = 4,
       seed: Long = 19L): DataFrame = {

@@ -1559,6 +1559,49 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Embedding-index segment compaction: the streaming SRP index store
+    // (corpus/b*, idx/b*) merged to one segment each — disjoint rows pass
+    // through, so this is scan-fan-in repair, not arithmetic. Contract:
+    // incremental LSH pairing of a held-out batch against the COMPACTED
+    // store equals the uncompacted result exactly (the SRP parameter
+    // metadata must survive the parquet round trip for the call to even
+    // run), one segment remains per store, and row counts are preserved.
+    "compact_embedding_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-eseg-").toString
+      (0 until 2).foreach { i =>
+        val slice = emb.filter(col("vec_id") % 3 === i)
+        slice.coalesce(1).write.parquet(s"$stage/corpus/b$i")
+        Dedup.srpIndex(slice, "vec_id", "embedding").coalesce(1)
+          .write.parquet(s"$stage/idx/b$i")
+      }
+      val batch = emb.filter(col("vec_id") % 3 === 2)
+      def pair(): DataFrame = Dedup.embeddingPairsLshIncremental(batch,
+        s.read.parquet(s"$stage/corpus/b*"),
+        s.read.parquet(s"$stage/idx/b*"),
+        "vec_id", "embedding", threshold = 0.4)
+      val before = pair().localCheckpoint()
+      val rowsBefore = s.read.parquet(s"$stage/idx/b*").count()
+      Dedup.compactSegmentDirs(s, s"$stage/corpus")
+      Dedup.compactSegmentDirs(s, s"$stage/idx")
+      val fs = new org.apache.hadoop.fs.Path(stage)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def segs(d: String): Int = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$stage/$d"))
+        .count(_.getPath.getName.startsWith("b"))
+      val after = pair().localCheckpoint()
+      Contracts.row(s,
+        "n_batch" -> batch.count(),
+        "one_segment_each_ok" -> (segs("corpus") == 1 && segs("idx") == 1),
+        "rows_preserved_ok" ->
+          (s.read.parquet(s"$stage/idx/b*").count() == rowsBefore),
+        "pairs_unchanged_ok" -> (Contracts.sameKeys(after, before,
+          Seq("id_a", "id_b", "cos")) && after.count() == before.count()),
+        "nonvacuous_ok" -> (before.count() >= 1L))
+    }),
+
     // Gram-df segment compaction (the streaming-novelty state's Lucene-
     // style segment merge): 3 per-slice segments → one summed segment.
     // Contract: exactly one segment remains, it equals the from-scratch
@@ -3718,6 +3761,12 @@ object PipelineQueries {
         |     // count(*))::BIGINT AS novelty_ppm
         |FROM sh s JOIN gdf USING (g)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "compact_embedding_index" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 3 = 2)
+        |    AS n_batch,
+        |  TRUE AS one_segment_each_ok, TRUE AS rows_preserved_ok,
+        |  TRUE AS pairs_unchanged_ok, TRUE AS nonvacuous_ok""".stripMargin,
 
     "compact_gram_segments" ->
       """WITH sh AS (
