@@ -990,8 +990,20 @@ object Dedup {
     * pass through unchanged (each vector/band row lives in exactly one
     * batch segment), so compaction is purely scan-fan-in repair: a
     * long-running ingest accumulates one subdir per micro-batch and the
-    * per-batch candidate read degrades with file count, not data. Staged
-    * write + delete-and-rename swap; reader-invisible and idempotent.
+    * per-batch candidate read degrades with file count, not data.
+    *
+    * Concurrency contract: the segment list is SNAPSHOTTED once up front —
+    * the staged merge reads exactly those paths and the delete loop removes
+    * exactly those paths, so a segment appended by a concurrent streaming
+    * micro-batch between snapshot and swap SURVIVES un-merged (it is simply
+    * picked up by the next compaction) instead of being destroyed.
+    * Compaction should still not run concurrently with READS: the
+    * delete-then-rename swap has a brief window where the snapshotted
+    * segments are gone and the merged one not yet renamed in, so a reader
+    * racing the swap can see a partial store. Run it from the maintenance
+    * path (between micro-batches / from a scheduled job), like any
+    * LSM/Lucene segment merge.
+    *
     * Schema metadata (the SRP parameter block on `bucket`) survives the
     * parquet round trip, so a compacted index still fails loudly on
     * parameter mismatch. At 100 TB keep the write partitioned (this
@@ -1002,11 +1014,14 @@ object Dedup {
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = s"$dir/.compact"
-    spark.read.parquet(s"$dir/b*").coalesce(1)
-      .write.mode("overwrite").parquet(s"$stage/b0")
-    fs.listStatus(hp)
+    // one listing: read set == delete set, immune to concurrent appends
+    val segs = fs.listStatus(hp)
       .filter(st => st.getPath.getName.startsWith("b"))
-      .foreach(st => fs.delete(st.getPath, true))
+      .map(_.getPath)
+    if (segs.isEmpty) return
+    spark.read.parquet(segs.map(_.toString): _*).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/b0")
+    segs.foreach(p => fs.delete(p, true))
     fs.rename(new org.apache.hadoop.fs.Path(s"$stage/b0"),
       new org.apache.hadoop.fs.Path(s"$dir/b0"))
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)

@@ -66,8 +66,11 @@ object Packing {
     * partition-exact.
     *
     * Bucket math is integer-only and portable: bucket = 2^len(bin(tok−1))
-    * (the binary-digit count of tok−1), with tok clamped to ≥ 1, so both
-    * engines compute identical buckets with no log2 rounding hazard.
+    * (the binary-digit count of tok−1) with a tok=1 special case mapping
+    * to bucket 1 (len(bin(0)) is 1, which would double-pad single-token
+    * docs into bucket 2), and tok clamped to ≥ 1 — so both engines compute
+    * identical smallest-power-of-two-≥-tok buckets with no log2 rounding
+    * hazard.
     *
     * Output: one row per (bucket, batch_id) with n_docs, max_tok, sum_tok,
     * pad_ppm. Only the final batch of a bucket may be short.
@@ -84,8 +87,9 @@ object Packing {
     val tok = greatest(tokensCol.cast("long"), lit(1L))
     // Scala's shiftleft(Column, Int) can't take a Column shift amount;
     // route through the SQL function registry for the column-column form.
-    val bucket = call_function("shiftleft",
-        lit(1L), length(bin(tok - 1)).cast("int"))
+    val bucket = when(tok === 1L, lit(1L))
+      .otherwise(call_function("shiftleft",
+        lit(1L), length(bin(tok - 1)).cast("int")))
       .cast("long").as("bucket")
     val w = Window.partitionBy(col("bucket"))
       .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))

@@ -370,10 +370,6 @@ object Sampling {
       .drop("__csz", "__tok")
   }
 
-  /** md5-fold split bucket in [0, 100) of an id — the same 4-char ascii
-    * fold `split_assign` uses, factored so cluster-aware splitting buckets
-    * the REPRESENTATIVE with byte-identical math.
-    */
   /** Deterministic uniform bucket in [0, 1e6) — the parts-per-million
     * analogue of [[splitBucket]]: the first SIX md5 hex chars (16⁶ ≈ 16.8M
     * distinct inputs, so every ppm cell is reachable) folded by the same
@@ -410,6 +406,10 @@ object Sampling {
       .filter(col("draw_ppm") < col("score_ppm"))
   }
 
+  /** md5-fold split bucket in [0, 100) of an id — the same 4-char ascii
+    * fold `split_assign` uses, factored so cluster-aware splitting buckets
+    * the REPRESENTATIVE with byte-identical math.
+    */
   def splitBucket(id: Column): Column = {
     val h = md5(id.cast("string"))
     ((((ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) * 31
@@ -440,7 +440,8 @@ object Sampling {
       s"bad split percentages: train=$trainPct val=$valPct")
     docs
       .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .withColumn("rep", coalesce(col("cluster"), col(idCol)).cast("long"))
+      .withColumn("rep", coalesce(col("cluster").cast("string"),
+        col(idCol).cast("string")))
       .withColumn("split",
         when(splitBucket(col("rep")) < trainPct, "train")
           .when(splitBucket(col("rep")) < trainPct + valPct, "val")

@@ -462,6 +462,16 @@ object Sketches {
       .groupBy(col(groupCol))
       .agg(udaf(FiUnion(maxMapSize)).apply(col("fi")).as("fi"))
 
+  /** Collapse a many-segment sketch table (one row per (group, segment) —
+    * the batchId-keyed exactly-once store) to one row per group: the
+    * read-time N-way form of [[fiMergeSnapshots]], one distributed union
+    * agg over however many segments have accumulated.
+    */
+  def fiMergeSegments(segments: DataFrame, groupCol: String,
+      maxMapSize: Int = 64): DataFrame =
+    segments.groupBy(col(groupCol))
+      .agg(udaf(FiUnion(maxMapSize)).apply(col("fi")).as("fi"))
+
   /** Long-form heavy hitters per group under NO_FALSE_NEGATIVES: one row
     * per (group, item) with estimate and [lb, ub] bounds, plus the
     * sketch's exact stream length and its maximum error.

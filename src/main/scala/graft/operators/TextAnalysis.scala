@@ -249,35 +249,54 @@ object TextAnalysis {
     * merge is pure aggregation — postings rows are already per-(doc, term)
     * within disjoint batches so they only re-bucket-partition, df re-sums
     * per term, norms union, stats re-sum to a single row. Written to
-    * batch=0 of a fresh directory then atomically swapped in via rename;
-    * a [[queryTextIndex]] result is IDENTICAL before and after (the
+    * batch=0 of a staging directory then swapped in via rename; a
+    * [[queryTextIndex]] result is IDENTICAL before and after (the
     * query-time merge already sums per-segment rows — compaction just
     * makes that sum trivial).
+    *
+    * Concurrency contract (same as [[compactGramDf]]): each store's
+    * `batch=*` segment list is snapshotted ONCE — the staged merge reads
+    * exactly those segments and the delete loop removes exactly those, so
+    * a segment appended by a concurrent [[appendToTextIndex]] between
+    * snapshot and swap survives un-merged. Readers must not race the
+    * delete-then-rename swap window; run compaction between batches.
     */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
     val stage = s"$path/.compact"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one listing per store: read set == delete set (concurrent appends
+    // land outside the snapshot and survive the swap un-merged)
+    val segs: Map[String, Array[org.apache.hadoop.fs.Path]] =
+      Seq("postings", "df", "norms", "stats").map { d =>
+        d -> fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$d"))
+          .filter(_.getPath.getName.startsWith("batch="))
+          .map(_.getPath)
+      }.toMap
+    if (segs("postings").isEmpty) return
+    def readSegs(d: String) =
+      spark.read.option("basePath", s"$path/$d")
+        .parquet(segs(d).map(_.toString): _*)
     initTextIndex(spark, stage, nBuckets)
-    spark.read.parquet(s"$path/postings")
+    readSegs("postings")
       .select(col("doc"), col("term"), col("tf"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$stage/postings/batch=0")
-    spark.read.parquet(s"$path/df")
+    readSegs("df")
       .groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$stage/df/batch=0")
-    spark.read.parquet(s"$path/norms").select(col("doc"), col("dl"))
+    readSegs("norms").select(col("doc"), col("dl"))
       .write.mode("overwrite").parquet(s"$stage/norms/batch=0")
-    val st = spark.read.parquet(s"$path/stats")
+    val st = readSegs("stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
     st.coalesce(1).write.mode("overwrite").parquet(s"$stage/stats/batch=0")
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("postings", "df", "norms", "stats").foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$d"),
-        new org.apache.hadoop.fs.Path(s"$path/$d"))
+      segs(d).foreach(p => fs.delete(p, true))
+      fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$d/batch=0"),
+        new org.apache.hadoop.fs.Path(s"$path/$d/batch=0"))
     }
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
@@ -420,20 +439,30 @@ object TextAnalysis {
     * reason — per-batch segments degrade scan fan-in over time, and since
     * the snapshot at any moment IS the sum over segments, compaction
     * changes nothing a reader can observe (readers group-sum either way).
-    * Staged write, then delete-and-rename swap; compacting twice is a
-    * no-op by construction (summing one segment re-produces it).
+    * Compacting twice is a no-op by construction (summing one segment
+    * re-produces it).
+    *
+    * Concurrency contract (same as [[Dedup.compactSegmentDirs]]): the
+    * segment list is snapshotted ONCE — the staged merge reads exactly
+    * those paths and the delete loop removes exactly those paths, so a
+    * segment appended by a concurrent micro-batch between snapshot and
+    * swap survives un-merged rather than being silently destroyed. Readers
+    * must still not race the delete-then-rename swap window; run
+    * compaction from the maintenance path between micro-batches.
     */
   def compactGramDf(spark: org.apache.spark.sql.SparkSession,
       segDir: String): Unit = {
     val hp = new org.apache.hadoop.fs.Path(segDir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = s"$segDir/.compact"
-    spark.read.parquet(s"$segDir/b*")
+    val segs = fs.listStatus(hp)
+      .filter(st => st.getPath.getName.startsWith("b"))
+      .map(_.getPath)
+    if (segs.isEmpty) return
+    spark.read.parquet(segs.map(_.toString): _*)
       .groupBy(col("g")).agg(sum(col("df")).as("df"))
       .coalesce(1).write.mode("overwrite").parquet(s"$stage/b0")
-    fs.listStatus(hp)
-      .filter(st => st.getPath.getName.startsWith("b"))
-      .foreach(st => fs.delete(st.getPath, true))
+    segs.foreach(p => fs.delete(p, true))
     fs.rename(new org.apache.hadoop.fs.Path(s"$stage/b0"),
       new org.apache.hadoop.fs.Path(s"$segDir/b0"))
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)

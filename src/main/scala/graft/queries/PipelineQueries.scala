@@ -2936,7 +2936,8 @@ object PipelineQueries {
         |  FROM documents),
         |b AS (
         |  SELECT doc_id, tok,
-        |    (1::BIGINT << len(bin(tok - 1)))::BIGINT AS bucket
+        |    (CASE WHEN tok = 1 THEN 1::BIGINT
+        |     ELSE (1::BIGINT << len(bin(tok - 1)))::BIGINT END) AS bucket
         |  FROM d),
         |r AS (
         |  SELECT bucket, tok,
@@ -3092,7 +3093,8 @@ object PipelineQueries {
         |  FROM m JOIN k ON m.lang = k.dom AND m.cum < k.budget),
         |bk AS (
         |  SELECT doc_id, tok,
-        |    (1::BIGINT << len(bin(tok - 1)))::BIGINT AS bucket
+        |    (CASE WHEN tok = 1 THEN 1::BIGINT
+        |     ELSE (1::BIGINT << len(bin(tok - 1)))::BIGINT END) AS bucket
         |  FROM mx),
         |rn AS (
         |  SELECT bucket, tok,

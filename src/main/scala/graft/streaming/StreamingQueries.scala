@@ -852,8 +852,18 @@ object StreamingQueries {
     // vocabulary monitoring on an ingest stream). maxMapSize=8 keeps
     // purging ACTIVE, so the contract is the sketch's real guarantees
     // against the exact distributed counts: bounds bracket every reported
-    // item, and nothing above the max error is missed — across the
-    // merge-per-batch build, never estimate equality.
+    // item, and nothing above the max error is missed.
+    //
+    // Exactly-once shape (the novelty-stream design, NOT the HLL query's
+    // read-merge-swap): each batch writes its own sketch segment to an
+    // overwrite-mode batchId-keyed subdir, and the snapshot is the
+    // FiUnion-merge over segments at read time. foreachBatch is
+    // at-least-once — under the swap design a crash-replayed batch would
+    // double-count into the ItemsSketch and could push a reported lower
+    // bound ABOVE the exact count, violating the very contract this query
+    // asserts. (HLL tolerates the swap design because register-max union
+    // is idempotent; FI counts are not.) A replayed batch here rewrites
+    // its own segment byte-identically instead.
     "streaming_freq_snapshot" -> ((s, dir) => {
       val stage = Files.createTempDirectory("graft-sfi-").toString
       val docs = Tables.t(s, dir, "documents")
@@ -862,9 +872,7 @@ object StreamingQueries {
         docs.filter(col("doc_id") % 3 === i).coalesce(1)
           .write.parquet(s"$stage/in/f$i.parquet")
       }
-      val snapPath = s"$stage/snap"
-      val snapDir = new org.apache.hadoop.fs.Path(snapPath)
-      val fs = snapDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val segPath = s"$stage/segs"
       val batches = new java.util.concurrent.atomic.AtomicLong(0)
       val q = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$stage/in/*.parquet")
@@ -877,24 +885,18 @@ object StreamingQueries {
             val toks = b.select(col("lang"),
               explode(graft.operators.TextAnalysis.tokens(col("text")))
                 .as("token"))
-            val batchSk = graft.operators.Sketches.fiByGroup(
-              toks, "lang", "token", maxMapSize = 8)
-            val merged =
-              if (fs.exists(snapDir))
-                graft.operators.Sketches.fiMergeSnapshots(
-                  s.read.parquet(snapPath), batchSk, "lang",
-                  maxMapSize = 8)
-              else batchSk
-            val next = new org.apache.hadoop.fs.Path(s"$snapPath-next-$id")
-            merged.write.mode("overwrite").parquet(next.toString)
-            if (fs.exists(snapDir)) fs.delete(snapDir, true)
-            fs.rename(next, snapDir)
+            graft.operators.Sketches.fiByGroup(
+                toks, "lang", "token", maxMapSize = 8)
+              .write.mode("overwrite").parquet(s"$segPath/b$id")
           }
           ()
         }.start()
       q.awaitTermination()
+      // read-time merge over all segments: one distributed FiUnion agg
+      val snap = graft.operators.Sketches.fiMergeSegments(
+        s.read.parquet(s"$segPath/b*"), "lang", maxMapSize = 8)
       val items = graft.operators.Sketches.fiFrequentItems(
-        s.read.parquet(snapPath), "lang").localCheckpoint()
+        snap, "lang").localCheckpoint()
       val exact = docs.select(col("lang"),
           explode(graft.operators.TextAnalysis.tokens(col("text")))
             .as("token"))
@@ -912,7 +914,7 @@ object StreamingQueries {
         .join(items.select(col("lang"), col("item").as("token")),
           Seq("lang", "token"), "left_anti")
       graft.queries.Contracts.row(s,
-        "n_groups" -> s.read.parquet(snapPath).count(),
+        "n_groups" -> snap.count(),
         "multi_batch_ok" -> (batches.get() >= 3L),
         "bounds_bracket_exact_ok" -> graft.queries.Contracts.forAll(
           bracketed, col("lb") <= col("cnt") && col("cnt") <= col("ub")),

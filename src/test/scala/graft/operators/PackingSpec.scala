@@ -93,10 +93,9 @@ class PackingSpec extends SparkSpec {
         r.getLong(4), r.getLong(5)))
     assert(out.nonEmpty)
     out.foreach { case (bucket, _, nDocs, maxTok, sumTok, padPpm) =>
-      assert((bucket & (bucket - 1)) == 0 && bucket >= 2, s"bucket $bucket")
-      // bucket 2 is the clamp floor (tok = 1 maps there), so only larger
-      // buckets guarantee max_tok lands in the upper half
-      assert(maxTok <= bucket && (bucket == 2L || maxTok > bucket / 2),
+      assert((bucket & (bucket - 1)) == 0 && bucket >= 1, s"bucket $bucket")
+      // smallest power-of-two ≥ tok: max_tok in (bucket/2, bucket]
+      assert(maxTok <= bucket && maxTok > bucket / 2,
         s"max_tok $maxTok outside ($bucket/2, $bucket]")
       assert(nDocs <= bs)
       val envelope = bucket * nDocs

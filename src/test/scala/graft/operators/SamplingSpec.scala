@@ -238,11 +238,11 @@ class SamplingSpec extends SparkSpec {
     val clusters = ((0L to 9L).map((_, 0L)) ++ (100L to 104L).map((_, 100L)))
       .toDF("id", "cluster")
     val out = Sampling.leakageSafeSplit(docs, clusters, "doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val byDoc = out.map(t => t._1 -> (t._2, t._3)).toMap
     assert((0L to 9L).map(byDoc(_)).toSet.size == 1)
     assert((100L to 104L).map(byDoc(_)).toSet.size == 1)
-    assert(byDoc(0L)._1 == 0L && byDoc(100L)._1 == 100L)
+    assert(byDoc(0L)._1 == "0" && byDoc(100L)._1 == "100")
     // the guarded-against leak is real on this data: per-doc buckets of the
     // first cluster's members do NOT agree
     val ownBuckets = docs.filter(col("doc_id") < 10)
@@ -255,7 +255,8 @@ class SamplingSpec extends SparkSpec {
     val none = Seq.empty[(Long, Long)].toDF("id", "cluster")
     val out = Sampling.leakageSafeSplit(docs, none, "doc_id")
     import org.apache.spark.sql.functions.when
-    val direct = docs.select(col("doc_id"), col("doc_id").as("rep"),
+    val direct = docs.select(col("doc_id"),
+      col("doc_id").cast("string").as("rep"),
       when(Sampling.splitBucket(col("doc_id")) < 90, "train")
         .when(Sampling.splitBucket(col("doc_id")) < 95, "val")
         .otherwise("test").as("split"))
@@ -263,6 +264,23 @@ class SamplingSpec extends SparkSpec {
     // and the 90/5/5 proportions roughly hold
     val n = out.filter(col("split") === "train").count()
     assert(n > 4200 && n < 4800, s"train fraction off: $n/5000")
+  }
+
+  test("leakageSafeSplit handles STRING ids (no silent all-test split)") {
+    // regression: the rep used to be cast("long"), so non-numeric ids
+    // became null reps and every doc silently fell through to 'test'
+    val docs = spark.range(0, 500)
+      .select(concat(lit("doc-"), col("id")).as("doc_id"))
+    val clusters = Seq(("doc-1", "doc-0"), ("doc-2", "doc-0"))
+      .toDF("id", "cluster")
+    val out = Sampling.leakageSafeSplit(docs, clusters, "doc_id")
+    val counts = out.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("train", 0L) > 400L,
+      s"string ids mis-split: $counts")
+    val reps = out.filter(col("doc_id").isin("doc-0", "doc-1", "doc-2"))
+      .select(col("rep"), col("split")).distinct().collect()
+    assert(reps.length == 1 && reps.head.getString(0) == "doc-0")
   }
 
   test("leakageSafeSplit is a doc-keyed join plus scan math — no agg") {
