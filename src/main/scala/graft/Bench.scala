@@ -80,11 +80,18 @@ object Bench {
     spark.listenerManager.register(obs)
     // per query: (median sec, rows, spread = max-min over the reps) — the
     // spread lands in the bench file so a noisy timing is distinguishable
-    // from a real regression without re-running
-    val results = selected.map { case (name, fn) =>
+    // from a real regression without re-running.
+    // Two order-robustness rules (r9 post-mortem): (1) queries run in
+    // SORTED name order, so a query's in-suite neighbors are stable across
+    // rounds (Map hash order reshuffles whenever the registry grows, which
+    // silently reassigns whose leftover JVM state each query inherits);
+    // (2) the release before each timed rep is BLOCKING — the async form
+    // let the previous rep's block removal run concurrently inside the
+    // next rep's timer (see Caching.releaseAllRdds).
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var rows = -1L
       val secs = (1 to reps).map { _ =>
-        graft.operators.Caching.releaseAllRdds(spark)
+        graft.operators.Caching.releaseAllRdds(spark, blocking = true)
         System.gc()
         val t0 = System.nanoTime()
         rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
@@ -93,6 +100,7 @@ object Bench {
       graft.operators.Caching.releaseAllRdds(spark)
       name -> ((secs(secs.size / 2), rows, secs.last - secs.head))
     }
+    val resultMap = results.toMap
     // Observed-metric telemetry for the timed pass at sfDir (the scale-
     // growth pass below snapshots its own at the small sf).
     def telemetryJson(m: Map[String, Seq[(String, Any)]]): String =
@@ -113,7 +121,7 @@ object Bench {
     val spreads = results.map { case (k, (_, _, sp)) =>
       s"\"" + k + "\":" + jnum(sp, 3)
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val nQueries = results.size
     // IVF recall/latency sweep (untimed extra): how the ANN quality/cost
     // trade-off moves across the (nCentroids, nProbe) grid on this scale
@@ -143,16 +151,24 @@ object Bench {
     // operator families (dedup/ANN/text/embedding — PipelineQueries.timed —
     // plus the full streaming family, whose state-store/watermark costs
     // have their own growth behavior the batch families can't stand in
-    // for) at a smaller scale factor and report t(sfDir)/t(smallDir) per
-    // query. Rows grow 10x from sf0.01 to sf0.1, so a ratio far above
-    // ~10-15 flags super-linear behavior (the fixed-nBits class of scale
-    // bug) mechanically instead of by judge audit. Medians again — a single
-    // sub-second run at sf0.01 would put timer jitter in the denominator.
-    // (streaming_dlq_redrive generates its own fixed 10-message queue, so
-    // its ratio hovers near 1 — included for uniformity, read accordingly.)
-    val (scaleGrowth, telemetrySmall) = if (args.isEmpty) {
+    // for) at TWO smaller scale factors and report both growth steps per
+    // query: r1 = t(tinyDir->smallDir), r2 = t(smallDir->sfDir). Rows grow
+    // 10x per step, so a per-decade ratio far above ~10-15 flags
+    // super-linear behavior (the fixed-nBits class of scale bug)
+    // mechanically instead of by judge audit — and with two steps a
+    // legitimately quadratic-in-OUTPUT query (high on both steps, e.g.
+    // interval_join_binned's match count on a fixed value domain) is
+    // distinguishable from a one-off wall spike (high on one step only):
+    // the guard's fitted slope is the geometric mean of the steps.
+    // Medians again — a single sub-second run at sf0.01 would put timer
+    // jitter in the denominator. (streaming_dlq_redrive generates its own
+    // fixed 10-message queue, so its ratio hovers near 1 — included for
+    // uniformity, read accordingly.)
+    val (scaleGrowth, scaleGrowthSteps, telemetrySmall) = if (args.isEmpty) {
       val smallDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
         "/root/testdata/sf0.01")
+      val tinyDir = sys.env.getOrElse("SPARK_GRAFT_TINY_DIR",
+        "/root/testdata/sf0.001")
       // Join/layout tier added r8 (verdict item): these carry the round-6/7
       // operator work and have their own growth behavior (exchange-free
       // bucketed plans, binned interval fan-out, zipWithIndex passes) that
@@ -170,29 +186,42 @@ object Bench {
         joinTier.flatMap(n => SparkEntry.benchQueries.get(n).map(n -> _)) ++
         graft.queries.PipelineQueries.timed ++
         graft.streaming.StreamingQueries.timed
+      def medianAt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+          dir: String): Double = {
+        val secs = (1 to reps).map { _ =>
+          graft.operators.Caching.releaseAllRdds(spark, blocking = true)
+          val t0 = System.nanoTime()
+          try fn(spark, dir).count()
+          catch { case _: Throwable => }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        math.max(secs(secs.size / 2), 1e-3)
+      }
+      val haveTiny = new java.io.File(tinyDir).isDirectory && tinyDir != sfDir
       if (new java.io.File(smallDir).isDirectory && smallDir != sfDir) {
         obs.snapshotAndClear(spark) // drop sweep/envelope noise before small
-        val entries = growthQueries.toSeq
+        val measured = growthQueries.toSeq
           .sortBy(_._1).flatMap { case (name, fn) =>
             // rows >= 0 = the query SUCCEEDED at sfDir (failures time the
             // crash, which would make the growth ratio nonsense)
-            results.get(name).filter(_._2 >= 0).map { case (bigSec, _, _) =>
-              val secs = (1 to reps).map { _ =>
-                graft.operators.Caching.releaseAllRdds(spark)
-                val t0 = System.nanoTime()
-                try fn(spark, smallDir).count()
-                catch { case _: Throwable => }
-                (System.nanoTime() - t0) / 1e9
-              }.sorted
-              val small = math.max(secs(secs.size / 2), 1e-3)
-              s""""$name":${jnum(bigSec / small, 2)}"""
+            resultMap.get(name).filter(_._2 >= 0).map { case (bigSec, _, _) =>
+              val small = medianAt(fn, smallDir)
+              val tiny = if (haveTiny) medianAt(fn, tinyDir) else -1.0
+              (name, bigSec, small, tiny)
             }
           }
         graft.operators.Caching.releaseAllRdds(spark)
-        (entries.mkString("{", ",", "}"),
+        val ratios = measured.map { case (name, big, small, _) =>
+          s""""$name":${jnum(big / small, 2)}"""
+        }
+        val steps = measured.collect { case (name, big, small, tiny)
+            if tiny > 0 =>
+          s""""$name":[${jnum(small / tiny, 2)},${jnum(big / small, 2)}]"""
+        }
+        (ratios.mkString("{", ",", "}"), steps.mkString("{", ",", "}"),
           telemetryJson(obs.snapshotAndClear(spark)))
-      } else ("{}", "{}")
-    } else ("{}", "{}")
+      } else ("{}", "{}", "{}")
+    } else ("{}", "{}", "{}")
     // Last snapshot taken — drop the listener so the envelope pass below
     // (and anything after) runs without it; leaving it registered is
     // harmless in a one-shot main but wrong as a pattern to copy.
@@ -223,7 +252,7 @@ object Bench {
     // tail window — the full 87-query map is ~4 KB and lands mid-line in
     // that window, so the parseable contract line must stay short.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"spread":$spreads,"ivf_sweep":$sweep,"scale_growth":$scaleGrowth,"telemetry":$telemetryBig,"telemetry_small":$telemetrySmall,"publish_envelope":$envelope,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"spread":$spreads,"ivf_sweep":$sweep,"scale_growth":$scaleGrowth,"scale_growth_steps":$scaleGrowthSteps,"telemetry":$telemetryBig,"telemetry_small":$telemetrySmall,"publish_envelope":$envelope,"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec",""" +
         s""""n_queries":$nQueries,"sf":"$sfDir"}"""

@@ -31,10 +31,18 @@ object Caching {
     * manager until the RDD is GC'd). For sweep harnesses (Verify/Bench)
     * between queries, so a long session accumulates no net-new blocks; NOT
     * for sessions whose caches must survive the call.
+    *
+    * `blocking = true` waits for every block removal to finish before
+    * returning. Bench uses it immediately before starting a timer: the
+    * default async form lets the previous query's block removal run
+    * CONCURRENTLY with the next timed query, and with ~200 queries in one
+    * JVM that race was measured inflating a single query's wall-clock by
+    * 12x (r9's jaccard_prefix_join: 35.3 s in-suite median vs ~4 s in a
+    * fresh JVM, with byte-identical candidate telemetry).
     */
-  def releaseAllRdds(spark: SparkSession): Unit =
+  def releaseAllRdds(spark: SparkSession, blocking: Boolean = false): Unit =
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking))
 
   /** Run `body`, then unpersist every persistent RDD it created (net-new vs
     * the snapshot at entry) — including the local-checkpoint blocks

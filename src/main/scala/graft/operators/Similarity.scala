@@ -543,19 +543,33 @@ object Similarity {
   }
 
   /** Build and PERSIST the IVF-PQ serving index: the (bucket, nid, codes)
-    * scan table written bucket-partitioned under `path/codes` (so a query's
-    * nProbe buckets map to partition directories and everything else is
-    * never read), plus the trained model — coarse centroids under
+    * scan table written bucket-partitioned under `path/codes/batch=0` (so a
+    * query's nProbe buckets map to partition directories and everything
+    * else is never read), plus the trained model — coarse centroids under
     * `path/centroids`, PQ codebook + params under `path/model`. This is the
     * 100 TB serving shape: the index is computed once per corpus snapshot
     * and every query run reads only its probed slice of an m-bytes-per-
     * vector table. Training matches [[ivfPqTopK]] exactly (same seeded
     * hash-ordered draws), so querying the stored index returns the same
     * results as the in-memory path — the driver contract asserts equality.
+    *
+    * The codes table is batchId-segment-structured like its three sibling
+    * stores (text index, gram-df, SRP embedding index): ingest appends
+    * land as `batch=N` subdirs via [[appendToIvfPqIndex]] and
+    * [[compactIvfPqIndex]] merges them back to one segment, so a
+    * long-running ingest never degrades the probe scan's file fan-in and
+    * never retrains/re-encodes history.
+    *
+    * `trainOn` (optional) trains the coarse quantizer and PQ codebook on a
+    * DIFFERENT frame than the one encoded — the standard large-corpus
+    * workflow (train on a bounded sample table, encode everything), and
+    * what makes an incrementally-maintained index exactly comparable to a
+    * one-shot rebuild over the same history.
     */
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, nCentroids: Int = 16, m: Int = 16, ksub: Int = 16,
-      seed: Long = 11L, trainIters: Int = 4, sampleN: Int = 256): Unit = {
+      seed: Long = 11L, trainIters: Int = 4, sampleN: Int = 256,
+      trainOn: DataFrame = null): Unit = {
     val spark = corpus.sparkSession
     HashExpressions.register(spark)
     import spark.implicits._
@@ -563,7 +577,9 @@ object Similarity {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
     val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n").persist()
-    val (coarse, cbFlat) = trainIvfPq(c, nCentroids, m, ksub, sub, seed,
+    val tr = if (trainOn == null) c
+      else withNorm(trainOn, idCol, vecCol, "nid", "v_n", "n_n")
+    val (coarse, cbFlat) = trainIvfPq(tr, nCentroids, m, ksub, sub, seed,
       trainIters, sampleN)
     c.select(
         centroidScores(spark, coarse)(col("v_n"), col("n_n")).getItem(0)
@@ -572,7 +588,7 @@ object Similarity {
         graft.functions.PqExpressions.pqEncode(spark, col("v_n"), col("n_n"),
           cbFlat, m, ksub, sub).as("codes"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/codes")
+      .parquet(s"$path/codes/batch=0")
     c.unpersist()
     coarse.toSeq.map { case (b, cv, cn) => (b, cv, cn) }
       .toDF("bucket", "cv", "cn")
@@ -580,6 +596,85 @@ object Similarity {
     Seq((cbFlat.toSeq, m, ksub, sub, dim))
       .toDF("cb", "m", "ksub", "sub", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** Append a batch of NEW vectors to a persisted IVF-PQ index: encode
+    * with the STORED codebooks (no retraining — the codebooks are the
+    * index's identity; an index cannot re-quantize per ingest without a
+    * rebuild) and land the codes as one `batch=N` segment under
+    * `path/codes`. Parameter parity is checked like the SRP metadata
+    * guard: a batch whose vector dimension disagrees with the stored
+    * model fails loudly instead of writing garbage codes. Batch ids
+    * default to max-existing+1; a caller-supplied id (e.g. a streaming
+    * batchId) makes replay idempotent (overwrite-mode segment). Rows are
+    * assumed new — the store is disjoint-row segmented, same contract as
+    * the SRP embedding index.
+    *
+    * At 100 TB: per-append cost is O(batch) — one scan-side encode
+    * projection and one bucket-partitioned write; history is never read.
+    */
+  def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+      path: String, batchId: Long = -1L): Unit = {
+    val spark = batch.sparkSession
+    HashExpressions.register(spark)
+    val model = spark.read.parquet(s"$path/model").head()
+    val cbFlat = model.getSeq[Double](model.fieldIndex("cb")).toArray
+    val m = model.getInt(model.fieldIndex("m"))
+    val ksub = model.getInt(model.fieldIndex("ksub"))
+    val sub = model.getInt(model.fieldIndex("sub"))
+    val dim = model.getInt(model.fieldIndex("dim"))
+    val batchDim = batch.select(size(col(vecCol))).head().getInt(0)
+    require(batchDim == dim,
+      s"index at $path was built with dim=$dim but the batch has " +
+        s"dim=$batchDim")
+    val coarse = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bid = if (batchId >= 0) batchId else {
+      val existing = fs.listStatus(codesPath)
+        .map(_.getPath.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+      if (existing.isEmpty) 0L else existing.max + 1
+    }
+    withNorm(batch, idCol, vecCol, "nid", "v_n", "n_n")
+      .select(
+        centroidScores(spark, coarse)(col("v_n"), col("n_n")).getItem(0)
+          .getField("bucket").as("bucket"),
+        col("nid"),
+        graft.functions.PqExpressions.pqEncode(spark, col("v_n"), col("n_n"),
+          cbFlat, m, ksub, sub).as("codes"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/codes/batch=$bid")
+  }
+
+  /** Merge accumulated IVF-PQ code segments into one — the same
+    * scan-fan-in repair as [[graft.operators.Dedup.compactSegmentDirs]]
+    * (rows are disjoint and pass through unchanged; only the directory
+    * fan-in shrinks), with the same snapshot concurrency contract: the
+    * segment list is listed ONCE, the staged merge reads exactly those
+    * paths and deletes exactly those paths, so a concurrently appended
+    * segment survives un-merged. Serving is identical before and after
+    * (the probe scan unions segments either way).
+    */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit = {
+    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(codesPath)
+      .filter(_.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+    if (segs.isEmpty) return
+    val stage = s"$path/.compact"
+    spark.read.option("basePath", s"$path/codes")
+      .parquet(segs.map(_.toString): _*)
+      .select(col("nid"), col("codes"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$stage/batch=0")
+    segs.foreach(p => fs.delete(p, true))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/batch=0"),
+      new org.apache.hadoop.fs.Path(s"$path/codes/batch=0"))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
   /** Query a [[buildIvfPqIndex]]-persisted index. `corpus` supplies the raw

@@ -790,7 +790,7 @@ object PipelineQueries {
         path, k = 5, nProbe = 8, shortlistFactor = 8)
       val mem = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
         k = 5, nCentroids = 16, nProbe = 8, m = 16, shortlistFactor = 8)
-      val bucketDirs = new java.io.File(s"$path/codes").listFiles()
+      val bucketDirs = new java.io.File(s"$path/codes/batch=0").listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
       Contracts.row(s,
         "n_queries" -> q.count(),
@@ -798,6 +798,53 @@ object PipelineQueries {
         "equals_in_memory_ok" ->
           (Contracts.checksum(stored) == Contracts.checksum(mem)),
         "bucket_partitioned_ok" -> (bucketDirs.length > 1))
+    }),
+
+    // IVF-PQ index MAINTENANCE: the last persisted store to gain the
+    // append/compact symmetry its three siblings have (text index,
+    // gram-df, SRP embedding index). Build on the first 2/3 of the
+    // corpus, append the rest as TWO batch segments encoded with the
+    // STORED codebooks (no retraining — per-append cost is O(batch)),
+    // and compare against a one-shot rebuild over the FULL corpus whose
+    // training is pinned to the same 2/3 (buildIvfPqIndex's trainOn seam,
+    // the train-on-sample/encode-everything production workflow): the
+    // served top-k must be IDENTICAL — same codebooks + deterministic
+    // encode means the incremental store and the rebuild hold the same
+    // rows. Then compact: one segment remains and serving is unchanged.
+    "sim_ivfpq_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val base = emb.filter(col("vec_id") % 3 =!= 2)
+      val b1 = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0)
+      val b2 = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 1)
+      val pInc = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-inc-").toString
+      val pFull = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-full-").toString
+      Similarity.buildIvfPqIndex(base, "vec_id", "embedding", pInc,
+        nCentroids = 16, m = 16)
+      Similarity.appendToIvfPqIndex(b1, "vec_id", "embedding", pInc)
+      Similarity.appendToIvfPqIndex(b2, "vec_id", "embedding", pInc)
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", pFull,
+        nCentroids = 16, m = 16, trainOn = base)
+      def serve(p: String): DataFrame =
+        Similarity.queryIvfPqIndex(emb, q, "vec_id", "embedding", p,
+          k = 5, nProbe = 8, shortlistFactor = 8)
+      val incBefore = serve(pInc).localCheckpoint()
+      val rebuild = serve(pFull).localCheckpoint()
+      Similarity.compactIvfPqIndex(s, pInc)
+      val incAfter = serve(pInc).localCheckpoint()
+      val segs = new java.io.File(s"$pInc/codes").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      Contracts.row(s,
+        "n_queries" -> q.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(incAfter, "qid", "rank", 5),
+        "equals_full_rebuild_ok" ->
+          (Contracts.checksum(incBefore) == Contracts.checksum(rebuild)),
+        "compaction_invisible_ok" ->
+          (Contracts.checksum(incAfter) == Contracts.checksum(incBefore)),
+        "one_segment_after_compact_ok" -> (segs.length == 1),
+        "scores_exact_ok" -> scoresMatchExact(incAfter, emb))
     }),
 
     // OPQ-style rotated PQ: principal-axis rotation + snake eigenvalue
@@ -2424,6 +2471,19 @@ object PipelineQueries {
       Similarity.queryIvfPqIndex(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", path, k = 5, nProbe = 8, shortlistFactor = 8)
     }),
+    // times the maintenance path: build on 2/3, append 1/3, serve —
+    // the contract's rebuild/compaction equality baselines stay in Verify
+    "sim_ivfpq_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-inc-t-").toString
+      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 3 =!= 2),
+        "vec_id", "embedding", path, nCentroids = 16, m = 16)
+      Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 3 === 2),
+        "vec_id", "embedding", path)
+      Similarity.queryIvfPqIndex(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", path, k = 5, nProbe = 8, shortlistFactor = 8)
+    }),
     "embedding_pca" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Embeddings.project(emb, "embedding",
@@ -2554,6 +2614,14 @@ object PipelineQueries {
         |    AS n_queries,
         |  TRUE AS ranks_ok, TRUE AS equals_in_memory_ok,
         |  TRUE AS bucket_partitioned_ok""".stripMargin,
+
+    "sim_ivfpq_incremental" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+        |    AS n_queries,
+        |  TRUE AS ranks_ok, TRUE AS equals_full_rebuild_ok,
+        |  TRUE AS compaction_invisible_ok,
+        |  TRUE AS one_segment_after_compact_ok,
+        |  TRUE AS scores_exact_ok""".stripMargin,
 
     "cluster_balanced_sample" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,

@@ -139,6 +139,14 @@ object StreamingQueries {
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    // Per-batch wall seconds, exposed after the run as an observe() row
+    // (Bench's listener lands it in bench telemetry): the fold's cost is
+    // dominated by fixed micro-batch trigger machinery at 3 batches, and
+    // this row is what makes a real per-batch regression distinguishable
+    // from that overhead — sec_per_batch should stay roughly flat as the
+    // batch count grows, while total query wall grows with it.
+    val batchWall =
+      new scala.collection.concurrent.TrieMap[Long, Double]
     // Per-batch work is a chain of joins over batch-sized frames: at 32
     // shuffle partitions the fold is task-scheduling overhead, not data
     // (the runToTable lesson). Sized per batch, not per corpus — a
@@ -153,6 +161,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, id: Long) =>
           if (!b.isEmpty) {
+            val bt0 = System.nanoTime()
             batches.incrementAndGet()
             val haveIndex =
               fs.exists(new org.apache.hadoop.fs.Path(idxPath))
@@ -185,15 +194,34 @@ object StreamingQueries {
             graft.operators.Dedup.srpIndex(b, "vec_id", "embedding",
                 nBits, nTables).coalesce(1)
               .write.mode("overwrite").parquet(s"$idxPath/b$id")
+            batchWall(id) = (System.nanoTime() - bt0) / 1e9
           }
           ()
         }.start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+    observeBatchWall(s, "streaming_embedding_index_batch_wall", batchWall)
     EmbeddingIndexRun(s.read.parquet(s"$pairsPath/b*"),
       s.read.parquet(s"$idxPath/b*"), nVecs, nBits, nTables, threshold,
       batches.get())
   }
+
+  /** Land per-batch foreachBatch wall times as an observe() row (count /
+    * avg / max seconds per batch) — a tiny driver-built frame executed
+    * once so Bench's QueryExecutionListener records it as telemetry.
+    */
+  private def observeBatchWall(s: SparkSession, name: String,
+      wall: scala.collection.concurrent.TrieMap[Long, Double]): Unit =
+    if (wall.nonEmpty) {
+      import s.implicits._
+      wall.toSeq.toDF("batch", "sec")
+        .observe(name,
+          count(lit(1)).as("n_batches"),
+          round(avg(col("sec")), 6).as("sec_per_batch_avg"),
+          round(max(col("sec")), 6).as("sec_per_batch_max"))
+        .count()
+      ()
+    }
 
   /** Staged 3-file documents input per source dir (same scaffolding
     * pattern as [[embIndexInCache]]): deterministic doc_id % 3 split,
@@ -227,6 +255,8 @@ object StreamingQueries {
     val idxPath = s"$stage/idx"
     graft.operators.TextAnalysis.initTextIndex(s, idxPath, nBuckets = 16)
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val batchWall =
+      new scala.collection.concurrent.TrieMap[Long, Double]
     // batch-sized joins/aggs per micro-batch — 8 shuffle partitions, the
     // runToTable lesson; restored after the fold
     val prevSp = s.conf.get("spark.sql.shuffle.partitions")
@@ -239,14 +269,17 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, id: Long) =>
           if (!b.isEmpty) {
+            val bt0 = System.nanoTime()
             batches.incrementAndGet()
             graft.operators.TextAnalysis.appendToTextIndex(b, "doc_id",
               "text", idxPath, id)
+            batchWall(id) = (System.nanoTime() - bt0) / 1e9
           }
           ()
         }.start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+    observeBatchWall(s, "streaming_text_index_batch_wall", batchWall)
     (idxPath, batches.get())
   }
 

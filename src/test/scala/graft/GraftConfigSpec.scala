@@ -57,6 +57,30 @@ class GraftConfigSpec extends SparkSpec {
     assert(res.publishedRows == 25 && res.failedRows == 0)
   }
 
+  test("a NON-file scheme resolves through the config seam on a real read " +
+      "and the endpoint override reaches the FileSystem's conf") {
+    val s = spark
+    val hc = s.sparkContext.hadoopConfiguration
+    // scheme registration — the same mechanism that binds s3a: to
+    // S3AFileSystem (fs.s3a.impl); the sandbox is zero-egress, so the
+    // stand-in backs onto local disk but is instantiated and configured
+    // through the identical Hadoop path
+    hc.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val base = tmpDir("graft-s3seam")
+    s.read.parquet(s"$sfDir/nation.parquet")
+      .write.mode("overwrite").parquet(s"file:$base/nation.parquet")
+    GraftTestFs.seenEndpoint = None
+    val cfg = GraftConfig(baseUri = s"graftfs:$base",
+      fsEndpointOverride = "http://localhost:4566").configure(s)
+    // base-URI table resolution lands on the non-file scheme...
+    assert(cfg.tablePath("nation") == s"graftfs:$base/nation.parquet")
+    // ...and the scan really goes through the registered FileSystem
+    assert(s.read.parquet(cfg.tablePath("nation")).count() == 25)
+    // the FileSystem instance the scan created saw the endpoint override
+    // in its Configuration — where S3AFileSystem reads fs.s3a.endpoint
+    assert(GraftTestFs.seenEndpoint.contains("http://localhost:4566"))
+  }
+
   test("unknown queue scheme fails loudly instead of silently degrading") {
     val e = intercept[IllegalArgumentException] {
       GraftConfig(queueUrl = "sqs://us-east-1/q").queueClient()

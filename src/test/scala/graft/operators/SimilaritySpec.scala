@@ -193,8 +193,8 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "rank", "nid", "cos").as[(Long, Int, Long, Double)]
       .collect().toSeq
     assert(stored == mem)
-    // the stored layout is bucket=N partition directories
-    val dirs = new java.io.File(s"$path/codes").listFiles()
+    // the stored layout is batch=N segments of bucket=N partition dirs
+    val dirs = new java.io.File(s"$path/codes/batch=0").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
     assert(dirs.length > 1)
     // the query-path read shape (literal isin over the partition column)
@@ -212,6 +212,36 @@ class SimilaritySpec extends SparkSpec {
     assert(scans.nonEmpty)
     assert(scans.forall(_.partitionFilters.nonEmpty),
       s"bucket isin must prune partitions, got:\n${scans.head}")
+  }
+
+  test("IVF-PQ append guards dim parity; compaction leaves one segment " +
+      "and identical serving") {
+    val emb = t(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-apnd-").toString
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, nCentroids = 8, m = 8)
+    // a batch of the wrong dimension must fail loudly, not write garbage
+    val wrongDim = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 8).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(wrongDim, "vec_id", "embedding", path)
+    }
+    assert(e.getMessage.contains("dim"))
+    Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path)
+    def segs() = new java.io.File(s"$path/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(segs().length == 2) // build's batch=0 + one append
+    def serve() = Similarity.queryIvfPqIndex(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", path,
+        k = 3, nProbe = 4)
+      .select("qid", "rank", "nid", "cos").as[(Long, Int, Long, Double)]
+      .collect().toSeq
+    val before = serve()
+    Similarity.compactIvfPqIndex(spark, path)
+    assert(segs().length == 1)
+    assert(serve() == before)
   }
 
   test("OPQ rotation preserves cosine: re-ranked scores are exact originals") {

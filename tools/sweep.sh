@@ -38,6 +38,18 @@ done
 # the hash would have snapshot_guard certify the whole tree off a partial
 # run — exactly the gap the guard exists to close.
 if [ "$#" -eq 0 ]; then
+  # Scale-growth gate (r9 shipped a 16.8x-growth query with the detector
+  # only narrating): if a bench file exists, any query flagged above the
+  # per-decade growth limit is re-measured ISOLATED in a fresh JVM
+  # (tools/bench_guard.sh) and a confirmed super-linear query turns the
+  # whole sweep red. The arbiter runs against the CURRENT tree, so a stale
+  # bench file cannot fake a red; a missing bench file is only warned
+  # (sweeps legitimately run before the round's first bench).
+  if [ -f bench_out.json ]; then
+    tools/bench_guard.sh bench_out.json
+  else
+    echo "SWEEP NOTE: no bench_out.json — growth gate not exercised" >&2
+  fi
   tools/src_hash.sh > .last_sweep_src_hash
   echo "SWEEP GREEN: src hash $(cat .last_sweep_src_hash)"
 else
