@@ -113,12 +113,15 @@ object StreamingQueries {
   private val embIndexInCache =
     new scala.collection.concurrent.TrieMap[String, String]
 
-  private def runEmbeddingIndexStream(s: SparkSession,
-      dir: String): EmbeddingIndexRun = {
-    val stage = Files.createTempDirectory("graft-semb-").toString
-    val emb = Tables.t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val inDir = embIndexInCache.getOrElseUpdate(dir, {
+  /** The staged vec_id % 3 three-file split of `embeddings`, written once
+    * per source dir and shared by every embedding-store streaming fold
+    * (SRP index, IVF-PQ index): read-only scaffolding, so reps and the
+    * contract/timed forms reuse it safely.
+    */
+  private def stagedEmbSplit(s: SparkSession, dir: String): String =
+    embIndexInCache.getOrElseUpdate(dir, {
+      val emb = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
       val d = Files.createTempDirectory("graft-semb-in-").toString
       (0 until 3).foreach { i =>
         emb.filter(col("vec_id") % 3 === i).coalesce(1)
@@ -126,6 +129,13 @@ object StreamingQueries {
       }
       d
     })
+
+  private def runEmbeddingIndexStream(s: SparkSession,
+      dir: String): EmbeddingIndexRun = {
+    val stage = Files.createTempDirectory("graft-semb-").toString
+    val emb = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val inDir = stagedEmbSplit(s, dir)
     // Fixed across the run AND the from-scratch comparison: bucket count
     // sized to the full corpus (the production choice — an index cannot
     // re-bit per ingest without a rebuild).
@@ -283,6 +293,61 @@ object StreamingQueries {
     (idxPath, batches.get())
   }
 
+  /** Streaming maintenance of the persisted IVF-PQ vector index — the
+    * fourth and last persisted store to get the streaming ingest form
+    * (after the text index, gram-df, and SRP embedding index): the FIRST
+    * non-empty micro-batch bootstraps the store (trains codebooks on
+    * itself via `buildIvfPqIndex` and records that batch under `train/`
+    * so a rebuild comparison can pin training to it); every later batch
+    * appends one `batch=N` code segment encoded with the STORED codebooks
+    * (`appendToIvfPqIndex` — O(batch) per append, history never re-read,
+    * never re-quantized). Replay is idempotent end to end: a replayed
+    * bootstrap rewrites model/centroids/codes byte-identically (training
+    * draws are seeded and hash-ordered), and a replayed append overwrites
+    * its own batchId-keyed segment with identical codes (stored-codebook
+    * encode is deterministic).
+    *
+    * Returns (index path, stage path, batch count); the contract query
+    * compares serving against a one-shot rebuild trained on the recorded
+    * bootstrap batch and checks compaction invisibility.
+    */
+  private def runIvfPqIndexStream(s: SparkSession,
+      dir: String): (String, String, Long) = {
+    val emb = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val inDir = stagedEmbSplit(s, dir)
+    val stage = Files.createTempDirectory("graft-sivfpq-").toString
+    val idxPath = s"$stage/idx"
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet")
+        .writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idxPath/model"))) {
+              graft.operators.Similarity.buildIvfPqIndex(b, "vec_id",
+                "embedding", idxPath, nCentroids = 8, m = 16)
+              b.coalesce(1).write.mode("overwrite")
+                .parquet(s"$stage/train")
+            } else
+              graft.operators.Similarity.appendToIvfPqIndex(b, "vec_id",
+                "embedding", idxPath, batchId = id)
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+    (idxPath, stage, batches.get())
+  }
+
   /** Streaming novelty maintenance: the continuously-ingesting form of
     * [[graft.operators.TextAnalysis.noveltyIncremental]]. Each micro-batch
     * (1) scores its documents against the union of all PRIOR batches'
@@ -388,6 +453,16 @@ object StreamingQueries {
         .select(col("doc_id").as("query_id"), col("text"))
       graft.operators.TextAnalysis.queryTextIndex(qs, "query_id", "text",
         idxPath, "doc_id", k = 5)
+    }),
+    // fold + one probed serving query — the rebuild/compaction equality
+    // baselines stay in Verify
+    "streaming_ivfpq_index" -> ((s, dir) => {
+      val (idxPath, _, _) = runIvfPqIndexStream(s, dir)
+      val emb = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.Similarity.queryIvfPqIndex(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", idxPath,
+        k = 5, nProbe = 8, shortlistFactor = 8)
     }))
 
   /** transformWithState processor: per-user running (count, sum) in a
@@ -1062,6 +1137,47 @@ object StreamingQueries {
           Seq("tbl", "bucket", "id")))
     }),
 
+    // Streaming IVF-PQ index maintenance (see runIvfPqIndexStream): the
+    // bootstrap batch trains, every later batch appends a stored-codebook
+    // segment. Contracts: multi-batch really happened; one code segment
+    // per non-empty batch; SERVING from the streamed store equals a
+    // one-shot rebuild over the whole corpus with training pinned to the
+    // recorded bootstrap batch (same codebooks + deterministic encode ⇒
+    // identical rows, so identical top-k); compaction collapses to one
+    // segment without changing a single served row.
+    "streaming_ivfpq_index" -> ((s, dir) => {
+      val (idxPath, stage, nb) = runIvfPqIndexStream(s, dir)
+      val emb = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val qv = emb.filter(col("vec_id") < 10)
+      def serve(p: String): DataFrame =
+        graft.operators.Similarity.queryIvfPqIndex(emb, qv, "vec_id",
+          "embedding", p, k = 5, nProbe = 8, shortlistFactor = 8)
+      val served = serve(idxPath).localCheckpoint()
+      val rebuilt = Files.createTempDirectory("graft-sivfpq-rb-").toString
+      graft.operators.Similarity.buildIvfPqIndex(emb, "vec_id",
+        "embedding", rebuilt, nCentroids = 8, m = 16,
+        trainOn = s.read.parquet(s"$stage/train"))
+      val rebuildServed = serve(rebuilt).localCheckpoint()
+      val fs = new org.apache.hadoop.fs.Path(idxPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def segs(): Long = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$idxPath/codes"))
+        .count(_.getPath.getName.startsWith("batch=")).toLong
+      val segsBefore = segs()
+      graft.operators.Similarity.compactIvfPqIndex(s, idxPath)
+      val after = serve(idxPath).localCheckpoint()
+      graft.queries.Contracts.row(s,
+        "n_vecs" -> emb.count(),
+        "multi_batch_ok" -> (nb >= 3L),
+        "segments_track_batches_ok" -> (segsBefore == nb),
+        "equals_rebuild_ok" -> (graft.queries.Contracts.checksum(served) ==
+          graft.queries.Contracts.checksum(rebuildServed)),
+        "compaction_invisible_ok" ->
+          (graft.queries.Contracts.checksum(after) ==
+            graft.queries.Contracts.checksum(served) && segs() == 1L))
+    }),
+
     // Streaming novelty maintenance: 3 micro-batches, each scored on
     // arrival against the union of PRIOR batches' gram-df segments, then
     // appended as one additive segment. Contract: (1) segments sum to
@@ -1370,6 +1486,12 @@ object StreamingQueries {
       """SELECT (SELECT count(*) FROM documents) AS n_docs,
         |  TRUE AS multi_batch_ok, TRUE AS segments_match_batches_ok,
         |  TRUE AS query_equals_scratch_ok""".stripMargin,
+
+    "streaming_ivfpq_index" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+        |  TRUE AS multi_batch_ok, TRUE AS segments_track_batches_ok,
+        |  TRUE AS equals_rebuild_ok,
+        |  TRUE AS compaction_invisible_ok""".stripMargin,
 
     "streaming_novelty" ->
       """SELECT (SELECT count(*) FROM documents) AS n_docs,
