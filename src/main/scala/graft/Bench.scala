@@ -190,6 +190,10 @@ object Bench {
           dir: String): Double = {
         val secs = (1 to reps).map { _ =>
           graft.operators.Caching.releaseAllRdds(spark, blocking = true)
+          // same pre-timer discipline as the big-sf loop: GC debt from the
+          // previous rep must not land inside the small/tiny denominators,
+          // or the fitted growth slope deflates toward a false green
+          System.gc()
           val t0 = System.nanoTime()
           try fn(spark, dir).count()
           catch { case _: Throwable => }

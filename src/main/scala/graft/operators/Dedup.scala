@@ -1014,16 +1014,20 @@ object Dedup {
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = s"$dir/.compact"
-    // one listing: read set == delete set, immune to concurrent appends
+    // one listing: read set == delete set, immune to concurrent appends.
+    // The merged segment lands OUTSIDE the batchId keyspace (b-1; stream
+    // batch ids are >= 0): a compacted store must never share a name with
+    // a replayable append, or an at-least-once redelivery of batch 0
+    // would overwrite the merged history with one batch's rows.
     val segs = fs.listStatus(hp)
       .filter(st => st.getPath.getName.startsWith("b"))
       .map(_.getPath)
     if (segs.isEmpty) return
     spark.read.parquet(segs.map(_.toString): _*).coalesce(1)
-      .write.mode("overwrite").parquet(s"$stage/b0")
+      .write.mode("overwrite").parquet(s"$stage/b-1")
     segs.foreach(p => fs.delete(p, true))
-    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/b0"),
-      new org.apache.hadoop.fs.Path(s"$dir/b0"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/b-1"),
+      new org.apache.hadoop.fs.Path(s"$dir/b-1"))
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 

@@ -577,10 +577,20 @@ object Similarity {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
     val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n").persist()
+    // trainIvfPq collects from its frame twice (coarse draw + PQ sample);
+    // persist a distinct trainOn so the norm projection runs once
     val tr = if (trainOn == null) c
-      else withNorm(trainOn, idCol, vecCol, "nid", "v_n", "n_n")
+      else withNorm(trainOn, idCol, vecCol, "nid", "v_n", "n_n").persist()
     val (coarse, cbFlat) = trainIvfPq(tr, nCentroids, m, ksub, sub, seed,
       trainIters, sampleN)
+    if (!(tr eq c)) tr.unpersist(blocking = false)
+    // Rebuild-in-place wipes the WHOLE codes dir first: the overwrite below
+    // is scoped to batch=0, and a stale appended segment surviving a
+    // retrain would be decoded with the NEW codebooks — garbage ADC scores
+    // served silently.
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val cfs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(codesRoot)) cfs.delete(codesRoot, true)
     c.select(
         centroidScores(spark, coarse)(col("v_n"), col("n_n")).getItem(0)
           .getField("bucket").as("bucket"),
@@ -617,6 +627,7 @@ object Similarity {
       path: String, batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
     HashExpressions.register(spark)
+    if (batch.isEmpty) return // empty micro-batch: no-op like appendToTextIndex
     val model = spark.read.parquet(s"$path/model").head()
     val cbFlat = model.getSeq[Double](model.fieldIndex("cb")).toArray
     val m = model.getInt(model.fieldIndex("m"))
@@ -657,6 +668,13 @@ object Similarity {
     * paths and deletes exactly those paths, so a concurrently appended
     * segment survives un-merged. Serving is identical before and after
     * (the probe scan unions segments either way).
+    *
+    * The merged segment lands OUTSIDE the batchId keyspace (`batch=-1`;
+    * stream/caller batch ids are >= 0): a compacted store must never share
+    * a name with a replayable append, or an at-least-once redelivery of
+    * that batch id would overwrite the merged history with one batch's
+    * rows — silent loss of everything else. With the sentinel name, a
+    * replayed append only ever rewrites its own rows.
     */
   def compactIvfPqIndex(spark: SparkSession, path: String): Unit = {
     val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
@@ -670,10 +688,10 @@ object Similarity {
       .parquet(segs.map(_.toString): _*)
       .select(col("nid"), col("codes"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$stage/batch=0")
+      .parquet(s"$stage/batch=-1")
     segs.foreach(p => fs.delete(p, true))
-    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/batch=0"),
-      new org.apache.hadoop.fs.Path(s"$path/codes/batch=0"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/batch=-1"),
+      new org.apache.hadoop.fs.Path(s"$path/codes/batch=-1"))
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 

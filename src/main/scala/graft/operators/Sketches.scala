@@ -458,9 +458,7 @@ object Sketches {
   /** Merge two sketch tables (persisted snapshot + new batch). */
   def fiMergeSnapshots(snapshot: DataFrame, batch: DataFrame,
       groupCol: String, maxMapSize: Int = 64): DataFrame =
-    snapshot.unionByName(batch)
-      .groupBy(col(groupCol))
-      .agg(udaf(FiUnion(maxMapSize)).apply(col("fi")).as("fi"))
+    fiMergeSegments(snapshot.unionByName(batch), groupCol, maxMapSize)
 
   /** Collapse a many-segment sketch table (one row per (group, segment) —
     * the batchId-keyed exactly-once store) to one row per group: the

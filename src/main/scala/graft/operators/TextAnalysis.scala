@@ -224,6 +224,8 @@ object TextAnalysis {
   /** Append one disjoint doc batch to a [[buildTextIndex]] index. */
   def appendToTextIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, batchId: Long): Unit = {
+    require(batchId >= 0,
+      s"batchId must be >= 0 (batch=-1 is the compacted segment), got $batchId")
     val spark = docs.sparkSession
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
     // one (doc, term) agg feeds postings, df, norms and the stats row
@@ -249,10 +251,11 @@ object TextAnalysis {
     * merge is pure aggregation — postings rows are already per-(doc, term)
     * within disjoint batches so they only re-bucket-partition, df re-sums
     * per term, norms union, stats re-sum to a single row. Written to
-    * batch=0 of a staging directory then swapped in via rename; a
-    * [[queryTextIndex]] result is IDENTICAL before and after (the
-    * query-time merge already sums per-segment rows — compaction just
-    * makes that sum trivial).
+    * batch=-1 of a staging directory then swapped in via rename (-1 sits
+    * outside the >= 0 batchId keyspace, so a replayed append can never
+    * overwrite merged history); a [[queryTextIndex]] result is IDENTICAL
+    * before and after (the query-time merge already sums per-segment
+    * rows — compaction just makes that sum trivial).
     *
     * Concurrency contract (same as [[compactGramDf]]): each store's
     * `batch=*` segment list is snapshotted ONCE — the staged merge reads
@@ -275,28 +278,38 @@ object TextAnalysis {
           .filter(_.getPath.getName.startsWith("batch="))
           .map(_.getPath)
       }.toMap
-    if (segs("postings").isEmpty) return
+    if (segs.values.forall(_.isEmpty)) return
+    // every per-batch append writes all four stores together, so a store
+    // with segments missing while a sibling has them is a half-written /
+    // half-recovered index — fail with a diagnosis rather than letting
+    // spark.read.parquet() throw a schema-inference error on zero paths
+    require(segs.values.forall(_.nonEmpty),
+      s"inconsistent index store at $path: segment counts " +
+        segs.map { case (d, ps) => s"$d=${ps.length}" }.mkString(", ") +
+        " — recover the missing store before compacting")
     def readSegs(d: String) =
       spark.read.option("basePath", s"$path/$d")
         .parquet(segs(d).map(_.toString): _*)
     initTextIndex(spark, stage, nBuckets)
+    // batch=-1 = outside the batchId keyspace (ids >= 0): a replayed
+    // append must never be able to overwrite the merged history
     readSegs("postings")
       .select(col("doc"), col("term"), col("tf"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$stage/postings/batch=0")
+      .parquet(s"$stage/postings/batch=-1")
     readSegs("df")
       .groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$stage/df/batch=0")
+      .parquet(s"$stage/df/batch=-1")
     readSegs("norms").select(col("doc"), col("dl"))
-      .write.mode("overwrite").parquet(s"$stage/norms/batch=0")
+      .write.mode("overwrite").parquet(s"$stage/norms/batch=-1")
     val st = readSegs("stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
-    st.coalesce(1).write.mode("overwrite").parquet(s"$stage/stats/batch=0")
+    st.coalesce(1).write.mode("overwrite").parquet(s"$stage/stats/batch=-1")
     Seq("postings", "df", "norms", "stats").foreach { d =>
       segs(d).foreach(p => fs.delete(p, true))
-      fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$d/batch=0"),
-        new org.apache.hadoop.fs.Path(s"$path/$d/batch=0"))
+      fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$d/batch=-1"),
+        new org.apache.hadoop.fs.Path(s"$path/$d/batch=-1"))
     }
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
@@ -459,12 +472,14 @@ object TextAnalysis {
       .filter(st => st.getPath.getName.startsWith("b"))
       .map(_.getPath)
     if (segs.isEmpty) return
+    // b-1 = outside the batchId keyspace (ids >= 0): a replayed batch 0
+    // must never be able to overwrite the merged history
     spark.read.parquet(segs.map(_.toString): _*)
       .groupBy(col("g")).agg(sum(col("df")).as("df"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$stage/b0")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/b-1")
     segs.foreach(p => fs.delete(p, true))
-    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/b0"),
-      new org.apache.hadoop.fs.Path(s"$segDir/b0"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/b-1"),
+      new org.apache.hadoop.fs.Path(s"$segDir/b-1"))
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 

@@ -301,11 +301,15 @@ object StreamingQueries {
     * so a rebuild comparison can pin training to it); every later batch
     * appends one `batch=N` code segment encoded with the STORED codebooks
     * (`appendToIvfPqIndex` — O(batch) per append, history never re-read,
-    * never re-quantized). Replay is idempotent end to end: a replayed
-    * bootstrap rewrites model/centroids/codes byte-identically (training
-    * draws are seeded and hash-ordered), and a replayed append overwrites
-    * its own batchId-keyed segment with identical codes (stored-codebook
-    * encode is deterministic).
+    * never re-quantized). Replay is idempotent end to end, with `train/`
+    * as the bootstrap COMMIT MARKER written last: a replay after a
+    * mid-bootstrap crash (marker absent) re-runs the build, which wipes
+    * and rewrites model/centroids/codes byte-identically (training draws
+    * are seeded and hash-ordered); a replay after a completed bootstrap
+    * (marker present) takes the append path and overwrites its own
+    * batchId-keyed segment with identical codes (stored-codebook encode
+    * is deterministic) — the build's batch=0 segment is renamed to the
+    * bootstrap batch's real id so that rewrite hits the same directory.
     *
     * Returns (index path, stage path, batch count); the contract query
     * compares serving against a one-shot rebuild trained on the recorded
@@ -332,9 +336,19 @@ object StreamingQueries {
         .foreachBatch { (b: DataFrame, id: Long) =>
           if (!b.isEmpty) {
             batches.incrementAndGet()
-            if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idxPath/model"))) {
+            // bootstrap-complete marker = train/, written LAST (see
+            // scaladoc: makes every crash-replay interleaving idempotent)
+            if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stage/train"))) {
               graft.operators.Similarity.buildIvfPqIndex(b, "vec_id",
                 "embedding", idxPath, nCentroids = 8, m = 16)
+              if (id != 0L) {
+                val from = new org.apache.hadoop.fs.Path(
+                  s"$idxPath/codes/batch=0")
+                val to = new org.apache.hadoop.fs.Path(
+                  s"$idxPath/codes/batch=$id")
+                if (fs.exists(to)) fs.delete(to, true)
+                fs.rename(from, to)
+              }
               b.coalesce(1).write.mode("overwrite")
                 .parquet(s"$stage/train")
             } else

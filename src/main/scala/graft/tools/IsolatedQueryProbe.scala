@@ -25,8 +25,11 @@ object IsolatedQueryProbe {
     val reps = args.lift(4).map(_.toInt).getOrElse(3)
     val fn = graft.SparkEntry.benchQueries.getOrElse(name,
       sys.error(s"unknown bench query: $name"))
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // same parallelism knob as Bench: the arbiter must measure under the
+    // conditions of the suite it arbitrates
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // tiny-first warm-up: janino/first-read costs land outside the timers,

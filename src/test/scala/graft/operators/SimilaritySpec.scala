@@ -241,7 +241,25 @@ class SimilaritySpec extends SparkSpec {
     val before = serve()
     Similarity.compactIvfPqIndex(spark, path)
     assert(segs().length == 1)
+    // the merged segment sits OUTSIDE the batchId keyspace, so no append
+    // (auto-id or replayed) can ever overwrite it
+    assert(segs().head.getName == "batch=-1")
     assert(serve() == before)
+    // the store stays appendable after compaction: auto batchId resolves
+    // to max(-1)+1 = 0 and merged history survives — the clone's nearest
+    // neighbor (its source, cos 1.0) is served THROUGH the merged segment
+    val extra = emb.orderBy(col("vec_id")).limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfPqIndex(extra, "vec_id", "embedding", path)
+    assert(segs().map(_.getName).sorted.toSeq ==
+      Seq("batch=-1", "batch=0"))
+    val srcId = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id")).as[Long].head()
+    val nn = Similarity.queryIvfPqIndex(
+        emb.select(col("vec_id"), col("embedding")).unionByName(extra),
+        extra, "vec_id", "embedding", path, k = 1, nProbe = 4)
+      .select(col("nid")).as[Long].collect()
+    assert(nn.toSeq == Seq(srcId))
   }
 
   test("OPQ rotation preserves cosine: re-ranked scores are exact originals") {

@@ -27,6 +27,17 @@ if [ ! -f "$BENCH" ]; then
   exit 1
 fi
 
+# Staleness check: a bench file older than the newest behavior-bearing
+# source cannot certify the current tree — with no flags in the stale file
+# the guard would go green without measuring anything, then stamp the
+# CURRENT tree hash as 'certified'. Exit 3 (distinct from flag-red 1) so
+# callers can choose to warn (mid-round sweeps) or hard-fail (shipping).
+newer=$(find src build.sbt -name '*.scala' -newer "$BENCH" 2>/dev/null | head -1)
+if [ -n "$newer" ]; then
+  echo "BENCH GUARD STALE: $newer is newer than $BENCH — rerun Bench" >&2
+  exit 3
+fi
+
 flagged=$(python3 - "$BENCH" "$FLAG" <<'EOF'
 import json, sys, math
 d = json.load(open(sys.argv[1]))

@@ -39,14 +39,21 @@ done
 # run — exactly the gap the guard exists to close.
 if [ "$#" -eq 0 ]; then
   # Scale-growth gate (r9 shipped a 16.8x-growth query with the detector
-  # only narrating): if a bench file exists, any query flagged above the
-  # per-decade growth limit is re-measured ISOLATED in a fresh JVM
-  # (tools/bench_guard.sh) and a confirmed super-linear query turns the
-  # whole sweep red. The arbiter runs against the CURRENT tree, so a stale
-  # bench file cannot fake a red; a missing bench file is only warned
-  # (sweeps legitimately run before the round's first bench).
+  # only narrating): if a CURRENT bench file exists, any query flagged
+  # above the per-decade growth limit is re-measured ISOLATED in a fresh
+  # JVM (tools/bench_guard.sh) and a confirmed super-linear query turns
+  # the whole sweep red. A missing or STALE bench file (source changed
+  # since it was measured — guard exit 3) is only warned: sweeps
+  # legitimately run mid-round before the next bench, and the guard never
+  # stamps a certification hash off a stale file, so a round cannot SHIP
+  # growth-uncertified (the closing sequence is bench -> guard -> sweep).
   if [ -f bench_out.json ]; then
-    tools/bench_guard.sh bench_out.json
+    rc=0; tools/bench_guard.sh bench_out.json || rc=$?
+    if [ "$rc" -eq 3 ]; then
+      echo "SWEEP NOTE: bench_out.json is stale — growth gate not exercised" >&2
+    elif [ "$rc" -ne 0 ]; then
+      exit "$rc"
+    fi
   else
     echo "SWEEP NOTE: no bench_out.json — growth gate not exercised" >&2
   fi
