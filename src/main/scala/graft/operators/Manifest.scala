@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted file-level zone-map manifest — Delta/Iceberg-style data
+  * skipping built from plain parquet. One row per data file carries the
+  * file's row count and per-column [min, max]; a range query consults the
+  * manifest FIRST and reads only the files whose interval intersects the
+  * predicate. This is the scan-planning move the reference's
+  * one-file-at-a-time handler never needs (it is handed its input key,
+  * `cmd/parquetgo-record-processor/handler.go:104`) but a 100 TB table
+  * cannot live without: footer min/max stats prune ROW GROUPS only after
+  * every file is opened and listed — the manifest prunes the LISTING, so
+  * planning cost is O(surviving files), not O(all files), and a narrow
+  * range over a clustered layout (see [[Layout]]) opens a handful of files
+  * out of hundreds of thousands.
+  *
+  * Store shape matches the repo's other persisted stores (text index,
+  * gram-df, SRP, IVF-PQ): batchId-keyed `b<N>` segments — the initial
+  * build is `b0`, each append lands stats for ONLY the new files as an
+  * overwrite-mode `b<id>` segment (history is never re-scanned; replayed
+  * appends rewrite their own rows), and [[Dedup.compactSegmentDirs]]
+  * merges segments back to one (rows are disjoint: a data file's stats
+  * row lives in exactly one segment). The manifest IS the table listing:
+  * a file is part of the table iff a manifest row names it, so
+  * build+append defines the snapshot the same way an Iceberg manifest
+  * list does.
+  *
+  * Scale notes: stats are computed by one distributed scan that projects
+  * ONLY the stats columns (parquet columnar reads keep the pass cheap) and
+  * groups by `input_file_name()` — per-file state, so shuffle volume is
+  * one row per file. At 100 TB / 512 MB files the manifest is ~200k rows —
+  * the pruned file list collects to the driver exactly like every file
+  * listing Spark's own FileIndex already does.
+  */
+object Manifest {
+
+  /** Per-file stats of the parquet files under `paths`: one row per file
+    * with `nrows` and `min_<c>` / `max_<c>` for each of `statsCols`. The
+    * scan projects only `statsCols`.
+    */
+  private def fileStats(spark: SparkSession, paths: Seq[String],
+      statsCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("nrows") +:
+      statsCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(paths: _*)
+      .select(input_file_name().as("file") +: statsCols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Build the manifest over every parquet file currently under
+    * `tablePath` (recursive) and persist it as segment `b0` of
+    * `manifestPath`. Rebuild-in-place semantics: existing segments are
+    * wiped first — a rebuild defines a fresh snapshot, and a stale append
+    * segment surviving it would resurrect files the rebuild chose to drop.
+    */
+  def buildManifest(spark: SparkSession, tablePath: String,
+      statsCols: Seq[String], manifestPath: String): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) fs.delete(mp, true)
+    fileStats(spark, Seq(tablePath), statsCols)
+      .coalesce(1).write.mode("overwrite").parquet(s"$manifestPath/b0")
+  }
+
+  /** Append stats for NEWLY LANDED data files — exactly the given paths —
+    * as one `b<batchId>` overwrite segment. O(new files): history is never
+    * re-scanned. A caller-supplied `batchId` (e.g. a streaming batch id)
+    * makes at-least-once replay idempotent; the default takes
+    * max-existing+1.
+    */
+  def appendToManifest(spark: SparkSession, newPaths: Seq[String],
+      statsCols: Seq[String], manifestPath: String,
+      batchId: Long = -1L): Unit = {
+    if (newPaths.isEmpty) return
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bid = if (batchId >= 0) batchId else {
+      val existing = fs.listStatus(mp)
+        .map(_.getPath.getName).filter(_.startsWith("b"))
+        .map(_.stripPrefix("b").toLong).filter(_ >= 0)
+      if (existing.isEmpty) 0L else existing.max + 1
+    }
+    fileStats(spark, newPaths, statsCols)
+      .coalesce(1).write.mode("overwrite").parquet(s"$manifestPath/b$bid")
+  }
+
+  /** Segment merge — identical contract to the sibling stores (snapshot
+    * the list once, merged segment lands at `b-1` outside the replayable
+    * batchId keyspace).
+    */
+  def compactManifest(spark: SparkSession, manifestPath: String): Unit =
+    Dedup.compactSegmentDirs(spark, manifestPath)
+
+  /** The current manifest: union of all segments, one row per data file. */
+  def readManifest(spark: SparkSession, manifestPath: String): DataFrame = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(mp)
+      .filter(_.getPath.getName.startsWith("b")).map(_.getPath.toString)
+    spark.read.parquet(segs.toSeq: _*)
+  }
+
+  /** Serve `statsCol BETWEEN lo AND hi` from the manifest: prune the file
+    * list to files whose [min, max] intersects [lo, hi], read only those,
+    * and apply the residual row filter (zone maps prune files, not rows).
+    * Returns the result plus (files read, files total) so callers — and
+    * the driver contract — can grade the pruning, not just the answer.
+    */
+  def prunedRead(spark: SparkSession, manifestPath: String, statsCol: String,
+      lo: Any, hi: Any): (DataFrame, Long, Long) = {
+    val m = readManifest(spark, manifestPath)
+      .select(col("file"), col(s"min_$statsCol"), col(s"max_$statsCol"))
+      .localCheckpoint() // tiny (one row/file); probed twice below
+    val total = m.count()
+    val surviving = m
+      .filter(col(s"min_$statsCol") <= lit(hi) &&
+        col(s"max_$statsCol") >= lit(lo))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val df =
+      if (surviving.isEmpty)
+        // schema-stable empty result: read one manifest'd file, keep no rows
+        spark.read.parquet(m.select(col("file")).head().getString(0))
+          .filter(lit(false))
+      else spark.read.parquet(surviving: _*)
+    (df.filter(col(statsCol).between(lit(lo), lit(hi))),
+      surviving.size.toLong, total)
+  }
+
+  /** Full-listing read of every file the manifest names — the unpruned
+    * baseline [[prunedRead]] is graded against.
+    */
+  def fullRead(spark: SparkSession, manifestPath: String): DataFrame = {
+    val files = readManifest(spark, manifestPath)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    spark.read.parquet(files: _*)
+  }
+}

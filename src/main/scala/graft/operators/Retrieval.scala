@@ -92,4 +92,83 @@ object Retrieval {
       .select(col("qid"), col("nid").as("id"), col("rank"))
     rrfFuse(Seq(lex, vec), k, rrfK)
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): greedily select `k` of each query's candidates, each pick
+    * maximizing λ·rel − (1−λ)·max cos(v, selected) — the standard diversity
+    * pass over a retrieval arm's top-N. A pretraining corpus always has
+    * near-duplicates, and a pure-relevance top-k returns the same document
+    * k times in k disguises; MMR trades a little relevance for coverage.
+    *
+    * Input columns: (`qid`, `id`, `rel`, `v`) — `rel` on a
+    * cosine-comparable scale (pass the vector arm's cosine, or min-max-fold
+    * other scores into [0, 1] first; λ trades the two terms and only makes
+    * sense when they share a scale). Output: (qid, rank, id, mmr) with the
+    * pick-time MMR score. λ = 1 degenerates to pure relevance order — the
+    * driver contract pins that case EXACTLY against the arm's own top-k.
+    * Deterministic: candidates enter the loop in (rel desc, id) order and
+    * score ties break on ascending id, so the selection is a pure function
+    * of the candidate SET (partition- and arrival-order-invariant).
+    *
+    * Shape at scale: the greedy loop is inherently sequential but runs
+    * over ONE query's ≤ N candidates (the arm already collapsed the
+    * corpus); `flatMapGroups` gives each query's loop to one task — k·N
+    * cosines over N ≈ tens of rows — with queries spread across the
+    * cluster. The corpus never enters; cost is query-volume-bound, like
+    * [[rrfFuse]].
+    */
+  def mmrRerank(candidates: DataFrame, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val ds = candidates
+      .select(col("qid").cast("long"), col("id").cast("long"),
+        col("rel").cast("double"), col("v").cast("array<double>"))
+      .as[(Long, Long, Double, Seq[Double])]
+    ds.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cand = it.toArray.sortBy(c => (-c._3, c._2))
+      val n = cand.length
+      val vecs = cand.map(_._4.toArray)
+      val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+      def cos(i: Int, j: Int): Double = {
+        val (a, b) = (vecs(i), vecs(j))
+        var d = 0.0
+        var t = 0
+        while (t < a.length) { d += a(t) * b(t); t += 1 }
+        val nn = norms(i) * norms(j)
+        if (nn == 0.0) 0.0 else d / nn
+      }
+      val taken = Array.fill(n)(false)
+      val maxSim = Array.fill(n)(0.0)
+      val out = Array.newBuilder[(Long, Long, Long, Double)]
+      var pick = 0
+      while (pick < k && pick < n) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val pen = if (pick == 0) 0.0 else maxSim(i)
+            val sc = lambda * cand(i)._3 - (1 - lambda) * pen
+            if (sc > bestScore ||
+                (sc == bestScore && (best < 0 || cand(i)._2 < cand(best)._2)))
+              { best = i; bestScore = sc }
+          }
+          i += 1
+        }
+        taken(best) = true
+        out += ((qid, pick + 1L, cand(best)._2, bestScore))
+        var j = 0
+        while (j < n) {
+          if (!taken(j)) {
+            val c = cos(j, best)
+            if (c > maxSim(j)) maxSim(j) = c
+          }
+          j += 1
+        }
+        pick += 1
+      }
+      out.result().iterator
+    }.toDF("qid", "rank", "id", "mmr")
+  }
 }

@@ -78,6 +78,39 @@ object Sampling {
       .filter(col("rn") <= k)
   }
 
+  /** The `k` rows of the WHOLE frame with the smallest salted-md5 rank —
+    * the deterministic form of reservoir sampling. Same sample as a
+    * classic random reservoir in distribution (md5's avalanche makes the
+    * order effectively uniform) but reproducible and engine-portable (any
+    * SQL engine can replay `ORDER BY md5(id) LIMIT k`). Plans as
+    * TakeOrderedAndProject (per-partition top-k, k rows to the
+    * driver-side merge) — no global sort, no window.
+    *
+    * Operates on the ROW MULTISET: a row duplicated on `idCol` occupies
+    * two of the k slots. Batch folds that can re-see rows (at-least-once
+    * replay) must merge through [[reservoirMerge]], whose id-dedup gives
+    * min-k its set-semilattice idempotence.
+    */
+  def exactK(df: DataFrame, idCol: String, k: Int,
+      salt: String = ""): DataFrame =
+    df.orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+      .limit(k)
+
+  /** One step of the streaming reservoir fold: the exact-k of
+    * snapshot ∪ batch, deduplicated on `idCol` first. With set semantics
+    * min-k under union is a semilattice — commutative, associative and
+    * IDEMPOTENT — so any batching, any arrival order, and any
+    * at-least-once redelivery yields the identical sample; without the
+    * dedup a replayed row would occupy two of the k slots and silently
+    * shrink the distinct sample. Cost is O(snapshot + batch): k + batch
+    * rows through one dedup exchange, then the TakeOrderedAndProject
+    * top-k — the corpus never re-enters.
+    */
+  def reservoirMerge(snapshot: DataFrame, batch: DataFrame, idCol: String,
+      k: Int, salt: String = ""): DataFrame =
+    exactK(snapshot.unionByName(batch).dropDuplicates(Seq(idCol)), idCol, k,
+      salt)
+
   /** Resample to a TARGET domain mix (the "40% web, 30% code, …" recipe a
     * training run specifies), downsampling only: the largest total
     * N = min over domains of floor(count_d / p_d) is achievable without

@@ -698,10 +698,20 @@ object Similarity {
   /** Query a [[buildIvfPqIndex]]-persisted index. `corpus` supplies the raw
     * vectors for the exact re-rank only (queries·shortlist rows touched);
     * the candidate scan runs over the STORED bucket-partitioned codes table.
+    *
+    * `allowed` (optional) restricts serving to a metadata-eligible id set —
+    * FILTERED vector search (one id column named `idCol`). The predicate is
+    * applied as a semi-join on the codes scan BEFORE the ADC shortlist, so
+    * the shortlist fills with eligible candidates and every query still
+    * returns k results; post-filtering a top-k AFTER ranking would starve
+    * results exactly when the filter is selective. At 100 TB the eligible
+    * set comes from a metadata scan with its own predicate pushdown and the
+    * semi-join moves ids only (8 bytes/row), never vectors or codes —
+    * serving cost stays proportional to the probed buckets' eligible rows.
     */
   def queryIvfPqIndex(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, path: String, k: Int, nProbe: Int = 6,
-      shortlistFactor: Int = 8): DataFrame = {
+      shortlistFactor: Int = 8, allowed: DataFrame = null): DataFrame = {
     val spark = corpus.sparkSession
     HashExpressions.register(spark)
     val model = spark.read.parquet(s"$path/model").head()
@@ -726,10 +736,14 @@ object Similarity {
         1, nProbe)).as("p"))
       .select(col("p.bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val codes = spark.read.parquet(s"$path/codes")
+    val codesAll = spark.read.parquet(s"$path/codes")
       .filter(col("bucket").isin(probedBuckets: _*))
       .select(col("bucket").cast("int").as("bucket"), col("nid"),
         col("codes"))
+    val codes =
+      if (allowed == null) codesAll
+      else codesAll.join(allowed.select(col(idCol).as("nid")), Seq("nid"),
+        "left_semi")
     val c = withNorm(corpus, idCol, vecCol, "nid", "v_n", "n_n").persist()
     ivfPqQuery(c, qBase, codes, coarse, cbFlat, idCol, vecCol,
       k, nProbe, m, ksub, sub, shortlistFactor, c, qBase)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
-import graft.operators.Layout
+import graft.operators.{Layout, Manifest}
 
 /** Source/sink format coverage beyond parquet (the reference reads and
   * writes parquet only — SURVEY.md §2.1): CSV and JSON round-trips, a
@@ -269,6 +269,58 @@ object FormatQueries {
       ExtendedQueries.asofSelect(graft.plans.AsOfJoin.asOf(
         s.table("graft_clicks_b"), s.table("graft_purch_b"),
         "user_id", "p_user_id", "ts", "p_ts"))
+    }),
+
+    // Persisted file-stats manifest (zone maps — operators.Manifest): build
+    // over the base snapshot's files, append the new batch's stats WITHOUT
+    // re-scanning history, then serve a narrow l_orderkey range by pruning
+    // the FILE LISTING against the manifest before any data file is opened
+    // — Delta/Iceberg-style data skipping, graded on the answer (real
+    // count/sum vs the oracle's replay of the same range) AND the pruning
+    // (files_pruned_ok), AND the store's maintenance symmetry (append
+    // tracked, compaction invisible, one segment after). Layout is the
+    // deterministic ntile writer — sampled range boundaries would make the
+    // file-count booleans flaky (NOTES r4 lesson).
+    "manifest_prune" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val base = li.filter(col("l_orderkey") % 4 =!= 3)
+      val batch = li.filter(col("l_orderkey") % 4 === 3)
+      val tbl = tmp("graft-mantbl-")
+      val man = tmp("graft-manifest-")
+      Layout.layoutWriteExact(base,
+        Seq(col("l_orderkey"), col("l_linenumber")), s"$tbl/d0", 6)
+      Layout.layoutWriteExact(batch,
+        Seq(col("l_orderkey"), col("l_linenumber")), s"$tbl/d1", 2)
+      Manifest.buildManifest(s, s"$tbl/d0", Seq("l_orderkey"), man)
+      Manifest.appendToManifest(s, Seq(s"$tbl/d1"), Seq("l_orderkey"), man)
+      val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mx / 3, mx / 2)
+      val (pruned0, nRead, nTotal) =
+        Manifest.prunedRead(s, man, "l_orderkey", lo, hi)
+      val pruned = pruned0.localCheckpoint()
+      val prunedChk = Contracts.checksum(pruned)
+      val m = Manifest.readManifest(s, man).localCheckpoint()
+      val full = Manifest.fullRead(s, man).localCheckpoint()
+      Manifest.compactManifest(s, man)
+      val (pruned2, nRead2, _) =
+        Manifest.prunedRead(s, man, "l_orderkey", lo, hi)
+      val segs = new java.io.File(man).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      val agg = pruned
+        .agg(count(lit(1)), round(sum(col("l_quantity")), 2)).head()
+      Contracts.row(s,
+        "n_rows" -> agg.getLong(0),
+        "sum_qty" -> agg.getDouble(1),
+        "files_pruned_ok" -> (nRead < nTotal && nRead2 < nTotal),
+        "append_tracked_ok" -> (nTotal == 8L),
+        "equals_full_scan_ok" -> (prunedChk == Contracts.checksum(
+          full.filter(col("l_orderkey").between(lo, hi)))),
+        "rowcount_matches_manifest_ok" ->
+          (m.agg(sum(col("nrows"))).head().getLong(0) == full.count()),
+        "compaction_invisible_ok" ->
+          (Contracts.checksum(pruned2) == prunedChk),
+        "one_segment_after_compact_ok" -> (segs.length == 1))
     })
   )
 
@@ -342,6 +394,18 @@ object FormatQueries {
       """SELECT doc_id, 'documents.parquet' AS file_name,
         |  row_number() OVER (ORDER BY doc_id) - 1 AS row_index
         |FROM documents QUALIFY doc_id % 7 = 0
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "manifest_prune" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+        |  TRUE AS files_pruned_ok, TRUE AS append_tracked_ok,
+        |  TRUE AS equals_full_scan_ok,
+        |  TRUE AS rowcount_matches_manifest_ok,
+        |  TRUE AS compaction_invisible_ok,
+        |  TRUE AS one_segment_after_compact_ok
+        |FROM lineitem
+        |WHERE l_orderkey
+        |  BETWEEN (SELECT max(l_orderkey) // 3 FROM lineitem)
+        |      AND (SELECT max(l_orderkey) // 2 FROM lineitem)""".stripMargin
   )
 }

@@ -847,6 +847,38 @@ object PipelineQueries {
         "scores_exact_ok" -> scoresMatchExact(incAfter, emb))
     }),
 
+    // FILTERED vector search from the persisted IVF-PQ index: serving
+    // restricted to a metadata-eligible id set (label < 5 — about half the
+    // corpus), applied as a semi-join on the compressed codes scan BEFORE
+    // the ADC shortlist so every query still returns k eligible results
+    // (post-filtering a ranked top-k starves results exactly when the
+    // filter is selective). Graded against the exact brute-force top-k of
+    // the FILTERED corpus; every served id must satisfy the predicate and
+    // every served score is an exact re-ranked cosine.
+    "sim_ivfpq_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val allowed = emb.filter(col("label") < 5).select(col("vec_id"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-flt-").toString
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+        nCentroids = 16, m = 16)
+      val served = Similarity.queryIvfPqIndex(emb, q, "vec_id", "embedding",
+          path, k = 5, nProbe = 8, shortlistFactor = 8, allowed = allowed)
+        .localCheckpoint()
+      val exact = Similarity.bruteForceTopK(
+          emb.join(allowed, Seq("vec_id"), "left_semi"), q,
+          "vec_id", "embedding", k = 5).localCheckpoint()
+      Contracts.row(s,
+        "n_queries" -> q.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(served, "qid", "rank", 5),
+        "all_eligible_ok" -> (served
+          .join(allowed.select(col("vec_id").as("nid")), Seq("nid"),
+            "left_anti").count() == 0),
+        "scores_exact_ok" -> scoresMatchExact(served, emb),
+        "recall_ok" -> (Contracts.recall(served, exact) >= 0.4))
+    }),
+
     // OPQ-style rotated PQ: principal-axis rotation + snake eigenvalue
     // allocation before product quantization. The load-bearing claim is
     // EXACT: a pure orthonormal rotation preserves cosine, so the
@@ -1029,6 +1061,16 @@ object PipelineQueries {
           "c_custkey", 10L, "gs")
         .select(col("c_mktsegment"), col("rn"), col("c_custkey"))
         .orderBy(col("c_mktsegment"), col("rn"))),
+
+    // Deterministic reservoir: the k globally-smallest salted-md5 ranks —
+    // same distribution as a random reservoir, but reproducible and a
+    // semilattice under union (the streaming_reservoir fold's foundation).
+    // Plans as TakeOrderedAndProject: per-partition top-k, no global sort.
+    // Full SQL oracle — DuckDB replays the identical md5 order.
+    "sample_exact_k" -> ((s, dir) =>
+      Sampling.exactK(t(s, dir, "documents"), "doc_id", 40, "rs")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
 
     // Sequence packing: docs → fixed-token-budget packs, sharded so each
     // shard packs independently (no global sort). Per-doc assignment is the
@@ -1844,6 +1886,44 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // MMR diversity re-ranking over a vector arm's top-20: λ=0.7 pick of
+    // 5, graded on (a) well-formed ranks over a candidate SUBSET, (b) the
+    // first pick being the arm's own top hit (MMR's pick-1 is pure
+    // relevance), and (c) the λ=1 degenerate case EQUALLING the arm's
+    // top-5 exactly — rank for rank — which pins the greedy machinery to
+    // the already-oracle-checked brute-force ranking. The diversity side
+    // (near-dup crowding) is spec-tested with planted duplicates.
+    "retrieval_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val arm = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        k = 20).localCheckpoint()
+      val cands = arm
+        .select(col("qid"), col("nid").as("id"), col("cos").as("rel"))
+        .join(emb.select(col("vec_id").as("id"), col("embedding").as("v")),
+          "id")
+      val mmr = Retrieval.mmrRerank(cands, k = 5, lambda = 0.7)
+        .localCheckpoint()
+      val pure = Retrieval.mmrRerank(cands, k = 5, lambda = 1.0)
+        .select(col("qid"), col("rank"), col("id"))
+      val armTop5 = arm.filter(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("nid").as("id"))
+      val firstOk = Contracts.forAll(
+        mmr.filter(col("rank") === 1)
+          .join(armTop5.filter(col("rank") === 1)
+            .select(col("qid"), col("id").as("top_id")), "qid"),
+        col("id") === col("top_id"))
+      Contracts.row(s,
+        "n_queries" -> q.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(mmr, "qid", "rank", 5),
+        "subset_ok" -> (mmr.join(cands.select(col("qid"), col("id")),
+          Seq("qid", "id"), "left_anti").count() == 0),
+        "first_is_top_rel_ok" -> firstOk,
+        "lambda_one_is_pure_relevance_ok" ->
+          (Contracts.checksum(pure) == Contracts.checksum(armTop5)))
+    }),
+
     // Hybrid retrieval SERVED from the two persisted indexes — the 100 TB
     // serving shape: inverted-index arm (bucket-pruned postings) + IVF-PQ
     // arm (bucket-partitioned codes), RRF-fused. Contract: the served
@@ -2484,6 +2564,30 @@ object PipelineQueries {
       Similarity.queryIvfPqIndex(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", path, k = 5, nProbe = 8, shortlistFactor = 8)
     }),
+    // arm + one λ=0.7 MMR pass — the degenerate-λ equality baseline stays
+    // in Verify
+    "retrieval_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val arm = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 20)
+      val cands = arm
+        .select(col("qid"), col("nid").as("id"), col("cos").as("rel"))
+        .join(emb.select(col("vec_id").as("id"), col("embedding").as("v")),
+          "id")
+      Retrieval.mmrRerank(cands, k = 5, lambda = 0.7)
+    }),
+    // times build + filtered serving; the exact-baseline recall/eligibility
+    // checks stay in Verify
+    "sim_ivfpq_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-flt-t-").toString
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+        nCentroids = 16, m = 16)
+      Similarity.queryIvfPqIndex(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", path, k = 5, nProbe = 8, shortlistFactor = 8,
+        allowed = emb.filter(col("label") < 5).select(col("vec_id")))
+    }),
     "embedding_pca" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Embeddings.project(emb, "embedding",
@@ -2622,6 +2726,12 @@ object PipelineQueries {
         |  TRUE AS compaction_invisible_ok,
         |  TRUE AS one_segment_after_compact_ok,
         |  TRUE AS scores_exact_ok""".stripMargin,
+
+    "sim_ivfpq_filtered" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+        |    AS n_queries,
+        |  TRUE AS ranks_ok, TRUE AS all_eligible_ok,
+        |  TRUE AS scores_exact_ok, TRUE AS recall_ok""".stripMargin,
 
     "cluster_balanced_sample" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
@@ -2856,6 +2966,13 @@ object PipelineQueries {
         |  n.neg_cos
         |FROM pos p JOIN neg n USING (qid) WHERE n.rank <= 3
         |ORDER BY anchor, rank""".stripMargin,
+
+    "retrieval_mmr" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+        |    AS n_queries,
+        |  TRUE AS ranks_ok, TRUE AS subset_ok,
+        |  TRUE AS first_is_top_rel_ok,
+        |  TRUE AS lambda_one_is_pure_relevance_ok""".stripMargin,
 
     "hybrid_rrf_topk" ->
       """WITH tok AS (
@@ -3207,6 +3324,12 @@ object PipelineQueries {
         |      AS rn
         |  FROM customer)
         |WHERE rn <= 10 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "sample_exact_k" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang FROM documents
+        |  ORDER BY md5(doc_id::VARCHAR || 'rs'), doc_id LIMIT 40)
+        |ORDER BY doc_id""".stripMargin,
 
     "seq_pack" ->
       """WITH d AS (

@@ -383,10 +383,13 @@ object StreamingQueries {
   private val funnelInCache =
     new scala.collection.concurrent.TrieMap[String, String]
 
-  private def runNoveltyStream(s: SparkSession,
-      dir: String): (String, String, Long) = {
-    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val inDir = noveltyInCache.getOrElseUpdate(dir, {
+  /** (doc_id, text) staged as 3 one-file micro-batch inputs (doc_id % 3),
+    * memoized per dir — shared by the novelty and reservoir streams.
+    */
+  private def stagedDocsDir(s: SparkSession, dir: String): String =
+    noveltyInCache.getOrElseUpdate(dir, {
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
       val d = Files.createTempDirectory("graft-snov-in-").toString
       (0 until 3).foreach { i =>
         docs.filter(col("doc_id") % 3 === i).coalesce(1)
@@ -394,6 +397,11 @@ object StreamingQueries {
       }
       d
     })
+
+  private def runNoveltyStream(s: SparkSession,
+      dir: String): (String, String, Long) = {
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val inDir = stagedDocsDir(s, dir)
     val stage = Files.createTempDirectory("graft-snov-").toString
     val segDir = s"$stage/segments"
     val outDir = s"$stage/scores"
@@ -427,6 +435,107 @@ object StreamingQueries {
     (segDir, outDir, batches.get())
   }
 
+  private val reservoirK = 40
+
+  /** Streaming deterministic reservoir: exact-k maintenance of
+    * [[graft.operators.Sampling.exactK]] across micro-batches. Each batch
+    * writes snapshot `b<id>` = [[graft.operators.Sampling.reservoirMerge]]
+    * (latest prior snapshot, batch) — the prior is ONE k-row segment (each
+    * snapshot already folds its whole history), so per-batch cost is
+    * O(batch + k) regardless of corpus size, and state is k rows forever.
+    * Correctness is algebraic, the strongest replay story in the
+    * streaming family: min-k under union with SET semantics (the merge
+    * dedups on id — min-k over the raw row multiset is NOT idempotent; a
+    * redelivered row would occupy two of the k slots) is commutative,
+    * associative and idempotent, so any arrival order, any batching, and
+    * any at-least-once replay (strictly-prior reads + overwrite-mode
+    * segment, belt to the algebra's suspenders) produces the identical
+    * sample — the contract pins bit-equality with a from-scratch batch
+    * run, not an error envelope.
+    */
+  private def runReservoirStream(s: SparkSession,
+      dir: String): (String, Long) = {
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val inDir = stagedDocsDir(s, dir)
+    val stage = Files.createTempDirectory("graft-sres-").toString
+    val segDir = s"$stage/snap"
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet")
+        .writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            val p = new org.apache.hadoop.fs.Path(segDir)
+            val prior =
+              if (!fs.exists(p)) Array.empty[Long]
+              else fs.listStatus(p).map(_.getPath.getName)
+                .filter(_.startsWith("b")).map(_.drop(1).toLong)
+                .filter(_ < id)
+            val snap =
+              if (prior.isEmpty) b.select(col("doc_id")).limit(0)
+              else s.read.parquet(s"$segDir/b${prior.max}")
+            graft.operators.Sampling.reservoirMerge(snap,
+                b.select(col("doc_id")), "doc_id", reservoirK, "rs")
+              .coalesce(1).write.mode("overwrite").parquet(s"$segDir/b$id")
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+    (segDir, batches.get())
+  }
+
+  /** Streaming maintenance of the file-stats manifest
+    * ([[graft.operators.Manifest]]): each micro-batch lands its rows as
+    * data files under its OWN `d<id>` directory (overwrite mode) and then
+    * appends stats for exactly those files as manifest segment `b<id>` —
+    * the ingest pattern where the manifest, not a directory listing, IS
+    * the table: a file becomes part of the table the moment its stats row
+    * commits. Per-batch cost is O(batch): history files are never
+    * re-scanned, and replay is idempotent twice over (both the data dir
+    * and the manifest segment are keyed by batchId and overwrite-mode).
+    * This closes the build/append/compact/STREAMING symmetry with the
+    * four other persisted stores.
+    */
+  private def runManifestStream(s: SparkSession,
+      dir: String): (String, String, Long) = {
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val inDir = stagedDocsDir(s, dir)
+    val stage = Files.createTempDirectory("graft-sman-").toString
+    val tbl = s"$stage/table"
+    val man = s"$stage/manifest"
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet")
+        .writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            b.select(col("doc_id")).coalesce(1)
+              .write.mode("overwrite").parquet(s"$tbl/d$id")
+            graft.operators.Manifest.appendToManifest(s, Seq(s"$tbl/d$id"),
+              Seq("doc_id"), man, batchId = id)
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+    (man, tbl, batches.get())
+  }
+
   /** Segments with batch id STRICTLY below `id` — NOT `b*`: a batch
     * replayed after a mid-batch crash must not see its own half-written
     * segment (or, on an out-of-order replay, a later one) as "prior".
@@ -457,6 +566,22 @@ object StreamingQueries {
     "streaming_novelty" -> ((s, dir) => {
       val (_, outDir, _) = runNoveltyStream(s, dir)
       s.read.parquet(s"$outDir/b*")
+    }),
+    // fold + one manifest-served range read — the full-scan equality and
+    // compaction baselines stay in Verify
+    "streaming_manifest" -> ((s, dir) => {
+      val (man, _, _) = runManifestStream(s, dir)
+      val docs = Tables.t(s, dir, "documents")
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      graft.operators.Manifest.prunedRead(s, man, "doc_id", mx / 3, mx / 2)._1
+    }),
+    // fold only — the batch-equality baseline stays in Verify
+    "streaming_reservoir" -> ((s, dir) => {
+      val (segDir, _) = runReservoirStream(s, dir)
+      val ids = new java.io.File(segDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("b"))
+        .map(_.getName.drop(1).toLong)
+      s.read.parquet(s"$segDir/b${ids.max}")
     }),
     "streaming_embedding_index" -> ((s, dir) =>
       runEmbeddingIndexStream(s, dir).accumulated),
@@ -1232,6 +1357,70 @@ object StreamingQueries {
         "arrival_scores_sequential_ok" -> sequentialOk)
     }),
 
+    // Streaming manifest maintenance: each of 3 micro-batches lands data
+    // files + appends their stats as one manifest segment — the manifest
+    // IS the table listing. Contract: a manifest-served range read EQUALS
+    // the same filter over everything written, the manifest's row
+    // accounting matches the corpus exactly (one stats row per data file,
+    // nrows summing to the doc count), segments track batches, and
+    // compaction is invisible to serving.
+    "streaming_manifest" -> ((s, dir) => {
+      val (man, tbl, nb) = runManifestStream(s, dir)
+      val docs = Tables.t(s, dir, "documents")
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val (lo, hi) = (mx / 3, mx / 2)
+      val (pruned, _, nTotal) =
+        graft.operators.Manifest.prunedRead(s, man, "doc_id", lo, hi)
+      val chk = graft.queries.Contracts.checksum(pruned.localCheckpoint())
+      val m = graft.operators.Manifest.readManifest(s, man).localCheckpoint()
+      val full = s.read.parquet(s"$tbl/d*")
+      val nFiles = new java.io.File(tbl).listFiles()
+        .filter(_.isDirectory)
+        .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+      graft.operators.Manifest.compactManifest(s, man)
+      val (pruned2, _, _) =
+        graft.operators.Manifest.prunedRead(s, man, "doc_id", lo, hi)
+      val segs = new java.io.File(man).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      graft.queries.Contracts.row(s,
+        "n_docs" -> docs.count(),
+        "multi_batch_ok" -> (nb >= 3L),
+        "segments_track_batches_ok" -> (nb == 3L && nTotal == nFiles.toLong),
+        "rowcount_matches_corpus_ok" ->
+          (m.agg(sum(col("nrows"))).head().getLong(0) == docs.count()),
+        "equals_full_scan_ok" ->
+          (chk == graft.queries.Contracts.checksum(
+            full.filter(col("doc_id").between(lo, hi)))),
+        "compaction_invisible_ok" ->
+          (graft.queries.Contracts.checksum(pruned2) == chk &&
+            segs.length == 1))
+    }),
+
+    // Streaming deterministic reservoir: exact-k (smallest salted-md5
+    // ranks) maintained across 3 micro-batches with O(k) state. Contract:
+    // the final snapshot is BIT-EQUAL to a from-scratch batch exactK over
+    // the full corpus — the semilattice fold (min-k under union) makes
+    // order/batching/replay provably irrelevant, so equality is exact, not
+    // an envelope — plus one snapshot segment per batch, k rows each.
+    "streaming_reservoir" -> ((s, dir) => {
+      val (segDir, nb) = runReservoirStream(s, dir)
+      val docs = Tables.t(s, dir, "documents")
+      val ids = new java.io.File(segDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("b"))
+        .map(_.getName.drop(1).toLong).sorted
+      val last = s.read.parquet(s"$segDir/b${ids.max}").localCheckpoint()
+      val batch = graft.operators.Sampling.exactK(
+        docs.select(col("doc_id")), "doc_id", reservoirK, "rs")
+      graft.queries.Contracts.row(s,
+        "n_docs" -> docs.count(),
+        "multi_batch_ok" -> (nb >= 3L),
+        "segments_track_batches_ok" -> (ids.length.toLong == nb),
+        "k_rows_ok" -> (last.count() == reservoirK.toLong),
+        "equals_batch_run_ok" ->
+          (graft.queries.Contracts.checksum(last) ==
+            graft.queries.Contracts.checksum(batch)))
+    }),
+
     // Streaming maintenance of the persisted BM25 index: 3 micro-batches
     // each append one additive segment (postings/df/stats), history never
     // re-read. Contract: a serving query over the streamed index EQUALS —
@@ -1511,6 +1700,17 @@ object StreamingQueries {
       """SELECT (SELECT count(*) FROM documents) AS n_docs,
         |  TRUE AS multi_batch_ok, TRUE AS snapshot_equals_full_ok,
         |  TRUE AS arrival_scores_sequential_ok""".stripMargin,
+
+    "streaming_reservoir" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  TRUE AS multi_batch_ok, TRUE AS segments_track_batches_ok,
+        |  TRUE AS k_rows_ok, TRUE AS equals_batch_run_ok""".stripMargin,
+
+    "streaming_manifest" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  TRUE AS multi_batch_ok, TRUE AS segments_track_batches_ok,
+        |  TRUE AS rowcount_matches_corpus_ok, TRUE AS equals_full_scan_ok,
+        |  TRUE AS compaction_invisible_ok""".stripMargin,
 
     "streaming_dedup_watermark" ->
       """SELECT event_type, count(*) AS n FROM events

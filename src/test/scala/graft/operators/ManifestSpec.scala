@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Contracts
+
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFiles(rows: Seq[(Long, Long)], path: String,
+      nFiles: Int): Unit =
+    Layout.layoutWriteExact(rows.toDF("k", "v"),
+      Seq(col("k"), col("v")), path, nFiles)
+
+  test("pruned range read equals full-scan filter and skips files") {
+    val tbl = tmpDir("man-tbl-")
+    val man = tmpDir("man-idx-")
+    // keys 0..999 clustered into 8 contiguous files
+    writeFiles((0L until 1000L).map(k => (k, k * 2)), s"$tbl/d0", 8)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("k"), man)
+    val (df, nRead, nTotal) = Manifest.prunedRead(spark, man, "k", 100L, 220L)
+    assert(nTotal == 8L)
+    assert(nRead < nTotal) // a 12% key range cannot touch all 8 files
+    val full = Manifest.fullRead(spark, man)
+      .filter(col("k").between(100L, 220L))
+    assert(Contracts.checksum(df) == Contracts.checksum(full))
+    assert(df.count() == 121L)
+  }
+
+  test("append tracks new files without rescanning; compaction invisible") {
+    val tbl = tmpDir("man-tbl2-")
+    val man = tmpDir("man-idx2-")
+    writeFiles((0L until 600L).map(k => (k, k)), s"$tbl/d0", 4)
+    writeFiles((600L until 1000L).map(k => (k, k)), s"$tbl/d1", 2)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("k"), man)
+    Manifest.appendToManifest(spark, Seq(s"$tbl/d1"), Seq("k"), man)
+    val m = Manifest.readManifest(spark, man)
+    assert(m.count() == 6L)
+    assert(m.agg(sum(col("nrows"))).head().getLong(0) == 1000L)
+    // a range entirely inside the appended batch reads only its files
+    val (df, nRead, nTotal) = Manifest.prunedRead(spark, man, "k", 820L, 980L)
+    assert(nTotal == 6L && nRead <= 2L)
+    val chk = Contracts.checksum(df.localCheckpoint())
+    Manifest.compactManifest(spark, man)
+    val (df2, nRead2, nTotal2) =
+      Manifest.prunedRead(spark, man, "k", 820L, 980L)
+    assert(nTotal2 == 6L && nRead2 == nRead)
+    assert(Contracts.checksum(df2) == chk)
+    val segs = new java.io.File(man).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+    assert(segs.map(_.getName).toSeq == Seq("b-1"))
+  }
+
+  test("replayed append is idempotent under an explicit batch id") {
+    val tbl = tmpDir("man-tbl3-")
+    val man = tmpDir("man-idx3-")
+    writeFiles((0L until 300L).map(k => (k, k)), s"$tbl/d0", 3)
+    writeFiles((300L until 400L).map(k => (k, k)), s"$tbl/d1", 1)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("k"), man)
+    Manifest.appendToManifest(spark, Seq(s"$tbl/d1"), Seq("k"), man,
+      batchId = 7L)
+    Manifest.appendToManifest(spark, Seq(s"$tbl/d1"), Seq("k"), man,
+      batchId = 7L) // at-least-once redelivery
+    val m = Manifest.readManifest(spark, man)
+    assert(m.count() == 4L)
+    assert(m.agg(sum(col("nrows"))).head().getLong(0) == 400L)
+  }
+
+  test("empty prune window returns a schema-stable empty frame") {
+    val tbl = tmpDir("man-tbl4-")
+    val man = tmpDir("man-idx4-")
+    writeFiles((0L until 100L).map(k => (k, k)), s"$tbl/d0", 2)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("k"), man)
+    val (df, nRead, _) = Manifest.prunedRead(spark, man, "k", 5000L, 6000L)
+    assert(nRead == 0L)
+    assert(df.columns.toSeq == Seq("k", "v"))
+    assert(df.count() == 0L)
+  }
+}

@@ -93,4 +93,39 @@ class RetrievalSpec extends SparkSpec {
     // no join at all in the fusion stage
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  private def mmr(cands: Seq[(Long, Long, Double, Seq[Double])], k: Int,
+      lambda: Double) =
+    Retrieval.mmrRerank(cands.toDF("qid", "id", "rel", "v"), k, lambda)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+
+  test("MMR crowds out a planted near-duplicate that pure relevance keeps") {
+    // docs 1 and 2 are near-identical high-relevance hits; doc 3 is an
+    // orthogonal lower-relevance hit. Pure relevance (λ=1) takes the twin
+    // pair; diversity-weighted MMR takes one twin then the orthogonal doc.
+    val cands = Seq(
+      (7L, 1L, 0.95, Seq(1.0, 0.0)),
+      (7L, 2L, 0.94, Seq(0.999, 0.04)),
+      (7L, 3L, 0.60, Seq(0.0, 1.0)))
+    assert(mmr(cands, 2, 1.0).map(_._3) === Seq(1L, 2L))
+    assert(mmr(cands, 2, 0.5).map(_._3) === Seq(1L, 3L))
+  }
+
+  test("MMR selection is a pure function of the candidate set") {
+    val cands = (0 until 30).map { i =>
+      (1L, i.toLong, 1.0 - i * 0.01,
+        Seq(math.sin(i * 0.7), math.cos(i * 1.3), math.sin(i * 2.1)))
+    }
+    val a = mmr(cands, 5, 0.7)
+    val b = Retrieval.mmrRerank(
+        cands.toDF("qid", "id", "rel", "v").repartition(7), 5, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(a === b)
+    // fewer candidates than k: emits all, ranks stay 1..n
+    val short = mmr(cands.take(3), 5, 0.7)
+    assert(short.map(_._2) === Seq(1L, 2L, 3L))
+  }
 }

@@ -399,4 +399,40 @@ class SamplingSpec extends SparkSpec {
     val below = buckets.getLong(2).toDouble / 20000
     assert(math.abs(below - 0.5) < 0.02, s"median skew $below")
   }
+
+  test("exactK: k rows, partition-invariant, plans as take-ordered") {
+    val one = Sampling.exactK(ids, "id", 25, "rs")
+    val ids25 = one.select("id").as[Long].collect().toSet
+    assert(ids25.size == 25)
+    val reparted = Sampling.exactK(ids.repartition(17), "id", 25, "rs")
+      .select("id").as[Long].collect().toSet
+    assert(reparted == ids25)
+    // per-partition top-k + driver merge, not a global sort
+    assert(one.queryExecution.executedPlan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, one.queryExecution.executedPlan.toString)
+  }
+
+  test("reservoirMerge is a semilattice fold: any batching replays the " +
+      "one-shot sample, and re-folding a batch is idempotent") {
+    val oneShot = Sampling.exactK(ids, "id", 25, "rs")
+      .select("id").as[Long].collect().toSet
+    // fold three arbitrary batches through k-row snapshots
+    val batches = Seq(
+      ids.filter(col("id") % 3 === 0), ids.filter(col("id") % 3 === 1),
+      ids.filter(col("id") % 3 === 2))
+    var snap = Sampling.exactK(batches.head, "id", 25, "rs").localCheckpoint()
+    batches.tail.foreach { b =>
+      snap = Sampling.reservoirMerge(snap, b, "id", 25, "rs")
+        .localCheckpoint()
+    }
+    assert(snap.select("id").as[Long].collect().toSet == oneShot)
+    // at-least-once replay: re-merging an already-folded batch changes
+    // nothing — this is exactly where the merge's id-dedup earns its keep
+    // (min-k over the raw row MULTISET is not idempotent: the replayed
+    // rows would occupy two slots each and shrink the distinct sample)
+    val replay = Sampling.reservoirMerge(snap, batches.last, "id", 25, "rs")
+      .select("id").as[Long].collect().toSet
+    assert(replay == oneShot)
+  }
 }

@@ -214,6 +214,36 @@ class SimilaritySpec extends SparkSpec {
       s"bucket isin must prune partitions, got:\n${scans.head}")
   }
 
+  test("filtered serving returns only eligible ids; all-ids filter is the " +
+      "identity") {
+    val emb = t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val path = tmpDir("ivfpq-flt")
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+      nCentroids = 16, m = 16)
+    def serve(allowed: org.apache.spark.sql.DataFrame) =
+      Similarity.queryIvfPqIndex(emb, queries, "vec_id", "embedding", path,
+          k = 5, nProbe = 8, shortlistFactor = 8, allowed = allowed)
+        .select("qid", "rank", "nid", "cos").as[(Long, Int, Long, Double)]
+        .collect().toSeq
+    // predicate-restricted serving: every hit satisfies the predicate and
+    // each query still fills k slots (the filter is applied BEFORE the
+    // shortlist, so eligible candidates take the starved ranks)
+    val eligible = emb.filter(col("label") < 5)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val filtered = serve(emb.filter(col("label") < 5).select(col("vec_id")))
+    assert(filtered.nonEmpty)
+    assert(filtered.forall { case (_, _, nid, _) => eligible.contains(nid) })
+    assert(filtered.groupBy(_._1).forall(_._2.size == 5))
+    // an all-ids filter changes nothing vs unfiltered serving
+    val all = serve(emb.select(col("vec_id")))
+    val unfiltered = Similarity.queryIvfPqIndex(emb, queries, "vec_id",
+        "embedding", path, k = 5, nProbe = 8, shortlistFactor = 8)
+      .select("qid", "rank", "nid", "cos").as[(Long, Int, Long, Double)]
+      .collect().toSeq
+    assert(all == unfiltered)
+  }
+
   test("IVF-PQ append guards dim parity; compaction leaves one segment " +
       "and identical serving") {
     val emb = t(spark, sfDir, "embeddings")
