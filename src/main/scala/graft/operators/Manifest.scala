@@ -96,11 +96,38 @@ object Manifest {
     Dedup.compactSegmentDirs(spark, manifestPath)
 
   /** The current manifest: union of all segments, one row per data file. */
-  def readManifest(spark: SparkSession, manifestPath: String): DataFrame = {
+  def readManifest(spark: SparkSession, manifestPath: String): DataFrame =
+    readManifestAsOf(spark, manifestPath, Long.MaxValue)
+
+  /** The manifest AS OF batch `asOf` — time travel, the way Iceberg's
+    * snapshot list gets it: because the manifest IS the table listing and
+    * appends are immutable batchId-keyed segments, the table at batch N is
+    * simply the union of segments with id ≤ N. No data file is rewritten
+    * or tombstoned, so every historical snapshot reads at full scan speed
+    * and prunes like the current one. Compaction is the snapshot-expiry
+    * horizon: it collapses segments into `b-1` (always included here), so
+    * snapshots older than the last compaction are no longer addressable —
+    * run compaction at the cadence your audit window allows, exactly like
+    * Iceberg's expire-snapshots.
+    */
+  def readManifestAsOf(spark: SparkSession, manifestPath: String,
+      asOf: Long): DataFrame = {
     val mp = new org.apache.hadoop.fs.Path(manifestPath)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segs = fs.listStatus(mp)
-      .filter(_.getPath.getName.startsWith("b")).map(_.getPath.toString)
+    val all = fs.listStatus(mp).map(_.getPath)
+      .filter(_.getName.startsWith("b"))
+    // a compacted store has collapsed its history into b-1: serving a
+    // finite asOf from it would silently return the MERGED listing (too
+    // many files) instead of the snapshot — fail loudly, like reading an
+    // expired Iceberg snapshot
+    require(asOf == Long.MaxValue ||
+        !all.exists(_.getName == "b-1"),
+      s"snapshot asOf=$asOf expired: compaction collapsed $manifestPath's " +
+        "history into b-1; only the current listing is addressable")
+    val segs = all
+      .filter(_.getName.stripPrefix("b").toLong <= asOf).map(_.toString)
+    require(segs.nonEmpty,
+      s"no manifest segment at or below batch $asOf under $manifestPath")
     spark.read.parquet(segs.toSeq: _*)
   }
 
@@ -111,8 +138,8 @@ object Manifest {
     * the driver contract — can grade the pruning, not just the answer.
     */
   def prunedRead(spark: SparkSession, manifestPath: String, statsCol: String,
-      lo: Any, hi: Any): (DataFrame, Long, Long) = {
-    val m = readManifest(spark, manifestPath)
+      lo: Any, hi: Any, asOf: Long = Long.MaxValue): (DataFrame, Long, Long) = {
+    val m = readManifestAsOf(spark, manifestPath, asOf)
       .select(col("file"), col(s"min_$statsCol"), col(s"max_$statsCol"))
       .localCheckpoint() // tiny (one row/file); probed twice below
     val total = m.count()
@@ -130,11 +157,13 @@ object Manifest {
       surviving.size.toLong, total)
   }
 
-  /** Full-listing read of every file the manifest names — the unpruned
-    * baseline [[prunedRead]] is graded against.
+  /** Full-listing read of every file the manifest names (as of `asOf`) —
+    * the unpruned baseline [[prunedRead]] is graded against, and the
+    * time-travel read when `asOf` pins a historical snapshot.
     */
-  def fullRead(spark: SparkSession, manifestPath: String): DataFrame = {
-    val files = readManifest(spark, manifestPath)
+  def fullRead(spark: SparkSession, manifestPath: String,
+      asOf: Long = Long.MaxValue): DataFrame = {
+    val files = readManifestAsOf(spark, manifestPath, asOf)
       .select(col("file")).collect().map(_.getString(0)).toSeq
     spark.read.parquet(files: _*)
   }

@@ -321,6 +321,49 @@ object FormatQueries {
         "compaction_invisible_ok" ->
           (Contracts.checksum(pruned2) == prunedChk),
         "one_segment_after_compact_ok" -> (segs.length == 1))
+    }),
+
+    // Manifest time travel: because the manifest IS the table listing and
+    // appends are immutable batchId-keyed segments, the table AS OF batch
+    // N is the union of segments ≤ N — Iceberg-style snapshots with no
+    // file rewrites and no tombstones, at full scan/prune speed. Graded on
+    // REAL numbers (per-snapshot row counts the oracle re-derives from the
+    // slicing) plus content equality of a historical snapshot and of a
+    // pruned range read inside it. Compaction is the deliberate snapshot-
+    // expiry horizon (manifest_prune covers compaction; this store stays
+    // uncompacted so history stays addressable).
+    "manifest_time_travel" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val tbl = tmp("graft-mantt-tbl-")
+      val man = tmp("graft-mantt-")
+      val slices = (0 to 2).map(i => li.filter(col("l_orderkey") % 3 === i))
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        sl.coalesce(2).write.mode("overwrite").parquet(s"$tbl/d$i")
+      }
+      Manifest.buildManifest(s, s"$tbl/d0", Seq("l_orderkey"), man)
+      Manifest.appendToManifest(s, Seq(s"$tbl/d1"), Seq("l_orderkey"), man,
+        batchId = 1)
+      Manifest.appendToManifest(s, Seq(s"$tbl/d2"), Seq("l_orderkey"), man,
+        batchId = 2)
+      val n0 = Manifest.fullRead(s, man, asOf = 0).count()
+      val n1 = Manifest.fullRead(s, man, asOf = 1).count()
+      val n2 = Manifest.fullRead(s, man).count()
+      val snap01 = slices(0).unionByName(slices(1)).localCheckpoint()
+      val eq1 = Contracts.checksum(Manifest.fullRead(s, man, asOf = 1)) ==
+        Contracts.checksum(snap01)
+      val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      val (p1, _, _) =
+        Manifest.prunedRead(s, man, "l_orderkey", mx / 3, mx / 2, asOf = 1)
+      val eqP = Contracts.checksum(p1) == Contracts.checksum(
+        snap01.filter(col("l_orderkey").between(mx / 3, mx / 2)))
+      Contracts.row(s,
+        "n_asof0" -> n0,
+        "n_asof1" -> n1,
+        "n_latest" -> n2,
+        "snapshot_equals_slices_ok" -> eq1,
+        "historical_prune_equals_filter_ok" -> eqP,
+        "snapshot_monotone_ok" -> (n0 < n1 && n1 < n2))
     })
   )
 
@@ -406,6 +449,17 @@ object FormatQueries {
         |FROM lineitem
         |WHERE l_orderkey
         |  BETWEEN (SELECT max(l_orderkey) // 3 FROM lineitem)
-        |      AND (SELECT max(l_orderkey) // 2 FROM lineitem)""".stripMargin
+        |      AND (SELECT max(l_orderkey) // 2 FROM lineitem)""".stripMargin,
+
+    "manifest_time_travel" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey % 3 = 0)
+        |    AS n_asof0,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey % 3 < 2)
+        |    AS n_asof1,
+        |  (SELECT count(*) FROM lineitem) AS n_latest,
+        |  TRUE AS snapshot_equals_slices_ok,
+        |  TRUE AS historical_prune_equals_filter_ok,
+        |  TRUE AS snapshot_monotone_ok""".stripMargin
   )
 }

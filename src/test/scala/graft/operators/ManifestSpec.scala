@@ -67,6 +67,35 @@ class ManifestSpec extends SparkSpec {
     assert(m.agg(sum(col("nrows"))).head().getLong(0) == 400L)
   }
 
+  test("asOf reads reconstruct every snapshot; compaction expires them " +
+      "loudly") {
+    val tbl = tmpDir("man-tbl5-")
+    val man = tmpDir("man-idx5-")
+    writeFiles((0L until 300L).map(k => (k, k)), s"$tbl/d0", 2)
+    writeFiles((300L until 500L).map(k => (k, k)), s"$tbl/d1", 1)
+    writeFiles((500L until 900L).map(k => (k, k)), s"$tbl/d2", 2)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("k"), man)
+    Manifest.appendToManifest(spark, Seq(s"$tbl/d1"), Seq("k"), man,
+      batchId = 1)
+    Manifest.appendToManifest(spark, Seq(s"$tbl/d2"), Seq("k"), man,
+      batchId = 2)
+    assert(Manifest.fullRead(spark, man, asOf = 0).count() == 300L)
+    val snap1 = Manifest.fullRead(spark, man, asOf = 1)
+      .select("k").as[Long].collect().toSet
+    assert(snap1 == (0L until 500L).toSet)
+    assert(Manifest.fullRead(spark, man).count() == 900L)
+    // pruning inside a historical snapshot: a range beyond the snapshot's
+    // data reads nothing even though LATER segments cover it
+    val (df, nRead, nTotal) =
+      Manifest.prunedRead(spark, man, "k", 600L, 700L, asOf = 1)
+    assert(nTotal == 3L && nRead == 0L && df.count() == 0L)
+    Manifest.compactManifest(spark, man)
+    assert(Manifest.fullRead(spark, man).count() == 900L)
+    intercept[IllegalArgumentException] {
+      Manifest.readManifestAsOf(spark, man, 1L)
+    }
+  }
+
   test("empty prune window returns a schema-stable empty frame") {
     val tbl = tmpDir("man-tbl4-")
     val man = tmpDir("man-idx4-")
