@@ -130,9 +130,20 @@ object TextAnalysis {
     * ClusteredDistribution satisfied, no extra exchange) and the final top-k
     * window shuffles only scored candidates by query.
     */
+  /** `allowed` (optional, one `idCol` column) restricts RESULTS to a
+    * metadata-eligible doc set — filtered lexical retrieval, the mirror of
+    * [[graft.operators.Similarity.queryIvfPqIndex]]'s `allowed`. The
+    * semi-join lands on the candidate postings BEFORE scoring (pre-filter:
+    * post-filtering a ranked top-k starves k exactly when the predicate is
+    * selective) and moves ids only. Corpus statistics (N, df, avgdl) stay
+    * FULL-corpus deliberately — they are the ranking model's identity, the
+    * same decision as serving IVF-PQ from stored codebooks — which is what
+    * makes the filtered stored-index path bit-equal to this in-memory form.
+    */
   def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, queryIdCol: String, queryTextCol: String, k: Int,
-      queryTerms: Int = 8, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+      queryTerms: Int = 8, k1: Double = 1.5, b: Double = 0.75,
+      allowed: DataFrame = null): DataFrame = {
     val tf = docs
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
@@ -145,7 +156,11 @@ object TextAnalysis {
     val qterms = bm25QueryTerms(queries, queryIdCol, queryTextCol, queryTerms)
     // per-query-term stats: #query-terms rows — broadcast onto the postings
     val qstats = dfreq.join(broadcast(qterms), "term")
-    val contrib = tf.join(broadcast(qstats), "term").join(dl, "doc")
+    val cand =
+      if (allowed == null) tf
+      else tf.join(allowed.select(col(idCol).as("doc")), Seq("doc"),
+        "left_semi")
+    val contrib = cand.join(broadcast(qstats), "term").join(dl, "doc")
       .withColumn("c", bm25Contrib(n, avgdl, k1, b))
     bm25Rank(contrib, k, queryIdCol, idCol)
   }
@@ -325,7 +340,8 @@ object TextAnalysis {
     */
   def queryTextIndex(queries: DataFrame, queryIdCol: String,
       queryTextCol: String, path: String, idCol: String, k: Int,
-      queryTerms: Int = 8, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+      queryTerms: Int = 8, k1: Double = 1.5, b: Double = 0.75,
+      allowed: DataFrame = null): DataFrame = {
     val spark = queries.sparkSession
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
     val qterms = bm25QueryTerms(queries, queryIdCol, queryTextCol, queryTerms)
@@ -341,9 +357,16 @@ object TextAnalysis {
       .filter(col("bucket").isin(buckets: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val qstats = dfreq.join(broadcast(qterms), "term")
-    val postings = spark.read.parquet(s"$path/postings")
+    val postingsAll = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*))
       .select(col("doc"), col("term"), col("tf"))
+    // filtered serving: eligible-id semi-join on the pruned postings scan
+    // BEFORE scoring — stats stay whole-index (see bm25TopK's scaladoc),
+    // so this path stays bit-equal to the in-memory filtered form
+    val postings =
+      if (allowed == null) postingsAll
+      else postingsAll.join(allowed.select(col(idCol).as("doc")), Seq("doc"),
+        "left_semi")
     val norms = spark.read.parquet(s"$path/norms")
       .select(col("doc"), col("dl"))
     val contrib = postings.join(broadcast(qstats), "term").join(norms, "doc")

@@ -1863,6 +1863,29 @@ object PipelineQueries {
           (plan.contains("PartitionFilters") && plan.contains("bucket")))
     }),
 
+    // FILTERED lexical retrieval from the persisted inverted index: serving
+    // restricted to English documents via an eligible-id semi-join on the
+    // bucket-pruned postings scan BEFORE scoring (pre-filter — the mirror
+    // of sim_ivfpq_filtered). Corpus statistics stay whole-index (the
+    // ranking model's identity), which is what the full SQL oracle
+    // replays: contributions restricted to eligible docs, stats from the
+    // whole corpus. The output is the ranked rows themselves — the
+    // strongest oracle form — and Bm25Spec pins served ≡ in-memory
+    // filtered bm25TopK.
+    "bm25_filtered" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val allowed = docs.filter(col("lang") === "en").select(col("doc_id"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-bm25-flt-").toString
+      TextAnalysis.buildTextIndex(docs, "doc_id", "text", path,
+        nBuckets = 16, batchId = 0L)
+      TextAnalysis.queryTextIndex(qs, "query_id", "text", path, "doc_id",
+          k = 5, allowed = allowed)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Hybrid lexical+vector retrieval with reciprocal-rank fusion: a BM25
     // arm over documents.text and an exact-cosine arm over
     // embeddings.embedding (id-aligned: vec_id = doc_id), each top-20 per
@@ -2332,6 +2355,25 @@ object PipelineQueries {
         .select(col("doc_id").as("query_id"), col("text"))
       TextAnalysis.queryTextIndex(qs, "query_id", "text", path,
         "doc_id", k = 5)
+    }),
+    // filtered serving from the same memoized index
+    "bm25_filtered" -> ((s, dir) => {
+      val path = bm25IndexCache.getOrElseUpdate(dir, {
+        val docs = t(s, dir, "documents")
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-bm25-bench-").toString
+        TextAnalysis.buildTextIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", p, nBuckets = 16, batchId = 0L)
+        TextAnalysis.appendToTextIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", p, batchId = 1L)
+        p
+      })
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+      TextAnalysis.queryTextIndex(qs, "query_id", "text", path, "doc_id",
+        k = 5, allowed = docs.filter(col("lang") === "en")
+          .select(col("doc_id")))
     }),
 
     // The timer covers the served fusion only: both index arms (pruned
@@ -2931,6 +2973,45 @@ object PipelineQueries {
         |      * 1e6 + 0.5)::BIGINT AS c
         |  FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term)
         |    JOIN dl USING (doc_id) CROSS JOIN stats s
+        |), scored AS (
+        |  SELECT query_id, doc_id, sum(c)::BIGINT AS score_fx,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sum(c) DESC, doc_id ASC)::BIGINT AS rank
+        |  FROM contrib GROUP BY query_id, doc_id
+        |)
+        |SELECT query_id, rank, doc_id, score_fx / 1e6 AS score
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "bm25_filtered" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+        |), dl AS (
+        |  SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+        |    (SELECT sum(dl)::DOUBLE FROM dl)
+        |      / (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+        |), qterms AS (
+        |  SELECT DISTINCT doc_id AS query_id,
+        |    unnest((string_split_regex(trim(lower(text)), '\s+'))[1:8])
+        |      AS term
+        |  FROM documents WHERE doc_id < 5
+        |), contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    floor(ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.5)
+        |      / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / s.avgdl))
+        |      * 1e6 + 0.5)::BIGINT AS c
+        |  FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term)
+        |    JOIN dl USING (doc_id) CROSS JOIN stats s
+        |  WHERE tf.doc_id IN (SELECT doc_id FROM documents
+        |                      WHERE lang = 'en')
         |), scored AS (
         |  SELECT query_id, doc_id, sum(c)::BIGINT AS score_fx,
         |    row_number() OVER (PARTITION BY query_id

@@ -135,6 +135,38 @@ class Bm25Spec extends SparkSpec {
     assert(grown.map(_.getLong(2)).toSet == Set(9L))
   }
 
+  test("filtered serving equals the in-memory filtered form and only " +
+      "eligible docs are returned; all-ids filter is the identity") {
+    import org.apache.spark.sql.functions.col
+    val path = tmpDir("bm25-idx-flt")
+    TextAnalysis.buildTextIndex(docs, "doc_id", "text", path,
+      nBuckets = 8, batchId = 0L)
+    val q = Seq((100L, "apple cherry date")).toDF("query_id", "text")
+    // predicate: odd doc ids only
+    val allowed = docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+    val stored = TextAnalysis.queryTextIndex(q, "query_id", "text", path,
+        "doc_id", k = 5, allowed = allowed)
+      .collect().toSeq.sortBy(_.getLong(1))
+    val mem = TextAnalysis.bm25TopK(docs, q, "doc_id", "text",
+        "query_id", "text", k = 5, allowed = allowed)
+      .collect().toSeq.sortBy(_.getLong(1))
+    assert(stored == mem)
+    assert(stored.nonEmpty)
+    assert(stored.forall(_.getLong(2) % 2 == 1))
+    // scores are the FULL-corpus model's scores (stats are the index's
+    // identity): each filtered hit scores identically in the unfiltered run
+    val unfiltered = TextAnalysis.queryTextIndex(q, "query_id", "text", path,
+        "doc_id", k = 5)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(stored.forall(r => unfiltered(r.getLong(2)) == r.getDouble(3)))
+    val all = TextAnalysis.queryTextIndex(q, "query_id", "text", path,
+        "doc_id", k = 5, allowed = docs.select(col("doc_id")))
+      .collect().toSeq.sortBy(_.getLong(1))
+    val none = TextAnalysis.queryTextIndex(q, "query_id", "text", path,
+      "doc_id", k = 5).collect().toSeq.sortBy(_.getLong(1))
+    assert(all == none)
+  }
+
   test("query-time scans are bucket-pruned to the query terms' buckets") {
     import org.apache.spark.sql.functions.col
     val path = tmpDir("bm25-idx-prune")
