@@ -157,6 +157,36 @@ object Manifest {
       surviving.size.toLong, total)
   }
 
+  /** Two-dimensional box prune: files whose [min, max] interval intersects
+    * the query range in BOTH stats columns. This is where the manifest
+    * composes with [[Layout]]'s z-ordering: a Morton-clustered layout makes
+    * every file's box tight in both dimensions at once, so a 2-D selective
+    * box opens a handful of files where a linear sort only prunes its
+    * leading column — the manifest turns that geometric property into
+    * skipped file OPENS, not just skipped row groups.
+    */
+  def prunedReadBox(spark: SparkSession, manifestPath: String,
+      xCol: String, xLo: Any, xHi: Any, yCol: String, yLo: Any, yHi: Any,
+      asOf: Long = Long.MaxValue): (DataFrame, Long, Long) = {
+    val m = readManifestAsOf(spark, manifestPath, asOf)
+      .select(col("file"), col(s"min_$xCol"), col(s"max_$xCol"),
+        col(s"min_$yCol"), col(s"max_$yCol"))
+      .localCheckpoint()
+    val total = m.count()
+    val surviving = m
+      .filter(col(s"min_$xCol") <= lit(xHi) && col(s"max_$xCol") >= lit(xLo)
+        && col(s"min_$yCol") <= lit(yHi) && col(s"max_$yCol") >= lit(yLo))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val df =
+      if (surviving.isEmpty)
+        spark.read.parquet(m.select(col("file")).head().getString(0))
+          .filter(lit(false))
+      else spark.read.parquet(surviving: _*)
+    (df.filter(col(xCol).between(lit(xLo), lit(xHi)) &&
+        col(yCol).between(lit(yLo), lit(yHi))),
+      surviving.size.toLong, total)
+  }
+
   /** Full-listing read of every file the manifest names (as of `asOf`) —
     * the unpruned baseline [[prunedRead]] is graded against, and the
     * time-travel read when `asOf` pins a historical snapshot.

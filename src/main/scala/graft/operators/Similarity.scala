@@ -517,11 +517,17 @@ object Similarity {
     Caching.materializeThenRelease(topk, (q +: alsoRelease): _*)
   }
 
+  /** `allowed` mirrors [[queryIvfPqIndex]]'s filtered serving on the
+    * in-memory path — same semi-join on the codes scan before the ADC
+    * shortlist, so the two paths stay result-identical under a filter
+    * (training is seeded and ignores the filter: the model is the full
+    * corpus's, only candidacy is restricted).
+    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 6,
       m: Int = 16, ksub: Int = 16, seed: Long = 11L,
       shortlistFactor: Int = 8, trainIters: Int = 4,
-      sampleN: Int = 256): DataFrame = {
+      sampleN: Int = 256, allowed: DataFrame = null): DataFrame = {
     val spark = corpus.sparkSession
     HashExpressions.register(spark)
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
@@ -532,12 +538,16 @@ object Similarity {
       trainIters, sampleN)
     // the scan table: (bucket, id, codes) — nCentroids-partitionable,
     // m bytes of payload per vector
-    val codes = c.select(
+    val codesAll = c.select(
       centroidScores(spark, coarse)(col("v_n"), col("n_n")).getItem(0)
         .getField("bucket").as("bucket"),
       col("nid"),
       graft.functions.PqExpressions.pqEncode(spark, col("v_n"), col("n_n"),
         cbFlat, m, ksub, sub).as("codes"))
+    val codes =
+      if (allowed == null) codesAll
+      else codesAll.join(allowed.select(col(idCol).as("nid")), Seq("nid"),
+        "left_semi")
     ivfPqQuery(c, queries, codes, coarse, cbFlat, idCol, vecCol,
       k, nProbe, m, ksub, sub, shortlistFactor, c)
   }

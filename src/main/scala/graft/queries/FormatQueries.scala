@@ -364,6 +364,40 @@ object FormatQueries {
         "snapshot_equals_slices_ok" -> eq1,
         "historical_prune_equals_filter_ok" -> eqP,
         "snapshot_monotone_ok" -> (n0 < n1 && n1 < n2))
+    }),
+
+    // Z-order × manifest composition: the Morton layout makes every file's
+    // (l_partkey, l_suppkey) box tight in BOTH dimensions, and the
+    // manifest's 2-D box prune turns that geometry into skipped file
+    // OPENS — a 1/16-of-keyspace box over 16 z-ordered files touches a
+    // handful. Graded on the REAL box aggregate (count + sum replayed in
+    // DuckDB), result equality with the unpruned scan, and pruning having
+    // actually fired.
+    "manifest_zorder_box" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val tbl = tmp("graft-manzb-tbl-")
+      val man = tmp("graft-manzb-")
+      Layout.zorderWriteExact(li, "l_partkey", "l_suppkey", s"$tbl/d0", 16)
+      Manifest.buildManifest(s, s"$tbl/d0",
+        Seq("l_partkey", "l_suppkey"), man)
+      val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      val (xLo, xHi) = (mx.getLong(0) / 4, mx.getLong(0) / 2)
+      val (yLo, yHi) = (mx.getLong(1) / 4, mx.getLong(1) / 2)
+      val (boxed, nRead, nTotal) = Manifest.prunedReadBox(s, man,
+        "l_partkey", xLo, xHi, "l_suppkey", yLo, yHi)
+      val box = boxed.localCheckpoint()
+      val full = Manifest.fullRead(s, man)
+        .filter(col("l_partkey").between(xLo, xHi) &&
+          col("l_suppkey").between(yLo, yHi))
+      val agg = box.agg(count(lit(1)), round(sum(col("l_quantity")), 2))
+        .head()
+      Contracts.row(s,
+        "n_rows" -> agg.getLong(0),
+        "sum_qty" -> agg.getDouble(1),
+        "files_pruned_ok" -> (nRead < nTotal && nTotal == 16L),
+        "equals_full_scan_ok" ->
+          (Contracts.checksum(box) == Contracts.checksum(full)))
     })
   )
 
@@ -450,6 +484,17 @@ object FormatQueries {
         |WHERE l_orderkey
         |  BETWEEN (SELECT max(l_orderkey) // 3 FROM lineitem)
         |      AND (SELECT max(l_orderkey) // 2 FROM lineitem)""".stripMargin,
+
+    "manifest_zorder_box" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+        |  TRUE AS files_pruned_ok, TRUE AS equals_full_scan_ok
+        |FROM lineitem
+        |WHERE l_partkey
+        |    BETWEEN (SELECT max(l_partkey) // 4 FROM lineitem)
+        |        AND (SELECT max(l_partkey) // 2 FROM lineitem)
+        |  AND l_suppkey
+        |    BETWEEN (SELECT max(l_suppkey) // 4 FROM lineitem)
+        |        AND (SELECT max(l_suppkey) // 2 FROM lineitem)""".stripMargin,
 
     "manifest_time_travel" ->
       """SELECT

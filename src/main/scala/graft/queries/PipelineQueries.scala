@@ -1988,6 +1988,55 @@ object PipelineQueries {
           (Contracts.checksum(served) == Contracts.checksum(scratch)))
     }),
 
+    // FILTERED hybrid retrieval: both persisted-index arms restricted to
+    // the same metadata-eligible doc set (lang = 'en'; vec_id is
+    // doc-aligned) and RRF-fused — the filtered-serving capstone
+    // composing sim_ivfpq_filtered and bm25_filtered. Contract: the
+    // index-served filtered fusion EQUALS the in-memory filtered fusion
+    // (both arms are individually deterministic-equal across paths), and
+    // every fused hit satisfies the predicate.
+    "hybrid_filtered" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val allowed = docs.filter(col("lang") === "en").select(col("doc_id"))
+      val allowedV = allowed.select(col("doc_id").as("vec_id"))
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val qv = emb.filter(col("vec_id") < 5)
+      val tpath = java.nio.file.Files
+        .createTempDirectory("graft-hybflt-text-").toString
+      val vpath = java.nio.file.Files
+        .createTempDirectory("graft-hybflt-ivfpq-").toString
+      TextAnalysis.buildTextIndex(docs, "doc_id", "text", tpath,
+        nBuckets = 16, batchId = 0L)
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", vpath,
+        nCentroids = 16, m = 16)
+      def fuse(lex: DataFrame, vec: DataFrame) = Retrieval.rrfFuse(Seq(
+        lex.select(col("query_id").as("qid"), col("doc_id").as("id"),
+          col("rank")),
+        vec.select(col("qid"), col("nid").as("id"), col("rank"))), k = 10)
+      val served = fuse(
+        TextAnalysis.queryTextIndex(qs, "query_id", "text", tpath,
+          "doc_id", k = 20, allowed = allowed),
+        Similarity.queryIvfPqIndex(emb, qv, "vec_id", "embedding", vpath,
+          k = 20, nProbe = 8, shortlistFactor = 8, allowed = allowedV))
+        .localCheckpoint()
+      val scratch = fuse(
+        TextAnalysis.bm25TopK(docs, qs, "doc_id", "text", "query_id",
+          "text", 20, allowed = allowed),
+        Similarity.ivfPqTopK(emb, qv, "vec_id", "embedding", k = 20,
+          nCentroids = 16, nProbe = 8, m = 16, shortlistFactor = 8,
+          allowed = allowedV))
+      Contracts.row(s,
+        "n_queries" -> qs.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(served, "qid", "rank", 10),
+        "all_eligible_ok" -> (served
+          .join(allowed.select(col("doc_id").as("id")), Seq("id"),
+            "left_anti").count() == 0),
+        "equals_in_memory_fusion_ok" ->
+          (Contracts.checksum(served) == Contracts.checksum(scratch)))
+    }),
+
     // Readability-style metrics (sentence marks, words/sentence, mean word
     // length) — the cheap quality filters a corpus pipeline runs per doc.
     "text_readability" -> ((s, dir) => {
@@ -2405,6 +2454,38 @@ object PipelineQueries {
       val vec = Similarity.queryIvfPqIndex(emb,
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", vpath,
           k = 20, nProbe = 8, shortlistFactor = 8)
+        .select(col("qid"), col("nid").as("id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+    }),
+    // filtered fusion from the same memoized indexes — the in-memory
+    // equality baseline stays in Verify
+    "hybrid_filtered" -> ((s, dir) => {
+      val (tpath, vpath) = hybridIndexCache.getOrElseUpdate(dir, {
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        val tp = java.nio.file.Files
+          .createTempDirectory("graft-hybrid-text-bench-").toString
+        val vp = java.nio.file.Files
+          .createTempDirectory("graft-hybrid-ivfpq-bench-").toString
+        TextAnalysis.buildTextIndex(docs, "doc_id", "text", tp,
+          nBuckets = 16, batchId = 0L)
+        Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", vp,
+          nCentroids = 16, m = 16)
+        (tp, vp)
+      })
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val allowed = docs.filter(col("lang") === "en").select(col("doc_id"))
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val lex = TextAnalysis.queryTextIndex(qs, "query_id", "text", tpath,
+          "doc_id", k = 20, allowed = allowed)
+        .select(col("query_id").as("qid"), col("doc_id").as("id"),
+          col("rank"))
+      val vec = Similarity.queryIvfPqIndex(emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", vpath,
+          k = 20, nProbe = 8, shortlistFactor = 8,
+          allowed = allowed.select(col("doc_id").as("vec_id")))
         .select(col("qid"), col("nid").as("id"), col("rank"))
       Retrieval.rrfFuse(Seq(lex, vec), k = 10)
     }),
@@ -3025,6 +3106,12 @@ object PipelineQueries {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 5)
         |    AS n_queries,
         |  TRUE AS ranks_ok, TRUE AS equals_in_memory_fusion_ok""".stripMargin,
+
+    "hybrid_filtered" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 5)
+        |    AS n_queries,
+        |  TRUE AS ranks_ok, TRUE AS all_eligible_ok,
+        |  TRUE AS equals_in_memory_fusion_ok""".stripMargin,
 
     "contrastive_triplets" ->
       """WITH scored AS (
