@@ -1019,8 +1019,11 @@ object Dedup {
     // batch ids are >= 0): a compacted store must never share a name with
     // a replayable append, or an at-least-once redelivery of batch 0
     // would overwrite the merged history with one batch's rows.
+    // strict b<number> match: a stray "backup/" dir or interrupted-rename
+    // leftover under the store must not be swallowed into the merge (its
+    // rows would be destroyed) or crash the id parse of sibling readers
     val segs = fs.listStatus(hp)
-      .filter(st => st.getPath.getName.startsWith("b"))
+      .filter(st => st.getPath.getName.matches("b-?\\d+"))
       .map(_.getPath)
     if (segs.isEmpty) return
     spark.read.parquet(segs.map(_.toString): _*).coalesce(1)

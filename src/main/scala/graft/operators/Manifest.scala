@@ -45,7 +45,12 @@ object Manifest {
     val aggs = count(lit(1)).as("nrows") +:
       statsCols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    spark.read.parquet(paths: _*)
+    // recursiveFileLookup: stats must cover every file under the path,
+    // including plain (non key=value) nested batch dirs like d0/d1/… —
+    // partition-discovery listing alone does not promise that. Stats
+    // columns are data columns, so losing partition-column inference here
+    // costs nothing.
+    spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
       .select(input_file_name().as("file") +: statsCols.map(col): _*)
       .groupBy(col("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -79,9 +84,12 @@ object Manifest {
     val mp = new org.apache.hadoop.fs.Path(manifestPath)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bid = if (batchId >= 0) batchId else {
-      val existing = fs.listStatus(mp)
-        .map(_.getPath.getName).filter(_.startsWith("b"))
-        .map(_.stripPrefix("b").toLong).filter(_ >= 0)
+      // a fresh store (no prior build) is legitimate in the manifest-IS-
+      // the-table ingest pattern: first default-id append lands as b0
+      val existing =
+        if (!fs.exists(mp)) Array.empty[Long]
+        else fs.listStatus(mp)
+          .map(_.getPath.getName).flatMap(segmentId).filter(_ >= 0)
       if (existing.isEmpty) 0L else existing.max + 1
     }
     fileStats(spark, newPaths, statsCols)
@@ -110,25 +118,57 @@ object Manifest {
     * run compaction at the cadence your audit window allows, exactly like
     * Iceberg's expire-snapshots.
     */
+  /** Segment name → batch id; None for anything that is not a `b<number>`
+    * segment (a stray `backup/` dir or interrupted-rename leftover must be
+    * IGNORED, not crash every subsequent read with a NumberFormatException).
+    */
+  private def segmentId(name: String): Option[Long] =
+    if (name.matches("b-?\\d+")) Some(name.stripPrefix("b").toLong)
+    else None
+
   def readManifestAsOf(spark: SparkSession, manifestPath: String,
       asOf: Long): DataFrame = {
     val mp = new org.apache.hadoop.fs.Path(manifestPath)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = fs.listStatus(mp).map(_.getPath)
-      .filter(_.getName.startsWith("b"))
+      .flatMap(p => segmentId(p.getName).map(id => (id, p)))
     // a compacted store has collapsed its history into b-1: serving a
     // finite asOf from it would silently return the MERGED listing (too
     // many files) instead of the snapshot — fail loudly, like reading an
     // expired Iceberg snapshot
-    require(asOf == Long.MaxValue ||
-        !all.exists(_.getName == "b-1"),
+    require(asOf == Long.MaxValue || !all.exists(_._1 == -1L),
       s"snapshot asOf=$asOf expired: compaction collapsed $manifestPath's " +
         "history into b-1; only the current listing is addressable")
-    val segs = all
-      .filter(_.getName.stripPrefix("b").toLong <= asOf).map(_.toString)
+    val segs = all.filter(_._1 <= asOf).map(_._2.toString)
     require(segs.nonEmpty,
       s"no manifest segment at or below batch $asOf under $manifestPath")
     spark.read.parquet(segs.toSeq: _*)
+  }
+
+  /** Shared prune tail: select the per-file stats columns, keep files
+    * passing `keep`, read exactly those, apply the residual row filter.
+    * An empty prune window still returns a schema-stable empty frame (read
+    * one manifest'd file, keep no rows); a manifest that names NO files at
+    * all is unservable — there is no schema to stabilize on — and fails
+    * loudly instead of with a bare head() NoSuchElementException.
+    */
+  private def prunedBy(spark: SparkSession, manifestPath: String, asOf: Long,
+      statCols: Seq[String], keep: DataFrame => DataFrame,
+      residual: Column): (DataFrame, Long, Long) = {
+    val m = readManifestAsOf(spark, manifestPath, asOf)
+      .select(col("file") +: statCols.map(col): _*)
+      .localCheckpoint() // tiny (one row/file); probed twice below
+    val total = m.count()
+    require(total > 0,
+      s"manifest at $manifestPath names no files — nothing to serve")
+    val surviving = keep(m)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val df =
+      if (surviving.isEmpty)
+        spark.read.parquet(m.select(col("file")).head().getString(0))
+          .filter(lit(false))
+      else spark.read.parquet(surviving: _*)
+    (df.filter(residual), surviving.size.toLong, total)
   }
 
   /** Serve `statsCol BETWEEN lo AND hi` from the manifest: prune the file
@@ -138,24 +178,12 @@ object Manifest {
     * the driver contract — can grade the pruning, not just the answer.
     */
   def prunedRead(spark: SparkSession, manifestPath: String, statsCol: String,
-      lo: Any, hi: Any, asOf: Long = Long.MaxValue): (DataFrame, Long, Long) = {
-    val m = readManifestAsOf(spark, manifestPath, asOf)
-      .select(col("file"), col(s"min_$statsCol"), col(s"max_$statsCol"))
-      .localCheckpoint() // tiny (one row/file); probed twice below
-    val total = m.count()
-    val surviving = m
-      .filter(col(s"min_$statsCol") <= lit(hi) &&
-        col(s"max_$statsCol") >= lit(lo))
-      .select(col("file")).collect().map(_.getString(0)).toSeq
-    val df =
-      if (surviving.isEmpty)
-        // schema-stable empty result: read one manifest'd file, keep no rows
-        spark.read.parquet(m.select(col("file")).head().getString(0))
-          .filter(lit(false))
-      else spark.read.parquet(surviving: _*)
-    (df.filter(col(statsCol).between(lit(lo), lit(hi))),
-      surviving.size.toLong, total)
-  }
+      lo: Any, hi: Any, asOf: Long = Long.MaxValue): (DataFrame, Long, Long) =
+    prunedBy(spark, manifestPath, asOf,
+      Seq(s"min_$statsCol", s"max_$statsCol"),
+      _.filter(col(s"min_$statsCol") <= lit(hi) &&
+        col(s"max_$statsCol") >= lit(lo)),
+      col(statsCol).between(lit(lo), lit(hi)))
 
   /** Two-dimensional box prune: files whose [min, max] interval intersects
     * the query range in BOTH stats columns. This is where the manifest
@@ -167,25 +195,14 @@ object Manifest {
     */
   def prunedReadBox(spark: SparkSession, manifestPath: String,
       xCol: String, xLo: Any, xHi: Any, yCol: String, yLo: Any, yHi: Any,
-      asOf: Long = Long.MaxValue): (DataFrame, Long, Long) = {
-    val m = readManifestAsOf(spark, manifestPath, asOf)
-      .select(col("file"), col(s"min_$xCol"), col(s"max_$xCol"),
-        col(s"min_$yCol"), col(s"max_$yCol"))
-      .localCheckpoint()
-    val total = m.count()
-    val surviving = m
-      .filter(col(s"min_$xCol") <= lit(xHi) && col(s"max_$xCol") >= lit(xLo)
-        && col(s"min_$yCol") <= lit(yHi) && col(s"max_$yCol") >= lit(yLo))
-      .select(col("file")).collect().map(_.getString(0)).toSeq
-    val df =
-      if (surviving.isEmpty)
-        spark.read.parquet(m.select(col("file")).head().getString(0))
-          .filter(lit(false))
-      else spark.read.parquet(surviving: _*)
-    (df.filter(col(xCol).between(lit(xLo), lit(xHi)) &&
-        col(yCol).between(lit(yLo), lit(yHi))),
-      surviving.size.toLong, total)
-  }
+      asOf: Long = Long.MaxValue): (DataFrame, Long, Long) =
+    prunedBy(spark, manifestPath, asOf,
+      Seq(s"min_$xCol", s"max_$xCol", s"min_$yCol", s"max_$yCol"),
+      _.filter(col(s"min_$xCol") <= lit(xHi) &&
+        col(s"max_$xCol") >= lit(xLo) &&
+        col(s"min_$yCol") <= lit(yHi) && col(s"max_$yCol") >= lit(yLo)),
+      col(xCol).between(lit(xLo), lit(xHi)) &&
+        col(yCol).between(lit(yLo), lit(yHi)))
 
   /** Full-listing read of every file the manifest names (as of `asOf`) —
     * the unpruned baseline [[prunedRead]] is graded against, and the
@@ -195,6 +212,8 @@ object Manifest {
       asOf: Long = Long.MaxValue): DataFrame = {
     val files = readManifestAsOf(spark, manifestPath, asOf)
       .select(col("file")).collect().map(_.getString(0)).toSeq
+    require(files.nonEmpty,
+      s"manifest at $manifestPath names no files — nothing to serve")
     spark.read.parquet(files: _*)
   }
 }

@@ -122,6 +122,11 @@ object Retrieval {
     val spark = candidates.sparkSession
     import spark.implicits._
     val ds = candidates
+      // a NaN rel poisons every score comparison in the greedy loop (all
+      // comparisons false → no pick → index -1), and a null vector NPEs
+      // the cosine pass: drop such candidates deterministically up front
+      .filter(col("rel").isNotNull && !isnan(col("rel")) &&
+        col("v").isNotNull)
       .select(col("qid").cast("long"), col("id").cast("long"),
         col("rel").cast("double"), col("v").cast("array<double>"))
       .as[(Long, Long, Double, Seq[Double])]

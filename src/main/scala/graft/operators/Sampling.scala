@@ -105,6 +105,13 @@ object Sampling {
     * shrink the distinct sample. Cost is O(snapshot + batch): k + batch
     * rows through one dedup exchange, then the TakeOrderedAndProject
     * top-k — the corpus never re-enters.
+    *
+    * Contract: rows are immutable per id — the usual id-keyed corpus
+    * assumption. `dropDuplicates(idCol)` keeps an ARBITRARY row among
+    * same-id rows, so if a redelivery carries the same id with CHANGED
+    * payload columns, the surviving payload is nondeterministic (the id
+    * set — the sample itself — is still exact). Project to the id, or
+    * dedup upstream, if payloads can drift.
     */
   def reservoirMerge(snapshot: DataFrame, batch: DataFrame, idCol: String,
       k: Int, salt: String = ""): DataFrame =

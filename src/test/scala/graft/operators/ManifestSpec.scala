@@ -124,6 +124,28 @@ class ManifestSpec extends SparkSpec {
       s"zorder opened $zRead files, linear opened $lRead")
   }
 
+  test("append-first ingest works on a fresh store; stray non-segment " +
+      "entries are ignored by reads and compaction") {
+    val tbl = tmpDir("man-tbl6-")
+    val man = s"${tmpDir("man-idx6-")}/store" // does not exist yet
+    writeFiles((0L until 200L).map(k => (k, k)), s"$tbl/d0", 2)
+    // no prior buildManifest: the first default-id append lands as b0
+    Manifest.appendToManifest(spark, Seq(s"$tbl/d0"), Seq("k"), man)
+    assert(Manifest.fullRead(spark, man).count() == 200L)
+    // a stray dir whose name starts with b but is not b<number>
+    new java.io.File(s"$man/backup").mkdirs()
+    new java.io.File(s"$man/backup/keep.txt").createNewFile()
+    assert(Manifest.fullRead(spark, man).count() == 200L)
+    Manifest.appendToManifest(spark, Seq(s"$tbl/d0"), Seq("k"), man,
+      batchId = 1L)
+    Manifest.compactManifest(spark, man)
+    assert(new java.io.File(s"$man/backup/keep.txt").exists(),
+      "compaction must not swallow non-segment entries")
+    val segs = new java.io.File(man).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("b-?\\d+"))
+    assert(segs.map(_.getName).toSeq == Seq("b-1"))
+  }
+
   test("empty prune window returns a schema-stable empty frame") {
     val tbl = tmpDir("man-tbl4-")
     val man = tmpDir("man-idx4-")
