@@ -26,6 +26,38 @@ private class ObservedMetricsListener
   }
 }
 
+/** Per-task resource counters (shuffle bytes written/read, memory/disk
+  * spill) accumulated through the listener bus: the 100 TB design grade
+  * should rest on MEASURED shuffle volume, not wall-clock inference — a
+  * query can be slow-but-scan-bound (fine) or fast-but-shuffle-heavy (a
+  * 1000-executor problem), and wall-clock cannot tell them apart.
+  */
+private class ResourceListener extends org.apache.spark.scheduler.SparkListener {
+  private val sw = new java.util.concurrent.atomic.AtomicLong
+  private val sr = new java.util.concurrent.atomic.AtomicLong
+  private val sm = new java.util.concurrent.atomic.AtomicLong
+  private val sd = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(
+      te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      sm.addAndGet(m.memoryBytesSpilled)
+      sd.addAndGet(m.diskBytesSpilled)
+    }
+  }
+  def reset(spark: SparkSession): Unit = {
+    org.apache.spark.sql.GraftSqlShim.waitListenerBusEmpty(spark)
+    sw.set(0); sr.set(0); sm.set(0); sd.set(0)
+  }
+  /** (shuffleWrite, shuffleRead, memSpilled, diskSpilled) since reset. */
+  def snapshot(spark: SparkSession): (Long, Long, Long, Long) = {
+    org.apache.spark.sql.GraftSqlShim.waitListenerBusEmpty(spark)
+    (sw.get, sr.get, sm.get, sd.get)
+  }
+}
+
 object Bench {
   /** Locale-fixed decimal rendering: the `f` interpolator formats through
     * the JVM default locale, which under comma-decimal locales would emit
@@ -35,7 +67,33 @@ object Bench {
     String.format(java.util.Locale.ROOT, s"%.${decimals}f",
       Double.box(v))
 
+  /** Box fingerprint (r10 verdict item #3): the round's three full benches
+    * of ONE tree spanned 202–243 s and the artifact gave a reader nothing
+    * to attribute the 20% to. Load average, memory and page-cache state,
+    * heap ceiling and CPU count make driver-vs-local deltas explainable
+    * from the bench file alone.
+    */
+  private def envFingerprint(): String = {
+    def slurp(p: String): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)))
+      catch { case _: Throwable => "" }
+    val load = slurp("/proc/loadavg").split("\\s+")
+      .headOption.filter(_.nonEmpty).getOrElse("-1")
+    val mem = slurp("/proc/meminfo").linesIterator.map(_.split("\\s+"))
+      .collect { case a if a.length >= 2 => (a(0).stripSuffix(":"), a(1)) }
+      .toMap
+    def m(k: String) = mem.getOrElse(k, "-1")
+    val rt = Runtime.getRuntime
+    s"""{"load_avg":$load,"mem_free_kb":${m("MemFree")},""" +
+      s""""mem_available_kb":${m("MemAvailable")},""" +
+      s""""page_cache_kb":${m("Cached")},""" +
+      s""""heap_max_mb":${rt.maxMemory() / 1024 / 1024},""" +
+      s""""cpus":${rt.availableProcessors()}}"""
+  }
+
   def main(args: Array[String]): Unit = {
+    val envStart = envFingerprint()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -88,19 +146,64 @@ object Bench {
     // (2) the release before each timed rep is BLOCKING — the async form
     // let the previous rep's block removal run concurrently inside the
     // next rep's timer (see Caching.releaseAllRdds).
+    val res = new ResourceListener
+    spark.sparkContext.addSparkListener(res)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var rows = -1L
-      val secs = (1 to reps).map { _ =>
+      res.reset(spark)
+      val raw = (1 to reps).map { _ =>
         graft.operators.Caching.releaseAllRdds(spark, blocking = true)
         System.gc()
         val t0 = System.nanoTime()
         rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }
+      // shuffle/spill across the `reps` timed reps (the inter-rep release
+      // moves blocks, it does not shuffle) — exact counters, not wall-clock
+      val usage = res.snapshot(spark)
       graft.operators.Caching.releaseAllRdds(spark)
-      name -> ((secs(secs.size / 2), rows, secs.last - secs.head))
+      val secs = raw.sorted
+      name -> ((secs(secs.size / 2), rows, secs.last - secs.head, raw,
+        usage))
     }
-    val resultMap = results.toMap
+    // Spread arbiter (r10 verdict item #1): the growth gate cannot see the
+    // r9 failure class — ONE pathological rep in-suite (jaccard shipped a
+    // 29 s spread on a 7.5 s median with clean growth). Any query whose
+    // rep spread exceeds max(2x median, 2 s) is re-measured HERE, at the
+    // END of the suite (a different suite position, same JVM discipline):
+    // a tight recheck proves the outlier was positional harness noise, a
+    // wide one indicts the operator — either way the artifact carries the
+    // evidence (original reps, suite position, recheck reps).
+    val spreadArbiter = if (args.nonEmpty) "{}" else {
+      val flagged = results.zipWithIndex.collect {
+        case ((name, (med, _, sp, raw, _)), pos)
+            if sp > math.max(2 * med, 2.0) =>
+          (name, pos, med, sp, raw)
+      }
+      flagged.map { case (name, pos, med, sp, raw) =>
+        val fn = selected(name)
+        val re = (1 to reps).map { _ =>
+          graft.operators.Caching.releaseAllRdds(spark, blocking = true)
+          System.gc()
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count() catch { case _: Throwable => }
+          (System.nanoTime() - t0) / 1e9
+        }
+        graft.operators.Caching.releaseAllRdds(spark)
+        val rs = re.sorted
+        s""""$name":{"position":$pos,"median":${jnum(med, 3)},""" +
+          s""""spread":${jnum(sp, 3)},""" +
+          s""""original":[${raw.map(jnum(_, 3)).mkString(",")}],""" +
+          s""""recheck":[${re.map(jnum(_, 3)).mkString(",")}],""" +
+          s""""recheck_median":${jnum(rs(rs.size / 2), 3)},""" +
+          s""""recheck_spread":${jnum(rs.last - rs.head, 3)}}"""
+      }.mkString("{", ",", "}")
+    }
+    spark.sparkContext.removeSparkListener(res)
+    val resultMap =
+      results.map { case (n, (med, rows, sp, _, _)) =>
+        n -> ((med, rows, sp))
+      }.toMap
     // Observed-metric telemetry for the timed pass at sfDir (the scale-
     // growth pass below snapshots its own at the small sf).
     def telemetryJson(m: Map[String, Seq[(String, Any)]]): String =
@@ -114,14 +217,31 @@ object Bench {
         s"\"$name\":{$fs}"
       }.mkString("{", ",", "}")
     val telemetryBig = telemetryJson(obs.snapshotAndClear(spark))
-    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val rows = results.map { case (k, (_, r, _)) => s"\"" + k + "\":" + r }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, (_, _, sp)) =>
+    val qs = results.map { case (k, (v, _, _, _, _)) =>
+      s"\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val rows = results.map { case (k, (_, r, _, _, _)) =>
+      s"\"" + k + "\":" + r
+    }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, (_, _, sp, _, _)) =>
       s"\"" + k + "\":" + jnum(sp, 3)
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    // raw per-rep wall times in RUN order (reps(0) ran first): with the
+    // medians alone a blown rep is invisible; with these the spread
+    // arbiter's "which rep blew up" question is answerable from the file
+    val repsJson = results.map { case (k, (_, _, _, raw, _)) =>
+      s""""$k":[${raw.map(jnum(_, 3)).mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val resourcesJson = results.map { case (k, (_, _, _, _, u)) =>
+      s""""$k":{"shuffle_write_b":${u._1},"shuffle_read_b":${u._2},""" +
+        s""""spill_mem_b":${u._3},"spill_disk_b":${u._4}}"""
+    }.mkString("{", ",", "}")
+    // run order = sorted names; recorded so "suite position" in the
+    // arbiter rows resolves to neighbors without re-deriving
+    val suiteOrder = results.map(r => s""""${r._1}"""")
+      .mkString("[", ",", "]")
+    val total =
+      if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val nQueries = results.size
     // IVF recall/latency sweep (untimed extra): how the ANN quality/cost
     // trade-off moves across the (nCentroids, nProbe) grid on this scale
@@ -202,6 +322,30 @@ object Bench {
         math.max(secs(secs.size / 2), 1e-3)
       }
       val haveTiny = new java.io.File(tinyDir).isDirectory && tinyDir != sfDir
+      // Fourth decade (r10 verdict item #7): self-generated deterministic
+      // sf1 fixtures (documents/embeddings/events at 10x sf0.1 — see
+      // ScaleFixtures; for the document/embedding families this is the
+      // only clean 10x step, the driver decades are rows-flat below
+      // sf0.1). One rep per query: at multi-second walls timer jitter is
+      // small relative to the signal, and a slope that bends between 0.1
+      // and 1 — the realistic failure point — shows up regardless.
+      val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+        graft.tools.ScaleFixtures.DefaultDir)
+      val haveSf1 =
+        sys.env.get("SPARK_GRAFT_SKIP_SF1").isEmpty && {
+          try { graft.tools.ScaleFixtures.ensure(spark, sf1Dir); true }
+          catch { case _: Throwable => false }
+        }
+      def onceAt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+          dir: String): Double = {
+        graft.operators.Caching.releaseAllRdds(spark, blocking = true)
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, dir).count(); true }
+          catch { case _: Throwable => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) math.max(sec, 1e-3) else -1.0 // never time a crash
+      }
       if (new java.io.File(smallDir).isDirectory && smallDir != sfDir) {
         obs.snapshotAndClear(spark) // drop sweep/envelope noise before small
         val measured = growthQueries.toSeq
@@ -211,16 +355,23 @@ object Bench {
             resultMap.get(name).filter(_._2 >= 0).map { case (bigSec, _, _) =>
               val small = medianAt(fn, smallDir)
               val tiny = if (haveTiny) medianAt(fn, tinyDir) else -1.0
-              (name, bigSec, small, tiny)
+              val huge =
+                if (haveSf1 &&
+                    graft.tools.ScaleFixtures.sf1Queries.contains(name))
+                  onceAt(fn, sf1Dir)
+                else -1.0
+              (name, bigSec, small, tiny, huge)
             }
           }
         graft.operators.Caching.releaseAllRdds(spark)
-        val ratios = measured.map { case (name, big, small, _) =>
+        val ratios = measured.map { case (name, big, small, _, _) =>
           s""""$name":${jnum(big / small, 2)}"""
         }
-        val steps = measured.collect { case (name, big, small, tiny)
+        val steps = measured.collect { case (name, big, small, tiny, huge)
             if tiny > 0 =>
-          s""""$name":[${jnum(small / tiny, 2)},${jnum(big / small, 2)}]"""
+          val base = Seq(jnum(small / tiny, 2), jnum(big / small, 2))
+          val all = if (huge > 0) base :+ jnum(huge / big, 2) else base
+          s""""$name":[${all.mkString(",")}]"""
         }
         (ratios.mkString("{", ",", "}"), steps.mkString("{", ",", "}"),
           telemetryJson(obs.snapshotAndClear(spark)))
@@ -255,8 +406,9 @@ object Bench {
     // final line only. The driver parses the last line of a bounded stdout
     // tail window — the full 87-query map is ~4 KB and lands mid-line in
     // that window, so the parseable contract line must stay short.
+    val envEnd = envFingerprint()
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"spread":$spreads,"ivf_sweep":$sweep,"scale_growth":$scaleGrowth,"scale_growth_steps":$scaleGrowthSteps,"telemetry":$telemetryBig,"telemetry_small":$telemetrySmall,"publish_envelope":$envelope,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"spread":$spreads,"reps":$repsJson,"suite_order":$suiteOrder,"spread_arbiter":$spreadArbiter,"resources":$resourcesJson,"env_start":$envStart,"env_end":$envEnd,"ivf_sweep":$sweep,"scale_growth":$scaleGrowth,"scale_growth_steps":$scaleGrowthSteps,"telemetry":$telemetryBig,"telemetry_small":$telemetrySmall,"publish_envelope":$envelope,"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec",""" +
         s""""n_queries":$nQueries,"sf":"$sfDir"}"""

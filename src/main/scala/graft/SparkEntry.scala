@@ -35,7 +35,8 @@ object SparkEntry {
     * this view exists so bench numbers track operators, not QA harness.
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    queries ++ PipelineQueries.timed ++ graft.streaming.StreamingQueries.timed
+    queries ++ PipelineQueries.timed ++
+      graft.streaming.StreamingQueries.timed ++ FormatQueries.timed
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1023,7 +1023,7 @@ object Dedup {
     // leftover under the store must not be swallowed into the merge (its
     // rows would be destroyed) or crash the id parse of sibling readers
     val segs = fs.listStatus(hp)
-      .filter(st => st.getPath.getName.matches("b-?\\d+"))
+      .filter(st => Segments.isSegment(st.getPath.getName))
       .map(_.getPath)
     if (segs.isEmpty) return
     spark.read.parquet(segs.map(_.toString): _*).coalesce(1)

@@ -37,14 +37,18 @@ import org.apache.spark.sql.functions._
 object Manifest {
 
   /** Per-file stats of the parquet files under `paths`: one row per file
-    * with `nrows` and `min_<c>` / `max_<c>` for each of `statsCols`. The
-    * scan projects only `statsCols`.
+    * with `nrows` and `min_<c>` / `max_<c>` / `nulls_<c>` for each of
+    * `statsCols` (Iceberg manifests carry per-file row and null counts
+    * alongside the zone maps — they answer `count(*)` and IS NULL-heavy
+    * predicates with ZERO file opens, see [[countOnly]]). The scan
+    * projects only `statsCols`.
     */
   private def fileStats(spark: SparkSession, paths: Seq[String],
       statsCols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("nrows") +:
       statsCols.flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          count(when(col(c).isNull, lit(1))).as(s"nulls_$c")))
     // recursiveFileLookup: stats must cover every file under the path,
     // including plain (non key=value) nested batch dirs like d0/d1/… —
     // partition-discovery listing alone does not promise that. Stats
@@ -121,10 +125,9 @@ object Manifest {
   /** Segment name → batch id; None for anything that is not a `b<number>`
     * segment (a stray `backup/` dir or interrupted-rename leftover must be
     * IGNORED, not crash every subsequent read with a NumberFormatException).
+    * Shared definition: [[Segments.id]].
     */
-  private def segmentId(name: String): Option[Long] =
-    if (name.matches("b-?\\d+")) Some(name.stripPrefix("b").toLong)
-    else None
+  private def segmentId(name: String): Option[Long] = Segments.id(name)
 
   def readManifestAsOf(spark: SparkSession, manifestPath: String,
       asOf: Long): DataFrame = {
@@ -145,6 +148,26 @@ object Manifest {
     spark.read.parquet(segs.toSeq: _*)
   }
 
+  /** File identity is `input_file_name()`'s PERCENT-ENCODED URI string,
+    * and serving feeds paths back to `spark.read.parquet`, which applies
+    * Hadoop GLOB expansion to every path. Two traps compose: (1) the raw
+    * URI form points at a file that does not exist under its literal name
+    * (`part-[0].parquet` comes back as `part-%5B0%5D.parquet`), and
+    * (2) after decoding, glob metacharacters `* ? [ ] { } \` in the real
+    * name would expand to the wrong file set (or none). So: decode the
+    * URI (scheme + authority preserved, path percent-decoded), then
+    * backslash-escape the metacharacters so Hadoop's glob matcher reads
+    * the path literally.
+    */
+  private def globEscape(uriStr: String): String = {
+    val u = new java.net.URI(uriStr)
+    val sb = new StringBuilder
+    if (u.getScheme != null) sb.append(u.getScheme).append(':')
+    if (u.getAuthority != null) sb.append("//").append(u.getAuthority)
+    sb.append(u.getPath) // getPath DECODES the percent escapes
+    sb.toString.replaceAll("([*?\\[\\]{}\\\\])", "\\\\$1")
+  }
+
   /** Shared prune tail: select the per-file stats columns, keep files
     * passing `keep`, read exactly those, apply the residual row filter.
     * An empty prune window still returns a schema-stable empty frame (read
@@ -162,10 +185,12 @@ object Manifest {
     require(total > 0,
       s"manifest at $manifestPath names no files — nothing to serve")
     val surviving = keep(m)
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+      .select(col("file")).collect().map(r => globEscape(r.getString(0)))
+      .toSeq
     val df =
       if (surviving.isEmpty)
-        spark.read.parquet(m.select(col("file")).head().getString(0))
+        spark.read
+          .parquet(globEscape(m.select(col("file")).head().getString(0)))
           .filter(lit(false))
       else spark.read.parquet(surviving: _*)
     (df.filter(residual), surviving.size.toLong, total)
@@ -204,6 +229,23 @@ object Manifest {
       col(xCol).between(lit(xLo), lit(xHi)) &&
         col(yCol).between(lit(yLo), lit(yHi)))
 
+  /** Manifest-ONLY aggregates: `count(*)` plus `statsCol`'s null and
+    * non-null counts, answered entirely from the stats table — zero data
+    * files are opened (the plan's only scan is the manifest itself). This
+    * is the Iceberg metadata-table count path at file-set scale, and the
+    * file-set generalization of the reference's own footer-metadata count
+    * (`cmd/duckdb-record-processor/handler.go:65-72` answers COUNT(*)
+    * from one file's parquet footer without decoding rows). At 100 TB a
+    * `count(*)` or `count(c IS NOT NULL)` over 200k files costs one scan
+    * of a 200k-row manifest instead of 200k file opens.
+    */
+  def countOnly(spark: SparkSession, manifestPath: String, statsCol: String,
+      asOf: Long = Long.MaxValue): DataFrame =
+    readManifestAsOf(spark, manifestPath, asOf).agg(
+      sum(col("nrows")).as("n_rows"),
+      sum(col(s"nulls_$statsCol")).as("n_nulls"),
+      (sum(col("nrows")) - sum(col(s"nulls_$statsCol"))).as("n_not_null"))
+
   /** Full-listing read of every file the manifest names (as of `asOf`) —
     * the unpruned baseline [[prunedRead]] is graded against, and the
     * time-travel read when `asOf` pins a historical snapshot.
@@ -211,7 +253,8 @@ object Manifest {
   def fullRead(spark: SparkSession, manifestPath: String,
       asOf: Long = Long.MaxValue): DataFrame = {
     val files = readManifestAsOf(spark, manifestPath, asOf)
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+      .select(col("file")).collect().map(r => globEscape(r.getString(0)))
+      .toSeq
     require(files.nonEmpty,
       s"manifest at $manifestPath names no files — nothing to serve")
     spark.read.parquet(files: _*)

@@ -134,6 +134,13 @@ object Retrieval {
       val cand = it.toArray.sortBy(c => (-c._3, c._2))
       val n = cand.length
       val vecs = cand.map(_._4.toArray)
+      // the cosine loop indexes both arrays up to a.length: a mixed-
+      // dimension candidate set would either throw from an executor
+      // (b shorter) or silently truncate the dot product (b longer) —
+      // fail loudly with the offending query instead
+      require(n == 0 || vecs.forall(_.length == vecs(0).length),
+        s"mmrRerank: query $qid has candidates of mixed embedding " +
+          s"dimensions ${vecs.map(_.length).distinct.sorted.mkString(",")}")
       val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
       def cos(i: Int, j: Int): Double = {
         val (a, b) = (vecs(i), vecs(j))

@@ -90,10 +90,17 @@ object Sampling {
     * two of the k slots. Batch folds that can re-see rows (at-least-once
     * replay) must merge through [[reservoirMerge]], whose id-dedup gives
     * min-k its set-semilattice idempotence.
+    *
+    * Null ids are excluded up front: `md5(concat(null, salt))` is null and
+    * Spark sorts nulls FIRST ascending, so null-id rows would
+    * deterministically seize sample slots (and `reservoirMerge`'s
+    * `dropDuplicates` would then keep one arbitrary null row) — a sample
+    * is of identified rows only.
     */
   def exactK(df: DataFrame, idCol: String, k: Int,
       salt: String = ""): DataFrame =
-    df.orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+    df.filter(col(idCol).isNotNull)
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
       .limit(k)
 
   /** One step of the streaming reservoir fold: the exact-k of

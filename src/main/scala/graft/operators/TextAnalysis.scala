@@ -491,8 +491,10 @@ object TextAnalysis {
     val hp = new org.apache.hadoop.fs.Path(segDir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = s"$segDir/.compact"
+    // strict match ([[Segments.isSegment]]): a stray non-numeric b* entry
+    // must be ignored, never swallowed into the merge and destroyed
     val segs = fs.listStatus(hp)
-      .filter(st => st.getPath.getName.startsWith("b"))
+      .filter(st => Segments.isSegment(st.getPath.getName))
       .map(_.getPath)
     if (segs.isEmpty) return
     // b-1 = outside the batchId keyspace (ids >= 0): a replayed batch 0

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions.HashExpressions
-import graft.operators.{Bpe, Chunking, Decontaminate, Dedup, Embeddings, Filtering, Multimodal, Packing, QualityModel, Redaction, Retrieval, Sampling, Selection, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bpe, Chunking, Decontaminate, Dedup, Embeddings, Filtering, Multimodal, Packing, QualityModel, Redaction, Retrieval, Sampling, Segments, Selection, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operators (builder mandate + SURVEY.md §7.3):
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
@@ -1679,7 +1679,7 @@ object PipelineQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       def segs(d: String): Int = fs.listStatus(
         new org.apache.hadoop.fs.Path(s"$stage/$d"))
-        .count(_.getPath.getName.startsWith("b"))
+        .count(st => Segments.isSegment(st.getPath.getName))
       val after = pair().localCheckpoint()
       Contracts.row(s,
         "n_batch" -> batch.count(),
@@ -1715,7 +1715,7 @@ object PipelineQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val segsOnce = fs.listStatus(
         new org.apache.hadoop.fs.Path(segDir))
-        .count(_.getPath.getName.startsWith("b"))
+        .count(st => Segments.isSegment(st.getPath.getName))
       val afterOnce = s.read.parquet(s"$segDir/b*").localCheckpoint()
       TextAnalysis.compactGramDf(s, segDir)
       val afterTwice = s.read.parquet(s"$segDir/b*").localCheckpoint()
@@ -2035,6 +2035,72 @@ object PipelineQueries {
             "left_anti").count() == 0),
         "equals_in_memory_fusion_ok" ->
           (Contracts.checksum(served) == Contracts.checksum(scratch)))
+    }),
+
+    // Filtered hybrid → MMR: the retrieval capstone (r10 verdict item #6)
+    // composing the whole serving stack — both arms restricted to the
+    // eligible doc set (pre-filter semi-joins), RRF-fused, then
+    // diversity-re-ranked. rel = score_fx / max-possible-fused (a
+    // monotone rescale into (0, 1]: fused scores are exact longs < 2^53,
+    // so the division preserves order bit-exactly), which puts relevance
+    // on the cosine scale λ trades against. A fused hit with no embedding
+    // participates with a ZERO vector: its relevance order is untouched
+    // (the λ=1 identity must hold over the FULL fused list) and a zero
+    // vector neither exerts nor suffers a cosine penalty (cos := 0 at
+    // zero norm). Contract: λ=1 MMR top-5 EQUALS the filtered fusion's
+    // own top-5 rank for rank; every pick is fused-candidate and
+    // predicate-eligible; pick-1 is the fusion's top hit.
+    "retrieval_filtered_mmr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val allowed = docs.filter(col("lang") === "en").select(col("doc_id"))
+      val allowedV = allowed.select(col("doc_id").as("vec_id"))
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val qv = emb.filter(col("vec_id") < 5)
+      val fused = Retrieval.rrfFuse(Seq(
+          TextAnalysis.bm25TopK(docs, qs, "doc_id", "text", "query_id",
+              "text", 20, allowed = allowed)
+            .select(col("query_id").as("qid"), col("doc_id").as("id"),
+              col("rank")),
+          Similarity.ivfPqTopK(emb, qv, "vec_id", "embedding", k = 20,
+              nCentroids = 16, nProbe = 8, m = 16, shortlistFactor = 8,
+              allowed = allowedV)
+            .select(col("qid"), col("nid").as("id"), col("rank"))),
+        k = 20).localCheckpoint()
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val maxFx = 2.0 * math.floor(1e9 / 61)
+      val cands = fused
+        .join(emb.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("emb_v")), Seq("id"),
+          "left")
+        .select(col("qid"), col("id"),
+          (col("score_fx").cast("double") / lit(maxFx)).as("rel"),
+          coalesce(col("emb_v"),
+            array_repeat(lit(0.0), dim)).as("v"))
+      val mmr = Retrieval.mmrRerank(cands, k = 5, lambda = 0.5)
+        .localCheckpoint()
+      val pure = Retrieval.mmrRerank(cands, k = 5, lambda = 1.0)
+        .select(col("qid"), col("rank"), col("id"))
+      val fusedTop5 = fused.filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("id"))
+      val firstOk = Contracts.forAll(
+        mmr.filter(col("rank") === 1)
+          .join(fused.filter(col("rank") === 1)
+            .select(col("qid"), col("id").as("top_id")), "qid"),
+        col("id") === col("top_id"))
+      Contracts.row(s,
+        "n_queries" -> qs.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(mmr, "qid", "rank", 5),
+        "subset_of_fused_ok" -> (mmr
+          .join(fused.select(col("qid"), col("id")), Seq("qid", "id"),
+            "left_anti").count() == 0),
+        "all_eligible_ok" -> (mmr
+          .join(allowed.select(col("doc_id").as("id")), Seq("id"),
+            "left_anti").count() == 0),
+        "first_is_fused_top_ok" -> firstOk,
+        "lambda_one_is_fused_topk_ok" ->
+          (Contracts.checksum(pure) == Contracts.checksum(fusedTop5)))
     }),
 
     // Readability-style metrics (sentence marks, words/sentence, mean word
@@ -2699,6 +2765,36 @@ object PipelineQueries {
           "id")
       Retrieval.mmrRerank(cands, k = 5, lambda = 0.7)
     }),
+    // filtered fusion + one λ=0.5 MMR pass — the λ=1 equality and
+    // eligibility baselines stay in Verify
+    "retrieval_filtered_mmr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val allowed = docs.filter(col("lang") === "en").select(col("doc_id"))
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val fused = Retrieval.rrfFuse(Seq(
+          TextAnalysis.bm25TopK(docs, qs, "doc_id", "text", "query_id",
+              "text", 20, allowed = allowed)
+            .select(col("query_id").as("qid"), col("doc_id").as("id"),
+              col("rank")),
+          Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+              "vec_id", "embedding", k = 20, nCentroids = 16, nProbe = 8,
+              m = 16, shortlistFactor = 8,
+              allowed = allowed.select(col("doc_id").as("vec_id")))
+            .select(col("qid"), col("nid").as("id"), col("rank"))),
+        k = 20)
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val cands = fused
+        .join(emb.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("emb_v")), Seq("id"),
+          "left")
+        .select(col("qid"), col("id"),
+          (col("score_fx").cast("double") /
+            lit(2.0 * math.floor(1e9 / 61))).as("rel"),
+          coalesce(col("emb_v"), array_repeat(lit(0.0), dim)).as("v"))
+      Retrieval.mmrRerank(cands, k = 5, lambda = 0.5)
+    }),
     // times build + filtered serving; the exact-baseline recall/eligibility
     // checks stay in Verify
     "sim_ivfpq_filtered" -> ((s, dir) => {
@@ -3141,6 +3237,13 @@ object PipelineQueries {
         |  TRUE AS ranks_ok, TRUE AS subset_ok,
         |  TRUE AS first_is_top_rel_ok,
         |  TRUE AS lambda_one_is_pure_relevance_ok""".stripMargin,
+
+    "retrieval_filtered_mmr" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 5)
+        |    AS n_queries,
+        |  TRUE AS ranks_ok, TRUE AS subset_of_fused_ok,
+        |  TRUE AS all_eligible_ok, TRUE AS first_is_fused_top_ok,
+        |  TRUE AS lambda_one_is_fused_topk_ok""".stripMargin,
 
     "hybrid_rrf_topk" ->
       """WITH tok AS (

@@ -477,7 +477,7 @@ object StreamingQueries {
             val prior =
               if (!fs.exists(p)) Array.empty[Long]
               else fs.listStatus(p).map(_.getPath.getName)
-                .filter(_.startsWith("b")).map(_.drop(1).toLong)
+                .flatMap(graft.operators.Segments.id)
                 .filter(_ < id)
             val snap =
               if (prior.isEmpty) b.select(col("doc_id")).limit(0)
@@ -491,6 +491,47 @@ object StreamingQueries {
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
     (segDir, batches.get())
+  }
+
+  /** Streaming quality-filter serving: the classifier's weights are
+    * batch-fit ONCE and FROZEN (the model is an artifact; serving never
+    * refits), then every micro-batch of documents is scored scan-side —
+    * [[graft.operators.QualityModel.score]] is a sigmoid over literal
+    * weights, zero shuffle — and landed as a batchId-keyed overwrite
+    * segment, so at-least-once replay rewrites its own rows instead of
+    * double-scoring. This is the serving half of `quality_classifier`:
+    * the filter stage an ingest pipeline runs on documents as they
+    * arrive, with scores bit-equal to scoring the same corpus in batch
+    * (a per-row projection with literal weights cannot depend on
+    * batching — the contract pins EXACT equality, no tolerance).
+    */
+  private def runQualityScoreStream(s: SparkSession, dir: String,
+      weights: Array[Double]): (String, Long) = {
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val inDir = stagedDocsDir(s, dir)
+    val stage = Files.createTempDirectory("graft-sqsc-").toString
+    val outDir = s"$stage/scores"
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet")
+        .writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            graft.operators.QualityModel
+              .score(b, "doc_id", "text", weights)
+              .coalesce(1).write.mode("overwrite").parquet(s"$outDir/b$id")
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+    (outDir, batches.get())
   }
 
   /** Streaming maintenance of the file-stats manifest
@@ -548,8 +589,7 @@ object StreamingQueries {
     val dirs =
       if (!fs.exists(p)) Array.empty[String]
       else fs.listStatus(p).map(_.getPath)
-        .filter(d => d.getName.startsWith("b") &&
-          d.getName.drop(1).toLong < id)
+        .filter(d => graft.operators.Segments.id(d.getName).exists(_ < id))
         .map(_.toString)
     if (dirs.isEmpty) {
       import s.implicits._
@@ -579,9 +619,16 @@ object StreamingQueries {
     "streaming_reservoir" -> ((s, dir) => {
       val (segDir, _) = runReservoirStream(s, dir)
       val ids = new java.io.File(segDir).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("b"))
-        .map(_.getName.drop(1).toLong)
+        .filter(_.isDirectory)
+        .flatMap(f => graft.operators.Segments.id(f.getName))
       s.read.parquet(s"$segDir/b${ids.max}")
+    }),
+    // serving only: fixed frozen weights (training is quality_classifier's
+    // cost, timed there) — the batch-equality baseline stays in Verify
+    "streaming_quality_score" -> ((s, dir) => {
+      val w = Array(-0.5, 2.0, 1.5, -0.3, 0.4, 1.0)
+      val (outDir, _) = runQualityScoreStream(s, dir, w)
+      s.read.parquet(s"$outDir/b*")
     }),
     "streaming_embedding_index" -> ((s, dir) =>
       runEmbeddingIndexStream(s, dir).accumulated),
@@ -1335,8 +1382,8 @@ object StreamingQueries {
       val full = graft.operators.TextAnalysis
         .gramDf(docs, "doc_id", "text").localCheckpoint()
       val ids = fs.listStatus(new org.apache.hadoop.fs.Path(segDir))
-        .map(_.getPath.getName).filter(_.startsWith("b"))
-        .map(_.drop(1).toLong).sorted
+        .map(_.getPath.getName)
+        .flatMap(graft.operators.Segments.id).sorted
       val sequentialOk = ids.forall { id =>
         val scored = s.read.parquet(s"$outDir/b$id").localCheckpoint()
         val batchDocs = docs.join(scored.select(col("doc_id")),
@@ -1381,7 +1428,8 @@ object StreamingQueries {
       val (pruned2, _, _) =
         graft.operators.Manifest.prunedRead(s, man, "doc_id", lo, hi)
       val segs = new java.io.File(man).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("b"))
+        .filter(f => f.isDirectory &&
+          graft.operators.Segments.isSegment(f.getName))
       graft.queries.Contracts.row(s,
         "n_docs" -> docs.count(),
         "multi_batch_ok" -> (nb >= 3L),
@@ -1396,6 +1444,32 @@ object StreamingQueries {
             segs.length == 1))
     }),
 
+    // Streaming quality-filter serving: batch-fit frozen weights, each
+    // micro-batch scored scan-side (sigmoid over literal weights) into a
+    // batchId-keyed idempotent segment. Contract: ≥2 micro-batches, every
+    // doc scored exactly once across segments, and the streamed scores
+    // are BIT-EQUAL to batch-scoring the full corpus under the same
+    // frozen weights — no tolerance (a per-row projection with literal
+    // weights cannot depend on batching).
+    "streaming_quality_score" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val fit = graft.operators.QualityModel.train(docs, "doc_id", "text")
+      val (outDir, nb) = runQualityScoreStream(s, dir, fit.weights)
+      val streamed = s.read.parquet(s"$outDir/b*").localCheckpoint()
+      val batch = graft.operators.QualityModel
+        .score(docs, "doc_id", "text", fit.weights)
+      graft.queries.Contracts.row(s,
+        "n_docs" -> docs.count(),
+        "multi_batch_ok" -> (nb >= 2L),
+        "every_doc_scored_once_ok" ->
+          (streamed.count() == docs.count() &&
+            streamed.select(col("doc_id")).distinct().count() ==
+              docs.count()),
+        "equals_batch_scoring_ok" ->
+          (graft.queries.Contracts.checksum(streamed) ==
+            graft.queries.Contracts.checksum(batch)))
+    }),
+
     // Streaming deterministic reservoir: exact-k (smallest salted-md5
     // ranks) maintained across 3 micro-batches with O(k) state. Contract:
     // the final snapshot is BIT-EQUAL to a from-scratch batch exactK over
@@ -1406,8 +1480,8 @@ object StreamingQueries {
       val (segDir, nb) = runReservoirStream(s, dir)
       val docs = Tables.t(s, dir, "documents")
       val ids = new java.io.File(segDir).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("b"))
-        .map(_.getName.drop(1).toLong).sorted
+        .filter(_.isDirectory)
+        .flatMap(f => graft.operators.Segments.id(f.getName)).sorted
       val last = s.read.parquet(s"$segDir/b${ids.max}").localCheckpoint()
       val batch = graft.operators.Sampling.exactK(
         docs.select(col("doc_id")), "doc_id", reservoirK, "rs")
@@ -1705,6 +1779,11 @@ object StreamingQueries {
       """SELECT (SELECT count(*) FROM documents) AS n_docs,
         |  TRUE AS multi_batch_ok, TRUE AS segments_track_batches_ok,
         |  TRUE AS k_rows_ok, TRUE AS equals_batch_run_ok""".stripMargin,
+
+    "streaming_quality_score" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  TRUE AS multi_batch_ok, TRUE AS every_doc_scored_once_ok,
+        |  TRUE AS equals_batch_scoring_ok""".stripMargin,
 
     "streaming_manifest" ->
       """SELECT (SELECT count(*) FROM documents) AS n_docs,

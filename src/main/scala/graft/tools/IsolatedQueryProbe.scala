@@ -2,27 +2,40 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Fresh-JVM growth arbiter for `tools/bench_guard.sh`: re-measures ONE
-  * bench query at all three scale points in a JVM that has run nothing
-  * else, so in-suite wall jitter (a neighbor query's leftover heap/block
-  * state) can neither fake a super-linear flag red nor mask a real one
-  * green. Prints one JSON line:
-  * `{"query":name,"big":s,"small":s,"tiny":s,"steps":[r1,r2],"growth":r}`
-  * where r1 = t(tiny->small), r2 = t(small->big) — each step is 10x rows,
-  * so the fitted per-decade slope the guard applies its flag to is
-  * sqrt(r1*r2).
+/** Fresh-JVM arbiter for `tools/bench_guard.sh`, in two modes.
+  *
+  * GROWTH (default): re-measures ONE bench query at every scale point in
+  * a JVM that has run nothing else, so in-suite wall jitter (a neighbor
+  * query's leftover heap/block state) can neither fake a super-linear
+  * flag red nor mask a real one green. Prints one JSON line:
+  * `{"query":name,"big":s,"small":s,"tiny":s,["huge":s,]"steps":[r1,r2(,r3)],"growth":r}`
+  * where r1 = t(tiny->small), r2 = t(small->big), and — for the
+  * [[ScaleFixtures.sf1Queries]] families when the sf1 fixtures are
+  * available — r3 = t(big->sf1). Each step is 10x rows at the decades
+  * that matter, so the guard's fitted per-decade slope is the geometric
+  * mean of the steps.
+  *
+  * SPREAD (`IsolatedQueryProbe <query> spread [dir] [reps]`): the r9/r10
+  * failure class is one pathological rep IN-SUITE (jaccard: 29 s spread
+  * on a 7.5 s median, candidates byte-identical) — growth stays clean, so
+  * the growth arbiter never fires. This mode runs `reps` (default 5)
+  * clean-heap reps of the one query at the bench scale factor and prints
+  * `{"query":name,"mode":"spread","reps":[...],"median":s,"spread":s}`:
+  * a tight isolated spread proves the in-suite outlier was positional
+  * harness noise; a wide one indicts the operator.
   *
   * Usage: tools/run.sh graft.tools.IsolatedQueryProbe <query>
-  *   [bigDir] [smallDir] [tinyDir] [reps]
+  *   [bigDir] [smallDir] [tinyDir] [reps]          (growth)
+  *   spread [dir] [reps]                            (spread)
   */
 object IsolatedQueryProbe {
+  private def j(v: Double) =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse(
-      sys.error("usage: IsolatedQueryProbe <query> [big] [small] [tiny]"))
-    val bigDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val smallDir = args.lift(2).getOrElse("/root/testdata/sf0.01")
-    val tinyDir = args.lift(3).getOrElse("/root/testdata/sf0.001")
-    val reps = args.lift(4).map(_.toInt).getOrElse(3)
+      sys.error("usage: IsolatedQueryProbe <query> [spread] [dirs...]"))
+    val spreadMode = args.lift(1).contains("spread")
     val fn = graft.SparkEntry.benchQueries.getOrElse(name,
       sys.error(s"unknown bench query: $name"))
     // same parallelism knob as Bench: the arbiter must measure under the
@@ -32,27 +45,59 @@ object IsolatedQueryProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // tiny-first warm-up: janino/first-read costs land outside the timers,
-    // same as Bench's warm pass
-    try fn(spark, tinyDir).count() catch { case _: Throwable => }
-    def median(dir: String): Double = {
-      val secs = (1 to reps).map { _ =>
-        graft.operators.Caching.releaseAllRdds(spark, blocking = true)
-        System.gc()
-        val t0 = System.nanoTime()
-        try fn(spark, dir).count() catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+
+    def rep(dir: String): Double = {
+      graft.operators.Caching.releaseAllRdds(spark, blocking = true)
+      System.gc()
+      val t0 = System.nanoTime()
+      try fn(spark, dir).count() catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(dir: String, reps: Int): Double = {
+      val secs = (1 to reps).map(_ => rep(dir)).sorted
       math.max(secs(secs.size / 2), 1e-3)
     }
-    val tiny = median(tinyDir)
-    val small = median(smallDir)
-    val big = median(bigDir)
-    def j(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
-      Double.box(v))
-    val line = s"""{"query":"$name","big":${j(big)},"small":${j(small)},""" +
-      s""""tiny":${j(tiny)},"steps":[${j(small / tiny)},${j(big / small)}],""" +
-      s""""growth":${j(big / small)}}"""
+
+    val line = if (spreadMode) {
+      val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+      val reps = args.lift(3).map(_.toInt).getOrElse(5)
+      // warm-up at the measured scale: first-read/janino costs must land
+      // outside every timed rep, as in Bench's warm pass
+      try fn(spark, dir).count() catch { case _: Throwable => }
+      val rs = (1 to reps).map(_ => rep(dir))
+      val sorted = rs.sorted
+      s"""{"query":"$name","mode":"spread",""" +
+        s""""reps":[${rs.map(j).mkString(",")}],""" +
+        s""""median":${j(sorted(sorted.size / 2))},""" +
+        s""""spread":${j(sorted.last - sorted.head)}}"""
+    } else {
+      val bigDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val smallDir = args.lift(2).getOrElse("/root/testdata/sf0.01")
+      val tinyDir = args.lift(3).getOrElse("/root/testdata/sf0.001")
+      val reps = args.lift(4).map(_.toInt).getOrElse(3)
+      val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+        ScaleFixtures.DefaultDir)
+      // tiny-first warm-up: janino/first-read costs land outside the
+      // timers, same as Bench's warm pass
+      try fn(spark, tinyDir).count() catch { case _: Throwable => }
+      val tiny = median(tinyDir, reps)
+      val small = median(smallDir, reps)
+      val big = median(bigDir, reps)
+      // fourth decade, mirroring Bench: sf1Queries only, one rep
+      val huge =
+        if (ScaleFixtures.sf1Queries.contains(name) &&
+            sys.env.get("SPARK_GRAFT_SKIP_SF1").isEmpty &&
+            (try { ScaleFixtures.ensure(spark, sf1Dir); true }
+             catch { case _: Throwable => false }))
+          math.max(rep(sf1Dir), 1e-3)
+        else -1.0
+      val steps = Seq(j(small / tiny), j(big / small)) ++
+        (if (huge > 0) Seq(j(huge / big)) else Nil)
+      val hugeField = if (huge > 0) s""""huge":${j(huge)},""" else ""
+      s"""{"query":"$name","big":${j(big)},"small":${j(small)},""" +
+        s""""tiny":${j(tiny)},$hugeField"steps":[${steps.mkString(",")}],""" +
+        s""""growth":${j(big / small)}}"""
+    }
     try spark.stop() catch { case _: Throwable => }
     println(line)
   }

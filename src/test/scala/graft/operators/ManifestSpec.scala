@@ -48,7 +48,7 @@ class ManifestSpec extends SparkSpec {
     assert(nTotal2 == 6L && nRead2 == nRead)
     assert(Contracts.checksum(df2) == chk)
     val segs = new java.io.File(man).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .filter(f => f.isDirectory && Segments.isSegment(f.getName))
     assert(segs.map(_.getName).toSeq == Seq("b-1"))
   }
 
@@ -144,6 +144,55 @@ class ManifestSpec extends SparkSpec {
     val segs = new java.io.File(man).listFiles()
       .filter(f => f.isDirectory && f.getName.matches("b-?\\d+"))
     assert(segs.map(_.getName).toSeq == Seq("b-1"))
+  }
+
+  test("countOnly answers count(*) and null counts manifest-only, " +
+      "composing with time travel") {
+    val tbl = tmpDir("man-cnt-tbl-")
+    val man = tmpDir("man-cnt-idx-")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType, nullable = true)))
+    def slice(lo: Long, hi: Long) = spark.createDataFrame(
+      spark.sparkContext.parallelize((lo until hi).map(k =>
+        Row(k, if (k % 5 == 0) null else Long.box(k)))), schema)
+    slice(0, 300).coalesce(2).write.parquet(s"$tbl/d0")
+    slice(300, 400).coalesce(1).write.parquet(s"$tbl/d1")
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("v"), man)
+    Manifest.appendToManifest(spark, Seq(s"$tbl/d1"), Seq("v"), man,
+      batchId = 1)
+    val all = Manifest.countOnly(spark, man, "v").head()
+    assert(all.getLong(0) == 400L)
+    assert(all.getLong(1) == 80L) // multiples of 5 in [0, 400)
+    assert(all.getLong(2) == 320L)
+    // historical snapshot counts without opening a single data file
+    val asOf0 = Manifest.countOnly(spark, man, "v", asOf = 0).head()
+    assert(asOf0.getLong(0) == 300L && asOf0.getLong(1) == 60L)
+    // the aggregate's plan scans the manifest store, never the table
+    val plan = Manifest.countOnly(spark, man, "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("man-cnt-idx-") && !plan.contains("man-cnt-tbl-"),
+      plan.take(2000))
+  }
+
+  test("glob metacharacters in data-file names round-trip through serving") {
+    // serving feeds input_file_name() strings back to spark.read.parquet,
+    // which GLOBS each path: an unescaped "part-[0]-{a}.parquet" would
+    // resolve to the nonexistent "part-0-a.parquet" and fail (or, worse,
+    // silently read a different file that happens to match)
+    val tbl = tmpDir("man-glob-")
+    val man = tmpDir("man-globidx-")
+    (0L until 100L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$tbl/d0")
+    val dir = new java.io.File(s"$tbl/d0")
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(part.renameTo(new java.io.File(dir, "part-[0]-{a}.parquet")))
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("k"), man)
+    assert(Manifest.fullRead(spark, man).count() == 100L)
+    val (df, nRead, nTotal) = Manifest.prunedRead(spark, man, "k", 10L, 20L)
+    assert(df.count() == 11L)
+    assert(nRead == 1L && nTotal == 1L)
   }
 
   test("empty prune window returns a schema-stable empty frame") {

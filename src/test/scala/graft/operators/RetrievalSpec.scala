@@ -128,4 +128,21 @@ class RetrievalSpec extends SparkSpec {
     val short = mmr(cands.take(3), 5, 0.7)
     assert(short.map(_._2) === Seq(1L, 2L, 3L))
   }
+
+  test("mixed-dimension candidate vectors fail loudly, naming the query") {
+    // the cosine loop indexes both vectors up to the first's length: a
+    // 2-dim vs 3-dim mix would either throw an opaque executor AIOOBE or
+    // silently truncate the dot product depending on pick order
+    val cands = Seq(
+      (9L, 1L, 0.9, Seq(1.0, 0.0)),
+      (9L, 2L, 0.8, Seq(0.5, 0.5, 0.5)))
+    val e = intercept[Throwable] {
+      Retrieval.mmrRerank(cands.toDF("qid", "id", "rel", "v"), 2, 0.5)
+        .collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("mixed embedding"), msgs.take(500))
+    assert(msgs.contains("query 9"), msgs.take(500))
+  }
 }

@@ -435,4 +435,18 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(replay == oneShot)
   }
+
+  test("exactK excludes null ids (a null md5 rank sorts FIRST and would " +
+      "deterministically seize sample slots)") {
+    val withNulls = ids.select(
+      when(col("id") % 100 === 0, lit(null)).otherwise(col("id")).as("id"))
+    val sampled = Sampling.exactK(withNulls, "id", 50, "nn")
+      .select("id").as[Long].collect()
+    assert(sampled.length == 50)
+    // the sample is exactly the sample of the non-null rows
+    val clean = Sampling.exactK(ids.filter(col("id") % 100 =!= 0),
+        "id", 50, "nn")
+      .select("id").as[Long].collect()
+    assert(sampled.sorted.sameElements(clean.sorted))
+  }
 }
