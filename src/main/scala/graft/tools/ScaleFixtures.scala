@@ -93,11 +93,16 @@ object ScaleFixtures {
   private def writeEmbeddings(spark: SparkSession, dir: String,
       nVecs: Int, dim: Int): Unit = {
     val rnd = new java.util.Random(422L)
-    val centers = Array.fill(10, dim)(rnd.nextGaussian())
+    // ISOTROPIC gaussians, label independent of geometry — measured from
+    // the driver's sf0.1 embeddings: same-label cosine mean 0.005, all
+    // 920 above-0.4 pairs inside the 0.4–0.6 random tail, none above
+    // 0.6. (A first draft used tight label clusters — intra-cluster
+    // cos ≈ 0.91 — and dedup_embedding_lsh exploded to 19.1M pairs /
+    // 519 s at sf1: a fixture-induced quadratic the real data does not
+    // have.)
     val rows = (0 until nVecs).map { i =>
       val label = rnd.nextInt(10)
-      val v = Array.tabulate(dim)(j =>
-        (centers(label)(j) + 0.3 * rnd.nextGaussian()).toFloat)
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
       Row(i.toLong, v.toSeq, label)
     }
     val schema = StructType(Seq(
