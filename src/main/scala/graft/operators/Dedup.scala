@@ -1038,33 +1038,43 @@ object Dedup {
       threshold: Double, nBits: Int = 4, nTables: Int = 4,
       seed: Long = 19L): DataFrame = {
     HashExpressions.register(df.sparkSession)
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    val v = df.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("n", sqrt(call_function("vec_dot", col("v"), col("v"))))
-    val tabled = v.select(col("id"), col("v"), col("n"),
-      explode(array((0 until nTables).map { t =>
-        struct(lit(t).as("tbl"),
-          Similarity.srpBucket(col("v"),
-            Similarity.planes(nBits, dim, seed + t)).as("bucket"))
-      }: _*)).as("tb"))
-      .select(col("id"), col("v"), col("n"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val a = tabled.select(col("tbl"), col("bucket"), col("id").as("id_a"),
-      col("v").as("v_a"), col("n").as("n_a"))
-    val b = tabled.select(col("tbl"), col("bucket"), col("id").as("id_b"),
-      col("v").as("v_b"), col("n").as("n_b"))
-    a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+    // Candidates are generated NARROW — (tbl, bucket, id) only — and the
+    // vectors are attached to the distinct id pairs afterwards, the same
+    // shape as [[embeddingPairsLshIncremental]]. Two reasons, both
+    // r11-profiled at sf1 (20k vectors, 7.4M collisions):
+    //  (1) observe()'s CollectMetrics node does not participate in
+    //      whole-stage codegen, so every join output row crosses an
+    //      interpreter boundary; with both 64-double vectors carried
+    //      through the bucket join that boundary cost 72 of the form's
+    //      75 s — on 16-byte id pairs it is noise. Same metric, same
+    //      count (raw collisions before the multi-table dedup).
+    //  (2) the dedup-then-verify order computes ONE cosine per distinct
+    //      pair instead of one per collision.
+    val idx = srpIndex(df, idCol, vecCol, nBits, nTables, seed)
+    val cand = idx.as("a")
+      .join(idx.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       // bucket-collision volume BEFORE cosine verification: the count that
       // flags an under-sized nBits (bucket degeneracy) at scale
       .observe(EmbeddingLshCandObservation,
         count(lit(1)).as("n_candidates"))
+      // a pair can collide in several tables — verify it once
+      .distinct()
+    val vecs = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", sqrt(call_function("vec_dot", col("v"), col("v"))))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("n").as("n_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("n").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(call_function("vec_dot", col("v_a"), col("v_b")) /
           (col("n_a") * col("n_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
-      // a pair can collide in several tables — emit it once
-      .groupBy(col("id_a"), col("id_b")).agg(first(col("cos")).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
 }
