@@ -40,7 +40,7 @@ object ScaleFixtures {
     "sim_srp_topk", "sim_ivfpq_topk", "sim_ivfpq_indexed",
     "embedding_kmeans", "bm25_indexed", "hybrid_filtered",
     "quality_classifier", "text_fingerprint", "winnow_containment_pairs",
-    "retrieval_filtered_mmr", "heavy_hitters")
+    "retrieval_filtered_mmr", "heavy_hitters", "sim_knn_graph")
 
   private val vocab = Array(
     "batch", "part", "spark", "line", "column", "order", "small", "sort",
