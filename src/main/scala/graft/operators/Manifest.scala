@@ -129,8 +129,8 @@ object Manifest {
     */
   private def segmentId(name: String): Option[Long] = Segments.id(name)
 
-  def readManifestAsOf(spark: SparkSession, manifestPath: String,
-      asOf: Long): DataFrame = {
+  private def segmentPathsAsOf(spark: SparkSession, manifestPath: String,
+      asOf: Long): Seq[String] = {
     val mp = new org.apache.hadoop.fs.Path(manifestPath)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = fs.listStatus(mp).map(_.getPath)
@@ -145,8 +145,12 @@ object Manifest {
     val segs = all.filter(_._1 <= asOf).map(_._2.toString)
     require(segs.nonEmpty,
       s"no manifest segment at or below batch $asOf under $manifestPath")
-    spark.read.parquet(segs.toSeq: _*)
+    segs.toSeq
   }
+
+  def readManifestAsOf(spark: SparkSession, manifestPath: String,
+      asOf: Long): DataFrame =
+    spark.read.parquet(segmentPathsAsOf(spark, manifestPath, asOf): _*)
 
   /** File identity is `input_file_name()`'s PERCENT-ENCODED URI string,
     * and serving feeds paths back to `spark.read.parquet`, which applies
@@ -240,11 +244,29 @@ object Manifest {
     * of a 200k-row manifest instead of 200k file opens.
     */
   def countOnly(spark: SparkSession, manifestPath: String, statsCol: String,
-      asOf: Long = Long.MaxValue): DataFrame =
-    readManifestAsOf(spark, manifestPath, asOf).agg(
+      asOf: Long = Long.MaxValue): DataFrame = {
+    // mergeSchema + a loud completeness check: a long-lived store whose
+    // older segments were built before the null-count columns existed
+    // must not pick one footer's schema at random (AnalysisException or
+    // silent undercount depending on which) — read the union schema and
+    // refuse if ANY file-stats row lacks the counts this aggregate sums.
+    val segs = segmentPathsAsOf(spark, manifestPath, asOf)
+    val m = spark.read.option("mergeSchema", "true").parquet(segs: _*)
+    val nc = s"nulls_$statsCol"
+    require(m.columns.contains(nc),
+      s"manifest at $manifestPath carries no null-count stats for " +
+        s"'$statsCol' — rebuild it with statsCols including the column")
+    val incomplete =
+      m.filter(col(nc).isNull || col("nrows").isNull).count()
+    require(incomplete == 0,
+      s"$incomplete file-stats rows in $manifestPath predate the " +
+        s"null-count stats for '$statsCol' — rebuild the manifest; " +
+        "summing through them would silently undercount")
+    m.agg(
       sum(col("nrows")).as("n_rows"),
-      sum(col(s"nulls_$statsCol")).as("n_nulls"),
-      (sum(col("nrows")) - sum(col(s"nulls_$statsCol"))).as("n_not_null"))
+      sum(col(nc)).as("n_nulls"),
+      (sum(col("nrows")) - sum(col(nc))).as("n_not_null"))
+  }
 
   /** Full-listing read of every file the manifest names (as of `asOf`) —
     * the unpruned baseline [[prunedRead]] is graded against, and the

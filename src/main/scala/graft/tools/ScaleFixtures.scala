@@ -8,8 +8,9 @@ import org.apache.spark.sql.types._
   * volumes, matching the driver testdata's schemas and marginal
   * distributions (measured from /root/testdata/sf0.1: 31-word vocab,
   * 10..98-token docs, lang mix ~.41/.15/.15/.15/.14, 20 sources, ~0.16%
-  * exact dups; dim-64 label-clustered embeddings; 30-day event window,
-  * 10 users per 1k events, exponential-ish values).
+  * exact dups; dim-64 ISOTROPIC embeddings — see writeEmbeddings; 30-day
+  * event window, 15 users per 1k events — 1500 users / 100k events at
+  * sf0.1 — exponential-ish values).
   *
   * Why it exists: the driver's decades stop at sf0.1, and for the
   * document/embedding families the sf0.001→0.01 step is rows-FLAT (both
@@ -26,6 +27,17 @@ import org.apache.spark.sql.types._
 object ScaleFixtures {
 
   val DefaultDir = "/tmp/graft_sf1"
+
+  /** Generator fingerprint, written LAST by [[ensure]] and checked before
+    * trusting an existing dir. Bump on ANY distribution change. Two
+    * failure modes it closes (r11 review): a box holding fixtures from an
+    * older generator (the clustered-embedding draft reproduced its
+    * documented 19.1M-pair quadratic from stale /tmp state), and a crash
+    * mid-generation leaving some tables complete and others partial —
+    * the fingerprint lands only after every table committed.
+    */
+  private val Fingerprint =
+    "v2-isotropic docs=50000 vecs=20000x64 events=1000000 seed=421/422/423"
 
   /** The sf1-eligible growth queries: the headline dedup / ANN / text /
     * retrieval families (PipelineQueries.timed members that read only the
@@ -54,13 +66,23 @@ object ScaleFixtures {
 
   def ensure(spark: SparkSession, dir: String = DefaultDir): Unit = {
     val d = new java.io.File(dir)
-    val names = Seq("documents", "embeddings", "events")
-    if (names.forall(n => new java.io.File(d, s"$n.parquet").exists()))
+    val fp = new java.io.File(d, "_fingerprint")
+    if (fp.isFile && new String(java.nio.file.Files.readAllBytes(
+        fp.toPath)) == Fingerprint)
       return
+    // stale generation or partial write: regenerate from scratch
+    if (d.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(d)
+    }
     d.mkdirs()
     writeDocuments(spark, dir, nDocs = 50000)
     writeEmbeddings(spark, dir, nVecs = 20000, dim = 64)
     writeEvents(spark, dir, nEvents = 1000000, nUsers = 15000)
+    java.nio.file.Files.write(fp.toPath, Fingerprint.getBytes)
   }
 
   private def writeDocuments(spark: SparkSession, dir: String,

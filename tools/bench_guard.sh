@@ -50,6 +50,11 @@ if [ -n "$newer" ]; then
   exit 3
 fi
 
+# Arbitrate at the SCALE THE FLAG FIRED AT: the probe's built-in default is
+# sf0.1, but the bench may have run elsewhere (SPARK_GRAFT_SF_DIR) — a
+# re-measure at a smaller sf could clear a genuinely erratic operator.
+SFDIR=$(python3 -c "import json,sys; print(json.load(open(sys.argv[1])).get('sf','/root/testdata/sf0.1'))" "$BENCH")
+
 growth_flagged=$(python3 - "$BENCH" "$FLAG" <<'EOF'
 import json, sys, math
 d = json.load(open(sys.argv[1]))
@@ -110,7 +115,7 @@ red=0
 if [ -n "$growth_flagged" ]; then
   echo "BENCH GUARD: growth-flagged in-suite: $growth_flagged — arbitrating in fresh JVMs"
   for q in $growth_flagged; do
-    out=$(tools/run.sh graft.tools.IsolatedQueryProbe "$q" 2>/dev/null | tail -1)
+    out=$(tools/run.sh graft.tools.IsolatedQueryProbe "$q" "$SFDIR" 2>/dev/null | tail -1)
     echo "  isolated $q: $out"
     verdict=$(python3 - "$out" "$FLAG" <<'EOF'
 import json, sys, math
@@ -133,7 +138,7 @@ fi
 if [ -n "$spread_flagged" ]; then
   echo "BENCH GUARD: spread-flagged in-suite: $spread_flagged — arbitrating in fresh JVMs"
   for q in $spread_flagged; do
-    out=$(tools/run.sh graft.tools.IsolatedQueryProbe "$q" spread 2>/dev/null | tail -1)
+    out=$(tools/run.sh graft.tools.IsolatedQueryProbe "$q" spread "$SFDIR" 2>/dev/null | tail -1)
     echo "  isolated $q: $out"
     verdict=$(python3 - "$out" <<'EOF'
 import json, sys
