@@ -70,4 +70,43 @@ object Graph {
     }
     ranks
   }
+
+  /** Community detection by synchronous label propagation (Raghavan et al.
+    * 2007, the LPA family GraphX/GraphFrames ship): every node starts
+    * labeled with itself; each round every node adopts the MOST FREQUENT
+    * label among its neighbors, ties broken by the smaller label. The
+    * classic async/random-order variant is run-dependent — useless under an
+    * equality oracle — so this is the deterministic synchronous form with a
+    * fixed round count: the result is a pure function of the edge set, and
+    * a DuckDB oracle can replay the rounds as unrolled CTEs (the
+    * `pagerank_transitions` posture). Communities refine connected
+    * components (labels only travel along edges), which [[GraphSpec]] pins
+    * against [[Dedup.clustersStar]].
+    *
+    * Shape at scale: edges are symmetrized once (one distinct), then each
+    * round is one join (neighbor labels onto edges) + one (node, label)
+    * count + one per-node argmax window — the [[pageRank]] shuffle shape,
+    * O(edges) per round with lineage truncated per round. Nodes = edge
+    * endpoints; isolated nodes have no neighbors to vote and stay out by
+    * definition.
+    */
+  def labelPropagation(edgesIn: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edgesIn.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edgesIn.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("cnt").desc, col("label").asc)
+    (1 to iters).foreach { _ =>
+      labels = sym
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("a").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

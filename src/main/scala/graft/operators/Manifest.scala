@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Persisted file-level zone-map manifest — Delta/Iceberg-style data
   * skipping built from plain parquet. One row per data file carries the
@@ -75,6 +77,19 @@ object Manifest {
       .coalesce(1).write.mode("overwrite").parquet(s"$manifestPath/b0")
   }
 
+  /** Next replayable batch id: max existing non-negative segment + 1 (a
+    * fresh store starts at `b0` — legitimate in the manifest-IS-the-table
+    * ingest pattern).
+    */
+  private def nextBatchId(fs: org.apache.hadoop.fs.FileSystem,
+      mp: org.apache.hadoop.fs.Path): Long = {
+    val existing =
+      if (!fs.exists(mp)) Array.empty[Long]
+      else fs.listStatus(mp)
+        .map(_.getPath.getName).flatMap(segmentId).filter(_ >= 0)
+    if (existing.isEmpty) 0L else existing.max + 1
+  }
+
   /** Append stats for NEWLY LANDED data files — exactly the given paths —
     * as one `b<batchId>` overwrite segment. O(new files): history is never
     * re-scanned. A caller-supplied `batchId` (e.g. a streaming batch id)
@@ -87,25 +102,35 @@ object Manifest {
     if (newPaths.isEmpty) return
     val mp = new org.apache.hadoop.fs.Path(manifestPath)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bid = if (batchId >= 0) batchId else {
-      // a fresh store (no prior build) is legitimate in the manifest-IS-
-      // the-table ingest pattern: first default-id append lands as b0
-      val existing =
-        if (!fs.exists(mp)) Array.empty[Long]
-        else fs.listStatus(mp)
-          .map(_.getPath.getName).flatMap(segmentId).filter(_ >= 0)
-      if (existing.isEmpty) 0L else existing.max + 1
-    }
+    val bid = if (batchId >= 0) batchId else nextBatchId(fs, mp)
     fileStats(spark, newPaths, statsCols)
       .coalesce(1).write.mode("overwrite").parquet(s"$manifestPath/b$bid")
   }
 
-  /** Segment merge — identical contract to the sibling stores (snapshot
-    * the list once, merged segment lands at `b-1` outside the replayable
-    * batchId keyspace).
+  /** Segment merge — same one-listing/staged-swap contract as
+    * [[Dedup.compactSegmentDirs]], but manifest-aware: the merged `b-1`
+    * segment is the RESOLVED live listing (tombstones applied and dropped),
+    * so compaction doubles as Iceberg's expire-snapshots for DML history —
+    * removed files stop being addressable at any `asOf`, which is exactly
+    * the precondition [[vacuumTable]] requires before it may physically
+    * delete them. A generic row-union merge would be WRONG here: the plain
+    * (no mergeSchema) union could drop the `removed` column and resurrect
+    * every deleted file.
     */
-  def compactManifest(spark: SparkSession, manifestPath: String): Unit =
-    Dedup.compactSegmentDirs(spark, manifestPath)
+  def compactManifest(spark: SparkSession, manifestPath: String): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(mp)
+      .filter(st => Segments.isSegment(st.getPath.getName)).map(_.getPath)
+    if (segs.isEmpty) return
+    val stage = s"$manifestPath/.compact"
+    resolved(spark, segs.map(_.toString).toSeq)
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/b-1")
+    segs.foreach(p => fs.delete(p, true))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/b-1"),
+      new org.apache.hadoop.fs.Path(s"$manifestPath/b-1"))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
 
   /** The current manifest: union of all segments, one row per data file. */
   def readManifest(spark: SparkSession, manifestPath: String): DataFrame =
@@ -148,9 +173,31 @@ object Manifest {
     segs.toSeq
   }
 
+  /** Segments → the LIVE file listing: union the segment rows (mergeSchema,
+    * because pre-DML segments predate the `removed` column), then apply
+    * tombstones — a file is live iff it has an add row and no remove row in
+    * the segment set. [[deleteRange]] / [[optimizeSmallFiles]] never rewrite
+    * history; they append a segment whose remove rows hide the rewritten
+    * files, so resolution is a tiny anti-join on the manifest itself (one
+    * row per file / per removed file — broadcast-sized by construction).
+    * Removed files are never re-added under the same name (rewrites land as
+    * fresh part files), so set-subtraction is the whole merge rule — no
+    * per-file latest-wins ordering needed.
+    */
+  private def resolved(spark: SparkSession, segs: Seq[String]): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(segs: _*)
+    if (!raw.columns.contains("removed")) raw
+    else {
+      val rm = coalesce(col("removed"), lit(false))
+      raw.filter(!rm).drop("removed")
+        .join(broadcast(raw.filter(rm).select(col("file"))),
+          Seq("file"), "left_anti")
+    }
+  }
+
   def readManifestAsOf(spark: SparkSession, manifestPath: String,
       asOf: Long): DataFrame =
-    spark.read.parquet(segmentPathsAsOf(spark, manifestPath, asOf): _*)
+    resolved(spark, segmentPathsAsOf(spark, manifestPath, asOf))
 
   /** File identity is `input_file_name()`'s PERCENT-ENCODED URI string,
     * and serving feeds paths back to `spark.read.parquet`, which applies
@@ -245,13 +292,12 @@ object Manifest {
     */
   def countOnly(spark: SparkSession, manifestPath: String, statsCol: String,
       asOf: Long = Long.MaxValue): DataFrame = {
-    // mergeSchema + a loud completeness check: a long-lived store whose
-    // older segments were built before the null-count columns existed
-    // must not pick one footer's schema at random (AnalysisException or
-    // silent undercount depending on which) — read the union schema and
-    // refuse if ANY file-stats row lacks the counts this aggregate sums.
-    val segs = segmentPathsAsOf(spark, manifestPath, asOf)
-    val m = spark.read.option("mergeSchema", "true").parquet(segs: _*)
+    // resolved(): mergeSchema (a long-lived store whose older segments
+    // predate the null-count columns must not pick one footer's schema at
+    // random) + tombstone application (a DML'd store's removed files must
+    // not count) — then a loud completeness check refusing to sum through
+    // any LIVE file-stats row that lacks the counts this aggregate needs.
+    val m = resolved(spark, segmentPathsAsOf(spark, manifestPath, asOf))
     val nc = s"nulls_$statsCol"
     require(m.columns.contains(nc),
       s"manifest at $manifestPath carries no null-count stats for " +
@@ -280,5 +326,305 @@ object Manifest {
     require(files.nonEmpty,
       s"manifest at $manifestPath names no files — nothing to serve")
     spark.read.parquet(files: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Copy-on-write DML — the manifest as a transaction log.
+  //
+  // The reference mutates nothing (its handlers are read-transform-publish,
+  // `cmd/parquetgo-record-processor/handler.go:104`), but a 100 TB curated
+  // corpus needs takedowns and small-file hygiene, and parquet files are
+  // immutable — so deletion is Delta/Iceberg copy-on-write: rewrite ONLY
+  // the files the zone maps say intersect the predicate, then append one
+  // segment that tombstones the rewritten files and adds the rewrites.
+  // History is never touched: a pre-delete `asOf` still serves the
+  // original files (the tombstones live in a later segment), compaction is
+  // the snapshot-expiry horizon, and only a compacted (= expired) store
+  // may be vacuumed.
+  // ------------------------------------------------------------------
+
+  /** True iff `dir` contains at least one parquet part file — an empty
+    * rewrite (every row of every affected file deleted) legitimately
+    * writes none.
+    */
+  private def hasParquetFiles(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
+
+  /** Append the DML segment: tombstone rows for `removedFiles` plus fresh
+    * stats rows (`removed = false`) for the files under `addedDir`.
+    * Returns the add rows' total row count. An EMPTY rewrite (every row of
+    * every affected file deleted — possibly as zero-row part files Spark
+    * wrote for the empty frame) gets no add rows AND its directory removed:
+    * leaving it would plant unreferenced `.parquet` orphans for vacuum to
+    * count as dead files.
+    */
+  private def rewriteSegment(spark: SparkSession, manifestPath: String,
+      bid: Long, removedFiles: Seq[String], addedDir: Option[String],
+      statsCols: Seq[String]): Long = {
+    import spark.implicits._
+    val tomb = removedFiles.toDF("file").withColumn("removed", lit(true))
+    val addStats = addedDir.filter(d => hasParquetFiles(spark, d))
+      .map(d => fileStats(spark, Seq(d), statsCols)
+        .withColumn("removed", lit(false)).localCheckpoint())
+      .filter(_.count() > 0)
+    if (addStats.isEmpty) addedDir.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val seg = addStats match {
+      case Some(a) => a.unionByName(tomb, allowMissingColumns = true)
+      case None    => tomb
+    }
+    seg.coalesce(1).write.mode("overwrite").parquet(s"$manifestPath/b$bid")
+    if (addStats.isEmpty) 0L
+    else spark.read.parquet(s"$manifestPath/b$bid")
+      .filter(!coalesce(col("removed"), lit(false)))
+      .agg(coalesce(sum(col("nrows")), lit(0L))).head().getLong(0)
+  }
+
+  /** Copy-on-write `DELETE WHERE statsCol BETWEEN lo AND hi`: the zone maps
+    * pick the affected files (files whose [min, max] misses the range are
+    * NOT rewritten — at 100 TB on a clustered layout that is almost all of
+    * them), the affected files are re-read minus the matching rows and land
+    * as fresh part files under `rewriteDir/b<batchId>`, and one appended
+    * segment tombstones the originals and adds the rewrites. Time travel is
+    * free: a pre-delete `asOf` excludes the tombstone segment and serves
+    * the original files untouched. Returns (files affected, files total,
+    * rows deleted).
+    */
+  def deleteRange(spark: SparkSession, manifestPath: String, statsCol: String,
+      lo: Any, hi: Any, rewriteDir: String, statsCols: Seq[String],
+      batchId: Long = -1L): (Long, Long, Long) = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = readManifest(spark, manifestPath)
+      .select(col("file"), col("nrows"),
+        col(s"min_$statsCol"), col(s"max_$statsCol"))
+      .localCheckpoint() // tiny (one row/file); probed twice below
+    val total = m.count()
+    val affected = m.filter(col(s"min_$statsCol") <= lit(hi) &&
+        col(s"max_$statsCol") >= lit(lo))
+      .select(col("file"), col("nrows")).collect()
+    if (affected.isEmpty) return (0L, total, 0L)
+    val bid = if (batchId >= 0) batchId else nextBatchId(fs, mp)
+    val out = s"$rewriteDir/b$bid"
+    spark.read.parquet(affected.map(r => globEscape(r.getString(0))).toSeq: _*)
+      .filter(!col(statsCol).between(lit(lo), lit(hi)))
+      .coalesce(math.max(1, affected.length / 2))
+      .write.mode("overwrite").parquet(out)
+    val kept = rewriteSegment(spark, manifestPath, bid,
+      affected.map(_.getString(0)).toSeq, Some(out), statsCols)
+    (affected.length.toLong, total, affected.map(_.getLong(1)).sum - kept)
+  }
+
+  /** Copy-on-write MERGE (upsert) — the Delta `MERGE INTO` shape: rows of
+    * `updates` whose `keyCol` matches existing rows REPLACE them (all rows
+    * under a matched key — the key need not be unique); unmatched update
+    * rows are inserts. Zone maps bound the rewrite: only files whose
+    * [min, max] can contain an update key are re-read (matched keys are
+    * anti-joined out) and rewritten together with the full update batch;
+    * every other file is untouched. The update batch is assumed
+    * serving-batch-sized and broadcasts onto the affected-file scan — the
+    * corrections-into-a-100 TB-fact-table posture; a fact-sized update set
+    * is a rewrite, not a merge. Returns (files affected, files total,
+    * update rows).
+    */
+  def mergeInto(spark: SparkSession, manifestPath: String,
+      updates: DataFrame, keyCol: String, rewriteDir: String,
+      statsCols: Seq[String], batchId: Long = -1L): (Long, Long, Long) = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = readManifest(spark, manifestPath)
+      .select(col("file"), col(s"min_$keyCol"), col(s"max_$keyCol"))
+      .localCheckpoint()
+    val total = m.count()
+    val keys = updates.select(col(keyCol)).distinct().localCheckpoint()
+    val affected = m.join(broadcast(keys),
+        col(s"min_$keyCol") <= col(keyCol) &&
+          col(s"max_$keyCol") >= col(keyCol), "left_semi")
+      .select(col("file")).collect().map(_.getString(0))
+    val bid = if (batchId >= 0) batchId else nextBatchId(fs, mp)
+    val out = s"$rewriteDir/b$bid"
+    val rewritten =
+      if (affected.isEmpty) updates // pure insert: no file can match
+      else spark.read.parquet(affected.map(globEscape).toSeq: _*)
+        .join(broadcast(keys), Seq(keyCol), "left_anti")
+        .unionByName(updates)
+    rewritten.coalesce(math.max(1, affected.length))
+      .write.mode("overwrite").parquet(out)
+    rewriteSegment(spark, manifestPath, bid, affected.toSeq, Some(out),
+      statsCols)
+    (affected.length.toLong, total, updates.count())
+  }
+
+  /** Bin-packing OPTIMIZE (Delta's small-file compaction as manifest DML):
+    * every live file under `minRows` is merged into
+    * ceil(total small rows / targetRows) right-sized files; files already
+    * at size are untouched. One appended segment tombstones the merged
+    * originals and adds the rewrites — served content is identical by
+    * construction, and pre-optimize snapshots still list the small files.
+    * Returns (files merged, files created). Two thresholds on purpose
+    * (Delta's minFileSize/maxFileSize split): candidates are files under
+    * `minRows` (default targetRows/2) but output is sized to `targetRows`,
+    * so a merged file — which lands in (targetRows/2, targetRows] — can
+    * never be re-picked by the next run; a single threshold would re-merge
+    * its own output forever. The rewrite is ONE distributed scan +
+    * repartition write, not a per-bin loop — at 100 TB the small-file tail
+    * is millions of files and per-bin jobs would serialize on the driver.
+    */
+  def optimizeSmallFiles(spark: SparkSession, manifestPath: String,
+      rewriteDir: String, statsCols: Seq[String], targetRows: Long,
+      minRows: Long = -1L, batchId: Long = -1L): (Long, Long) = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val minR = if (minRows > 0) minRows else math.max(1L, targetRows / 2)
+    require(minR <= targetRows,
+      s"minRows $minR must not exceed targetRows $targetRows")
+    val small = readManifest(spark, manifestPath)
+      .filter(col("nrows") < lit(minR))
+      .select(col("file"), col("nrows")).collect().sortBy(_.getString(0))
+    if (small.length < 2) return (0L, 0L)
+    val bid = if (batchId >= 0) batchId else nextBatchId(fs, mp)
+    val out = s"$rewriteDir/b$bid"
+    val nOut = math.max(1,
+      math.ceil(small.map(_.getLong(1)).sum.toDouble / targetRows).toInt)
+    spark.read.parquet(small.map(r => globEscape(r.getString(0))).toSeq: _*)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(out)
+    rewriteSegment(spark, manifestPath, bid,
+      small.map(_.getString(0)).toSeq, Some(out), statsCols)
+    val created = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(out), true)
+      var n = 0L
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    (small.length.toLong, created)
+  }
+
+  /** Physically delete data files under `dataRoots` that the manifest no
+    * longer serves. Legal ONLY on a compacted store (single `b-1` segment):
+    * compaction is the snapshot-expiry horizon, so before it runs a
+    * historical `asOf` may still reference a tombstoned file and vacuuming
+    * it would corrupt time travel — exactly Iceberg's
+    * expire-snapshots-before-remove-orphans ordering. Returns the number of
+    * files deleted. Paths are compared DECODED (the manifest stores
+    * `input_file_name()`'s percent-encoded URI; the filesystem listing
+    * yields raw paths).
+    */
+  def vacuumTable(spark: SparkSession, manifestPath: String,
+      dataRoots: Seq[String]): Long = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segIds = fs.listStatus(mp).map(_.getPath.getName).flatMap(segmentId)
+    require(segIds.nonEmpty && segIds.forall(_ == -1L),
+      s"vacuum requires a compacted manifest at $manifestPath (single b-1 " +
+        "segment): un-expired snapshots may still reference removed files")
+    val live = readManifest(spark, manifestPath).select(col("file"))
+      .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    var n = 0L
+    dataRoots.foreach { root =>
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (rfs.exists(rp)) {
+        val it = rfs.listFiles(rp, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet") &&
+              !live.contains(st.getPath.toUri.getPath)) {
+            rfs.delete(st.getPath, false)
+            n += 1
+          }
+        }
+      }
+    }
+    n
+  }
+
+  // ------------------------------------------------------------------
+  // Per-file Bloom index — point-lookup skipping where zone maps can't.
+  //
+  // Zone maps prune RANGES on clustered layouts; on a hash-distributed
+  // layout every file's [min, max] spans ~the whole keyspace and a point
+  // predicate prunes nothing. A per-file Bloom filter (Iceberg puffin /
+  // parquet bloom_filter posture, lifted to the file listing) answers
+  // "might this FILE contain key k" with no false negatives, so an
+  // equality lookup opens only the file(s) that actually hold the key
+  // plus an fpp-bounded handful of false positives.
+  // ------------------------------------------------------------------
+
+  /** Typed merge-friendly Bloom aggregator: one filter per group (file).
+    * Spark's own `util.sketch.BloomFilter` — mergeable, java-serializable
+    * buffer (the [[graft.operators.Sketches]] aggregator posture).
+    */
+  private case class BloomBuild(expectedItems: Long, fpp: Double)
+      extends Aggregator[java.lang.Long, BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+    def reduce(b: BloomFilter, a: java.lang.Long): BloomFilter = {
+      if (a != null) b.putLong(a)
+      b
+    }
+    def merge(x: BloomFilter, y: BloomFilter): BloomFilter = {
+      x.mergeInPlace(y)
+      x
+    }
+    def finish(b: BloomFilter): Array[Byte] = {
+      val os = new java.io.ByteArrayOutputStream()
+      b.writeTo(os)
+      os.toByteArray
+    }
+    def bufferEncoder: Encoder[BloomFilter] =
+      Encoders.javaSerialization(classOf[BloomFilter])
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Build the per-file Bloom index over `keyCol` (cast to long): one
+    * distributed scan projecting only the key column, one serialized filter
+    * per data file. At 100 TB / 200k files the index is a few hundred MB of
+    * parquet — file-listing-scale, like the manifest itself.
+    */
+  def buildBloomIndex(spark: SparkSession, tablePath: String, keyCol: String,
+      indexPath: String, expectedPerFile: Long = 1000000L,
+      fpp: Double = 0.01): Unit =
+    spark.read.option("recursiveFileLookup", "true").parquet(tablePath)
+      .select(input_file_name().as("file"), col(keyCol).cast("long").as("k"))
+      .groupBy(col("file"))
+      .agg(udaf(BloomBuild(expectedPerFile, fpp)).apply(col("k")).as("bloom"))
+      .coalesce(1).write.mode("overwrite").parquet(indexPath)
+
+  /** Serve `keyCol = value` through the Bloom index: probe every file's
+    * filter DISTRIBUTED (the driver receives only surviving names — the
+    * usual listing-sized collect), open only the surviving files, apply the
+    * exact residual equality. No false negatives by the filter's guarantee;
+    * false positives only cost extra file opens, bounded by fpp × files.
+    * Returns (result, files read, files total).
+    */
+  def bloomPrunedRead(spark: SparkSession, indexPath: String, keyCol: String,
+      value: Long): (DataFrame, Long, Long) = {
+    import spark.implicits._
+    val probed = spark.read.parquet(indexPath)
+      .select(col("file"), col("bloom")).as[(String, Array[Byte])]
+      .map { case (f, b) =>
+        (f, BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b)).mightContain(value))
+      }.collect()
+    require(probed.nonEmpty, s"bloom index at $indexPath names no files")
+    val survivors = probed.filter(_._2).map(p => globEscape(p._1)).toSeq
+    val df =
+      if (survivors.isEmpty)
+        spark.read.parquet(globEscape(probed.head._1)).filter(lit(false))
+      else spark.read.parquet(survivors: _*)
+    (df.filter(col(keyCol) === lit(value)),
+      survivors.size.toLong, probed.length.toLong)
   }
 }

@@ -206,6 +206,104 @@ object TextAnalysis {
         (col("score_fx") / lit(1e6)).as("score"))
   }
 
+  /** RM3 pseudo-relevance-feedback query expansion (Lavrenko/Croft
+    * relevance models; the RM3 interpolation of Jaleel et al., TREC 2004)
+    * over the BM25 arm: run BM25, treat each query's top `fbDocs` documents
+    * as pseudo-relevant, estimate a relevance model P(w|R) from their term
+    * frequencies, keep the top `fbTerms` terms, interpolate with the
+    * original (uniform) query model at `origWeight`, and re-score the
+    * corpus under the weighted query. The classic fix for vocabulary
+    * mismatch — a query term the corpus phrases differently still surfaces
+    * the right documents through the expansion terms.
+    *
+    * Engine-exactness discipline (the [[bm25TopK]] posture, extended):
+    * every per-(query, term, doc) quantity is snapped to a fixed-point
+    * long BEFORE any sum — P(w|d) contributions at 1e6, interpolated query
+    * weights at 1e6, BM25 contributions at 1e6 — and the final score is a
+    * sum of long PRODUCTS (≤ ~2e13 each, far inside Long), so ranking is
+    * bit-identical in any engine/partitioning and the DuckDB oracle
+    * replays the ranked rows directly. Ties break (weight desc, term asc)
+    * and (score desc, doc asc).
+    *
+    * Shape at scale: two BM25 scoring passes over the same memoized
+    * tf/df/dl aggregates (the corpus is aggregated ONCE); the feedback and
+    * expansion tables are (queries × fbDocs) and (queries × fbTerms) rows —
+    * broadcast-sized by construction — so expansion adds no corpus-scale
+    * shuffle beyond the second candidate-postings join.
+    */
+  def rm3TopK(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, queryIdCol: String, queryTextCol: String, k: Int,
+      fbDocs: Int = 5, fbTerms: Int = 8, queryTerms: Int = 8,
+      origWeight: Double = 0.5, k1: Double = 1.5, b: Double = 0.75)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
+    val n = docs.count().toDouble
+    val avgdl = dl.agg(sum(col("dl"))).head.getLong(0).toDouble / n
+    val qterms = bm25QueryTerms(queries, queryIdCol, queryTextCol, queryTerms)
+      .localCheckpoint()
+    // round 1: plain BM25, top fbDocs per query = the pseudo-relevant set
+    val contrib1 = tf
+      .join(broadcast(dfreq.join(broadcast(qterms), "term")), "term")
+      .join(dl, "doc")
+      .withColumn("c", bm25Contrib(n, avgdl, k1, b))
+    val wFb = Window.partitionBy(col("qid"))
+      .orderBy(col("score_fx").desc, col("doc").asc)
+    val fb = contrib1.groupBy(col("qid"), col("doc"))
+      .agg(sum(col("c")).as("score_fx"))
+      .withColumn("r", row_number().over(wFb)).filter(col("r") <= fbDocs)
+      .select(col("qid"), col("doc"))
+      .localCheckpoint()
+    // relevance model: rm_fx(q, w) = Σ_{d ∈ fb(q)} fix(1e6 · tf(w,d)/dl(d))
+    val rmw = tf.join(broadcast(fb), "doc").join(dl, "doc")
+      .withColumn("w1",
+        floor(lit(1e6) * col("tf") / col("dl") + lit(0.5)).cast("long"))
+      .groupBy(col("qid"), col("term")).agg(sum(col("w1")).as("rm_fx"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("rm_fx").desc, col("term").asc)
+    val rmtop = rmw.withColumn("r", row_number().over(wTop))
+      .filter(col("r") <= fbTerms).drop("r")
+      .localCheckpoint()
+    val rmtot = rmtop.groupBy(col("qid")).agg(sum(col("rm_fx")).as("rm_tot"))
+    val expT = rmtop.join(rmtot, "qid")
+      .select(col("qid"), col("term"),
+        floor(lit(1e6 * (1.0 - origWeight)) * col("rm_fx") / col("rm_tot")
+          + lit(0.5)).cast("long").as("w_fx"))
+    val nq = qterms.groupBy(col("qid")).agg(count(lit(1)).as("nq"))
+    val origT = qterms.join(nq, "qid")
+      .select(col("qid"), col("term"),
+        floor(lit(1e6 * origWeight) / col("nq") + lit(0.5)).cast("long")
+          .as("w_fx"))
+    // a term can be both original and expansion: the parts ADD. Zero-weight
+    // terms (every expansion term at origWeight=1, or a snapped-to-zero
+    // tail weight) are DROPPED — they contribute nothing to any score but
+    // would otherwise enter docs into the candidate set as phantom
+    // zero-score results, breaking the λ=1 ≡ plain-BM25 degeneracy.
+    val wq = origT.unionByName(expT)
+      .groupBy(col("qid"), col("term")).agg(sum(col("w_fx")).as("w_fx"))
+      .filter(col("w_fx") > 0)
+    // round 2: weighted BM25 under the expanded query
+    val contrib2 = tf
+      .join(broadcast(dfreq.join(broadcast(wq), "term")), "term")
+      .join(dl, "doc")
+      .withColumn("wc", col("w_fx") * bm25Contrib(n, avgdl, k1, b))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("score_fx").desc, col("doc").asc)
+    contrib2.groupBy(col("qid"), col("doc"))
+      .agg(sum(col("wc")).as("score_fx"))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(queryIdCol), col("rank"), col("doc").as(idCol),
+        (col("score_fx") / lit(1e12)).as("score"))
+  }
+
   /** Build a persisted, segment-structured inverted index for [[bm25TopK]]
     * at `path` — the 100 TB serving shape: build once, [[appendToTextIndex]]
     * per ingest batch, [[queryTextIndex]] many times touching only

@@ -427,6 +427,196 @@ object FormatQueries {
         "files_pruned_ok" -> (nRead < nTotal && nTotal == 16L),
         "equals_full_scan_ok" ->
           (Contracts.checksum(box) == Contracts.checksum(full)))
+    }),
+
+    // Copy-on-write DELETE through the manifest (Manifest.deleteRange):
+    // zone maps pick the affected files, ONLY those are rewritten minus the
+    // matching rows, and one appended segment tombstones the originals and
+    // adds the rewrites. Graded on the REAL post-delete table (count + sum
+    // + deleted-row count replayed in DuckDB) plus the lifecycle: untouched
+    // files not rewritten, pre-delete snapshot still fully served
+    // (tombstones live in a later segment), the manifest-only count path
+    // reflecting the deletion, and compaction (snapshot expiry) + vacuum
+    // physically removing exactly the dead files without changing what is
+    // served — the Delta/Iceberg takedown lifecycle end to end.
+    "manifest_delete" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val tbl = tmp("graft-mandel-tbl-")
+      val man = tmp("graft-mandel-man-")
+      Layout.layoutWriteExact(li,
+        Seq(col("l_orderkey"), col("l_linenumber")), s"$tbl/d0", 8)
+      Manifest.buildManifest(s, s"$tbl/d0", Seq("l_orderkey"), man)
+      val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mx / 3, mx / 2)
+      val origCount = li.count()
+      val preFiles = Manifest.readManifest(s, man).select(col("file"))
+        .collect().map(_.getString(0)).toSet
+      val (nAffected, nTotal, nDeleted) = Manifest.deleteRange(s, man,
+        "l_orderkey", lo, hi, s"$tbl/rw", Seq("l_orderkey"))
+      val served = Manifest.fullRead(s, man).localCheckpoint()
+      val servedChk = Contracts.checksum(served)
+      val liveFiles = Manifest.readManifest(s, man).select(col("file"))
+        .collect().map(_.getString(0)).toSet
+      val ttOk = Manifest.fullRead(s, man, asOf = 0).count() == origCount
+      val coOk = Manifest.countOnly(s, man, "l_orderkey").head().getLong(0) ==
+        served.count()
+      Manifest.compactManifest(s, man)
+      val nVacuumed = Manifest.vacuumTable(s, man, Seq(tbl))
+      val afterVacChk = Contracts.checksum(Manifest.fullRead(s, man))
+      val agg = served
+        .agg(count(lit(1)), round(sum(col("l_quantity")), 2)).head()
+      Contracts.row(s,
+        "n_rows" -> agg.getLong(0),
+        "sum_qty" -> agg.getDouble(1),
+        "n_deleted" -> nDeleted,
+        "copy_on_write_ok" -> (nAffected > 0 && nAffected < nTotal),
+        "untouched_not_rewritten_ok" ->
+          ((preFiles intersect liveFiles).size.toLong == nTotal - nAffected),
+        "rows_balance_ok" -> (origCount == agg.getLong(0) + nDeleted),
+        "time_travel_preserved_ok" -> ttOk,
+        "count_only_reflects_delete_ok" -> coOk,
+        "vacuum_serving_unchanged_ok" -> (afterVacChk == servedChk),
+        "vacuumed_only_dead_files_ok" -> (nVacuumed == nAffected))
+    }),
+
+    // Copy-on-write MERGE / upsert through the manifest (Manifest.mergeInto
+    // — the Delta MERGE INTO shape): an update batch (quantity corrections
+    // for a key range + brand-new keys) replaces matched keys and inserts
+    // the rest; zone maps bound the rewrite to the files that can contain
+    // an update key. Graded on the REAL merged table (count + sum replayed
+    // in DuckDB over the identical merge semantics), exact set equality
+    // with the anti-join ∪ updates definition, copy-on-write file
+    // accounting, the pre-merge snapshot, and countOnly consistency.
+    "manifest_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val tbl = tmp("graft-manmrg-tbl-")
+      val man = tmp("graft-manmrg-man-")
+      Layout.layoutWriteExact(li,
+        Seq(col("l_orderkey"), col("l_linenumber")), s"$tbl/d0", 8)
+      Manifest.buildManifest(s, s"$tbl/d0", Seq("l_orderkey"), man)
+      val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mx / 3, mx / 2)
+      val upd = li.filter(col("l_orderkey").between(lo, hi))
+        .withColumn("l_quantity", col("l_quantity") + 100)
+        .unionByName(li.filter(col("l_orderkey") < 100)
+          .withColumn("l_orderkey", col("l_orderkey") + mx))
+        .localCheckpoint()
+      val origCount = li.count()
+      val (nAff, nTot, nUpd) = Manifest.mergeInto(s, man, upd,
+        "l_orderkey", s"$tbl/rw", Seq("l_orderkey"))
+      val served = Manifest.fullRead(s, man).localCheckpoint()
+      val expected = li
+        .join(upd.select(col("l_orderkey")).distinct(),
+          Seq("l_orderkey"), "left_anti")
+        .unionByName(upd)
+      val agg = served
+        .agg(count(lit(1)), round(sum(col("l_quantity")), 2)).head()
+      Contracts.row(s,
+        "n_rows" -> agg.getLong(0),
+        "sum_qty" -> agg.getDouble(1),
+        "n_upserted" -> nUpd,
+        "equals_merge_semantics_ok" ->
+          (Contracts.checksum(served) == Contracts.checksum(expected)),
+        "copy_on_write_ok" -> (nAff > 0 && nAff < nTot),
+        "time_travel_preserved_ok" ->
+          (Manifest.fullRead(s, man, asOf = 0).count() == origCount),
+        "count_only_consistent_ok" ->
+          (Manifest.countOnly(s, man, "l_orderkey").head().getLong(0) ==
+            agg.getLong(0)))
+    }),
+
+    // Bin-packing OPTIMIZE (Manifest.optimizeSmallFiles — Delta's
+    // small-file compaction as manifest DML): a fragmented landing (12 tiny
+    // files + 2 at-size) is merged back to right-sized files in ONE
+    // distributed rewrite; the appended segment tombstones the merged
+    // originals. Graded on served-content identity (real count + sum),
+    // file-count reduction, at-size files untouched, the pre-optimize
+    // snapshot still addressable, and IDEMPOTENCE — a second run must be a
+    // no-op (the two-threshold candidate rule; a single threshold re-merges
+    // its own output forever).
+    "manifest_optimize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val tbl = tmp("graft-manopt-tbl-")
+      val man = tmp("graft-manopt-man-")
+      li.filter(col("l_orderkey") % 4 === 3).repartition(12)
+        .write.mode("overwrite").parquet(s"$tbl/d0")
+      li.filter(col("l_orderkey") % 4 =!= 3).repartition(2)
+        .write.mode("overwrite").parquet(s"$tbl/d1")
+      Manifest.buildManifest(s, s"$tbl/d0", Seq("l_orderkey"), man)
+      Manifest.appendToManifest(s, Seq(s"$tbl/d1"), Seq("l_orderkey"), man,
+        batchId = 1)
+      val rows = li.count()
+      val (target, minR) = (math.max(4L, rows / 8), math.max(2L, rows / 16))
+      val pre = Manifest.readManifest(s, man).localCheckpoint()
+      val preChk = Contracts.checksum(Manifest.fullRead(s, man))
+      val preFiles = pre.select(col("file"))
+        .collect().map(_.getString(0)).toSet
+      val bigFiles = pre.filter(col("nrows") >= minR).select(col("file"))
+        .collect().map(_.getString(0)).toSet
+      val (nMerged, nCreated) = Manifest.optimizeSmallFiles(s, man,
+        s"$tbl/opt", Seq("l_orderkey"), target, minR)
+      val postFiles = Manifest.readManifest(s, man).select(col("file"))
+        .collect().map(_.getString(0)).toSet
+      val served = Manifest.fullRead(s, man).localCheckpoint()
+      val ttOk = Contracts.checksum(Manifest.fullRead(s, man, asOf = 1)) ==
+        preChk
+      val (nMerged2, _) = Manifest.optimizeSmallFiles(s, man,
+        s"$tbl/opt2", Seq("l_orderkey"), target, minR)
+      val agg = served
+        .agg(count(lit(1)), round(sum(col("l_quantity")), 2)).head()
+      Contracts.row(s,
+        "n_rows" -> agg.getLong(0),
+        "sum_qty" -> agg.getDouble(1),
+        "files_reduced_ok" ->
+          (postFiles.size < preFiles.size && nMerged == 12L &&
+            nCreated < nMerged),
+        "content_identical_ok" -> (Contracts.checksum(served) == preChk),
+        "big_files_untouched_ok" -> bigFiles.subsetOf(postFiles),
+        "time_travel_preserved_ok" -> ttOk,
+        "idempotent_ok" -> (nMerged2 == 0L))
+    }),
+
+    // Per-file Bloom point-lookup skipping (Manifest.buildBloomIndex /
+    // bloomPrunedRead — the Iceberg-puffin/parquet-bloom posture lifted to
+    // the FILE listing): on a hash-distributed layout every file's
+    // [min, max] spans the keyspace, so the zone-map prune keeps ALL 16
+    // files for a point key — the Bloom index keeps only the file(s) that
+    // can actually hold it (no false negatives; false positives bounded by
+    // fpp × files). Graded on the REAL key lookup (count + sum replayed in
+    // DuckDB), result identity with the zone-map route, and the pruning
+    // asymmetry itself.
+    "manifest_bloom_point" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val tbl = tmp("graft-manbl-tbl-")
+      val man = tmp("graft-manbl-man-")
+      val idx = tmp("graft-manbl-idx-")
+      li.repartition(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$tbl/d0")
+      Manifest.buildManifest(s, s"$tbl/d0", Seq("l_orderkey"), man)
+      Manifest.buildBloomIndex(s, s"$tbl/d0", "l_orderkey", idx,
+        expectedPerFile = 100000L)
+      val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      val key = li.filter(col("l_orderkey") <= mx / 2)
+        .agg(max(col("l_orderkey"))).head().getLong(0)
+      val (zres, zRead, zTotal) =
+        Manifest.prunedRead(s, man, "l_orderkey", key, key)
+      val (bres0, bRead, bTotal) =
+        Manifest.bloomPrunedRead(s, idx, "l_orderkey", key)
+      val bres = bres0.localCheckpoint()
+      val agg = bres
+        .agg(count(lit(1)), round(sum(col("l_quantity")), 2)).head()
+      Contracts.row(s,
+        "n_rows" -> agg.getLong(0),
+        "sum_qty" -> agg.getDouble(1),
+        "no_false_negatives_ok" ->
+          (Contracts.checksum(bres) == Contracts.checksum(zres)),
+        "bloom_prunes_ok" -> (bRead < zRead && bTotal == zTotal),
+        "zone_maps_cannot_ok" -> (zRead == zTotal && zTotal == 16L),
+        "bloom_tight_ok" -> (bRead >= 1L && bRead <= 4L))
     })
   )
 
@@ -541,7 +731,63 @@ object FormatQueries {
         |  (SELECT count(*) FROM lineitem) AS n_latest,
         |  TRUE AS snapshot_equals_slices_ok,
         |  TRUE AS historical_prune_equals_filter_ok,
-        |  TRUE AS snapshot_monotone_ok""".stripMargin
+        |  TRUE AS snapshot_monotone_ok""".stripMargin,
+
+    "manifest_delete" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey
+        |     BETWEEN (SELECT max(l_orderkey) // 3 FROM lineitem)
+        |         AND (SELECT max(l_orderkey) // 2 FROM lineitem))
+        |    AS n_deleted,
+        |  TRUE AS copy_on_write_ok, TRUE AS untouched_not_rewritten_ok,
+        |  TRUE AS rows_balance_ok, TRUE AS time_travel_preserved_ok,
+        |  TRUE AS count_only_reflects_delete_ok,
+        |  TRUE AS vacuum_serving_unchanged_ok,
+        |  TRUE AS vacuumed_only_dead_files_ok
+        |FROM lineitem
+        |WHERE l_orderkey
+        |  NOT BETWEEN (SELECT max(l_orderkey) // 3 FROM lineitem)
+        |          AND (SELECT max(l_orderkey) // 2 FROM lineitem)""".stripMargin,
+
+    "manifest_merge" ->
+      """WITH upd AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 100 AS l_quantity
+        |  FROM lineitem
+        |  WHERE l_orderkey
+        |    BETWEEN (SELECT max(l_orderkey) // 3 FROM lineitem)
+        |        AND (SELECT max(l_orderkey) // 2 FROM lineitem)
+        |  UNION ALL
+        |  SELECT l_orderkey + (SELECT max(l_orderkey) FROM lineitem),
+        |    l_linenumber, l_quantity
+        |  FROM lineitem WHERE l_orderkey < 100
+        |), merged AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, l.l_quantity FROM lineitem l
+        |  WHERE l.l_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd
+        |)
+        |SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+        |  (SELECT count(*) FROM upd) AS n_upserted,
+        |  TRUE AS equals_merge_semantics_ok, TRUE AS copy_on_write_ok,
+        |  TRUE AS time_travel_preserved_ok, TRUE AS count_only_consistent_ok
+        |FROM merged""".stripMargin,
+
+    "manifest_optimize" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+        |  TRUE AS files_reduced_ok, TRUE AS content_identical_ok,
+        |  TRUE AS big_files_untouched_ok, TRUE AS time_travel_preserved_ok,
+        |  TRUE AS idempotent_ok
+        |FROM lineitem""".stripMargin,
+
+    "manifest_bloom_point" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+        |  TRUE AS no_false_negatives_ok, TRUE AS bloom_prunes_ok,
+        |  TRUE AS zone_maps_cannot_ok, TRUE AS bloom_tight_ok
+        |FROM lineitem
+        |WHERE l_orderkey = (
+        |  SELECT max(l_orderkey) FROM lineitem
+        |  WHERE l_orderkey <= (SELECT max(l_orderkey) // 2 FROM lineitem))"""
+        .stripMargin
   )
 
   /** Memoized per-dir manifest stores for the timed serving forms below:
@@ -629,5 +875,99 @@ object FormatQueries {
     "manifest_count_only" -> ((s, dir) => {
       val st = stores(s, dir)
       Manifest.countOnly(s, st.cntMan, "pk")
+    }),
+    // DML timed forms: the base table files and pristine manifests are
+    // memoized; each call copies the TINY pristine manifest (a few KB) and
+    // runs the operator against the shared immutable table files —
+    // copy-on-write means DML never mutates them — so the timer tracks the
+    // operator (manifest prune + affected-file rewrite + segment append),
+    // not fixture generation. The lifecycle checks stay in Verify.
+    "manifest_delete" -> ((s, dir) => {
+      val st = dmlStores(s, dir)
+      val base = tmp("graft-mandel-run-")
+      val man = s"$base/man"
+      copyDir(s, st.delMan, man)
+      val (a, tot, d) = Manifest.deleteRange(s, man, "l_orderkey",
+        st.lo, st.hi, s"$base/rw", Seq("l_orderkey"))
+      Contracts.row(s, "files_affected" -> a, "files_total" -> tot,
+        "rows_deleted" -> d)
+    }),
+    "manifest_optimize" -> ((s, dir) => {
+      val st = dmlStores(s, dir)
+      val base = tmp("graft-manopt-run-")
+      val man = s"$base/man"
+      copyDir(s, st.optMan, man)
+      val (m, c) = Manifest.optimizeSmallFiles(s, man, s"$base/opt",
+        Seq("l_orderkey"), st.target, st.minR)
+      Contracts.row(s, "files_merged" -> m, "files_created" -> c)
+    }),
+    "manifest_merge" -> ((s, dir) => {
+      val st = dmlStores(s, dir)
+      val base = tmp("graft-manmrg-run-")
+      val man = s"$base/man"
+      copyDir(s, st.delMan, man)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val upd = li.filter(col("l_orderkey").between(st.lo, st.hi))
+        .withColumn("l_quantity", col("l_quantity") + 100)
+      val (a, tot, u) = Manifest.mergeInto(s, man, upd, "l_orderkey",
+        s"$base/rw", Seq("l_orderkey"))
+      Contracts.row(s, "files_affected" -> a, "files_total" -> tot,
+        "rows_upserted" -> u)
+    }),
+    "manifest_bloom_point" -> ((s, dir) => {
+      val st = dmlStores(s, dir)
+      Manifest.bloomPrunedRead(s, st.bloomIdx, "l_orderkey", st.bloomKey)._1
     }))
+
+  /** Memoized fixtures for the DML/bloom timed forms above. */
+  private case class DmlStores(delMan: String, lo: Long, hi: Long,
+      optMan: String, target: Long, minR: Long,
+      bloomIdx: String, bloomKey: Long)
+
+  private val dmlCache =
+    new scala.collection.concurrent.TrieMap[String, DmlStores]
+
+  private def copyDir(s: SparkSession, src: String, dst: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    org.apache.hadoop.fs.FileUtil.copy(
+      sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp, false, conf)
+  }
+
+  private def dmlStores(s: SparkSession, dir: String): DmlStores =
+    dmlCache.getOrElseUpdate(dir, {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val delTbl = tmp("graft-dtimed-tbl-")
+      val delMan = tmp("graft-dtimed-man-")
+      Layout.layoutWriteExact(li,
+        Seq(col("l_orderkey"), col("l_linenumber")), s"$delTbl/d0", 8)
+      Manifest.buildManifest(s, s"$delTbl/d0", Seq("l_orderkey"), delMan)
+      val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      val li2 = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val optTbl = tmp("graft-otimed-tbl-")
+      val optMan = tmp("graft-otimed-man-")
+      li2.filter(col("l_orderkey") % 4 === 3).repartition(12)
+        .write.mode("overwrite").parquet(s"$optTbl/d0")
+      li2.filter(col("l_orderkey") % 4 =!= 3).repartition(2)
+        .write.mode("overwrite").parquet(s"$optTbl/d1")
+      Manifest.buildManifest(s, s"$optTbl/d0", Seq("l_orderkey"), optMan)
+      Manifest.appendToManifest(s, Seq(s"$optTbl/d1"), Seq("l_orderkey"),
+        optMan, batchId = 1)
+      val rows = li2.count()
+      val blTbl = tmp("graft-btimed-tbl-")
+      val blIdx = tmp("graft-btimed-idx-")
+      li2.repartition(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$blTbl/d0")
+      Manifest.buildBloomIndex(s, s"$blTbl/d0", "l_orderkey", blIdx,
+        expectedPerFile = 100000L)
+      val key = li2.filter(col("l_orderkey") <= mx / 2)
+        .agg(max(col("l_orderkey"))).head().getLong(0)
+      DmlStores(delMan, mx / 3, mx / 2,
+        optMan, math.max(4L, rows / 8), math.max(2L, rows / 16),
+        blIdx, key)
+    })
 }

@@ -1828,6 +1828,22 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // RM3 pseudo-relevance-feedback expansion (Lavrenko/Croft relevance
+    // models + the RM3 interpolation): BM25 round 1, relevance model from
+    // each query's top-5 docs, top-8 expansion terms interpolated with the
+    // uniform original query model at λ=0.5, weighted BM25 round 2. Every
+    // stage is fixed-point (P(w|d) at 1e6, weights at 1e6, contributions at
+    // 1e6; scores are sums of long products) so the DuckDB oracle replays
+    // the RANKED ROWS of the full two-round pipeline exactly.
+    "retrieval_rm3" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+      TextAnalysis.rm3TopK(docs, qs, "doc_id", "text",
+          "query_id", "text", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Segment-structured persisted inverted index (Lucene's model, Spark
     // form): built from one doc batch, a second DISJOINT batch appended
     // without re-reading the first (postings/df/stats are all additive),
@@ -2304,6 +2320,32 @@ object PipelineQueries {
       graft.operators.Graph.pageRank(edges, iters = 3)
         .select(col("node"),
           (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
+        .orderBy(col("node"))
+    }),
+
+    // Community detection by deterministic synchronous label propagation
+    // (Raghavan et al. 2007) over a user co-activity graph: users adjacent
+    // in time on the same (event_type, day) timeline share an edge — a
+    // LINEAR edge derivation (one lag window; a shared-key co-occurrence
+    // self-join would be 21.7 M pairs at sf0.1, a fixture-induced
+    // quadratic). 3 synchronous rounds, most-frequent-neighbor label with
+    // min tie-break: a pure function of the edge set, so the oracle
+    // replays the rounds as unrolled CTEs and compares EVERY node's final
+    // label.
+    "graph_label_prop" -> ((s, dir) => {
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val edges = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"),
+          expr("datediff(to_date(ts), DATE '1970-01-01')").as("day"))
+        .withColumn("prev", lag(col("user_id"), 1).over(wd))
+        .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+        .select(least(col("prev"), col("user_id")).as("src"),
+          greatest(col("prev"), col("user_id")).as("dst"))
+        .distinct()
+      graft.operators.Graph.labelPropagation(edges, iters = 3)
         .orderBy(col("node"))
     }),
 
@@ -3167,6 +3209,87 @@ object PipelineQueries {
         |  FROM contrib GROUP BY query_id, doc_id
         |)
         |SELECT query_id, rank, doc_id, score_fx / 1e6 AS score
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "retrieval_rm3" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+        |), dl AS (
+        |  SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+        |    (SELECT sum(dl)::DOUBLE FROM dl)
+        |      / (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+        |), qterms AS (
+        |  SELECT DISTINCT doc_id AS query_id,
+        |    unnest((string_split_regex(trim(lower(text)), '\s+'))[1:8])
+        |      AS term
+        |  FROM documents WHERE doc_id < 5
+        |), contrib1 AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    floor(ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.5)
+        |      / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / s.avgdl))
+        |      * 1e6 + 0.5)::BIGINT AS c
+        |  FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term)
+        |    JOIN dl USING (doc_id) CROSS JOIN stats s
+        |), fb AS (
+        |  SELECT query_id, doc_id FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sum(c) DESC, doc_id ASC) AS r
+        |    FROM contrib1 GROUP BY query_id, doc_id)
+        |  WHERE r <= 5
+        |), rmw AS (
+        |  SELECT fb.query_id, tf.term,
+        |    sum(floor(1e6 * tf.tf / dl.dl + 0.5)::BIGINT)::BIGINT AS rm_fx
+        |  FROM tf JOIN fb USING (doc_id) JOIN dl USING (doc_id)
+        |  GROUP BY 1, 2
+        |), rmtop AS (
+        |  SELECT query_id, term, rm_fx FROM (
+        |    SELECT query_id, term, rm_fx,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rm_fx DESC, term ASC) AS r
+        |    FROM rmw)
+        |  WHERE r <= 8
+        |), rmtot AS (
+        |  SELECT query_id, sum(rm_fx)::BIGINT AS rm_tot
+        |  FROM rmtop GROUP BY 1
+        |), expt AS (
+        |  SELECT query_id, term,
+        |    floor(500000.0 * rm_fx / rm_tot + 0.5)::BIGINT AS w_fx
+        |  FROM rmtop JOIN rmtot USING (query_id)
+        |), nq AS (
+        |  SELECT query_id, count(*)::BIGINT AS nq FROM qterms GROUP BY 1
+        |), origt AS (
+        |  SELECT query_id, term, floor(500000.0 / nq + 0.5)::BIGINT AS w_fx
+        |  FROM qterms JOIN nq USING (query_id)
+        |), wq AS (
+        |  SELECT query_id, term, sum(w_fx)::BIGINT AS w_fx
+        |  FROM (SELECT * FROM origt UNION ALL SELECT * FROM expt)
+        |  GROUP BY 1, 2 HAVING sum(w_fx) > 0
+        |), contrib2 AS (
+        |  SELECT w.query_id, tf.doc_id,
+        |    w.w_fx * (floor(ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5)
+        |        + 1.0)
+        |      * (tf.tf * 2.5)
+        |      / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / s.avgdl))
+        |      * 1e6 + 0.5)::BIGINT) AS wc
+        |  FROM tf JOIN wq w USING (term) JOIN dfreq USING (term)
+        |    JOIN dl USING (doc_id) CROSS JOIN stats s
+        |), scored AS (
+        |  SELECT query_id, doc_id, sum(wc)::BIGINT AS score_fx,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sum(wc) DESC, doc_id ASC)::BIGINT AS rank
+        |  FROM contrib2 GROUP BY query_id, doc_id
+        |)
+        |SELECT query_id, rank, doc_id, score_fx / 1e12 AS score
         |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "bm25_filtered" ->
@@ -4373,6 +4496,40 @@ object PipelineQueries {
         |  FROM nodes v)
         |SELECT node, floor(rank * 1e6 + 0.5) / 1e6 AS rank
         |FROM r3 ORDER BY node""".stripMargin,
+
+    "graph_label_prop" ->
+      """WITH adj AS (
+        |  SELECT user_id,
+        |    lag(user_id) OVER (PARTITION BY event_type,
+        |      (ts::DATE - DATE '1970-01-01')::BIGINT
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |edges AS (
+        |  SELECT DISTINCT least(prev, user_id) AS src,
+        |    greatest(prev, user_id) AS dst
+        |  FROM adj WHERE prev IS NOT NULL AND prev <> user_id),
+        |sym AS (SELECT src AS a, dst AS b FROM edges
+        |        UNION SELECT dst, src FROM edges),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+        |l1 AS (
+        |  SELECT node, label FROM (
+        |    SELECT s.a AS node, l.label, row_number() OVER (PARTITION BY s.a
+        |      ORDER BY count(*) DESC, l.label ASC) AS r
+        |    FROM sym s JOIN l0 l ON l.node = s.b GROUP BY s.a, l.label)
+        |  WHERE r = 1),
+        |l2 AS (
+        |  SELECT node, label FROM (
+        |    SELECT s.a AS node, l.label, row_number() OVER (PARTITION BY s.a
+        |      ORDER BY count(*) DESC, l.label ASC) AS r
+        |    FROM sym s JOIN l1 l ON l.node = s.b GROUP BY s.a, l.label)
+        |  WHERE r = 1),
+        |l3 AS (
+        |  SELECT node, label FROM (
+        |    SELECT s.a AS node, l.label, row_number() OVER (PARTITION BY s.a
+        |      ORDER BY count(*) DESC, l.label ASC) AS r
+        |    FROM sym s JOIN l2 l ON l.node = s.b GROUP BY s.a, l.label)
+        |  WHERE r = 1)
+        |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
 
     "split_assign" ->
       """WITH b AS (

@@ -179,4 +179,53 @@ class Bm25Spec extends SparkSpec {
     // one query term → exactly one bucket literal in the partition filter
     assert(plan.contains("bucket"), plan.take(1500))
   }
+
+  private def runRm3(corpus: org.apache.spark.sql.DataFrame,
+      q: Seq[(Long, String)], lambda: Double, k: Int = 5) =
+    TextAnalysis.rm3TopK(corpus, q.toDF("query_id", "text"),
+        "doc_id", "text", "query_id", "text", k, fbDocs = 2, fbTerms = 4,
+        origWeight = lambda)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("RM3 at origWeight=1 degenerates to the plain BM25 ranking") {
+    // every expansion weight snaps to zero and is dropped, so the candidate
+    // set AND the ranking must equal plain BM25's (scores scale by the
+    // constant uniform weight — monotone, rank-preserving)
+    val q = Seq((100L, "apple cherry"))
+    val plain = run(q).map(t => (t._1, t._2, t._3)).toSeq
+    assert(runRm3(docs, q, lambda = 1.0) == plain)
+  }
+
+  test("RM3 expansion retrieves a vocabulary-mismatched doc BM25 cannot") {
+    // d2 shares no term with the query, but shares "speed" with the
+    // feedback doc d1 — the relevance model carries it into round 2
+    val corpus = Seq(
+      (1L, "jaguar speed speed"),
+      (2L, "speed cat"),
+      (3L, "banana banana fruit"),
+      (4L, "fruit cat")).toDF("doc_id", "text")
+    val q = Seq((100L, "jaguar"))
+    val plain = TextAnalysis.bm25TopK(corpus, q.toDF("query_id", "text"),
+        "doc_id", "text", "query_id", "text", k = 5)
+      .collect().map(_.getLong(2)).toSet
+    assert(plain == Set(1L), "BM25 can only see the literal term match")
+    val expanded = runRm3(corpus, q, lambda = 0.5).map(_._3).toSet
+    assert(expanded.contains(1L) && expanded.contains(2L),
+      s"expansion must surface doc 2 via 'speed'; got $expanded")
+    assert(!expanded.contains(3L),
+      "a doc sharing nothing with the feedback set stays invisible")
+  }
+
+  test("RM3 ranking is partition-invariant (fixed-point all the way down)") {
+    val q = Seq((100L, "apple banana"), (200L, "cherry"))
+    val base = runRm3(docs, q, lambda = 0.5)
+    val shuffled = TextAnalysis.rm3TopK(docs.repartition(7),
+        q.toDF("query_id", "text"), "doc_id", "text", "query_id", "text",
+        k = 5, fbDocs = 2, fbTerms = 4, origWeight = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(base == shuffled)
+  }
 }

@@ -77,4 +77,43 @@ class GraphSpec extends SparkSpec {
     // b receives weight-2 traffic from a plus c's split vote: must outrank c
     assert(got("b") > got("c"))
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int = 3) =
+    Graph.labelPropagation(edges.toDF("src", "dst"), iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("labelPropagation: two triangles over a bridge split into two " +
+      "communities (hand-traced synchronous rounds)") {
+    // triangle {1,2,3}, triangle {4,5,6}, bridge 3-4
+    val got = lpa(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)))
+    // hand trace of 3 synchronous min-tie-break rounds:
+    // r1: 1→2 2→1 3→1 4→3 5→4 6→4; r2: 1→1 2→1 3→1 4→4 5→3 6→3;
+    // r3: left triangle all 1, right triangle all 3
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: communities refine connected components and are " +
+      "partition-invariant") {
+    // two components: a 5-path and a 4-clique
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L), (21L, 23L),
+      (22L, 23L))
+    val labels = lpa(edges)
+    // same-component nodes may split into several communities, but a label
+    // can never cross a component boundary (labels only travel on edges)
+    val compOf = Map(10L -> 0, 11L -> 0, 12L -> 0, 13L -> 0, 14L -> 0,
+      20L -> 1, 21L -> 1, 22L -> 1, 23L -> 1)
+    labels.foreach { case (node, label) =>
+      assert(compOf(node) == compOf(label),
+        s"label $label leaked across components to node $node")
+    }
+    // the clique converges to one community with the min label
+    assert(Seq(20L, 21L, 22L, 23L).map(labels).toSet == Set(20L))
+    val repart = Graph.labelPropagation(
+        edges.toDF("src", "dst").repartition(7), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(repart == labels)
+  }
 }

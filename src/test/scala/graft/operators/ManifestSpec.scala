@@ -195,6 +195,181 @@ class ManifestSpec extends SparkSpec {
     assert(nRead == 1L && nTotal == 1L)
   }
 
+  test("deleteRange rewrites only affected files; history, counts and " +
+      "later appends stay consistent") {
+    val tbl = tmpDir("man-del-tbl-")
+    val man = tmpDir("man-del-idx-")
+    // keys 0..999 clustered into 8 contiguous files (125 keys each)
+    writeFiles((0L until 1000L).map(k => (k, k * 2)), s"$tbl/d0", 8)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("k"), man)
+    val preFiles = Manifest.readManifest(spark, man).select("file")
+      .as[String].collect().toSet
+    val (nAff, nTot, nDel) = Manifest.deleteRange(spark, man, "k",
+      100L, 220L, s"$tbl/rw", Seq("k"))
+    assert(nTot == 8L)
+    assert(nAff == 2L, "keys 100..220 live in exactly 2 of the 8 files")
+    assert(nDel == 121L)
+    val served = Manifest.fullRead(spark, man)
+    assert(served.count() == 879L)
+    assert(served.select("k").as[Long].collect().toSet ==
+      ((0L until 100L) ++ (221L until 1000L)).toSet)
+    // copy-on-write: the 6 untouched files are served from their original
+    // paths; only the 2 affected ones were replaced
+    val postFiles = Manifest.readManifest(spark, man).select("file")
+      .as[String].collect().toSet
+    assert((preFiles intersect postFiles).size == 6)
+    // time travel: the pre-delete snapshot still serves every row
+    assert(Manifest.fullRead(spark, man, asOf = 0).count() == 1000L)
+    // manifest-only counting reflects the deletion
+    assert(Manifest.countOnly(spark, man, "k").head().getLong(0) == 879L)
+    // a later plain append (whose segment has no `removed` column) mixes
+    // with the DML segment under mergeSchema in BOTH directions
+    writeFiles((1000L until 1100L).map(k => (k, k)), s"$tbl/d1", 1)
+    Manifest.appendToManifest(spark, Seq(s"$tbl/d1"), Seq("k"), man)
+    assert(Manifest.fullRead(spark, man).count() == 979L)
+  }
+
+  test("deleting every row of the affected files writes no rewrite files, " +
+      "only tombstones") {
+    val tbl = tmpDir("man-del2-tbl-")
+    val man = tmpDir("man-del2-idx-")
+    // 4 files of exactly 250 contiguous keys each
+    writeFiles((0L until 1000L).map(k => (k, k)), s"$tbl/d0", 4)
+    val (nAff, _, nDel) = {
+      Manifest.buildManifest(spark, s"$tbl/d0", Seq("k"), man)
+      Manifest.deleteRange(spark, man, "k", 0L, 249L, s"$tbl/rw", Seq("k"))
+    }
+    assert(nAff == 1L && nDel == 250L)
+    val served = Manifest.fullRead(spark, man)
+    assert(served.count() == 750L)
+    assert(served.agg(min(col("k"))).head().getLong(0) == 250L)
+    assert(Manifest.readManifest(spark, man).count() == 3L,
+      "no rewrite file rows: the affected file was fully deleted")
+    // an out-of-range delete is a no-op
+    val (a2, t2, d2) =
+      Manifest.deleteRange(spark, man, "k", 5000L, 6000L, s"$tbl/rw2",
+        Seq("k"))
+    assert(a2 == 0L && t2 == 3L && d2 == 0L)
+  }
+
+  test("mergeInto replaces matched keys, inserts the rest, and rewrites " +
+      "only files that can hold an update key") {
+    val tbl = tmpDir("man-mrg-tbl-")
+    val man = tmpDir("man-mrg-idx-")
+    // keys 0..999 clustered into 8 contiguous files
+    writeFiles((0L until 1000L).map(k => (k, k)), s"$tbl/d0", 8)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("k"), man)
+    // updates: correct v for keys 100..120; inserts: new keys 2000..2004
+    val upd = ((100L to 120L).map(k => (k, -1L)) ++
+      (2000L until 2005L).map(k => (k, k))).toDF("k", "v")
+    val (nAff, nTot, nUpd) = Manifest.mergeInto(spark, man, upd, "k",
+      s"$tbl/rw", Seq("k"))
+    assert(nTot == 8L && nUpd == 26L)
+    assert(nAff == 1L, "keys 100..120 live in exactly 1 of the 8 files")
+    val served = Manifest.fullRead(spark, man)
+    assert(served.count() == 1005L)
+    assert(served.filter(col("k").between(100L, 120L))
+      .select("v").as[Long].collect().toSet == Set(-1L))
+    assert(served.filter(col("k") >= 2000L).count() == 5L)
+    // untouched keys keep their original values
+    assert(served.filter(col("k") === 500L).select("v").as[Long]
+      .collect().toSeq == Seq(500L))
+    // pre-merge snapshot intact
+    assert(Manifest.fullRead(spark, man, asOf = 0).count() == 1000L)
+    // a key matched in MULTIPLE rows is fully replaced (key non-unique)
+    val tbl2 = tmpDir("man-mrg2-tbl-")
+    val man2 = tmpDir("man-mrg2-idx-")
+    Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$tbl2/d0")
+    Manifest.buildManifest(spark, s"$tbl2/d0", Seq("k"), man2)
+    Manifest.mergeInto(spark, man2, Seq((1L, 99L)).toDF("k", "v"), "k",
+      s"$tbl2/rw", Seq("k"))
+    val got = Manifest.fullRead(spark, man2)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 99L), (2L, 20L)),
+      "both rows under key 1 must be replaced by the single update row")
+  }
+
+  test("vacuum refuses on an un-compacted store, then removes exactly the " +
+      "dead files") {
+    val tbl = tmpDir("man-vac-tbl-")
+    val man = tmpDir("man-vac-idx-")
+    writeFiles((0L until 400L).map(k => (k, k)), s"$tbl/d0", 4)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("k"), man)
+    Manifest.deleteRange(spark, man, "k", 0L, 99L, s"$tbl/rw", Seq("k"))
+    // history still addressable -> vacuum must refuse
+    intercept[IllegalArgumentException] {
+      Manifest.vacuumTable(spark, man, Seq(tbl))
+    }
+    val chk = Contracts.checksum(Manifest.fullRead(spark, man)
+      .localCheckpoint())
+    Manifest.compactManifest(spark, man)
+    val n = Manifest.vacuumTable(spark, man, Seq(tbl))
+    assert(n == 1L, "exactly the one fully-deleted original file is dead")
+    assert(Contracts.checksum(Manifest.fullRead(spark, man)) == chk)
+    assert(Manifest.fullRead(spark, man).count() == 300L)
+  }
+
+  test("optimize merges the small-file tail into right-sized files and is " +
+      "idempotent") {
+    val tbl = tmpDir("man-opt-tbl-")
+    val man = tmpDir("man-opt-idx-")
+    // 6 small files of 10 rows + 1 big file of 100 rows
+    (0 until 6).foreach { i =>
+      writeFiles((i * 10L until (i + 1) * 10L).map(k => (k, k)),
+        s"$tbl/s$i", 1)
+    }
+    writeFiles((100L until 200L).map(k => (k, k)), s"$tbl/big", 1)
+    Manifest.buildManifest(spark, s"$tbl/s0", Seq("k"), man)
+    (1 until 6).foreach(i => Manifest.appendToManifest(spark,
+      Seq(s"$tbl/s$i"), Seq("k"), man, batchId = i))
+    Manifest.appendToManifest(spark, Seq(s"$tbl/big"), Seq("k"), man,
+      batchId = 6)
+    val preChk = Contracts.checksum(Manifest.fullRead(spark, man)
+      .localCheckpoint())
+    val (nMerged, nCreated) = Manifest.optimizeSmallFiles(spark, man,
+      s"$tbl/opt", Seq("k"), targetRows = 50L, minRows = 25L)
+    assert(nMerged == 6L && nCreated == 2L) // ceil(60 / 50) = 2
+    assert(Contracts.checksum(Manifest.fullRead(spark, man)) == preChk)
+    val m = Manifest.readManifest(spark, man)
+    assert(m.count() == 3L) // 2 merged + 1 big
+    // the merged files are >= minRows, so a second run is a no-op
+    val (n2, _) = Manifest.optimizeSmallFiles(spark, man, s"$tbl/opt2",
+      Seq("k"), targetRows = 50L, minRows = 25L)
+    assert(n2 == 0L)
+    // the pre-optimize snapshot still lists the small files
+    assert(Manifest.readManifestAsOf(spark, man, 6L).count() == 7L)
+  }
+
+  test("bloom index: no false negatives on present keys, absent keys open " +
+      "at most the fpp tail") {
+    val tbl = tmpDir("man-bloom-tbl-")
+    val idx = tmpDir("man-bloom-idx-")
+    // hash-distributed layout: zone maps are useless for point lookups
+    (0L until 512L).map(k => (k, k * 3)).toDF("k", "v")
+      .repartition(8, col("k")).write.mode("overwrite")
+      .parquet(s"$tbl/d0")
+    Manifest.buildBloomIndex(spark, s"$tbl/d0", "k", idx,
+      expectedPerFile = 10000L)
+    val full = spark.read.parquet(s"$tbl/d0")
+    (0L until 512L by 37L).foreach { key =>
+      val (df, nRead, nTotal) = Manifest.bloomPrunedRead(spark, idx, "k", key)
+      assert(nTotal == 8L)
+      assert(nRead >= 1L, s"key $key: the holding file must survive")
+      assert(df.select("v").as[Long].collect().toSeq == Seq(key * 3),
+        s"key $key served wrong rows")
+    }
+    // absent key: zero rows regardless of false-positive file opens
+    val (dfAbs, nReadAbs, _) =
+      Manifest.bloomPrunedRead(spark, idx, "k", 100000L)
+    assert(dfAbs.count() == 0L)
+    assert(nReadAbs <= 2L, "fpp=0.01 over 8 files should open ~0 extras")
+    // equality with the exact filter on a present key
+    val (df42, _, _) = Manifest.bloomPrunedRead(spark, idx, "k", 42L)
+    assert(Contracts.checksum(df42) ==
+      Contracts.checksum(full.filter(col("k") === 42L)))
+  }
+
   test("empty prune window returns a schema-stable empty frame") {
     val tbl = tmpDir("man-tbl4-")
     val man = tmpDir("man-idx4-")
