@@ -25,7 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ParityQueries.queries ++
       PipelineQueries.queries ++ ExtendedQueries.queries ++
-      FormatQueries.queries ++
+      FormatQueries.queries ++ AuditQueries.queries ++
       graft.streaming.StreamingQueries.queries
 
   /** Timing view for Bench: identical to `queries` except that contract
@@ -43,6 +43,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ ParityQueries.oracles ++
       PipelineQueries.oracles ++ ExtendedQueries.oracles ++
-      FormatQueries.oracles ++
+      FormatQueries.oracles ++ AuditQueries.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

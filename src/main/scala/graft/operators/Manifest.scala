@@ -627,4 +627,52 @@ object Manifest {
     (df.filter(col(keyCol) === lit(value)),
       survivors.size.toLong, probed.length.toLong)
   }
+
+  /** Per-file NDV (distinct-count) sketch index — the Iceberg-puffin
+    * `apache-datasketches-hll` posture at the file listing: ONE scan
+    * projecting only `keyCol` builds a native `hll_sketch_agg` per file
+    * (mergeable binary registers, ~`2^lgConfigK` bytes each). Planning
+    * questions that need distinct counts — join-side choice, selectivity,
+    * "how many dictionary entries will this range scan see" — are then
+    * answered by MERGING sketches over any file subset with ZERO data-file
+    * opens, where the exact answer would re-scan the data (distinct counts,
+    * unlike min/max/nulls, do not add across files). lgConfigK = 12 →
+    * ~1.6 % relative standard error at ~4 KB per file.
+    */
+  def buildNdvIndex(spark: SparkSession, tablePath: String, keyCol: String,
+      indexPath: String, lgConfigK: Int = 12): Unit =
+    spark.read.option("recursiveFileLookup", "true").parquet(tablePath)
+      .select(input_file_name().as("file"), col(keyCol))
+      .groupBy(col("file"))
+      .agg(hll_sketch_agg(col(keyCol), lgConfigK).as("ndv_sketch"))
+      .coalesce(1).write.mode("overwrite").parquet(indexPath)
+
+  /** Whole-table NDV estimate: union every per-file sketch. One scan of
+    * the files×KB index, zero data-file opens. Returns (ndv, n_files).
+    */
+  def ndvEstimateAll(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(indexPath)
+      .agg(hll_sketch_estimate(hll_union_agg(col("ndv_sketch"))).as("ndv"),
+        count(lit(1)).as("n_files"))
+
+  /** NDV estimate restricted to the files whose zone maps in the COMPANION
+    * manifest intersect `statsCol BETWEEN lo AND hi` — the composed
+    * planning query ("distinct keys this range scan will see"): the
+    * manifest prunes the listing, the sketch union answers the estimate,
+    * and no data file opens on either step. The semi-join runs
+    * DISTRIBUTED on the shared `input_file_name()` identity both stores
+    * record. Returns (ndv, n_files) with n_files = files merged.
+    */
+  def ndvEstimateForRange(spark: SparkSession, indexPath: String,
+      manifestPath: String, statsCol: String, lo: Any, hi: Any,
+      asOf: Long = Long.MaxValue): DataFrame = {
+    val surviving = readManifestAsOf(spark, manifestPath, asOf)
+      .filter(col(s"min_$statsCol") <= lit(hi) &&
+        col(s"max_$statsCol") >= lit(lo))
+      .select(col("file"))
+    spark.read.parquet(indexPath)
+      .join(surviving, Seq("file"), "left_semi")
+      .agg(hll_sketch_estimate(hll_union_agg(col("ndv_sketch"))).as("ndv"),
+        count(lit(1)).as("n_files"))
+  }
 }

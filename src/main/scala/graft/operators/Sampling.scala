@@ -103,6 +103,32 @@ object Sampling {
       .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
       .limit(k)
 
+  /** Weighted exact-k sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES, deterministic form): each row draws rank = -ln(u) / w with u a
+    * salted-md5 uniform in (0, 1]; the k SMALLEST ranks are the sample.
+    * A-ES is the standard one-pass weighted reservoir — inclusion
+    * probability proportional to weight at every prefix — and the md5
+    * uniform makes it reproducible, partition-invariant, and
+    * engine-portable (the oracle replays the identical formula). Plans as
+    * TakeOrderedAndProject like [[exactK]]: per-partition top-k, k rows to
+    * the driver-side merge, no global sort.
+    *
+    * u = (first 13 md5 hex chars + 1) / 2^52 — 52 uniform bits, exactly
+    * representable, never 0 (so ln(u) is finite). Null ids and
+    * non-positive weights are excluded up front (a weight of 0 can never
+    * win a slot; a negative one would invert the order).
+    */
+  def weightedExactK(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, salt: String = ""): DataFrame = {
+    val u = (conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(salt))), 1, 13),
+      16, 10).cast("long") + 1).cast("double") / lit(4503599627370496.0)
+    df.filter(col(idCol).isNotNull && weightCol > 0)
+      .withColumn("aes_rank", -log(u) / weightCol.cast("double"))
+      .orderBy(col("aes_rank"), col(idCol))
+      .limit(k)
+  }
+
   /** One step of the streaming reservoir fold: the exact-k of
     * snapshot ∪ batch, deduplicated on `idCol` first. With set semantics
     * min-k under union is a semilattice — commutative, associative and

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.{Drift, Expectations, Graph}
+
+/** Dataset-audit operators a production training-data pipeline runs as
+  * standing gates (beyond the reference, which has no audit surface at
+  * all — cmd/parquetgo-record-processor/handler.go:104-252 transforms
+  * records with zero validation): a one-pass declarative expectation suite
+  * ([[graft.operators.Expectations]], the deequ posture), distribution
+  * drift between dataset slices ([[graft.operators.Drift]], PSI + JSD),
+  * and exact triangle counting over the user co-activity graph
+  * ([[graft.operators.Graph.triangles]], the clustering-structure audit
+  * for interaction data).
+  */
+object AuditQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def round6(c: Column): Column =
+    floor(c * 1e6 + 0.5) / 1e6
+
+  /** The documents-table expectation suite: completeness, key uniqueness,
+    * bounds, domain conformance. Shared by the query and the spec so both
+    * certify the same contract.
+    */
+  def documentChecks: Seq[Expectations.Check] = Seq(
+    Expectations.Check("completeness_text",
+      Expectations.completeness("text"), 1.0, 1.0),
+    Expectations.Check("completeness_lang",
+      Expectations.completeness("lang"), 1.0, 1.0),
+    Expectations.Check("uniqueness_doc_id",
+      Expectations.uniqueness("doc_id"), 1.0, 1.0),
+    Expectations.Check("min_n_chars",
+      min(col("n_chars")).cast("double"), 1.0, 1e6),
+    Expectations.Check("max_n_chars",
+      max(col("n_chars")).cast("double"), 1.0, 1e4),
+    Expectations.Check("mean_n_chars",
+      avg(col("n_chars")), 50.0, 1000.0),
+    Expectations.Check("lang_in_domain",
+      Expectations.conformance(
+        col("lang").isin("de", "en", "es", "fr", "zh")), 1.0, 1.0),
+    Expectations.Check("source_format",
+      Expectations.conformance(col("source").rlike("^src[0-9]+$")),
+      1.0, 1.0),
+    Expectations.Check("text_nonempty",
+      Expectations.conformance(length(col("text")) > 0), 1.0, 1.0))
+
+  /** The co-activity edge set (users adjacent in time on the same
+    * (event_type, day) timeline) — the identical LINEAR derivation
+    * `graph_label_prop` uses (one lag window; a shared-key co-occurrence
+    * self-join would be a fixture quadratic).
+    */
+  private[queries] def coActivityEdges(s: SparkSession,
+      dir: String): DataFrame = {
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").as("day"))
+      .withColumn("prev", lag(col("user_id"), 1).over(wd))
+      .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+      .select(least(col("prev"), col("user_id")).as("src"),
+        greatest(col("prev"), col("user_id")).as("dst"))
+      .distinct()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // One-pass data-quality gate over the documents table: 9 expectations
+    // (completeness, key uniqueness, bounds, domain conformance) costed as
+    // ONE table scan — the plan is scan → aggregate → stack, so the suite
+    // scales to any check count without rescanning. The oracle replays
+    // every metric AND the verdict in SQL.
+    "quality_expectations" -> ((s, dir) =>
+      Expectations.run(t(s, dir, "documents"), documentChecks)
+        .orderBy(col("check_name"))),
+
+    // Distribution drift between dataset slices, one row per monitored
+    // feature: PSI + JSD for the numeric `value` (bucketed at the FULL
+    // table's decile edges — the reference-quantile recipe) of purchase
+    // events vs all events, and for the categorical event_type mix of the
+    // lower vs upper user-id population. Each histogram is one
+    // partial-aggregated groupBy; metrics touch ≤ nBuckets rows.
+    "distribution_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val num = Drift.numericDrift(ev,
+          ev.filter(col("event_type") === "purchase"), "value",
+          nBuckets = 10)
+        .select(lit("value:purchase_vs_all").as("feature"),
+          round6(col("psi")).as("psi"), round6(col("jsd")).as("jsd"))
+      val cat = Drift.categoricalDrift(ev.filter(col("user_id") < 75),
+          ev.filter(col("user_id") >= 75), "event_type")
+        .select(lit("event_type:users_lo_vs_hi").as("feature"),
+          round6(col("psi")).as("psi"), round6(col("jsd")).as("jsd"))
+      num.unionByName(cat).orderBy(col("feature"))
+    }),
+
+    // Exact per-node triangle counts over the co-activity graph by
+    // degree-ordered orientation (compact-forward): the apex join's
+    // fan-out is arboricity-bounded, so the plan survives skewed degree
+    // distributions that explode a naive wedge join. The oracle replays
+    // orientation, wedge, closure, and corner attribution in SQL and
+    // compares EVERY node's count. (The fixture's 150-user graph densifies
+    // with sf — the count grows with the data's co-occurrence, bounded by
+    // the user population, not the plan.)
+    "graph_triangles" -> ((s, dir) =>
+      Graph.triangles(coActivityEdges(s, dir))
+        .orderBy(col("node"))))
+
+  val oracles: Map[String, String] = Map(
+    "quality_expectations" ->
+      """WITH m AS (SELECT
+        |  avg(CASE WHEN text IS NULL THEN 0 ELSE 1 END)::DOUBLE AS c_text,
+        |  avg(CASE WHEN lang IS NULL THEN 0 ELSE 1 END)::DOUBLE AS c_lang,
+        |  count(DISTINCT doc_id)::DOUBLE / count(*)::DOUBLE AS u_id,
+        |  min(n_chars)::DOUBLE AS min_c,
+        |  max(n_chars)::DOUBLE AS max_c,
+        |  avg(n_chars)::DOUBLE AS mean_c,
+        |  avg(CASE WHEN lang IN ('de','en','es','fr','zh')
+        |      THEN 1 ELSE 0 END)::DOUBLE AS l_dom,
+        |  avg(CASE WHEN coalesce(regexp_matches(source, '^src[0-9]+$'),
+        |      FALSE) THEN 1 ELSE 0 END)::DOUBLE AS s_fmt,
+        |  avg(CASE WHEN coalesce(length(text) > 0, FALSE)
+        |      THEN 1 ELSE 0 END)::DOUBLE AS t_ne
+        |  FROM documents),
+        |rows_ AS (
+        |  SELECT 'completeness_text' AS check_name,
+        |    floor(c_text*1e6+0.5)/1e6 AS metric, 1.0 AS lo, 1.0 AS hi
+        |    FROM m
+        |  UNION ALL SELECT 'completeness_lang',
+        |    floor(c_lang*1e6+0.5)/1e6, 1.0, 1.0 FROM m
+        |  UNION ALL SELECT 'uniqueness_doc_id',
+        |    floor(u_id*1e6+0.5)/1e6, 1.0, 1.0 FROM m
+        |  UNION ALL SELECT 'min_n_chars',
+        |    floor(min_c*1e6+0.5)/1e6, 1.0, 1e6 FROM m
+        |  UNION ALL SELECT 'max_n_chars',
+        |    floor(max_c*1e6+0.5)/1e6, 1.0, 1e4 FROM m
+        |  UNION ALL SELECT 'mean_n_chars',
+        |    floor(mean_c*1e6+0.5)/1e6, 50.0, 1000.0 FROM m
+        |  UNION ALL SELECT 'lang_in_domain',
+        |    floor(l_dom*1e6+0.5)/1e6, 1.0, 1.0 FROM m
+        |  UNION ALL SELECT 'source_format',
+        |    floor(s_fmt*1e6+0.5)/1e6, 1.0, 1.0 FROM m
+        |  UNION ALL SELECT 'text_nonempty',
+        |    floor(t_ne*1e6+0.5)/1e6, 1.0, 1.0 FROM m)
+        |SELECT check_name, metric, lo, hi,
+        |  metric >= lo AND metric <= hi AS passed
+        |FROM rows_ ORDER BY check_name""".stripMargin,
+
+    "distribution_drift" ->
+      """WITH refv AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |curv AS (SELECT value FROM events
+        |         WHERE value IS NOT NULL AND event_type = 'purchase'),
+        |e AS (SELECT
+        |  floor(quantile_cont(value, 0.1)*1e6+0.5)/1e6 AS e1,
+        |  floor(quantile_cont(value, 0.2)*1e6+0.5)/1e6 AS e2,
+        |  floor(quantile_cont(value, 0.3)*1e6+0.5)/1e6 AS e3,
+        |  floor(quantile_cont(value, 0.4)*1e6+0.5)/1e6 AS e4,
+        |  floor(quantile_cont(value, 0.5)*1e6+0.5)/1e6 AS e5,
+        |  floor(quantile_cont(value, 0.6)*1e6+0.5)/1e6 AS e6,
+        |  floor(quantile_cont(value, 0.7)*1e6+0.5)/1e6 AS e7,
+        |  floor(quantile_cont(value, 0.8)*1e6+0.5)/1e6 AS e8,
+        |  floor(quantile_cont(value, 0.9)*1e6+0.5)/1e6 AS e9
+        |  FROM refv),
+        |rb AS (SELECT ((value > e1)::INT + (value > e2)::INT
+        |  + (value > e3)::INT + (value > e4)::INT + (value > e5)::INT
+        |  + (value > e6)::INT + (value > e7)::INT + (value > e8)::INT
+        |  + (value > e9)::INT) AS bucket FROM refv, e),
+        |cb AS (SELECT ((value > e1)::INT + (value > e2)::INT
+        |  + (value > e3)::INT + (value > e4)::INT + (value > e5)::INT
+        |  + (value > e6)::INT + (value > e7)::INT + (value > e8)::INT
+        |  + (value > e9)::INT) AS bucket FROM curv, e),
+        |rp AS (SELECT bucket, count(*) AS n FROM rb GROUP BY bucket),
+        |cp AS (SELECT bucket, count(*) AS n FROM cb GROUP BY bucket),
+        |rt AS (SELECT sum(n)::DOUBLE AS t FROM rp),
+        |ct AS (SELECT sum(n)::DOUBLE AS t FROM cp),
+        |jn AS (SELECT greatest(coalesce(rp.n / rt.t, 0), 1e-6) AS p,
+        |              greatest(coalesce(cp.n / ct.t, 0), 1e-6) AS q
+        |       FROM rp FULL JOIN cp USING (bucket), rt, ct),
+        |r2 AS (SELECT event_type AS bucket, count(*) AS n FROM events
+        |       WHERE user_id < 75 AND event_type IS NOT NULL GROUP BY 1),
+        |c2 AS (SELECT event_type AS bucket, count(*) AS n FROM events
+        |       WHERE user_id >= 75 AND event_type IS NOT NULL GROUP BY 1),
+        |rt2 AS (SELECT sum(n)::DOUBLE AS t FROM r2),
+        |ct2 AS (SELECT sum(n)::DOUBLE AS t FROM c2),
+        |jn2 AS (SELECT greatest(coalesce(r2.n / rt2.t, 0), 1e-6) AS p,
+        |               greatest(coalesce(c2.n / ct2.t, 0), 1e-6) AS q
+        |        FROM r2 FULL JOIN c2 USING (bucket), rt2, ct2)
+        |SELECT 'value:purchase_vs_all' AS feature,
+        |  floor(sum((q-p)*ln(q/p))*1e6+0.5)/1e6 AS psi,
+        |  floor((0.5*sum(p*ln(p*2/(p+q)))
+        |    + 0.5*sum(q*ln(q*2/(p+q))))*1e6+0.5)/1e6 AS jsd
+        |FROM jn
+        |UNION ALL
+        |SELECT 'event_type:users_lo_vs_hi' AS feature,
+        |  floor(sum((q-p)*ln(q/p))*1e6+0.5)/1e6 AS psi,
+        |  floor((0.5*sum(p*ln(p*2/(p+q)))
+        |    + 0.5*sum(q*ln(q*2/(p+q))))*1e6+0.5)/1e6 AS jsd
+        |FROM jn2
+        |ORDER BY feature""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH adj AS (
+        |  SELECT user_id,
+        |    lag(user_id) OVER (PARTITION BY event_type,
+        |      (ts::DATE - DATE '1970-01-01')::BIGINT
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |edges AS (
+        |  SELECT DISTINCT least(prev, user_id) AS a,
+        |    greatest(prev, user_id) AS b
+        |  FROM adj WHERE prev IS NOT NULL AND prev <> user_id),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM edges
+        |    UNION ALL SELECT b FROM edges) GROUP BY node),
+        |o AS (SELECT
+        |    CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+        |      THEN e.a ELSE e.b END AS u,
+        |    CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+        |      THEN e.b ELSE e.a END AS v,
+        |    CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+        |      THEN db.deg ELSE da.deg END AS degv
+        |  FROM edges e JOIN deg da ON da.node = e.a
+        |  JOIN deg db ON db.node = e.b),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+        |    AND (e1.degv, e1.v) < (e2.degv, e2.v)
+        |  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |corners AS (SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT node, count(*) AS n_tri FROM corners
+        |GROUP BY node ORDER BY node""".stripMargin)
+}

@@ -395,6 +395,57 @@ object FormatQueries {
             !plan.contains("graft-mancnt-tbl-")))
     }),
 
+    // Per-file NDV sketches beside the manifest: distinct counts do NOT
+    // add across files (unlike rows/nulls/min/max), so zone maps alone
+    // cannot answer them — the NDV index stores one mergeable HLL register
+    // blob per file and unions blobs at plan time. Graded on: whole-table
+    // estimate within 5 % (≈3σ at lgK=12) of the exact distinct (replayed
+    // in DuckDB), the range-composed estimate ("distinct part keys this
+    // orderkey-range scan will see") within 5 % of the exact distinct over
+    // the surviving files, the zone-map prune actually shrinking the
+    // merge, and ZERO data-file opens in both estimates' plans.
+    "manifest_ndv" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val tbl = tmp("graft-manndv-tbl-")
+      val man = tmp("graft-manndv-man-")
+      val idx = tmp("graft-manndv-idx-")
+      li.repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$tbl/d0")
+      Manifest.buildManifest(s, s"$tbl/d0", Seq("l_orderkey"), man)
+      Manifest.buildNdvIndex(s, s"$tbl/d0", "l_partkey", idx)
+      val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      val (lo, hi) = (0L, mx / 4)
+      val all = Manifest.ndvEstimateAll(s, idx)
+      val ranged = Manifest.ndvEstimateForRange(s, idx, man,
+        "l_orderkey", lo, hi)
+      val allPlan = all.queryExecution.executedPlan.toString
+      val rangedPlan = ranged.queryExecution.executedPlan.toString
+      val allRow = all.head()
+      val rangedRow = ranged.head()
+      val exactAll = li.select(count_distinct(col("l_partkey")))
+        .head().getLong(0)
+      val survivors = Manifest.readManifest(s, man)
+        .filter(col("min_l_orderkey") <= hi && col("max_l_orderkey") >= lo)
+        .select(col("file")).collect().map(_.getString(0)).toSeq
+      val exactRange = s.read.parquet(survivors: _*)
+        .select(count_distinct(col("l_partkey"))).head().getLong(0)
+      def close(est: Long, exact: Long): Boolean =
+        math.abs(est - exact).toDouble <= 0.05 * exact
+      Contracts.row(s,
+        "n_distinct_all" -> exactAll,
+        "estimate_within_rse_ok" -> close(allRow.getLong(0), exactAll),
+        "range_estimate_within_rse_ok" ->
+          (close(rangedRow.getLong(0), exactRange) &&
+            rangedRow.getLong(1) < allRow.getLong(1)),
+        "zero_data_file_opens_ok" ->
+          (allPlan.contains("graft-manndv-idx-") &&
+            !allPlan.contains("graft-manndv-tbl-") &&
+            rangedPlan.contains("graft-manndv-idx-") &&
+            !rangedPlan.contains("graft-manndv-tbl-")))
+    }),
+
     // Z-order × manifest composition: the Morton layout makes every file's
     // (l_partkey, l_suppkey) box tight in BOTH dimensions, and the
     // manifest's 2-D box prune turns that geometry into skipped file
@@ -722,6 +773,13 @@ object FormatQueries {
         |  TRUE AS zero_data_file_opens_ok
         |FROM lineitem""".stripMargin,
 
+    "manifest_ndv" ->
+      """SELECT count(DISTINCT l_partkey) AS n_distinct_all,
+        |  TRUE AS estimate_within_rse_ok,
+        |  TRUE AS range_estimate_within_rse_ok,
+        |  TRUE AS zero_data_file_opens_ok
+        |FROM lineitem""".stripMargin,
+
     "manifest_time_travel" ->
       """SELECT
         |  (SELECT count(*) FROM lineitem WHERE l_orderkey % 3 = 0)
@@ -918,12 +976,21 @@ object FormatQueries {
     "manifest_bloom_point" -> ((s, dir) => {
       val st = dmlStores(s, dir)
       Manifest.bloomPrunedRead(s, st.bloomIdx, "l_orderkey", st.bloomKey)._1
+    }),
+    // serving only: both sketch-union estimates against the memoized
+    // stores — the exactness baselines stay in Verify
+    "manifest_ndv" -> ((s, dir) => {
+      val st = dmlStores(s, dir)
+      Manifest.ndvEstimateAll(s, st.ndvIdx).unionByName(
+        Manifest.ndvEstimateForRange(s, st.ndvIdx, st.ndvMan,
+          "l_orderkey", 0L, st.ndvHi))
     }))
 
-  /** Memoized fixtures for the DML/bloom timed forms above. */
+  /** Memoized fixtures for the DML/bloom/NDV timed forms above. */
   private case class DmlStores(delMan: String, lo: Long, hi: Long,
       optMan: String, target: Long, minR: Long,
-      bloomIdx: String, bloomKey: Long)
+      bloomIdx: String, bloomKey: Long,
+      ndvMan: String, ndvIdx: String, ndvHi: Long)
 
   private val dmlCache =
     new scala.collection.concurrent.TrieMap[String, DmlStores]
@@ -966,8 +1033,17 @@ object FormatQueries {
         expectedPerFile = 100000L)
       val key = li2.filter(col("l_orderkey") <= mx / 2)
         .agg(max(col("l_orderkey"))).head().getLong(0)
+      val ndvTbl = tmp("graft-ntimed-tbl-")
+      val ndvMan = tmp("graft-ntimed-man-")
+      val ndvIdx = tmp("graft-ntimed-idx-")
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$ndvTbl/d0")
+      Manifest.buildManifest(s, s"$ndvTbl/d0", Seq("l_orderkey"), ndvMan)
+      Manifest.buildNdvIndex(s, s"$ndvTbl/d0", "l_partkey", ndvIdx)
       DmlStores(delMan, mx / 3, mx / 2,
         optMan, math.max(4L, rows / 8), math.max(2L, rows / 16),
-        blIdx, key)
+        blIdx, key, ndvMan, ndvIdx, mx / 4)
     })
 }

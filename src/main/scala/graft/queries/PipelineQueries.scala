@@ -1072,6 +1072,17 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Weighted exact-k without replacement (Efraimidis–Spirakis A-ES):
+    // rank = -ln(md5-uniform)/n_chars, k smallest win — longer documents
+    // proportionally likelier, yet the draw is deterministic and
+    // partition-invariant. Plans as TakeOrderedAndProject (no global
+    // sort); the oracle replays the identical rank formula hex-for-hex.
+    "sample_weighted_aes" -> ((s, dir) =>
+      Sampling.weightedExactK(t(s, dir, "documents"), "doc_id",
+          col("n_chars"), 40, "wrs")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // Sequence packing: docs → fixed-token-budget packs, sharded so each
     // shard packs independently (no global sort). Per-doc assignment is the
     // dump — the oracle re-derives every pack id from the same cumulative
@@ -3733,6 +3744,17 @@ object PipelineQueries {
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang FROM documents
         |  ORDER BY md5(doc_id::VARCHAR || 'rs'), doc_id LIMIT 40)
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted_aes" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars > 0
+        |  ORDER BY -ln((('0x' ||
+        |      substr(md5(doc_id::VARCHAR || 'wrs'), 1, 13))::UBIGINT + 1)
+        |      / 4503599627370496.0) / n_chars::DOUBLE,
+        |    doc_id
+        |  LIMIT 40)
         |ORDER BY doc_id""".stripMargin,
 
     "seq_pack" ->

@@ -577,6 +577,63 @@ object StreamingQueries {
     (man, tbl, batches.get())
   }
 
+  /** Staged 3-file purchase-events split for the streaming drift
+    * monitor.
+    */
+  private val driftInCache =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Streaming drift-monitor fold: frozen reference decile `edges`, ONE
+    * bucket-count aggregation per micro-batch, landed as an idempotent
+    * batchId-keyed segment `b<id>` of (bucket, n) integer counts. Counts
+    * are ADDITIVE, so the cumulative current-window histogram is a plain
+    * sum over segments — an at-least-once replay rewrites its own segment
+    * (overwrite mode) instead of double-counting, and streamed-vs-batch
+    * equality is exact integer equality, not a tolerance. Per-batch cost
+    * is O(batch): the reference is never rescanned (its edges are frozen
+    * literals inside the bucket expression). Returns (segDir, nBatches).
+    */
+  private def runDriftStream(s: SparkSession, dir: String,
+      edges: Array[Double]): (String, Long) = {
+    val ev = Tables.t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+    val inDir = driftInCache.getOrElseUpdate(dir, {
+      val d = Files.createTempDirectory("graft-sdrift-in-").toString
+      (0 until 3).foreach { i =>
+        ev.filter(col("event_id") % 3 === i).coalesce(1)
+          .write.parquet(s"$d/f$i.parquet")
+      }
+      d
+    })
+    val stage = Files.createTempDirectory("graft-sdrift-").toString
+    val segDir = s"$stage/segments"
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet")
+        .writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            b.filter(col("value").isNotNull)
+              .groupBy(graft.operators.Drift
+                .bucketOf(col("value"), edges).as("bucket"))
+              .agg(count(lit(1)).as("n"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$segDir/b$id")
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+    (segDir, batches.get())
+  }
+
   /** Segments with batch id STRICTLY below `id` — NOT `b*`: a batch
     * replayed after a mid-batch crash must not see its own half-written
     * segment (or, on an out-of-order replay, a later one) as "prior".
@@ -622,6 +679,18 @@ object StreamingQueries {
         .filter(_.isDirectory)
         .flatMap(f => graft.operators.Segments.id(f.getName))
       s.read.parquet(s"$segDir/b${ids.max}")
+    }),
+    // fold + one served PSI/JSD read — the batch-equality baselines stay
+    // in Verify
+    "streaming_drift" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val edges = graft.operators.Drift.quantileEdges(ev, "value", 10)
+      val (segDir, _) = runDriftStream(s, dir, edges)
+      val counts = s.read.parquet(s"$segDir/b*")
+        .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+      graft.operators.Drift.compare(
+        graft.operators.Drift.histogram(ev, "value", edges),
+        graft.operators.Drift.proportions(counts))
     }),
     // serving only: fixed frozen weights (training is quality_classifier's
     // cost, timed there) — the batch-equality baseline stays in Verify
@@ -1470,6 +1539,45 @@ object StreamingQueries {
             graft.queries.Contracts.checksum(batch)))
     }),
 
+    // Streaming distribution-drift monitor: decile edges frozen on the
+    // FULL batch table (the reference), then each micro-batch of the
+    // purchase-event stream lands ONE bucket-count aggregation as an
+    // idempotent batchId-keyed segment. Serving sums the segments into
+    // the cumulative current histogram (additive integer counts — replay
+    // cannot double-count) and computes PSI/JSD against the frozen
+    // reference. Contract: ≥3 batches; the summed segments EXACTLY equal
+    // the batch histogram of the same slice (integer equality via
+    // checksum); and the served PSI/JSD equal the batch numericDrift at
+    // the 6-decimal output grain (both sides aggregate the same ≤10
+    // (p, q) rows — only engine-internal partial-sum order can differ,
+    // which the output rounding absorbs by design).
+    "streaming_drift" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val cur = ev.filter(col("event_type") === "purchase")
+      val edges = graft.operators.Drift.quantileEdges(ev, "value", 10)
+      val (segDir, nb) = runDriftStream(s, dir, edges)
+      def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      val streamedCounts = s.read.parquet(s"$segDir/b*")
+        .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+        .localCheckpoint()
+      val batchCounts = graft.operators.Drift
+        .histogram(cur, "value", edges).select(col("bucket"), col("n"))
+      val refHist = graft.operators.Drift.histogram(ev, "value", edges)
+      val served = graft.operators.Drift.compare(refHist,
+        graft.operators.Drift.proportions(streamedCounts)).head()
+      val batch = graft.operators.Drift
+        .numericDrift(ev, cur, "value", nBuckets = 10).head()
+      graft.queries.Contracts.row(s,
+        "n_events" -> cur.count(),
+        "multi_batch_ok" -> (nb >= 3L),
+        "segments_sum_equals_batch_ok" ->
+          (graft.queries.Contracts.checksum(streamedCounts) ==
+            graft.queries.Contracts.checksum(batchCounts)),
+        "served_psi_equals_batch_ok" ->
+          (r6(served.getDouble(0)) == r6(batch.getDouble(0)) &&
+            r6(served.getDouble(1)) == r6(batch.getDouble(1))))
+    }),
+
     // Streaming deterministic reservoir: exact-k (smallest salted-md5
     // ranks) maintained across 3 micro-batches with O(k) state. Contract:
     // the final snapshot is BIT-EQUAL to a from-scratch batch exactK over
@@ -1784,6 +1892,12 @@ object StreamingQueries {
       """SELECT (SELECT count(*) FROM documents) AS n_docs,
         |  TRUE AS multi_batch_ok, TRUE AS every_doc_scored_once_ok,
         |  TRUE AS equals_batch_scoring_ok""".stripMargin,
+
+    "streaming_drift" ->
+      """SELECT (SELECT count(*) FROM events
+        |   WHERE event_type = 'purchase') AS n_events,
+        |  TRUE AS multi_batch_ok, TRUE AS segments_sum_equals_batch_ok,
+        |  TRUE AS served_psi_equals_batch_ok""".stripMargin,
 
     "streaming_manifest" ->
       """SELECT (SELECT count(*) FROM documents) AS n_docs,

@@ -116,4 +116,49 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(repart == labels)
   }
+
+  /** Driver-side brute-force per-node triangle counts. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (a min b, a max b) }
+      .filter(e => e._1 != e._2).distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+      if und((i, j)) && und((j, k)) && und((i, k))
+    } yield (i, j, k)
+    tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangles(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("triangles: two triangles sharing an edge (hand-traced counts)") {
+    // {1,2,3} and {2,3,4} share edge 2-3
+    val got = tri(Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangles: counts equal brute force on a skewed star-plus-clique " +
+      "graph, under any edge direction/duplication, any partitioning") {
+    // hub 0 connected to everything (the skew case degree-ordering
+    // exists for) + a 4-clique {1,2,3,4} + a pendant path 5-6
+    val base = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (0L, 6L), (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L))
+    val expected = refTriangles(base)
+    assert(expected.values.sum % 3 == 0 && expected.values.sum > 0)
+    // reversed, duplicated, self-looped input must not change the counts
+    val noisy = base ++ base.map(_.swap) ++ Seq((2L, 2L)) ++ base.take(3)
+    assert(tri(noisy) == expected)
+    val repart = Graph.triangles(
+        noisy.toDF("src", "dst").repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(repart == expected)
+  }
+
+  test("triangles: a triangle-free graph (tree) returns no rows") {
+    assert(tri(Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L))).isEmpty)
+  }
 }

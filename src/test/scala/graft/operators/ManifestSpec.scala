@@ -370,6 +370,45 @@ class ManifestSpec extends SparkSpec {
       Contracts.checksum(full.filter(col("k") === 42L)))
   }
 
+  test("NDV index: merged estimate is accurate under heavy cross-file " +
+      "duplication, the case where per-file counts cannot add") {
+    val tbl = tmpDir("man-ndv-tbl-")
+    val idx = tmpDir("man-ndv-idx-")
+    // 4000 rows over only 500 distinct keys, hash-scattered across 8
+    // files: summing per-file distincts would give ~8×500; the sketch
+    // union must land near 500
+    val rows = (0L until 4000L).map(k => (k % 500L, k))
+    rows.toDF("k", "v").repartition(8, col("v"))
+      .write.mode("overwrite").parquet(s"$tbl/d0")
+    Manifest.buildNdvIndex(spark, s"$tbl/d0", "k", idx)
+    val est = Manifest.ndvEstimateAll(spark, idx).head()
+    assert(est.getLong(1) == 8L)
+    assert(math.abs(est.getLong(0) - 500L) <= 25L,
+      s"estimate ${est.getLong(0)} off by >5% from 500")
+    // determinism: the estimate is a pure function of the stored blobs
+    val again = Manifest.ndvEstimateAll(spark, idx).head().getLong(0)
+    assert(again == est.getLong(0))
+  }
+
+  test("NDV range composition merges only zone-map-surviving files") {
+    val tbl = tmpDir("man-ndvr-tbl-")
+    val man = tmpDir("man-ndvr-man-")
+    val idx = tmpDir("man-ndvr-idx-")
+    // keys 0..799 clustered into 8 contiguous files of 100; the NDV
+    // column collapses each k to k/10 → 10 distinct per file, 80 total
+    writeFiles((0L until 800L).map(k => (k, k / 10L)), s"$tbl/d0", 8)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("k"), man)
+    Manifest.buildNdvIndex(spark, s"$tbl/d0", "v", idx)
+    val all = Manifest.ndvEstimateAll(spark, idx).head()
+    assert(all.getLong(1) == 8L)
+    assert(math.abs(all.getLong(0) - 80L) <= 4L)
+    // a 25% key range touches 2 of 8 files → ~20 distinct v
+    val r = Manifest.ndvEstimateForRange(spark, idx, man, "k", 0L, 199L)
+      .head()
+    assert(r.getLong(1) == 2L, s"expected 2 surviving files, ${r.getLong(1)}")
+    assert(math.abs(r.getLong(0) - 20L) <= 2L)
+  }
+
   test("empty prune window returns a schema-stable empty frame") {
     val tbl = tmpDir("man-tbl4-")
     val man = tmpDir("man-idx4-")

@@ -449,4 +449,37 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect()
     assert(sampled.sorted.sameElements(clean.sorted))
   }
+
+  test("weightedExactK: selection tracks weight (A-ES proportionality), " +
+      "deterministic and partition-invariant") {
+    // 1 heavy row (w=50) among 50 light rows (w=1): P(heavy in k=1 draw)
+    // = 50/100 = 0.5. Over 60 independent salts, heavy should win far
+    // more often than any single light row (binomial(60, .5) vs .01).
+    val df = ((0L until 50L).map(i => (i, 1L)) :+ (99L, 50L))
+      .toDF("id", "w")
+    val wins = (1 to 60).count { i =>
+      Sampling.weightedExactK(df, "id", col("w"), 1, s"s$i")
+        .select("id").as[Long].head() == 99L
+    }
+    assert(wins > 15 && wins < 55, s"heavy row won $wins/60 — A-ES " +
+      "proportionality violated (expected ~30)")
+    val once = Sampling.weightedExactK(df, "id", col("w"), 10, "fix")
+      .select("id").as[Long].collect().toSet
+    val again = Sampling.weightedExactK(df.repartition(7), "id",
+      col("w"), 10, "fix").select("id").as[Long].collect().toSet
+    assert(once == again && once.size == 10)
+  }
+
+  test("weightedExactK: zero/negative weights and null ids never win; " +
+      "plan is TakeOrderedAndProject (no global sort)") {
+    val df = Seq((Some(1L), 5L), (Some(2L), 0L), (Some(3L), -4L),
+      (None, 1000000L), (Some(4L), 5L)).toDF("id", "w")
+    val got = Sampling.weightedExactK(df, "id", col("w"), 10, "z")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L))
+    val plan = Sampling.weightedExactK(ids.withColumn("w", lit(2L)),
+        "id", col("w"), 5, "p")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
 }

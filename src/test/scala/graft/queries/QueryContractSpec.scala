@@ -53,9 +53,11 @@ class QueryContractSpec extends SparkSpec {
   // (hybrid_rrf_topk: its vector arm IS sim_bruteforce_topk's bounded
   // quadratic — 5 query rows broadcast onto the corpus scan.
   // contrastive_triplets: same anchor-bounded broadcast candidate pass.)
+  // (distribution_drift: Drift.withProportion broadcasts a ONE-row total
+  // onto ≤ nBuckets histogram rows — the length_trim_stats shape twice.)
   private val bnljByDesign = Set("dedup_embedding_pairs", "range_join_bucket",
     "resample_fill", "sim_bruteforce_topk", "length_trim_stats",
-    "hybrid_rrf_topk", "contrastive_triplets")
+    "hybrid_rrf_topk", "contrastive_triplets", "distribution_drift")
 
   test("every query runs at sf0.001 with no rogue join in its plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
