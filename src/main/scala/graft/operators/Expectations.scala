@@ -59,15 +59,41 @@ object Expectations {
       checks.tail.zipWithIndex.map { case (c, i) =>
         c.metric.cast("double").as(s"m${i + 1}")
       }: _*)
-    // stack() unpivots the single metrics row into one row per check —
-    // driver never sees the metrics; the plan is scan → agg → generate.
+    unpivot(agged, checks, Nil)
+  }
+
+  /** The suite evaluated PER GROUP in the same single pass — the
+    * per-source / per-language / per-partition gate a heterogeneous 100 TB
+    * ingest actually runs (one global verdict hides a broken source inside
+    * healthy aggregate numbers). One `groupBy(groupCol)` aggregation (map-
+    * side partial), then the same stack unpivot; output
+    * (groupCol, check_name, metric, lo, hi, passed).
+    */
+  def runGrouped(df: DataFrame, groupCol: String,
+      checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty expectation suite")
+    require(groupCol.matches("[A-Za-z0-9_]+"),
+      s"group column must be an identifier, got '$groupCol'")
+    val agged = df.groupBy(col(groupCol)).agg(
+      checks.head.metric.cast("double").as("m0"),
+      checks.tail.zipWithIndex.map { case (c, i) =>
+        c.metric.cast("double").as(s"m${i + 1}")
+      }: _*)
+    unpivot(agged, checks, Seq(groupCol))
+  }
+
+  /** stack() unpivots each metrics row into one row per check — the
+    * driver never sees the metrics; the plan is scan → agg → generate.
+    */
+  private def unpivot(agged: DataFrame, checks: Seq[Check],
+      keep: Seq[String]): DataFrame = {
     val stackArgs = checks.zipWithIndex.map { case (c, i) =>
       s"'${c.name}', floor(m$i * 1e6 + 0.5) / 1e6, " +
         s"CAST(${c.lo} AS DOUBLE), CAST(${c.hi} AS DOUBLE)"
     }.mkString(", ")
     agged
-      .selectExpr(s"stack(${checks.length}, $stackArgs) " +
-        "AS (check_name, metric, lo, hi)")
+      .selectExpr(keep ++ Seq(s"stack(${checks.length}, $stackArgs) " +
+        "AS (check_name, metric, lo, hi)"): _*)
       .withColumn("passed",
         col("metric") >= col("lo") && col("metric") <= col("hi"))
   }

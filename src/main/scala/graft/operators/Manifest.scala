@@ -640,18 +640,59 @@ object Manifest {
     * ~1.6 % relative standard error at ~4 KB per file.
     */
   def buildNdvIndex(spark: SparkSession, tablePath: String, keyCol: String,
-      indexPath: String, lgConfigK: Int = 12): Unit =
-    spark.read.option("recursiveFileLookup", "true").parquet(tablePath)
+      indexPath: String, lgConfigK: Int = 12): Unit = {
+    val ip = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ip)) fs.delete(ip, true) // rebuild = fresh snapshot
+    fileNdv(spark, Seq(tablePath), keyCol, lgConfigK)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/b0")
+  }
+
+  /** Append sketches for NEWLY LANDED data files — exactly the given
+    * paths — as one `b<batchId>` overwrite segment: the same O(new files)
+    * ingest shape as [[appendToManifest]], so a streaming pipeline keeps
+    * NDV stats current per batch without rescanning history; a
+    * caller-supplied batchId makes at-least-once replay idempotent.
+    * Segments need no merge semantics (each row is one file's independent
+    * sketch), so [[Dedup.compactSegmentDirs]] compacts this store too.
+    */
+  def appendToNdvIndex(spark: SparkSession, newPaths: Seq[String],
+      keyCol: String, indexPath: String, lgConfigK: Int = 12,
+      batchId: Long = -1L): Unit = {
+    if (newPaths.isEmpty) return
+    val ip = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bid = if (batchId >= 0) batchId else nextBatchId(fs, ip)
+    fileNdv(spark, newPaths, keyCol, lgConfigK)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/b$bid")
+  }
+
+  private def fileNdv(spark: SparkSession, paths: Seq[String],
+      keyCol: String, lgConfigK: Int): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
       .select(input_file_name().as("file"), col(keyCol))
       .groupBy(col("file"))
       .agg(hll_sketch_agg(col(keyCol), lgConfigK).as("ndv_sketch"))
-      .coalesce(1).write.mode("overwrite").parquet(indexPath)
+
+  /** All live segments of the NDV store (strict `b<number>` match — the
+    * shared [[Segments]] discipline: stray dirs are never swallowed).
+    */
+  private def readNdvIndex(spark: SparkSession,
+      indexPath: String): DataFrame = {
+    val ip = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(ip).map(_.getPath)
+      .filter(p => graft.operators.Segments.isSegment(p.getName))
+      .map(_.toString)
+    require(segs.nonEmpty, s"NDV index at $indexPath has no segments")
+    spark.read.parquet(segs.toSeq: _*)
+  }
 
   /** Whole-table NDV estimate: union every per-file sketch. One scan of
     * the files×KB index, zero data-file opens. Returns (ndv, n_files).
     */
   def ndvEstimateAll(spark: SparkSession, indexPath: String): DataFrame =
-    spark.read.parquet(indexPath)
+    readNdvIndex(spark, indexPath)
       .agg(hll_sketch_estimate(hll_union_agg(col("ndv_sketch"))).as("ndv"),
         count(lit(1)).as("n_files"))
 
@@ -670,7 +711,7 @@ object Manifest {
       .filter(col(s"min_$statsCol") <= lit(hi) &&
         col(s"max_$statsCol") >= lit(lo))
       .select(col("file"))
-    spark.read.parquet(indexPath)
+    readNdvIndex(spark, indexPath)
       .join(surviving, Seq("file"), "left_semi")
       .agg(hll_sketch_estimate(hll_union_agg(col("ndv_sketch"))).as("ndv"),
         count(lit(1)).as("n_files"))

@@ -80,6 +80,23 @@ object AuditQueries {
       Expectations.run(t(s, dir, "documents"), documentChecks)
         .orderBy(col("check_name"))),
 
+    // The same gate PER LANGUAGE in one grouped pass: a global verdict
+    // hides a broken source inside healthy aggregate numbers (one
+    // language's empty texts vanish into a 99.8% global completeness) —
+    // the grouped suite pins every slice to its own band. Still one
+    // aggregation; 5 groups × 4 checks = 20 verdict rows.
+    "quality_expectations_grouped" -> ((s, dir) =>
+      Expectations.runGrouped(t(s, dir, "documents"), "lang", Seq(
+        Expectations.Check("completeness_text",
+          Expectations.completeness("text"), 1.0, 1.0),
+        Expectations.Check("uniqueness_doc_id",
+          Expectations.uniqueness("doc_id"), 1.0, 1.0),
+        Expectations.Check("mean_n_chars",
+          avg(col("n_chars")), 50.0, 1000.0),
+        Expectations.Check("min_rows",
+          count(lit(1)).cast("double"), 10.0, 1e12)))
+        .orderBy(col("lang"), col("check_name"))),
+
     // Distribution drift between dataset slices, one row per monitored
     // feature: PSI + JSD for the numeric `value` (bucketed at the FULL
     // table's decile edges — the reference-quantile recipe) of purchase
@@ -151,6 +168,27 @@ object AuditQueries {
         |SELECT check_name, metric, lo, hi,
         |  metric >= lo AND metric <= hi AS passed
         |FROM rows_ ORDER BY check_name""".stripMargin,
+
+    "quality_expectations_grouped" ->
+      """WITH m AS (SELECT lang,
+        |  avg(CASE WHEN text IS NULL THEN 0 ELSE 1 END)::DOUBLE AS c_text,
+        |  count(DISTINCT doc_id)::DOUBLE / count(*)::DOUBLE AS u_id,
+        |  avg(n_chars)::DOUBLE AS mean_c,
+        |  count(*)::DOUBLE AS n_rows
+        |  FROM documents GROUP BY lang),
+        |rows_ AS (
+        |  SELECT lang, 'completeness_text' AS check_name,
+        |    floor(c_text*1e6+0.5)/1e6 AS metric, 1.0 AS lo, 1.0 AS hi
+        |    FROM m
+        |  UNION ALL SELECT lang, 'uniqueness_doc_id',
+        |    floor(u_id*1e6+0.5)/1e6, 1.0, 1.0 FROM m
+        |  UNION ALL SELECT lang, 'mean_n_chars',
+        |    floor(mean_c*1e6+0.5)/1e6, 50.0, 1000.0 FROM m
+        |  UNION ALL SELECT lang, 'min_rows',
+        |    floor(n_rows*1e6+0.5)/1e6, 10.0, 1e12 FROM m)
+        |SELECT lang, check_name, metric, lo, hi,
+        |  metric >= lo AND metric <= hi AS passed
+        |FROM rows_ ORDER BY lang, check_name""".stripMargin,
 
     "distribution_drift" ->
       """WITH refv AS (SELECT value FROM events WHERE value IS NOT NULL),

@@ -410,12 +410,21 @@ object FormatQueries {
       val tbl = tmp("graft-manndv-tbl-")
       val man = tmp("graft-manndv-man-")
       val idx = tmp("graft-manndv-idx-")
-      li.repartitionByRange(4, col("l_orderkey"))
+      val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      // ingest in two batches (build + append) so the estimate is served
+      // from a multi-segment store — the streaming-maintenance shape
+      li.filter(col("l_orderkey") <= mx / 2)
+        .repartitionByRange(2, col("l_orderkey"))
         .sortWithinPartitions(col("l_orderkey"))
         .write.mode("overwrite").parquet(s"$tbl/d0")
+      li.filter(col("l_orderkey") > mx / 2)
+        .repartitionByRange(2, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$tbl/d1")
       Manifest.buildManifest(s, s"$tbl/d0", Seq("l_orderkey"), man)
       Manifest.buildNdvIndex(s, s"$tbl/d0", "l_partkey", idx)
-      val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      Manifest.appendToManifest(s, Seq(s"$tbl/d1"), Seq("l_orderkey"), man)
+      Manifest.appendToNdvIndex(s, Seq(s"$tbl/d1"), "l_partkey", idx)
       val (lo, hi) = (0L, mx / 4)
       val all = Manifest.ndvEstimateAll(s, idx)
       val ranged = Manifest.ndvEstimateForRange(s, idx, man,
@@ -433,12 +442,20 @@ object FormatQueries {
         .select(count_distinct(col("l_partkey"))).head().getLong(0)
       def close(est: Long, exact: Long): Boolean =
         math.abs(est - exact).toDouble <= 0.05 * exact
+      // compaction invisibility: merging the two ingest segments must not
+      // move the estimate by a single key (same blobs, one file)
+      graft.operators.Dedup.compactSegmentDirs(s, idx)
+      val compacted = Manifest.ndvEstimateAll(s, idx).head()
       Contracts.row(s,
         "n_distinct_all" -> exactAll,
+        "append_tracked_ok" -> (allRow.getLong(1) == 4L),
         "estimate_within_rse_ok" -> close(allRow.getLong(0), exactAll),
         "range_estimate_within_rse_ok" ->
           (close(rangedRow.getLong(0), exactRange) &&
             rangedRow.getLong(1) < allRow.getLong(1)),
+        "compaction_invisible_ok" ->
+          (compacted.getLong(0) == allRow.getLong(0) &&
+            compacted.getLong(1) == allRow.getLong(1)),
         "zero_data_file_opens_ok" ->
           (allPlan.contains("graft-manndv-idx-") &&
             !allPlan.contains("graft-manndv-tbl-") &&
@@ -775,8 +792,10 @@ object FormatQueries {
 
     "manifest_ndv" ->
       """SELECT count(DISTINCT l_partkey) AS n_distinct_all,
+        |  TRUE AS append_tracked_ok,
         |  TRUE AS estimate_within_rse_ok,
         |  TRUE AS range_estimate_within_rse_ok,
+        |  TRUE AS compaction_invisible_ok,
         |  TRUE AS zero_data_file_opens_ok
         |FROM lineitem""".stripMargin,
 

@@ -69,6 +69,24 @@ class ExpectationsSpec extends SparkSpec {
     assert(out.getBoolean(4))
   }
 
+  test("runGrouped isolates a violation to its group: the broken source " +
+      "fails, healthy siblings pass") {
+    val df = Seq(
+      ("a", 1L, Some(2.0)), ("a", 2L, Some(3.0)),
+      ("b", 3L, Some(4.0)), ("b", 4L, None)).toDF("src", "id", "v")
+    val rows = Expectations.runGrouped(df, "src", Seq(
+      Expectations.Check("complete_v", Expectations.completeness("v"),
+        1.0, 1.0)))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getBoolean(5))).toMap
+    assert(rows("a") === ((1.0, true)))
+    assert(rows("b") === ((0.5, false)))
+    intercept[IllegalArgumentException] {
+      Expectations.runGrouped(df, "src; drop", Seq(
+        Expectations.Check("c", Expectations.completeness("v"), 0.0, 1.0)))
+    }
+  }
+
   test("check names must be identifiers (SQL-injection guard on stack)") {
     intercept[IllegalArgumentException] {
       Expectations.Check("bad name', 1.0, 1.0, 1.0) --",

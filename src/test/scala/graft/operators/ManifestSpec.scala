@@ -390,6 +390,25 @@ class ManifestSpec extends SparkSpec {
     assert(again == est.getLong(0))
   }
 
+  test("NDV append equals rebuild: incremental ingest loses nothing") {
+    val tbl = tmpDir("man-ndva-tbl-")
+    val inc = tmpDir("man-ndva-inc-")
+    val reb = tmpDir("man-ndva-reb-")
+    writeFiles((0L until 300L).map(k => (k, k % 120L)), s"$tbl/d0", 3)
+    writeFiles((300L until 500L).map(k => (k, k % 120L)), s"$tbl/d1", 2)
+    Manifest.buildNdvIndex(spark, s"$tbl/d0", "v", inc)
+    Manifest.appendToNdvIndex(spark, Seq(s"$tbl/d1"), "v", inc)
+    Manifest.buildNdvIndex(spark, tbl, "v", reb)
+    val a = Manifest.ndvEstimateAll(spark, inc).head()
+    val b = Manifest.ndvEstimateAll(spark, reb).head()
+    assert(a.getLong(0) == b.getLong(0))
+    assert(a.getLong(1) == 5L && b.getLong(1) == 5L)
+    // replayed append (same batchId) overwrites its own segment: no drift
+    Manifest.appendToNdvIndex(spark, Seq(s"$tbl/d1"), "v", inc, batchId = 1L)
+    val replay = Manifest.ndvEstimateAll(spark, inc).head()
+    assert(replay.getLong(0) == a.getLong(0) && replay.getLong(1) == 5L)
+  }
+
   test("NDV range composition merges only zone-map-surviving files") {
     val tbl = tmpDir("man-ndvr-tbl-")
     val man = tmpDir("man-ndvr-man-")
