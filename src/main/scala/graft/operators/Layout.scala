@@ -32,6 +32,32 @@ object Layout {
   def morton16(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Spread the low 21 bits of `c` so bit i lands at position 3i — the
+    * classic 3-D Morton ladder (21 bits × 3 dims = 63 bits, the full
+    * non-negative long range; values up to 2,097,151 per dimension).
+    */
+  private def spread21(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0x1FFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 32))
+      .bitwiseAND(lit(0x1F00000000FFFFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 16))
+      .bitwiseAND(lit(0x1F0000FF0000FFL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 8))
+      .bitwiseAND(lit(0x100F00F00F00F00FL))
+    val x4 = x3.bitwiseOR(shiftleft(x3, 4))
+      .bitwiseAND(lit(0x10C30C30C30C30C3L))
+    x4.bitwiseOR(shiftleft(x4, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** 63-bit Morton code interleaving the low 21 bits of three long
+    * columns (x at bit positions 3i, y at 3i+1, z at 3i+2). Same
+    * branch-free shifts/ands as [[morton16]] — whole-stage codegen on the
+    * Spark side, the identical expression in ANSI SQL for the oracle.
+    */
+  def morton21(x: Column, y: Column, z: Column): Column =
+    spread21(x).bitwiseOR(shiftleft(spread21(y), 1))
+      .bitwiseOR(shiftleft(spread21(z), 2))
+
   /** Rewrite `df` into `nFiles` files z-ordered on (xCol, yCol):
     * range-partition by the Morton key (contiguous curve segments per file)
     * and sort within each partition. One range shuffle — same cost envelope
@@ -74,6 +100,16 @@ object Layout {
       path: String, nFiles: Int): Unit =
     layoutWriteExact(df,
       Seq(morton16(col(xCol), col(yCol)), col(xCol), col(yCol)), path, nFiles)
+
+  /** [[layoutWriteExact]] ordered by the 3-D Morton key — every file's box
+    * is tight in all THREE dimensions at once (a linear sort prunes one;
+    * 2-D z-order two).
+    */
+  def zorder3WriteExact(df: DataFrame, xCol: String, yCol: String,
+      zCol: String, path: String, nFiles: Int): Unit =
+    layoutWriteExact(df,
+      Seq(morton21(col(xCol), col(yCol), col(zCol)),
+        col(xCol), col(yCol), col(zCol)), path, nFiles)
 
   /** Deterministic layout simulation: assign rows to `nFiles` equal-count
     * files in `orderCols` order (ntile — no sampling), compute each file's

@@ -280,6 +280,27 @@ object Manifest {
       col(xCol).between(lit(xLo), lit(xHi)) &&
         col(yCol).between(lit(yLo), lit(yHi)))
 
+  /** Three-dimensional box prune: the [[prunedReadBox]] geometry in all
+    * three axes at once — the payoff of a 3-D Morton layout
+    * ([[Layout.zorder3WriteExact]]): every file's box is tight in x, y AND
+    * z, so a selective 3-D box opens a corner's worth of files where a
+    * linear sort prunes one axis and a 2-D curve two.
+    */
+  def prunedReadBox3(spark: SparkSession, manifestPath: String,
+      xCol: String, xLo: Any, xHi: Any, yCol: String, yLo: Any, yHi: Any,
+      zCol: String, zLo: Any, zHi: Any,
+      asOf: Long = Long.MaxValue): (DataFrame, Long, Long) =
+    prunedBy(spark, manifestPath, asOf,
+      Seq(s"min_$xCol", s"max_$xCol", s"min_$yCol", s"max_$yCol",
+        s"min_$zCol", s"max_$zCol"),
+      _.filter(col(s"min_$xCol") <= lit(xHi) &&
+        col(s"max_$xCol") >= lit(xLo) &&
+        col(s"min_$yCol") <= lit(yHi) && col(s"max_$yCol") >= lit(yLo) &&
+        col(s"min_$zCol") <= lit(zHi) && col(s"max_$zCol") >= lit(zLo)),
+      col(xCol).between(lit(xLo), lit(xHi)) &&
+        col(yCol).between(lit(yLo), lit(yHi)) &&
+        col(zCol).between(lit(zLo), lit(zHi)))
+
   /** Manifest-ONLY aggregates: `count(*)` plus `statsCol`'s null and
     * non-null counts, answered entirely from the stats table — zero data
     * files are opened (the plan's only scan is the manifest itself). This
@@ -510,6 +531,42 @@ object Manifest {
       n
     }
     (small.length.toLong, created)
+  }
+
+  /** OPTIMIZE ZORDER as a manifest DML: rewrite EVERY live file into
+    * `nFiles` z-ordered files under `rewriteDir/b<id>` and swap the
+    * listing in one tombstone-plus-stats segment — the Delta/Iceberg
+    * re-clustering move, here composed from the same copy-on-write
+    * machinery as [[deleteRange]]/[[mergeInto]]: pre-optimize snapshots
+    * stay addressable at their `asOf` (the old files are tombstoned, not
+    * deleted — [[vacuumTable]] reclaims them after compaction expires the
+    * history), and replay with the same batchId rewrites its own segment.
+    *
+    * The rewrite uses the DETERMINISTIC curve writer
+    * ([[Layout.zorderWriteExact]]) so pruning contracts are stable run to
+    * run; a production deployment swaps in [[Layout.zorderWrite]]'s
+    * range-shuffle form (sampled boundaries, fully parallel) — the
+    * manifest bookkeeping is identical. Returns
+    * (files rewritten, files created).
+    */
+  def optimizeZorder(spark: SparkSession, manifestPath: String,
+      rewriteDir: String, xCol: String, yCol: String,
+      statsCols: Seq[String], nFiles: Int,
+      batchId: Long = -1L): (Long, Long) = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = readManifest(spark, manifestPath)
+      .select(col("file")).collect().map(_.getString(0)).sorted
+    require(files.nonEmpty,
+      s"manifest at $manifestPath names no files — nothing to optimize")
+    val bid = if (batchId >= 0) batchId else nextBatchId(fs, mp)
+    val out = s"$rewriteDir/b$bid"
+    Layout.zorderWriteExact(
+      spark.read.parquet(files.map(globEscape).toSeq: _*),
+      xCol, yCol, out, nFiles)
+    rewriteSegment(spark, manifestPath, bid, files.toSeq, Some(out),
+      statsCols)
+    (files.length.toLong, nFiles.toLong)
   }
 
   /** Physically delete data files under `dataRoots` that the manifest no

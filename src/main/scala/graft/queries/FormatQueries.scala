@@ -497,6 +497,91 @@ object FormatQueries {
           (Contracts.checksum(box) == Contracts.checksum(full)))
     }),
 
+    // Three-dimensional curve × manifest composition: the 21-bit Morton
+    // layout keeps every file's (l_partkey, l_suppkey, l_orderkey) box
+    // tight in ALL THREE axes, so a selective 3-D box opens a corner's
+    // worth of 16 files — a linear sort prunes one axis, the 2-D curve
+    // two. Graded on the REAL box aggregate replayed in DuckDB, equality
+    // with the unpruned scan, and pruning having fired.
+    "manifest_zorder_box3" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+          col("l_quantity"))
+      val tbl = tmp("graft-manz3-tbl-")
+      val man = tmp("graft-manz3-")
+      Layout.zorder3WriteExact(li, "l_partkey", "l_suppkey", "l_orderkey",
+        s"$tbl/d0", 16)
+      Manifest.buildManifest(s, s"$tbl/d0",
+        Seq("l_partkey", "l_suppkey", "l_orderkey"), man)
+      val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey")),
+        max(col("l_orderkey"))).head()
+      val (xLo, xHi) = (mx.getLong(0) / 4, mx.getLong(0) / 2)
+      val (yLo, yHi) = (mx.getLong(1) / 4, mx.getLong(1) / 2)
+      val (zLo, zHi) = (mx.getLong(2) / 4, mx.getLong(2) / 2)
+      val (boxed, nRead, nTotal) = Manifest.prunedReadBox3(s, man,
+        "l_partkey", xLo, xHi, "l_suppkey", yLo, yHi,
+        "l_orderkey", zLo, zHi)
+      val box = boxed.localCheckpoint()
+      val full = Manifest.fullRead(s, man)
+        .filter(col("l_partkey").between(xLo, xHi) &&
+          col("l_suppkey").between(yLo, yHi) &&
+          col("l_orderkey").between(zLo, zHi))
+      val agg = box.agg(count(lit(1)), round(sum(col("l_quantity")), 2))
+        .head()
+      Contracts.row(s,
+        "n_rows" -> agg.getLong(0),
+        "sum_qty" -> (if (agg.isNullAt(1)) 0.0 else agg.getDouble(1)),
+        "files_pruned_ok" -> (nRead < nTotal && nTotal == 16L),
+        "equals_full_scan_ok" ->
+          (Contracts.checksum(box) == Contracts.checksum(full)))
+    }),
+
+    // OPTIMIZE ZORDER as manifest DML: a hash-scattered layout gives every
+    // file a keyspace-spanning box (the 2-D box prune opens ~everything);
+    // one optimizeZorder rewrite re-clusters the SAME rows onto the curve
+    // and the identical box read now opens a handful — while the
+    // pre-optimize snapshot stays addressable at asOf (tombstones, not
+    // deletes). Graded on the real box aggregate (DuckDB), bit-equality of
+    // the served rows before/after (re-layout must not change results),
+    // strictly-fewer file opens, and time-travel preservation.
+    "manifest_zorder_optimize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val tbl = tmp("graft-manzo-tbl-")
+      val man = tmp("graft-manzo-man-")
+      li.repartition(16, col("l_partkey").cast("string"))
+        .write.mode("overwrite").parquet(s"$tbl/d0")
+      Manifest.buildManifest(s, s"$tbl/d0",
+        Seq("l_partkey", "l_suppkey"), man)
+      val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      val (xLo, xHi) = (mx.getLong(0) / 4, mx.getLong(0) / 2)
+      val (yLo, yHi) = (mx.getLong(1) / 4, mx.getLong(1) / 2)
+      val (before, nReadBefore, nTotalBefore) = Manifest.prunedReadBox(s,
+        man, "l_partkey", xLo, xHi, "l_suppkey", yLo, yHi)
+      val beforeChk = Contracts.checksum(before.localCheckpoint())
+      val (rewritten, _) = Manifest.optimizeZorder(s, man, s"$tbl/rw",
+        "l_partkey", "l_suppkey", Seq("l_partkey", "l_suppkey"), 16)
+      val (after, nReadAfter, nTotalAfter) = Manifest.prunedReadBox(s,
+        man, "l_partkey", xLo, xHi, "l_suppkey", yLo, yHi)
+      val afterDf = after.localCheckpoint()
+      val agg = afterDf
+        .agg(count(lit(1)), round(sum(col("l_quantity")), 2)).head()
+      // pre-optimize snapshot: served rows at asOf=0 are the originals
+      val (hist, nReadHist, _) = Manifest.prunedReadBox(s, man,
+        "l_partkey", xLo, xHi, "l_suppkey", yLo, yHi, asOf = 0)
+      Contracts.row(s,
+        "n_rows" -> agg.getLong(0),
+        "sum_qty" -> (if (agg.isNullAt(1)) 0.0 else agg.getDouble(1)),
+        "layout_pruned_ok" ->
+          (nReadAfter < nReadBefore && rewritten == nTotalBefore &&
+            nTotalAfter == 16L),
+        "equals_pre_optimize_ok" ->
+          (Contracts.checksum(afterDf) == beforeChk),
+        "time_travel_preserved_ok" ->
+          (Contracts.checksum(hist) == beforeChk &&
+            nReadHist == nReadBefore))
+    }),
+
     // Copy-on-write DELETE through the manifest (Manifest.deleteRange):
     // zone maps pick the affected files, ONLY those are rewritten minus the
     // matching rows, and one appended segment tombstones the originals and
@@ -783,6 +868,34 @@ object FormatQueries {
         |    BETWEEN (SELECT max(l_suppkey) // 4 FROM lineitem)
         |        AND (SELECT max(l_suppkey) // 2 FROM lineitem)""".stripMargin,
 
+    "manifest_zorder_box3" ->
+      """SELECT count(*) AS n_rows,
+        |  coalesce(round(sum(l_quantity), 2), 0.0) AS sum_qty,
+        |  TRUE AS files_pruned_ok, TRUE AS equals_full_scan_ok
+        |FROM lineitem
+        |WHERE l_partkey
+        |    BETWEEN (SELECT max(l_partkey) // 4 FROM lineitem)
+        |        AND (SELECT max(l_partkey) // 2 FROM lineitem)
+        |  AND l_suppkey
+        |    BETWEEN (SELECT max(l_suppkey) // 4 FROM lineitem)
+        |        AND (SELECT max(l_suppkey) // 2 FROM lineitem)
+        |  AND l_orderkey
+        |    BETWEEN (SELECT max(l_orderkey) // 4 FROM lineitem)
+        |        AND (SELECT max(l_orderkey) // 2 FROM lineitem)""".stripMargin,
+
+    "manifest_zorder_optimize" ->
+      """SELECT count(*) AS n_rows,
+        |  coalesce(round(sum(l_quantity), 2), 0.0) AS sum_qty,
+        |  TRUE AS layout_pruned_ok, TRUE AS equals_pre_optimize_ok,
+        |  TRUE AS time_travel_preserved_ok
+        |FROM lineitem
+        |WHERE l_partkey
+        |    BETWEEN (SELECT max(l_partkey) // 4 FROM lineitem)
+        |        AND (SELECT max(l_partkey) // 2 FROM lineitem)
+        |  AND l_suppkey
+        |    BETWEEN (SELECT max(l_suppkey) // 4 FROM lineitem)
+        |        AND (SELECT max(l_suppkey) // 2 FROM lineitem)""".stripMargin,
+
     "manifest_count_only" ->
       """SELECT count(*) AS n_rows,
         |  count(CASE WHEN l_partkey % 7 = 0 THEN 1 END) AS n_nulls,
@@ -876,7 +989,9 @@ object FormatQueries {
     */
   private case class ManifestStores(pruneMan: String, ttMan: String,
       zMan: String, cntMan: String, lo: Long, hi: Long,
-      xLo: Long, xHi: Long, yLo: Long, yHi: Long)
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long,
+      z3Man: String, zLo3: Long, zHi3: Long,
+      zoMan: String, zoTbl: String)
 
   private val storeCache =
     new scala.collection.concurrent.TrieMap[String, ManifestStores]
@@ -922,11 +1037,29 @@ object FormatQueries {
             .otherwise(col("l_partkey")).as("pk"))
         .coalesce(4).write.mode("overwrite").parquet(s"$cTbl/d0")
       Manifest.buildManifest(s, s"$cTbl/d0", Seq("pk"), cntMan)
+      // 3-D z-order store — 16 files tight in all three axes
+      val li3 = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+          col("l_quantity"))
+      val z3Tbl = tmp("graft-mtimed-z3tbl-")
+      val z3Man = tmp("graft-mtimed-z3man-")
+      Layout.zorder3WriteExact(li3, "l_partkey", "l_suppkey",
+        "l_orderkey", s"$z3Tbl/d0", 16)
+      Manifest.buildManifest(s, s"$z3Tbl/d0",
+        Seq("l_partkey", "l_suppkey", "l_orderkey"), z3Man)
+      // pristine hash-scattered store for the optimize timed form
+      val zoTbl = tmp("graft-mtimed-zotbl-")
+      val zoMan = tmp("graft-mtimed-zoman-")
+      li2.repartition(16, col("l_partkey").cast("string"))
+        .write.mode("overwrite").parquet(s"$zoTbl/d0")
+      Manifest.buildManifest(s, s"$zoTbl/d0",
+        Seq("l_partkey", "l_suppkey"), zoMan)
       val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
       val m2 = li2.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
       ManifestStores(pruneMan, ttMan, zMan, cntMan, mx / 3, mx / 2,
         m2.getLong(0) / 4, m2.getLong(0) / 2,
-        m2.getLong(1) / 4, m2.getLong(1) / 2)
+        m2.getLong(1) / 4, m2.getLong(1) / 2,
+        z3Man, mx / 4, mx / 2, zoMan, zoTbl)
     })
 
   /** Bench overrides: serving-only forms over the memoized stores — the
@@ -952,6 +1085,23 @@ object FormatQueries {
     "manifest_count_only" -> ((s, dir) => {
       val st = stores(s, dir)
       Manifest.countOnly(s, st.cntMan, "pk")
+    }),
+    "manifest_zorder_box3" -> ((s, dir) => {
+      val st = stores(s, dir)
+      Manifest.prunedReadBox3(s, st.z3Man, "l_partkey", st.xLo, st.xHi,
+        "l_suppkey", st.yLo, st.yHi, "l_orderkey", st.zLo3, st.zHi3)._1
+    }),
+    // the rewrite IS the operator (the manifest_delete DML pattern):
+    // copy the TINY pristine manifest, time optimizeZorder against the
+    // shared immutable hash-scattered files
+    "manifest_zorder_optimize" -> ((s, dir) => {
+      val st = stores(s, dir)
+      val base = tmp("graft-manzo-run-")
+      val man = s"$base/man"
+      copyDir(s, st.zoMan, man)
+      val (r, c) = Manifest.optimizeZorder(s, man, s"$base/rw",
+        "l_partkey", "l_suppkey", Seq("l_partkey", "l_suppkey"), 16)
+      Contracts.row(s, "files_rewritten" -> r, "files_created" -> c)
     }),
     // DML timed forms: the base table files and pristine manifests are
     // memoized; each call copies the TINY pristine manifest (a few KB) and

@@ -54,4 +54,36 @@ class LayoutSpec extends SparkSpec {
     // and the layout rewrite loses nothing
     assert(spark.read.parquet(zdir).count() == (1 << 14).toLong)
   }
+
+  test("morton21: bit-exact 3-D interleave vs a driver-side reference, " +
+      "including the 21-bit boundary") {
+    def ref(x: Long, y: Long, z: Long): Long = {
+      var r = 0L
+      (0 until 21).foreach { i =>
+        r |= ((x >> i) & 1L) << (3 * i)
+        r |= ((y >> i) & 1L) << (3 * i + 1)
+        r |= ((z >> i) & 1L) << (3 * i + 2)
+      }
+      r
+    }
+    val vals = Seq(0L, 1L, 2L, 3L, 255L, 256L, 12345L, 99999L,
+      1048576L, 0x1FFFFFL)
+    val rows = for { x <- vals; y <- vals; z <- vals } yield (x, y, z)
+    val got = rows.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        Layout.morton21(col("x"), col("y"), col("z")).as("m"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    rows.foreach { t =>
+      assert(got(t) == ref(t._1, t._2, t._3),
+        s"morton21$t: got ${got(t)}, want ${ref(t._1, t._2, t._3)}")
+    }
+    // values above 21 bits interleave only their low bits (documented
+    // truncation) — the key must still be non-negative
+    val big = Seq((3000000L, 3000000L, 3000000L)).toDF("x", "y", "z")
+      .select(Layout.morton21(col("x"), col("y"), col("z")).as("m"))
+      .as[Long].head()
+    assert(big >= 0L)
+  }
 }
