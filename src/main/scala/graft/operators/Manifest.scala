@@ -731,25 +731,93 @@ object Manifest {
       .groupBy(col("file"))
       .agg(hll_sketch_agg(col(keyCol), lgConfigK).as("ndv_sketch"))
 
-  /** All live segments of the NDV store (strict `b<number>` match — the
-    * shared [[Segments]] discipline: stray dirs are never swallowed).
+  /** All live segments of a per-file sketch store (strict `b<number>`
+    * match — the shared [[Segments]] discipline: stray dirs are never
+    * swallowed).
     */
-  private def readNdvIndex(spark: SparkSession,
-      indexPath: String): DataFrame = {
+  private def readSegmentStore(spark: SparkSession, indexPath: String,
+      what: String): DataFrame = {
     val ip = new org.apache.hadoop.fs.Path(indexPath)
     val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segs = fs.listStatus(ip).map(_.getPath)
       .filter(p => graft.operators.Segments.isSegment(p.getName))
       .map(_.toString)
-    require(segs.nonEmpty, s"NDV index at $indexPath has no segments")
+    require(segs.nonEmpty, s"$what at $indexPath has no segments")
     spark.read.parquet(segs.toSeq: _*)
+  }
+
+  /** Per-file QUANTILE sketch index (datasketches KLL, the
+    * [[Sketches]] kernel): one valueCol-only scan builds a mergeable
+    * ~KB sketch per file. Together with the NDV index this completes the
+    * manifest's answer to the planner's three cardinality questions —
+    * how many rows (nrows), how many distinct (HLL), how are values
+    * DISTRIBUTED (KLL: medians, tail percentiles, histogram bounds for a
+    * range scan) — all served by merging blobs over the (optionally
+    * zone-map-pruned) file listing with zero data-file opens. Like
+    * min/max/NDV, quantiles do not add across files; unlike them the KLL
+    * merge is rank-error-bounded (~1.65 % at k=200), which the contract
+    * asserts as an exact-quantile envelope, never equality.
+    */
+  def buildQuantileIndex(spark: SparkSession, tablePath: String,
+      valueCol: String, indexPath: String, k: Int = 200): Unit = {
+    val ip = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ip)) fs.delete(ip, true) // rebuild = fresh snapshot
+    fileKll(spark, Seq(tablePath), valueCol, k)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/b0")
+  }
+
+  /** The [[appendToNdvIndex]] ingest shape for the quantile index:
+    * sketches for exactly the new files as one batchId-keyed overwrite
+    * segment; compacts with the generic segment compactor.
+    */
+  def appendToQuantileIndex(spark: SparkSession, newPaths: Seq[String],
+      valueCol: String, indexPath: String, k: Int = 200,
+      batchId: Long = -1L): Unit = {
+    if (newPaths.isEmpty) return
+    val ip = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bid = if (batchId >= 0) batchId else nextBatchId(fs, ip)
+    fileKll(spark, newPaths, valueCol, k)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/b$bid")
+  }
+
+  private def fileKll(spark: SparkSession, paths: Seq[String],
+      valueCol: String, k: Int): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
+      .select(input_file_name().as("file"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy(col("file"))
+      .agg(udaf(Sketches.KllBuild(k)).apply(col("v")).as("kll"))
+
+  /** Quantile estimates over the files whose zone maps in the companion
+    * manifest intersect `statsCol BETWEEN lo AND hi` — "what does the
+    * value distribution of this range scan look like", answered
+    * manifest-only. Returns one row per q: (q, value, n) with n the EXACT
+    * row count the merged sketches saw (KLL tracks n exactly; only the
+    * quantile VALUES carry rank error).
+    */
+  def quantileEstimateForRange(spark: SparkSession, indexPath: String,
+      manifestPath: String, statsCol: String, lo: Any, hi: Any,
+      qs: Seq[Double], asOf: Long = Long.MaxValue): DataFrame = {
+    val surviving = readManifestAsOf(spark, manifestPath, asOf)
+      .filter(col(s"min_$statsCol") <= lit(hi) &&
+        col(s"max_$statsCol") >= lit(lo))
+      .select(col("file"))
+    val merged = readSegmentStore(spark, indexPath, "quantile index")
+      .join(surviving, Seq("file"), "left_semi")
+      .withColumn("g", lit("range"))
+      .groupBy(col("g"))
+      .agg(udaf(Sketches.KllUnion).apply(col("kll")).as("kll"))
+    Sketches.kllQuantiles(merged, "g", qs)
+      .select(col("q"), col("value"), col("n"))
   }
 
   /** Whole-table NDV estimate: union every per-file sketch. One scan of
     * the files×KB index, zero data-file opens. Returns (ndv, n_files).
     */
   def ndvEstimateAll(spark: SparkSession, indexPath: String): DataFrame =
-    readNdvIndex(spark, indexPath)
+    readSegmentStore(spark, indexPath, "NDV index")
       .agg(hll_sketch_estimate(hll_union_agg(col("ndv_sketch"))).as("ndv"),
         count(lit(1)).as("n_files"))
 
@@ -768,7 +836,7 @@ object Manifest {
       .filter(col(s"min_$statsCol") <= lit(hi) &&
         col(s"max_$statsCol") >= lit(lo))
       .select(col("file"))
-    readNdvIndex(spark, indexPath)
+    readSegmentStore(spark, indexPath, "NDV index")
       .join(surviving, Seq("file"), "left_semi")
       .agg(hll_sketch_estimate(hll_union_agg(col("ndv_sketch"))).as("ndv"),
         count(lit(1)).as("n_files"))

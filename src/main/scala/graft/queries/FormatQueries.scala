@@ -497,6 +497,58 @@ object FormatQueries {
           (Contracts.checksum(box) == Contracts.checksum(full)))
     }),
 
+    // Per-file KLL quantile sketches beside the manifest: with nrows, NDV
+    // and now the value DISTRIBUTION, the file listing answers all three
+    // planner cardinality questions manifest-only. Graded on: the merged
+    // estimate's n equal to the exact surviving-file row count (KLL tracks
+    // n exactly), every quantile estimate inside the exact-quantile
+    // envelope [q-0.03, q+0.03] over the same rows (k=200 rank error
+    // ~1.65 %), zero data-file opens in the estimate's plan, and the
+    // whole-table exact median replayed in DuckDB.
+    "manifest_quantile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val tbl = tmp("graft-manq-tbl-")
+      val man = tmp("graft-manq-man-")
+      val idx = tmp("graft-manq-idx-")
+      li.repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$tbl/d0")
+      Manifest.buildManifest(s, s"$tbl/d0", Seq("l_orderkey"), man)
+      Manifest.buildQuantileIndex(s, s"$tbl/d0", "l_quantity", idx)
+      val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      val (lo, hi) = (0L, mx / 4)
+      val qs = Seq(0.5, 0.9)
+      val est = Manifest.quantileEstimateForRange(s, idx, man,
+        "l_orderkey", lo, hi, qs)
+      val plan = est.queryExecution.executedPlan.toString
+      val rows = est.collect().map(r =>
+        (r.getDouble(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+      val survivors = Manifest.readManifest(s, man)
+        .filter(col("min_l_orderkey") <= hi && col("max_l_orderkey") >= lo)
+        .select(col("file")).collect().map(_.getString(0)).toSeq
+      val sv = s.read.parquet(survivors: _*).localCheckpoint()
+      val nExact = sv.count()
+      val envelopeOk = rows.forall { case (q, v, _) =>
+        val b = sv.agg(
+          expr(s"percentile(l_quantity, ${math.max(0.0, q - 0.03)})"),
+          expr(s"percentile(l_quantity, ${math.min(1.0, q + 0.03)})"))
+          .head()
+        v >= b.getDouble(0) && v <= b.getDouble(1)
+      }
+      val exactMedianAll = li
+        .agg(expr("floor(percentile(l_quantity, 0.5) * 1e6 + 0.5) / 1e6"))
+        .head().getDouble(0)
+      Contracts.row(s,
+        "median_all" -> exactMedianAll,
+        "n_exact_ok" -> (nExact > 0L && rows.forall(_._3 == nExact)),
+        "estimates_in_envelope_ok" -> envelopeOk,
+        "zero_data_file_opens_ok" ->
+          (plan.contains("graft-manq-idx-") &&
+            plan.contains("graft-manq-man-") &&
+            !plan.contains("graft-manq-tbl-")))
+    }),
+
     // Three-dimensional curve × manifest composition: the 21-bit Morton
     // layout keeps every file's (l_partkey, l_suppkey, l_orderkey) box
     // tight in ALL THREE axes, so a selective 3-D box opens a corner's
@@ -868,6 +920,13 @@ object FormatQueries {
         |    BETWEEN (SELECT max(l_suppkey) // 4 FROM lineitem)
         |        AND (SELECT max(l_suppkey) // 2 FROM lineitem)""".stripMargin,
 
+    "manifest_quantile" ->
+      """SELECT
+        |  floor(quantile_cont(l_quantity, 0.5)*1e6+0.5)/1e6 AS median_all,
+        |  TRUE AS n_exact_ok, TRUE AS estimates_in_envelope_ok,
+        |  TRUE AS zero_data_file_opens_ok
+        |FROM lineitem""".stripMargin,
+
     "manifest_zorder_box3" ->
       """SELECT count(*) AS n_rows,
         |  coalesce(round(sum(l_quantity), 2), 0.0) AS sum_qty,
@@ -1153,13 +1212,21 @@ object FormatQueries {
       Manifest.ndvEstimateAll(s, st.ndvIdx).unionByName(
         Manifest.ndvEstimateForRange(s, st.ndvIdx, st.ndvMan,
           "l_orderkey", 0L, st.ndvHi))
+    }),
+    // serving only: one merged range-quantile estimate — the exact-
+    // envelope baselines stay in Verify
+    "manifest_quantile" -> ((s, dir) => {
+      val st = dmlStores(s, dir)
+      Manifest.quantileEstimateForRange(s, st.qIdx, st.qMan,
+        "l_orderkey", 0L, st.ndvHi, Seq(0.5, 0.9))
     }))
 
-  /** Memoized fixtures for the DML/bloom/NDV timed forms above. */
+  /** Memoized fixtures for the DML/bloom/NDV/quantile timed forms above. */
   private case class DmlStores(delMan: String, lo: Long, hi: Long,
       optMan: String, target: Long, minR: Long,
       bloomIdx: String, bloomKey: Long,
-      ndvMan: String, ndvIdx: String, ndvHi: Long)
+      ndvMan: String, ndvIdx: String, ndvHi: Long,
+      qMan: String, qIdx: String)
 
   private val dmlCache =
     new scala.collection.concurrent.TrieMap[String, DmlStores]
@@ -1211,8 +1278,17 @@ object FormatQueries {
         .write.mode("overwrite").parquet(s"$ndvTbl/d0")
       Manifest.buildManifest(s, s"$ndvTbl/d0", Seq("l_orderkey"), ndvMan)
       Manifest.buildNdvIndex(s, s"$ndvTbl/d0", "l_partkey", ndvIdx)
+      val qTbl = tmp("graft-qtimed-tbl-")
+      val qMan = tmp("graft-qtimed-man-")
+      val qIdx = tmp("graft-qtimed-idx-")
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$qTbl/d0")
+      Manifest.buildManifest(s, s"$qTbl/d0", Seq("l_orderkey"), qMan)
+      Manifest.buildQuantileIndex(s, s"$qTbl/d0", "l_quantity", qIdx)
       DmlStores(delMan, mx / 3, mx / 2,
         optMan, math.max(4L, rows / 8), math.max(2L, rows / 16),
-        blIdx, key, ndvMan, ndvIdx, mx / 4)
+        blIdx, key, ndvMan, ndvIdx, mx / 4, qMan, qIdx)
     })
 }

@@ -428,6 +428,36 @@ class ManifestSpec extends SparkSpec {
     assert(math.abs(r.getLong(0) - 20L) <= 2L)
   }
 
+  test("quantile index: range-merged estimates land in the exact " +
+      "envelope, n is exact, append equals rebuild") {
+    val tbl = tmpDir("man-q-tbl-")
+    val man = tmpDir("man-q-man-")
+    val inc = tmpDir("man-q-inc-")
+    val reb = tmpDir("man-q-reb-")
+    // keys 0..799 clustered into 8 files; v = k so quantiles are known
+    writeFiles((0L until 600L).map(k => (k, k)), s"$tbl/d0", 6)
+    writeFiles((600L until 800L).map(k => (k, k)), s"$tbl/d1", 2)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("k"), man)
+    Manifest.appendToManifest(spark, Seq(s"$tbl/d1"), Seq("k"), man)
+    Manifest.buildQuantileIndex(spark, s"$tbl/d0", "v", inc)
+    Manifest.appendToQuantileIndex(spark, Seq(s"$tbl/d1"), "v", inc)
+    Manifest.buildQuantileIndex(spark, tbl, "v", reb)
+    // a 25% key range → 2 surviving files → v uniform on [0, 200)
+    val est = Manifest.quantileEstimateForRange(spark, inc, man,
+        "k", 0L, 199L, Seq(0.5))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    assert(est.length == 1)
+    assert(est.head._3 == 200L) // n exact
+    assert(math.abs(est.head._2 - 100.0) <= 8.0,
+      s"range median ${est.head._2} outside the k=200 envelope of 100")
+    // incremental store serves the same answer as a rebuilt one
+    val rebEst = Manifest.quantileEstimateForRange(spark, reb, man,
+        "k", 0L, 199L, Seq(0.5))
+      .collect().map(r => (r.getDouble(1), r.getLong(2)))
+    assert(rebEst.head._2 == 200L)
+    assert(math.abs(rebEst.head._1 - est.head._2) <= 8.0)
+  }
+
   test("empty prune window returns a schema-stable empty frame") {
     val tbl = tmpDir("man-tbl4-")
     val man = tmpDir("man-idx4-")
