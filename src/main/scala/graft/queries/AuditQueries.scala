@@ -117,6 +117,35 @@ object AuditQueries {
       num.unionByName(cat).orderBy(col("feature"))
     }),
 
+    // Corpus diversity audit: distinct-n (type/token ratio at n=1,2) per
+    // language — the standard repetitiveness metric a pre-training mix
+    // tracks (a collapsing generator or a boilerplate-heavy source shows
+    // up as a falling bigram TTR long before loss does). Exact
+    // count_distinct over one explode per n; the 100 TB drop-in for the
+    // distinct count is approx_count_distinct/theta (the
+    // `approx_overlap_theta` tolerance posture). Fixed-point ppm output —
+    // integer math, engine-exact.
+    "corpus_distinct_ngrams" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("lang"),
+          split(trim(lower(col("text"))), "\\s+").as("toks"))
+      val uni = d.select(col("lang"), explode(col("toks")).as("g"))
+        .withColumn("n", lit(1))
+      val bi = d.filter(size(col("toks")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', " +
+            "element_at(toks, i + 1)))")).as("g"))
+        .withColumn("n", lit(2))
+      uni.unionByName(bi)
+        .groupBy(col("lang"), col("n"))
+        .agg(count_distinct(col("g")).as("n_distinct"),
+          count(lit(1)).as("n_total"))
+        .select(col("lang"), col("n"), col("n_distinct"), col("n_total"),
+          expr("n_distinct * 1000000 div n_total").as("ttr_ppm"))
+        .orderBy(col("lang"), col("n"))
+    }),
+
     // Exact per-node triangle counts over the co-activity graph by
     // degree-ordered orientation (compact-forward): the apex join's
     // fan-out is arboricity-bounded, so the plan survives skewed degree
@@ -241,6 +270,24 @@ object AuditQueries {
         |    + 0.5*sum(q*ln(q*2/(p+q))))*1e6+0.5)/1e6 AS jsd
         |FROM jn2
         |ORDER BY feature""".stripMargin,
+
+    "corpus_distinct_ngrams" ->
+      """WITH d AS (SELECT lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |uni AS (SELECT lang, unnest(toks) AS g FROM d),
+        |bi AS (SELECT lang, toks[g] || ' ' || toks[g+1] AS g
+        |  FROM d, unnest(range(1, len(toks))) AS u(g)
+        |  WHERE len(toks) >= 2),
+        |m AS (
+        |  SELECT lang, 1 AS n, count(DISTINCT g) AS n_distinct,
+        |    count(*) AS n_total FROM uni GROUP BY lang
+        |  UNION ALL
+        |  SELECT lang, 2, count(DISTINCT g), count(*) FROM bi
+        |  GROUP BY lang)
+        |SELECT lang, n, n_distinct, n_total,
+        |  n_distinct * 1000000 // n_total AS ttr_ppm
+        |FROM m ORDER BY lang, n""".stripMargin,
 
     "graph_triangles" ->
       """WITH adj AS (
