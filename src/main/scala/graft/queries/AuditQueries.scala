@@ -117,6 +117,38 @@ object AuditQueries {
       num.unionByName(cat).orderBy(col("feature"))
     }),
 
+    // Last-touch revenue attribution over the event stream: each purchase
+    // credits its user's most recent view/click within a 7-day window
+    // (else 'none'). ONE window pass on the user key — the same shuffle
+    // shape as sessionization/funnels; the ignore-nulls last_value carry
+    // is the standard attribution recurrence, and both engines define the
+    // identical ROWS frame.
+    "attribution_last_touch" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val touches = Seq("view", "click")
+      t(s, dir, "events")
+        .withColumn("touch", last(
+          when(col("event_type").isin(touches: _*), col("event_type")),
+          ignoreNulls = true).over(w))
+        .withColumn("touch_ts", last(
+          when(col("event_type").isin(touches: _*), col("ts")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          when(col("touch").isNotNull &&
+              unix_micros(col("ts")) - unix_micros(col("touch_ts")) <=
+                604800000000L, col("touch"))
+            .otherwise(lit("none")).as("touch"),
+          col("value"))
+        .groupBy(col("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          (floor(sum(col("value")) * 100 + 0.5) / 100).as("revenue"))
+        .orderBy(col("touch"))
+    }),
+
     // Corpus diversity audit: distinct-n (type/token ratio at n=1,2) per
     // language — the standard repetitiveness metric a pre-training mix
     // tracks (a collapsing generator or a boilerplate-heavy source shows
@@ -270,6 +302,26 @@ object AuditQueries {
         |    + 0.5*sum(q*ln(q*2/(p+q))))*1e6+0.5)/1e6 AS jsd
         |FROM jn2
         |ORDER BY feature""".stripMargin,
+
+    "attribution_last_touch" ->
+      """WITH w AS (SELECT *,
+        |  last_value(CASE WHEN event_type IN ('view','click')
+        |      THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch,
+        |  last_value(CASE WHEN event_type IN ('view','click')
+        |      THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS touch_ts
+        |  FROM events)
+        |SELECT CASE WHEN touch IS NOT NULL
+        |    AND epoch_us(ts) - epoch_us(touch_ts) <= 604800000000
+        |    THEN touch ELSE 'none' END AS touch,
+        |  count(*) AS n_purchases,
+        |  floor(sum(value)*100+0.5)/100 AS revenue
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_distinct_ngrams" ->
       """WITH d AS (SELECT lang,
