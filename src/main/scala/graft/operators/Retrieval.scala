@@ -183,4 +183,49 @@ object Retrieval {
       out.result().iterator
     }.toDF("qid", "rank", "id", "mmr")
   }
+
+  /** nDCG@k — the standard ranking-quality evaluation, as a distributed
+    * operator: a retrieval stack that cannot MEASURE itself cannot be
+    * tuned. `ranked` carries (qid, doc, rank); `rels` carries graded
+    * relevance (qid, doc, rel ≥ 0) for every candidate the ideal ranking
+    * may draw from (docs absent from `rels` count as rel = 0).
+    *
+    * DCG_q  = Σ_{rank ≤ k} (2^rel − 1) / log2(rank + 1)
+    * IDCG_q = the same sum over the query's k highest relevances
+    *          (ties broken by doc ascending, so the ideal is unique)
+    * nDCG_q = DCG / IDCG (0 when the query has no relevant docs at all)
+    *
+    * Shape at scale: one equi-join of the k·|Q| ranked rows onto `rels`,
+    * one per-query window for the ideal ranks — both shuffles on the qid
+    * key, query-volume-bound; the corpus never enters. Gains 2^rel are
+    * exact doubles for integer grades; outputs are rounded to 6 decimals
+    * (per-query sums of ≤ k log terms — the established float-aggregate
+    * posture).
+    */
+  def ndcgAtK(ranked: DataFrame, rels: DataFrame, qidCol: String,
+      docCol: String, rankCol: String, relCol: String, k: Int): DataFrame = {
+    def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val gain = (r: Column) => (pow(lit(2.0), r) - 1.0)
+    val dcg = ranked.filter(col(rankCol) <= k)
+      .join(rels.select(col(qidCol), col(docCol), col(relCol)),
+        Seq(qidCol, docCol), "left")
+      .groupBy(col(qidCol))
+      .agg(sum(gain(coalesce(col(relCol), lit(0L)).cast("double")) /
+        log2(col(rankCol).cast("double") + 1.0)).as("dcg"))
+    val iw = Window.partitionBy(col(qidCol))
+      .orderBy(col(relCol).desc, col(docCol).asc)
+    val idcg = rels
+      .withColumn("irank", row_number().over(iw))
+      .filter(col("irank") <= k)
+      .groupBy(col(qidCol))
+      .agg(sum(gain(col(relCol).cast("double")) /
+        log2(col("irank").cast("double") + 1.0)).as("idcg"))
+    dcg.join(idcg, Seq(qidCol), "left")
+      .select(col(qidCol),
+        when(coalesce(col("idcg"), lit(0.0)) > 0.0,
+          round6(col("dcg") / col("idcg"))).otherwise(lit(0.0))
+          .as("ndcg"),
+        round6(col("dcg")).as("dcg"),
+        round6(coalesce(col("idcg"), lit(0.0))).as("idcg"))
+  }
 }

@@ -1839,6 +1839,33 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Ranking-quality evaluation: nDCG@5 of the BM25 arm against a graded
+    // relevance both engines can derive exactly (rel = distinct first-8
+    // query terms present in the doc). The ranking is fixed-point
+    // (engine-exact rows), the relevance is integer set arithmetic, and
+    // the DCG log sums round at 6 decimals — so the oracle replays the
+    // ENTIRE evaluation, ranking included, not just the formula.
+    "retrieval_ndcg" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val ranked = TextAnalysis.bm25TopK(docs, qs, "doc_id", "text",
+        "query_id", "text", k = 5)
+      val docTerms = docs.select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .distinct()
+      val qTerms = qs.select(col("query_id"),
+          explode(slice(split(trim(lower(col("text"))), "\\s+"), 1, 8))
+            .as("term"))
+        .distinct()
+      val rels = qTerms.join(docTerms, "term")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("rel"))
+      graft.operators.Retrieval.ndcgAtK(ranked, rels, "query_id",
+          "doc_id", "rank", "rel", 5)
+        .orderBy(col("query_id"))
+    }),
+
     // RM3 pseudo-relevance-feedback expansion (Lavrenko/Croft relevance
     // models + the RM3 interpolation): BM25 round 1, relevance model from
     // each query's top-5 docs, top-8 expansion terms interpolated with the
@@ -3221,6 +3248,67 @@ object PipelineQueries {
         |)
         |SELECT query_id, rank, doc_id, score_fx / 1e6 AS score
         |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "retrieval_ndcg" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+        |), dl AS (
+        |  SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+        |    (SELECT sum(dl)::DOUBLE FROM dl)
+        |      / (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+        |), qterms AS (
+        |  SELECT DISTINCT doc_id AS query_id,
+        |    unnest((string_split_regex(trim(lower(text)), '\s+'))[1:8])
+        |      AS term
+        |  FROM documents WHERE doc_id < 5
+        |), contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    floor(ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.5)
+        |      / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / s.avgdl))
+        |      * 1e6 + 0.5)::BIGINT AS c
+        |  FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term)
+        |    JOIN dl USING (doc_id) CROSS JOIN stats s
+        |), scored AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sum(c) DESC, doc_id ASC)::BIGINT AS rank
+        |  FROM contrib GROUP BY query_id, doc_id
+        |), dterm AS (
+        |  SELECT DISTINCT doc_id, term FROM tok
+        |), rels AS (
+        |  SELECT q.query_id, d.doc_id, count(*)::BIGINT AS rel
+        |  FROM qterms q JOIN dterm d USING (term) GROUP BY 1, 2
+        |), dcg AS (
+        |  SELECT s.query_id,
+        |    sum((pow(2, coalesce(r.rel, 0)) - 1) / log2(s.rank + 1)) AS dcg
+        |  FROM scored s LEFT JOIN rels r
+        |    ON r.query_id = s.query_id AND r.doc_id = s.doc_id
+        |  WHERE s.rank <= 5 GROUP BY 1
+        |), ideal AS (
+        |  SELECT query_id,
+        |    sum((pow(2, rel) - 1) / log2(irank + 1)) AS idcg
+        |  FROM (SELECT query_id, rel, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS irank
+        |    FROM rels)
+        |  WHERE irank <= 5 GROUP BY 1
+        |)
+        |SELECT d.query_id,
+        |  CASE WHEN coalesce(i.idcg, 0) > 0
+        |    THEN floor(d.dcg / i.idcg * 1e6 + 0.5) / 1e6
+        |    ELSE 0.0 END AS ndcg,
+        |  floor(d.dcg * 1e6 + 0.5) / 1e6 AS dcg,
+        |  floor(coalesce(i.idcg, 0) * 1e6 + 0.5) / 1e6 AS idcg
+        |FROM dcg d LEFT JOIN ideal i USING (query_id)
+        |ORDER BY d.query_id""".stripMargin,
 
     "retrieval_rm3" ->
       """WITH tok AS (

@@ -145,4 +145,45 @@ class RetrievalSpec extends SparkSpec {
     assert(msgs.contains("mixed embedding"), msgs.take(500))
     assert(msgs.contains("query 9"), msgs.take(500))
   }
+
+  private def lg2(x: Double): Double = math.log(x) / math.log(2.0)
+  private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("ndcgAtK: perfect ranking is exactly 1; a reversed ranking matches " +
+      "the hand-computed value; unknown docs gain 0") {
+    val rels = Seq((1L, 10L, 3L), (1L, 11L, 2L), (1L, 12L, 1L))
+      .toDF("qid", "doc", "rel")
+    def run(ranking: Seq[(Long, Long, Long)]): (Double, Double, Double) = {
+      val r = Retrieval.ndcgAtK(ranking.toDF("qid", "doc", "rank"), rels,
+        "qid", "doc", "rank", "rel", 3).collect().head
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    val (n1, d1, i1) = run(Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L)))
+    assert(n1 == 1.0 && d1 == i1)
+    // reversed: dcg = 1/log2(2) + 3/log2(3) + 7/log2(4)
+    val idcg = 7.0 / lg2(2) + 3.0 / lg2(3) + 1.0 / lg2(4)
+    val dcgRev = 1.0 / lg2(2) + 3.0 / lg2(3) + 7.0 / lg2(4)
+    val (n2, d2, _) = run(Seq((1L, 12L, 1L), (1L, 11L, 2L), (1L, 10L, 3L)))
+    assert(d2 == r6(dcgRev) && n2 == r6(dcgRev / idcg) && n2 < 1.0)
+    // a ranked doc with no relevance row contributes zero gain
+    val (n3, d3, _) = run(Seq((1L, 99L, 1L), (1L, 10L, 2L), (1L, 11L, 3L)))
+    assert(d3 == r6(7.0 / lg2(3) + 3.0 / lg2(4)) && n3 < n2)
+  }
+
+  test("ndcgAtK: a query with no relevant docs anywhere scores 0, and " +
+      "ideal ranks are capped at k") {
+    val rels = Seq((1L, 10L, 1L)).toDF("qid", "doc", "rel")
+    val ranked = Seq((2L, 20L, 1L)).toDF("qid", "doc", "rank")
+    val r = Retrieval.ndcgAtK(ranked, rels, "qid", "doc", "rank", "rel", 3)
+      .collect()
+    assert(r.length == 1 && r.head.getLong(0) == 2L &&
+      r.head.getDouble(1) == 0.0)
+    // k caps the ideal: 5 rel-1 docs at k=2 → idcg = 1/log2(2) + 1/log2(3)
+    val many = (10L to 14L).map(d => (3L, d, 1L)).toDF("qid", "doc", "rel")
+    val rk = Seq((3L, 10L, 1L), (3L, 11L, 2L)).toDF("qid", "doc", "rank")
+    val r2 = Retrieval.ndcgAtK(rk, many, "qid", "doc", "rank", "rel", 2)
+      .collect().head
+    assert(r2.getDouble(3) == r6(1.0 / lg2(2) + 1.0 / lg2(3)))
+    assert(r2.getDouble(1) == 1.0)
+  }
 }
