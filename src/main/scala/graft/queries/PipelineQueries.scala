@@ -1808,6 +1808,61 @@ object PipelineQueries {
             encodedWS.exceptAll(trainedWS).count() == 0))
     }),
 
+    // UNIGRAM-LM tokenizer training (Kudo 2018, the SentencePiece model)
+    // beside BPE: EM over each word's segmentation lattice, fixed-point
+    // expected counts (long sums — partition-invariant training), ppb
+    // probabilities. Contracts: the EM objective trace is non-decreasing
+    // (up to the documented 1e-9 fixed-point perturbation), probabilities
+    // normalize, and every corpus character stays covered.
+    "unigram_train" -> ((s, dir) => {
+      val words = graft.operators.Unigram
+        .wordTable(t(s, dir, "documents"), "text").localCheckpoint()
+      val (model, lls) = graft.operators.Unigram.train(words,
+        seedSize = 512, iters = 3)
+      val corpusChars = words
+        .select(explode(split(col("w"), "")).as("c"))
+        .filter(length(col("c")) === 1)
+        .distinct().collect().map(_.getString(0)).toSet
+      Contracts.row(s,
+        "n_words" -> words.count(),
+        "ll_nondecreasing_ok" -> lls.sliding(2).forall(w =>
+          w.size < 2 || w(1) >= w(0) - math.abs(w(0)) / 1000000L - 10L),
+        "probs_normalized_ok" -> {
+          val sum = model.probPpb.values.sum
+          sum > 900000000L && sum <= 1000000600L
+        },
+        "chars_covered_ok" ->
+          corpusChars.forall(c => model.probPpb.contains(c)))
+    }),
+
+    // ENCODE side of the unigram tokenizer: Viterbi segmentation of the
+    // full word table under the trained model. Contracts: every word's
+    // pieces concatenate back exactly (coverage is total), the encoding
+    // compresses (weighted pieces < weighted chars — the vocabulary
+    // learned something), and a repartitioned encode is identical
+    // row-for-row (pure function of word + model).
+    "unigram_encode" -> ((s, dir) => {
+      val words = graft.operators.Unigram
+        .wordTable(t(s, dir, "documents"), "text").localCheckpoint()
+      val (model, _) = graft.operators.Unigram.train(words,
+        seedSize = 512, iters = 2)
+      val enc = graft.operators.Unigram.encode(words, model)
+        .localCheckpoint()
+      val nPieces = enc.agg(sum(size(col("pieces")) * col("cnt")))
+        .head().getLong(0)
+      val nChars = words.agg(sum(length(col("w")) * col("cnt")))
+        .head().getLong(0)
+      val again = graft.operators.Unigram
+        .encode(words.repartition(7), model)
+      Contracts.row(s,
+        "n_words" -> words.count(),
+        "roundtrip_ok" -> Contracts.forAll(enc,
+          concat_ws("", col("pieces")) === col("w")),
+        "compression_ok" -> (nPieces < nChars),
+        "partition_invariant_ok" ->
+          (Contracts.checksum(enc) == Contracts.checksum(again)))
+    }),
+
     // Statistical quality scoring: per-doc mean log-probability under an
     // add-one-smoothed bigram LM trained on the corpus itself — two count
     // aggregates (the model) + two key-joins (the scoring). Full SQL
@@ -3167,6 +3222,22 @@ object PipelineQueries {
         |    FROM documents) WHERE length(w) > 0) AS n_words,
         |  TRUE AS n_merges_ok,
         |  TRUE AS encode_matches_training_ok""".stripMargin,
+
+    "unigram_train" ->
+      """SELECT (SELECT count(DISTINCT w) FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents) WHERE length(w) > 0) AS n_words,
+        |  TRUE AS ll_nondecreasing_ok,
+        |  TRUE AS probs_normalized_ok,
+        |  TRUE AS chars_covered_ok""".stripMargin,
+
+    "unigram_encode" ->
+      """SELECT (SELECT count(DISTINCT w) FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents) WHERE length(w) > 0) AS n_words,
+        |  TRUE AS roundtrip_ok,
+        |  TRUE AS compression_ok,
+        |  TRUE AS partition_invariant_ok""".stripMargin,
 
     "quality_lm_score" ->
       """WITH toks AS (

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(lines: String*) =
+    lines.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+
+  test("roundtrip: every word's Viterbi pieces concatenate back exactly") {
+    val words = Unigram.wordTable(
+      corpus("the cat sat on the mat", "a cat and a rat ate the mat"),
+      "text")
+    val (model, _) = Unigram.train(words, seedSize = 64, iters = 2)
+    val enc = Unigram.encode(words, model)
+    assert(graft.queries.Contracts.forAll(enc,
+      concat_ws("", col("pieces")) === col("w")))
+  }
+
+  test("EM objective is non-decreasing across iterations") {
+    val words = Unigram.wordTable(corpus(
+      "internationalization is the internationalization of nation",
+      "the nation and the international nation"), "text")
+    val (_, lls) = Unigram.train(words, seedSize = 128, iters = 4)
+    assert(lls.length == 4)
+    // fixed-point M-step perturbs probs at ~1e-9 relative; allow that
+    lls.sliding(2).foreach { w =>
+      assert(w(1) >= w(0) - math.abs(w(0)) / 1000000L - 10L,
+        s"log-likelihood decreased: ${lls.mkString(", ")}")
+    }
+  }
+
+  test("a dominant frequent word collapses to a single piece") {
+    val line = Seq.fill(50)("abab").mkString(" ") + " ab ba xq"
+    val words = Unigram.wordTable(corpus(line), "text")
+    val (model, _) = Unigram.train(words, seedSize = 32, iters = 3)
+    val enc = Unigram.encode(words, model)
+      .select(col("w"), col("pieces")).as[(String, Seq[String])]
+      .collect().toMap
+    assert(enc("abab") == Seq("abab"))
+  }
+
+  test("training and encoding are partition-invariant") {
+    val base = corpus("the quick brown fox jumps over the lazy dog",
+      "the quick dog naps under the brown fox")
+    val w1 = Unigram.wordTable(base, "text")
+    val w7 = Unigram.wordTable(base.repartition(7), "text").repartition(5)
+    val (m1, ll1) = Unigram.train(w1, seedSize = 64, iters = 3)
+    val (m7, ll7) = Unigram.train(w7, seedSize = 64, iters = 3)
+    assert(m1.probPpb == m7.probPpb)
+    assert(ll1 == ll7)
+    val e1 = Unigram.encode(w1, m1)
+      .select(col("w"), col("pieces")).as[(String, Seq[String])]
+      .collect().toMap
+    val e7 = Unigram.encode(w7, m7)
+      .select(col("w"), col("pieces")).as[(String, Seq[String])]
+      .collect().toMap
+    assert(e1 == e7)
+  }
+
+  test("unknown characters at encode time fall back to singletons " +
+      "instead of failing") {
+    val words = Unigram.wordTable(corpus("aa bb aa"), "text")
+    val (model, _) = Unigram.train(words, seedSize = 16, iters = 1)
+    val unseen = Seq(("zzq", 1L)).toDF("w", "cnt")
+    val enc = Unigram.encode(unseen, model)
+      .select(col("pieces")).as[Seq[String]].head()
+    assert(enc == Seq("z", "z", "q"))
+  }
+}
