@@ -117,6 +117,32 @@ object AuditQueries {
       num.unionByName(cat).orderBy(col("feature"))
     }),
 
+    // Volume anomaly detection over the event stream: hourly counts per
+    // type, each hour scored against its own trailing 24 h history
+    // (RANGE frame ending 1 h before — the current hour never smooths its
+    // own spike), |z| > 3 flagged. One group-key aggregation + one window
+    // on the same key; the monitoring gate that catches an upstream
+    // double-fire or outage before it poisons a training mix.
+    "event_anomaly" -> ((s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val tw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(unix_timestamp(col("hr")))
+        .rangeBetween(-86400L, -3600L)
+      h.withColumn("mu", avg(col("n")).over(tw))
+        .withColumn("sd", stddev_samp(col("n")).over(tw))
+        .withColumn("n_hist", count(lit(1)).over(tw))
+        .filter(col("n_hist") >= 6 && col("sd") > 0)
+        .withColumn("z",
+          floor((col("n") - col("mu")) / col("sd") * 1e6 + 0.5) / 1e6)
+        .filter(abs(col("z")) > 3)
+        .select(col("event_type"), col("hr"), col("n"), col("z"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
     // Last-touch revenue attribution over the event stream: each purchase
     // credits its user's most recent view/click within a 7-day window
     // (else 'none'). ONE window pass on the user key — the same shuffle
@@ -302,6 +328,24 @@ object AuditQueries {
         |    + 0.5*sum(q*ln(q*2/(p+q))))*1e6+0.5)/1e6 AS jsd
         |FROM jn2
         |ORDER BY feature""".stripMargin,
+
+    "event_anomaly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hr, n,
+        |  avg(n) OVER tw AS mu, stddev_samp(n) OVER tw AS sd,
+        |  count(*) OVER tw AS n_hist
+        |  FROM h
+        |  WINDOW tw AS (PARTITION BY event_type
+        |    ORDER BY CAST(floor(epoch(hr)) AS BIGINT)
+        |    RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+        |SELECT event_type, hr, n,
+        |  floor((n - mu) / sd * 1e6 + 0.5) / 1e6 AS z
+        |FROM w
+        |WHERE n_hist >= 6 AND sd > 0
+        |  AND abs(floor((n - mu) / sd * 1e6 + 0.5) / 1e6) > 3
+        |ORDER BY event_type, hr""".stripMargin,
 
     "attribution_last_touch" ->
       """WITH w AS (SELECT *,
