@@ -746,6 +746,38 @@ object Manifest {
     spark.read.parquet(segs.toSeq: _*)
   }
 
+  /** Snapshot history audit — the DESCRIBE HISTORY of this store: one row
+    * per segment with files added, files tombstoned, and rows added,
+    * derived from the segments themselves (each is immutable, so the
+    * history is exact and free). One read of the files×segments manifest
+    * rows; segment identity recovered from the path. Post-compaction the
+    * history collapses to the single `b-1` row — compaction IS the
+    * snapshot-expiry horizon, and this view makes that visible.
+    */
+  def history(spark: SparkSession, manifestPath: String): DataFrame = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(mp).map(_.getPath)
+      .filter(p => Segments.isSegment(p.getName)).map(_.toString)
+    require(segs.nonEmpty, s"manifest at $manifestPath has no segments")
+    val m = spark.read.option("mergeSchema", "true")
+      .parquet(segs.toSeq: _*)
+      .withColumn("batch_id",
+        regexp_extract(input_file_name(), "/(b-?\\d+)/", 1))
+    // a never-DML'd store has no `removed` column at any footer
+    val withRem =
+      if (m.columns.contains("removed"))
+        m.withColumn("is_removed", coalesce(col("removed"), lit(false)))
+      else m.withColumn("is_removed", lit(false))
+    withRem
+      .groupBy(col("batch_id"))
+      .agg(
+        count(when(!col("is_removed"), lit(1))).as("n_files_added"),
+        count(when(col("is_removed"), lit(1))).as("n_files_removed"),
+        coalesce(sum(when(!col("is_removed"), col("nrows"))), lit(0L))
+          .as("rows_added"))
+  }
+
   /** Per-file QUANTILE sketch index (datasketches KLL, the
     * [[Sketches]] kernel): one valueCol-only scan builds a mergeable
     * ~KB sketch per file. Together with the NDV index this completes the

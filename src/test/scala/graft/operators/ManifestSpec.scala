@@ -458,6 +458,29 @@ class ManifestSpec extends SparkSpec {
     assert(math.abs(rebEst.head._1 - est.head._2) <= 8.0)
   }
 
+  test("history: build/append/delete segments account exactly; " +
+      "compaction collapses the view to one b-1 row") {
+    val tbl = tmpDir("man-h-tbl-")
+    val man = tmpDir("man-h-man-")
+    writeFiles((0L until 400L).map(k => (k, k)), s"$tbl/d0", 4)
+    writeFiles((400L until 600L).map(k => (k, k)), s"$tbl/d1", 2)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("k"), man)
+    Manifest.appendToManifest(spark, Seq(s"$tbl/d1"), Seq("k"), man)
+    Manifest.deleteRange(spark, man, "k", 0L, 99L, s"$tbl/rw", Seq("k"))
+    val h = Manifest.history(spark, man)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(h.keySet == Set("b0", "b1", "b2"))
+    assert(h("b0") == ((4L, 0L, 400L)))
+    assert(h("b1") == ((2L, 0L, 200L)))
+    // keys 0..99 = exactly the first of 4 clustered files: pure tombstone
+    assert(h("b2")._2 == 1L && h("b2")._3 == 0L)
+    Manifest.compactManifest(spark, man)
+    val hc = Manifest.history(spark, man)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(hc.toSeq == Seq(("b-1", 500L)))
+  }
+
   test("empty prune window returns a schema-stable empty frame") {
     val tbl = tmpDir("man-tbl4-")
     val man = tmpDir("man-idx4-")
