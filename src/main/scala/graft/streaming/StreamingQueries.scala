@@ -634,6 +634,121 @@ object StreamingQueries {
     (segDir, batches.get())
   }
 
+  /** Staged 3-file full-column documents split for the streaming
+    * expectations gate.
+    */
+  private val expectInCache =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Streaming data-quality gate fold: each micro-batch lands ONE row of
+    * SUFFICIENT STATISTICS (row/satisfied counts, sum/min/max) as an
+    * idempotent batchId-keyed segment — every statistic in the suite is
+    * chosen additive (counts and sums of ≤2^53-bounded integers, min/max),
+    * so the cumulative metrics from summed segments are BIT-EQUAL to the
+    * batch [[graft.operators.Expectations]] pass over the same rows: the
+    * gate a 100 TB ingest actually runs (verdicts continuously current at
+    * O(batch) per batch) with no drift between the streaming and batch
+    * answers. Exact-distinct uniqueness is deliberately NOT in the
+    * streaming suite — it is not additive; the mergeable-sketch route is
+    * [[graft.operators.Sketches.hllIncremental]]'s family. Returns
+    * (segDir, nBatches).
+    */
+  private def runExpectationsStream(s: SparkSession,
+      dir: String): (String, Long) = {
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val inDir = expectInCache.getOrElseUpdate(dir, {
+      val d = Files.createTempDirectory("graft-sexp-in-").toString
+      (0 until 3).foreach { i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.parquet(s"$d/f$i.parquet")
+      }
+      d
+    })
+    val stage = Files.createTempDirectory("graft-sexp-").toString
+    val segDir = s"$stage/segments"
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet")
+        .writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            b.agg(
+              count(lit(1)).as("n"),
+              count(when(col("text").isNotNull, lit(1)))
+                .as("n_text_nonnull"),
+              count(when(col("lang").isin("de", "en", "es", "fr", "zh"),
+                lit(1))).as("n_lang_conform"),
+              sum(col("n_chars")).as("sum_n_chars"),
+              min(col("n_chars")).as("min_n_chars"),
+              max(col("n_chars")).as("max_n_chars"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$segDir/b$id")
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+    (segDir, batches.get())
+  }
+
+  /** The streaming-expectations suite's served metric rows from summed
+    * segments: (check_name, metric, lo, hi, passed) — the identical
+    * formulas, rounding, and verdict rule as the batch
+    * [[graft.operators.Expectations.run]] over [[servedChecks]].
+    */
+  private def servedExpectations(s: SparkSession,
+      segDir: String): DataFrame = {
+    val agg = s.read.parquet(s"$segDir/b*").agg(
+      sum(col("n")).as("n"),
+      sum(col("n_text_nonnull")).as("nt"),
+      sum(col("n_lang_conform")).as("nl"),
+      sum(col("sum_n_chars")).as("sc"),
+      min(col("min_n_chars")).as("mn"),
+      max(col("max_n_chars")).as("mx"))
+    agg.selectExpr(
+      """stack(6,
+        |'completeness_text', floor(nt / CAST(n AS DOUBLE) * 1e6 + 0.5)
+        |  / 1e6, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+        |'lang_in_domain', floor(nl / CAST(n AS DOUBLE) * 1e6 + 0.5)
+        |  / 1e6, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+        |'mean_n_chars', floor(sc / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6,
+        |  CAST(50.0 AS DOUBLE), CAST(1000.0 AS DOUBLE),
+        |'min_n_chars', floor(CAST(mn AS DOUBLE) * 1e6 + 0.5) / 1e6,
+        |  CAST(1.0 AS DOUBLE), CAST(1000000.0 AS DOUBLE),
+        |'max_n_chars', floor(CAST(mx AS DOUBLE) * 1e6 + 0.5) / 1e6,
+        |  CAST(1.0 AS DOUBLE), CAST(10000.0 AS DOUBLE),
+        |'min_rows', floor(CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6,
+        |  CAST(10.0 AS DOUBLE), CAST(1e12 AS DOUBLE))
+        |AS (check_name, metric, lo, hi)""".stripMargin)
+      .withColumn("passed",
+        col("metric") >= col("lo") && col("metric") <= col("hi"))
+  }
+
+  /** The batch form of the streaming suite (shared so the contract's
+    * equality compares the SAME checks).
+    */
+  private def servedChecks: Seq[graft.operators.Expectations.Check] = {
+    val E = graft.operators.Expectations
+    Seq(
+      E.Check("completeness_text", E.completeness("text"), 1.0, 1.0),
+      E.Check("lang_in_domain",
+        E.conformance(col("lang").isin("de", "en", "es", "fr", "zh")),
+        1.0, 1.0),
+      E.Check("mean_n_chars", avg(col("n_chars")), 50.0, 1000.0),
+      E.Check("min_n_chars", min(col("n_chars")).cast("double"),
+        1.0, 1e6),
+      E.Check("max_n_chars", max(col("n_chars")).cast("double"),
+        1.0, 1e4),
+      E.Check("min_rows", count(lit(1)).cast("double"), 10.0, 1e12))
+  }
+
   /** Segments with batch id STRICTLY below `id` — NOT `b*`: a batch
     * replayed after a mid-batch crash must not see its own half-written
     * segment (or, on an out-of-order replay, a later one) as "prior".
@@ -679,6 +794,12 @@ object StreamingQueries {
         .filter(_.isDirectory)
         .flatMap(f => graft.operators.Segments.id(f.getName))
       s.read.parquet(s"$segDir/b${ids.max}")
+    }),
+    // fold + served verdict rows — the batch-equality baseline stays in
+    // Verify
+    "streaming_expectations" -> ((s, dir) => {
+      val (segDir, _) = runExpectationsStream(s, dir)
+      servedExpectations(s, segDir)
     }),
     // fold + one served PSI/JSD read — the batch-equality baselines stay
     // in Verify
@@ -1578,6 +1699,27 @@ object StreamingQueries {
             r6(served.getDouble(1)) == r6(batch.getDouble(1))))
     }),
 
+    // Streaming data-quality gate: per micro-batch ONE row of additive
+    // sufficient statistics lands as an idempotent batchId-keyed segment;
+    // serving folds segments into the cumulative expectation verdicts.
+    // Contract: ≥3 batches, and the served (check, metric, verdict) rows
+    // are BIT-EQUAL to the batch Expectations pass over the same corpus —
+    // additive statistics make streamed ≡ batch exact, not a tolerance.
+    "streaming_expectations" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val (segDir, nb) = runExpectationsStream(s, dir)
+      val served = servedExpectations(s, segDir).localCheckpoint()
+      val batch = graft.operators.Expectations.run(docs, servedChecks)
+      graft.queries.Contracts.row(s,
+        "n_docs" -> docs.count(),
+        "multi_batch_ok" -> (nb >= 3L),
+        "all_passed_ok" -> graft.queries.Contracts.forAll(served,
+          col("passed")),
+        "equals_batch_run_ok" ->
+          (graft.queries.Contracts.checksum(served) ==
+            graft.queries.Contracts.checksum(batch)))
+    }),
+
     // Streaming deterministic reservoir: exact-k (smallest salted-md5
     // ranks) maintained across 3 micro-batches with O(k) state. Contract:
     // the final snapshot is BIT-EQUAL to a from-scratch batch exactK over
@@ -1898,6 +2040,11 @@ object StreamingQueries {
         |   WHERE event_type = 'purchase') AS n_events,
         |  TRUE AS multi_batch_ok, TRUE AS segments_sum_equals_batch_ok,
         |  TRUE AS served_psi_equals_batch_ok""".stripMargin,
+
+    "streaming_expectations" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  TRUE AS multi_batch_ok, TRUE AS all_passed_ok,
+        |  TRUE AS equals_batch_run_ok""".stripMargin,
 
     "streaming_manifest" ->
       """SELECT (SELECT count(*) FROM documents) AS n_docs,
