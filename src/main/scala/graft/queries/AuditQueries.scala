@@ -117,6 +117,54 @@ object AuditQueries {
       num.unionByName(cat).orderBy(col("feature"))
     }),
 
+    // Spearman rank correlation (chars vs tokens per doc, by language):
+    // Pearson over AVERAGE fractional ranks (the tie-correct form —
+    // rank() + (ties−1)/2, a pure window derivation both engines define
+    // identically), so the statistic is robust to the metric scale where
+    // the existing corr_covar is not. Two windows + one corr aggregate
+    // per group.
+    "spearman_corr" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), col("n_chars").cast("double").as("x"),
+          size(split(trim(col("text")), "\\s+")).cast("double").as("y"))
+      def avgRank(c: String) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col(c))
+        val tw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"), col(c))
+        rank().over(w).cast("double") +
+          (count(lit(1)).over(tw).cast("double") - 1.0) / 2.0
+      }
+      d.withColumn("rx", avgRank("x")).withColumn("ry", avgRank("y"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (floor(corr(col("rx"), col("ry")) * 1e6 + 0.5) / 1e6)
+            .as("spearman"))
+        .orderBy(col("lang"))
+    }),
+
+    // Source-mix entropy per language (and the normalized form H/ln(k)):
+    // the one-number diversity dial a mix recipe monitors — a source
+    // collapse drives normalized entropy toward 0 while per-source counts
+    // still look plausible individually.
+    "mix_entropy" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy(col("lang"))
+        .agg(sum(col("n")).as("t"), count(lit(1)).as("k"))
+      counts.join(tot, "lang")
+        .select(col("lang"), col("k"),
+          (col("n").cast("double") / col("t").cast("double")).as("p"))
+        .groupBy(col("lang"), col("k"))
+        .agg((-sum(col("p") * log(col("p")))).as("h"))
+        .select(col("lang"), col("k").as("n_sources"),
+          (floor(col("h") * 1e6 + 0.5) / 1e6).as("entropy"),
+          (floor(col("h") / log(col("k").cast("double")) * 1e6 + 0.5)
+            / 1e6).as("norm_entropy"))
+        .orderBy(col("lang"))
+    }),
+
     // Volume anomaly detection over the event stream: hourly counts per
     // type, each hour scored against its own trailing 24 h history
     // (RANGE frame ending 1 h before — the current hour never smooths its
@@ -328,6 +376,35 @@ object AuditQueries {
         |    + 0.5*sum(q*ln(q*2/(p+q))))*1e6+0.5)/1e6 AS jsd
         |FROM jn2
         |ORDER BY feature""".stripMargin,
+
+    "spearman_corr" ->
+      """WITH d AS (SELECT lang, n_chars::DOUBLE AS x,
+        |    len(string_split_regex(trim(text), '\s+'))::DOUBLE AS y
+        |  FROM documents),
+        |r AS (SELECT lang,
+        |  rank() OVER (PARTITION BY lang ORDER BY x)::DOUBLE
+        |    + (count(*) OVER (PARTITION BY lang, x)::DOUBLE - 1) / 2
+        |    AS rx,
+        |  rank() OVER (PARTITION BY lang ORDER BY y)::DOUBLE
+        |    + (count(*) OVER (PARTITION BY lang, y)::DOUBLE - 1) / 2
+        |    AS ry
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  floor(corr(rx, ry) * 1e6 + 0.5) / 1e6 AS spearman
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "mix_entropy" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, sum(n) AS t, count(*) AS k FROM c
+        |  GROUP BY lang),
+        |p AS (SELECT c.lang, t.k, c.n::DOUBLE / t.t::DOUBLE AS p
+        |  FROM c JOIN t USING (lang)),
+        |h AS (SELECT lang, k, -sum(p * ln(p)) AS h FROM p GROUP BY 1, 2)
+        |SELECT lang, k AS n_sources,
+        |  floor(h * 1e6 + 0.5) / 1e6 AS entropy,
+        |  floor(h / ln(k::DOUBLE) * 1e6 + 0.5) / 1e6 AS norm_entropy
+        |FROM h ORDER BY lang""".stripMargin,
 
     "event_anomaly" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
