@@ -42,21 +42,30 @@ object Drift {
       nBuckets: Int): Array[Double] = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-    val arr = ref.agg(
+    val row = ref.agg(
       expr(s"percentile($valueCol, array(${ps.mkString(",")}))"))
-      .head().getSeq[Double](0)
-    arr.map(e => math.floor(e * 1e6 + 0.5) / 1e6).toArray
+      .head()
+    // fail loudly on an empty or all-NULL reference — exactly the
+    // upstream-outage state a drift monitor meets; a null-seq NPE here
+    // would be undiagnosable
+    require(!row.isNullAt(0),
+      s"drift reference has no non-NULL '$valueCol' values — " +
+        "cannot fit quantile edges")
+    row.getSeq[Double](0)
+      .map(e => math.floor(e * 1e6 + 0.5) / 1e6).toArray
   }
 
   /** Bucket index of `c` against snapped `edges`: the count of edges
     * strictly below the value — pure column math (a nBuckets-1-term
-    * conditional sum, codegen-friendly), no UDF, NULL-safe (NULL value →
-    * bucket NULL → dropped by the aggregate's grouping on a separate
-    * filter upstream).
+    * conditional sum, codegen-friendly), no UDF. NULL-PROPAGATING: a NULL
+    * value yields a NULL bucket (not bucket 0 — `when(null > e)` would
+    * otherwise fall to the `otherwise` arm), so a caller that skips the
+    * isNotNull pre-filter cannot silently inflate the lowest bucket.
     */
   def bucketOf(c: Column, edges: Array[Double]): Column =
-    edges.foldLeft(lit(0))((acc, e) =>
-      acc + when(c > lit(e), 1).otherwise(0))
+    when(c.isNull, lit(null))
+      .otherwise(edges.foldLeft(lit(0))((acc, e) =>
+        acc + when(c > lit(e), 1).otherwise(0)))
 
   /** Per-bucket proportions of `valueCol` under `edges`:
     * (bucket, n, p) with p = n / total. NULL values are excluded (they are

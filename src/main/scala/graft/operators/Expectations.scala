@@ -82,18 +82,24 @@ object Expectations {
     unpivot(agged, checks, Seq(groupCol))
   }
 
-  /** stack() unpivots each metrics row into one row per check — the
-    * driver never sees the metrics; the plan is scan → agg → generate.
+  /** One generated row per check — the driver never sees the metrics;
+    * the plan is scan → agg → generate. Built from TYPED literal columns
+    * (never SQL-string splicing): a ±Infinity bound — the natural way to
+    * say "no lower bound" — must stay a valid double literal, where
+    * string interpolation would emit unparseable SQL.
     */
   private def unpivot(agged: DataFrame, checks: Seq[Check],
       keep: Seq[String]): DataFrame = {
-    val stackArgs = checks.zipWithIndex.map { case (c, i) =>
-      s"'${c.name}', floor(m$i * 1e6 + 0.5) / 1e6, " +
-        s"CAST(${c.lo} AS DOUBLE), CAST(${c.hi} AS DOUBLE)"
-    }.mkString(", ")
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c.name).as("check_name"),
+        (floor(col(s"m$i") * 1e6 + 0.5) / 1e6).as("metric"),
+        lit(c.lo).as("lo"), lit(c.hi).as("hi"))
+    }
     agged
-      .selectExpr(keep ++ Seq(s"stack(${checks.length}, $stackArgs) " +
-        "AS (check_name, metric, lo, hi)"): _*)
+      .select(keep.map(col) :+ explode(array(rows: _*)).as("_c"): _*)
+      .select(keep.map(col) ++ Seq(col("_c.check_name"), col("_c.metric"),
+        col("_c.lo"), col("_c.hi")): _*)
       .withColumn("passed",
         col("metric") >= col("lo") && col("metric") <= col("hi"))
   }

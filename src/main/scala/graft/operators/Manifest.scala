@@ -566,7 +566,17 @@ object Manifest {
       xCol, yCol, out, nFiles)
     rewriteSegment(spark, manifestPath, bid, files.toSeq, Some(out),
       statsCols)
-    (files.length.toLong, nFiles.toLong)
+    // report the files the rewrite ACTUALLY produced (ntile writes fewer
+    // than nFiles on a small table) — echoing the parameter would be
+    // metadata that lies to accounting callers
+    val created = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(out), true)
+      var n = 0L
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    (files.length.toLong, created)
   }
 
   /** Physically delete data files under `dataRoots` that the manifest no
@@ -763,7 +773,9 @@ object Manifest {
     val m = spark.read.option("mergeSchema", "true")
       .parquet(segs.toSeq: _*)
       .withColumn("batch_id",
-        regexp_extract(input_file_name(), "/(b-?\\d+)/", 1))
+        // anchored to the LEAF file's parent: an ancestor directory that
+        // happens to match /b<digits>/ must not hijack every row's id
+        regexp_extract(input_file_name(), "/(b-?\\d+)/[^/]*$", 1))
     // a never-DML'd store has no `removed` column at any footer
     val withRem =
       if (m.columns.contains("removed"))

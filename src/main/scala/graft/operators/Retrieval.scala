@@ -204,7 +204,7 @@ object Retrieval {
     */
   def ndcgAtK(ranked: DataFrame, rels: DataFrame, qidCol: String,
       docCol: String, rankCol: String, relCol: String, k: Int): DataFrame = {
-    def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    import Fixed.round6
     val gain = (r: Column) => (pow(lit(2.0), r) - 1.0)
     val dcg = ranked.filter(col(rankCol) <= k)
       .join(rels.select(col(qidCol), col(docCol), col(relCol)),

@@ -117,15 +117,25 @@ object Sampling {
     * representable, never 0 (so ln(u) is finite). Null ids and
     * non-positive weights are excluded up front (a weight of 0 can never
     * win a slot; a negative one would invert the order).
+    *
+    * The order key is SNAPPED to a ×1e9 fixed-point long before the sort
+    * (the bm25 `score_fx` posture): `ln` is transcendental and the two
+    * engines' libm may round the same input a final-ulp apart, which on a
+    * raw double key could flip the k-th/(k+1)-th boundary — on the
+    * snapped key an ulp difference only matters if the true rank sits
+    * within ~1e-16 of a 1e-9 grid boundary. Ranks of real corpora are
+    * O(1/w); collisions at the grid resolution fall to the id tie-break,
+    * identically on both engines.
     */
   def weightedExactK(df: DataFrame, idCol: String, weightCol: Column,
       k: Int, salt: String = ""): DataFrame = {
     val u = (conv(substring(
         md5(concat(col(idCol).cast("string"), lit(salt))), 1, 13),
       16, 10).cast("long") + 1).cast("double") / lit(4503599627370496.0)
+    val rankFx = floor(-log(u) / weightCol.cast("double") * 1e9 + 0.5)
+      .cast("long")
     df.filter(col(idCol).isNotNull && weightCol > 0)
-      .withColumn("aes_rank", -log(u) / weightCol.cast("double"))
-      .orderBy(col("aes_rank"), col(idCol))
+      .orderBy(rankFx, col(idCol))
       .limit(k)
   }
 

@@ -21,7 +21,7 @@ object AuditQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def round6(c: Column): Column =
-    floor(c * 1e6 + 0.5) / 1e6
+    graft.operators.Fixed.round6(c)
 
   /** The documents-table expectation suite: completeness, key uniqueness,
     * bounds, domain conformance. Shared by the query and the spec so both
@@ -160,8 +160,12 @@ object AuditQueries {
         .agg((-sum(col("p") * log(col("p")))).as("h"))
         .select(col("lang"), col("k").as("n_sources"),
           (floor(col("h") * 1e6 + 0.5) / 1e6).as("entropy"),
-          (floor(col("h") / log(col("k").cast("double")) * 1e6 + 0.5)
-            / 1e6).as("norm_entropy"))
+          // a single-source language has H = 0 and ln(k) = 0; 0/0 is NaN
+          // in Spark and the collapse this audit exists to flag — pin it
+          // to 0 identically on both engines
+          when(col("k") > 1,
+            floor(col("h") / log(col("k").cast("double")) * 1e6 + 0.5)
+              / 1e6).otherwise(lit(0.0)).as("norm_entropy"))
         .orderBy(col("lang"))
     }),
 
@@ -403,7 +407,9 @@ object AuditQueries {
         |h AS (SELECT lang, k, -sum(p * ln(p)) AS h FROM p GROUP BY 1, 2)
         |SELECT lang, k AS n_sources,
         |  floor(h * 1e6 + 0.5) / 1e6 AS entropy,
-        |  floor(h / ln(k::DOUBLE) * 1e6 + 0.5) / 1e6 AS norm_entropy
+        |  CASE WHEN k > 1
+        |    THEN floor(h / ln(k::DOUBLE) * 1e6 + 0.5) / 1e6
+        |    ELSE 0.0 END AS norm_entropy
         |FROM h ORDER BY lang""".stripMargin,
 
     "event_anomaly" ->

@@ -1440,7 +1440,8 @@ object PipelineQueries {
     // This is the scan-side half of quality_classifier with a full
     // row/hash-equality oracle (the training half is contract-checked).
     "quality_features" -> ((s, dir) => {
-      def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+      def r6(c: org.apache.spark.sql.Column) =
+        graft.operators.Fixed.round6(c)
       QualityModel.featurize(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
           r6(col("mean_wlen")).as("mean_wlen_r"),
@@ -3909,9 +3910,10 @@ object PipelineQueries {
       """SELECT doc_id, n_chars FROM (
         |  SELECT doc_id, n_chars FROM documents
         |  WHERE doc_id IS NOT NULL AND n_chars > 0
-        |  ORDER BY -ln((('0x' ||
+        |  ORDER BY CAST(floor(-ln((('0x' ||
         |      substr(md5(doc_id::VARCHAR || 'wrs'), 1, 13))::UBIGINT + 1)
-        |      / 4503599627370496.0) / n_chars::DOUBLE,
+        |      / 4503599627370496.0) / n_chars::DOUBLE * 1e9 + 0.5)
+        |      AS BIGINT),
         |    doc_id
         |  LIMIT 40)
         |ORDER BY doc_id""".stripMargin,

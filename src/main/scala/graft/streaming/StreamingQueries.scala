@@ -1677,7 +1677,7 @@ object StreamingQueries {
       val cur = ev.filter(col("event_type") === "purchase")
       val edges = graft.operators.Drift.quantileEdges(ev, "value", 10)
       val (segDir, nb) = runDriftStream(s, dir, edges)
-      def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      def r6(x: Double): Double = graft.operators.Fixed.round6(x)
       val streamedCounts = s.read.parquet(s"$segDir/b*")
         .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
         .localCheckpoint()
