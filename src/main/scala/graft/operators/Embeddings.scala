@@ -340,4 +340,43 @@ object Embeddings {
     }
     df.withColumn(outCol, array(coords: _*))
   }
+
+  /** Deterministic Rademacher sign for cell (j, i) of the JL projection
+    * matrix: one md5 bit of "seed:j:i" — seeded, engine-replayable,
+    * GENERATED rather than stored (the matrix never exists as data).
+    */
+  private[operators] def jlSign(seed: String, j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection with a SIGN matrix
+    * (Achlioptas 2003, "Database-friendly random projections"):
+    * yⱼ = (1/√dOut) Σᵢ s(j,i) · xᵢ — preserves all pairwise Euclidean
+    * distances within (1 ± ε), ε ≈ √(8 ln n / dOut), with probability
+    * 1 − 1/n. This is the embedding-compression move a 100 TB vector
+    * corpus runs BEFORE storage/ANN (a 64 → 16 projection cuts the
+    * brute-force prefilter's bytes 4×; real deployments go 3072 → 128).
+    *
+    * Shape at scale: the projection is dOut native `vec_dot` kernels
+    * against broadcast LITERAL sign vectors — scan-side column math
+    * inside codegen, zero shuffles, zero driver data; the sign matrix is
+    * regenerated from the seed anywhere, so the "model" costs nothing to
+    * ship. Determinism: each output coordinate is one serial
+    * fixed-order dot product per row — a pure function of (vector, seed),
+    * identical under any partitioning.
+    */
+  def jlProject(df: DataFrame, vecCol: String, dIn: Int, dOut: Int,
+      seed: String = "jl", outCol: String = "proj"): DataFrame = {
+    require(dOut >= 1 && dIn >= 1, s"bad dims dIn=$dIn dOut=$dOut")
+    HashExpressions.register(df.sparkSession)
+    val scale = 1.0 / math.sqrt(dOut.toDouble)
+    val v = col(vecCol).cast("array<double>")
+    val coords = (0 until dOut).map { j =>
+      val signs = (0 until dIn).map(i => jlSign(seed, j, i))
+      call_function("vec_dot", v, typedlit(signs)) * lit(scale)
+    }
+    df.withColumn(outCol, array(coords: _*))
+  }
 }

@@ -563,6 +563,53 @@ object PipelineQueries {
     // PCA / whitening: one typed-Aggregator covariance pass (KB buffers
     // shuffle, never vectors), driver-side Jacobi eigendecomposition,
     // literal-component projection. Contract: components orthonormal,
+    // Johnson–Lindenstrauss sign-matrix projection (Achlioptas 2003):
+    // 64 → 32 dims as 32 native vec_dot kernels against broadcast literal
+    // sign vectors regenerated from the seed — scan-side, shuffle-free,
+    // nothing to ship. Contract: on ALL pairs of the first 40 vectors
+    // (the bounded-quadratic verification baseline, sim_bruteforce's
+    // posture), squared-distance ratios concentrate where the JL lemma
+    // puts them for dOut=32 (unbiased mean, quantile envelope), and the
+    // projection is partition-invariant.
+    "embedding_jl_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val proj = graft.operators.Embeddings
+        .jlProject(emb, "embedding", dIn = 64, dOut = 32)
+        .localCheckpoint()
+      val sub = proj.filter(col("vec_id") < 40)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("embedding"),
+          col("proj"))
+      graft.functions.HashExpressions.register(s)
+      def d2(a: String, b: String) =
+        call_function("vec_dot", col(a), col(a)) -
+          call_function("vec_dot", col(a), col(b)) * 2 +
+          call_function("vec_dot", col(b), col(b))
+      val pairs = sub.as("a").join(sub.as("b"),
+          col("a.id") < col("b.id"))
+        .select(
+          d2("a.embedding", "b.embedding").as("d2o"),
+          d2("a.proj", "b.proj").as("d2p"))
+        .filter(col("d2o") > 0)
+        .select((col("d2p") / col("d2o")).as("r"))
+        .localCheckpoint()
+      val st = pairs.agg(avg(col("r")),
+        expr("percentile(r, 0.05)"), expr("percentile(r, 0.5)"),
+        expr("percentile(r, 0.95)")).head()
+      val again = graft.operators.Embeddings
+        .jlProject(emb.repartition(7), "embedding", dIn = 64, dOut = 32)
+      Contracts.row(s,
+        "n_vecs" -> emb.count(),
+        "mean_unbiased_ok" ->
+          (st.getDouble(0) > 0.85 && st.getDouble(0) < 1.15),
+        "distortion_envelope_ok" ->
+          (st.getDouble(1) >= 0.4 && st.getDouble(2) >= 0.75 &&
+            st.getDouble(2) <= 1.25 && st.getDouble(3) <= 1.9),
+        "partition_invariant_ok" ->
+          (Contracts.checksum(proj) == Contracts.checksum(again)))
+    }),
+
     // eigenvalues decreasing, DISTRIBUTED projected variance per coordinate
     // equals its eigenvalue, whitening normalizes it to 1, and the
     // projection is partition-invariant (rounded checksum).
@@ -3120,6 +3167,11 @@ object PipelineQueries {
         |  TRUE AS projected_variance_matches_ok,
         |  TRUE AS whitened_unit_variance_ok,
         |  TRUE AS projection_partition_invariant_ok""".stripMargin,
+
+    "embedding_jl_project" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+        |  TRUE AS mean_unbiased_ok, TRUE AS distortion_envelope_ok,
+        |  TRUE AS partition_invariant_ok""".stripMargin,
 
     "semantic_dedup" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,

@@ -168,4 +168,46 @@ class EmbeddingsSpec extends SparkSpec {
     assert(multi.contains((20L, 21L)))
     assert(single.subsetOf(multi), "multi-probe candidates are a superset")
   }
+
+  test("jlProject: projection matches the hand-computed sign dot products") {
+    val v = Array(1.0, 2.0, -3.0, 0.5)
+    val df = Seq((1L, v.toSeq)).toDF("id", "v")
+    val got = Embeddings.jlProject(df, "v", dIn = 4, dOut = 2, seed = "t")
+      .select("proj").as[Seq[Double]].head()
+    val scale = 1.0 / math.sqrt(2.0)
+    val want = (0 until 2).map { j =>
+      (0 until 4).map(i => Embeddings.jlSign("t", j, i) * v(i)).sum * scale
+    }
+    assert(got.zip(want).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("jlProject: JL distortion holds on deterministic pseudo-random " +
+      "vectors, and the projection is a pure function of (vector, seed)") {
+    // hash-derived vectors: reproducible without Random
+    val vecs = (0 until 120).map { r =>
+      (r.toLong, (0 until 64).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"v:$r:$i".getBytes("UTF-8"))
+        (((h(0) & 0xFF) << 8 | (h(1) & 0xFF)) / 65535.0 - 0.5)
+      })
+    }
+    val df = vecs.toDF("id", "v")
+    val proj = Embeddings.jlProject(df, "v", 64, 32, "s")
+      .select("id", "proj").as[(Long, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2)
+    val orig = vecs.map(_._2)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- 0 until 40; j <- (i + 1) until 40
+    } yield d2(proj(i), proj(j)) / d2(orig(i), orig(j))
+    val sorted = ratios.sorted
+    assert(math.abs(ratios.sum / ratios.size - 1.0) < 0.15)
+    assert(sorted(sorted.size / 2) > 0.75 && sorted(sorted.size / 2) < 1.25)
+    assert(sorted((sorted.size * 95) / 100) < 1.9)
+    val again = Embeddings.jlProject(df.repartition(7), "v", 64, 32, "s")
+      .select("id", "proj").as[(Long, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2)
+    assert(proj.zip(again).forall { case (a, b) => a == b })
+  }
 }

@@ -55,9 +55,12 @@ class QueryContractSpec extends SparkSpec {
   // contrastive_triplets: same anchor-bounded broadcast candidate pass.)
   // (distribution_drift: Drift.withProportion broadcasts a ONE-row total
   // onto ≤ nBuckets histogram rows — the length_trim_stats shape twice.)
+  // (embedding_jl_project: its CONTRACT verifies the JL lemma on all
+  // pairs of 40 vectors — a bounded broadcast quadratic by design.)
   private val bnljByDesign = Set("dedup_embedding_pairs", "range_join_bucket",
     "resample_fill", "sim_bruteforce_topk", "length_trim_stats",
-    "hybrid_rrf_topk", "contrastive_triplets", "distribution_drift")
+    "hybrid_rrf_topk", "contrastive_triplets", "distribution_drift",
+    "embedding_jl_project")
 
   test("every query runs at sf0.001 with no rogue join in its plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
