@@ -312,6 +312,15 @@ object Bench {
       val joinTier = Seq("asof_join_native", "asof_join_bucketed",
         "interval_join_binned", "global_shuffle_order", "dataset_diff",
         "dedup_clusters_incremental", "multimodal_frames")
+      // Audit/eval tier added r11 session 2: the graph / tokenizer /
+      // drift / anomaly / ranking-eval additions have growth shapes
+      // (wedge closure, lattice EM, reference-bucket scans, trailing
+      // windows, per-query DCG joins) none of the other tiers stands in
+      // for; all read only the generated tables, so they take the sf1
+      // decade too (ScaleFixtures.sf1Queries).
+      val auditTier = Seq("graph_triangles", "unigram_train",
+        "corpus_distinct_ngrams", "distribution_drift", "event_anomaly",
+        "retrieval_ndcg")
       // Timed overrides LAST: a key present in both a contract map and a
       // timed map must resolve to the timed form here, or the growth
       // ratio's small-sf denominator would time the contract while the
@@ -319,7 +328,8 @@ object Bench {
       val growthQueries =
         graft.streaming.StreamingQueries.queries.view
           .filterKeys(_.startsWith("streaming_")).toMap ++
-        joinTier.flatMap(n => SparkEntry.benchQueries.get(n).map(n -> _)) ++
+        (joinTier ++ auditTier)
+          .flatMap(n => SparkEntry.benchQueries.get(n).map(n -> _)) ++
         graft.queries.PipelineQueries.timed ++
         graft.streaming.StreamingQueries.timed
       def medianAt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,

@@ -52,7 +52,12 @@ object ScaleFixtures {
     "sim_srp_topk", "sim_ivfpq_topk", "sim_ivfpq_indexed",
     "embedding_kmeans", "bm25_indexed", "hybrid_filtered",
     "quality_classifier", "text_fingerprint", "winnow_containment_pairs",
-    "retrieval_filtered_mmr", "heavy_hitters", "sim_knn_graph")
+    "retrieval_filtered_mmr", "heavy_hitters", "sim_knn_graph",
+    // r11 second-session audit families (each reads only generated
+    // tables): the graph/tokenizer/drift/anomaly/eval additions get the
+    // fourth decade too — their realistic bend point is sf0.1 → sf1
+    "graph_triangles", "unigram_train", "corpus_distinct_ngrams",
+    "distribution_drift", "event_anomaly", "retrieval_ndcg")
 
   private val vocab = Array(
     "batch", "part", "spark", "line", "column", "order", "small", "sort",
