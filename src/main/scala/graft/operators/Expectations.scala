@@ -39,7 +39,11 @@ object Expectations {
     * posture).
     */
   def uniqueness(c: String): Column =
-    count_distinct(col(c)).cast("double") / count(lit(1)).cast("double")
+    // nullif-guarded divisor: on an EMPTY table 0/0 throws under ANSI —
+    // the metric must come back NULL (and the coalesced verdict false),
+    // not crash the whole suite
+    count_distinct(col(c)).cast("double") /
+      nullif(count(lit(1)), lit(0L)).cast("double")
 
   /** Fraction of rows satisfying `cond`; a NULL condition counts as
     * failing (the [[graft.queries.Contracts.forAll]] NULL discipline).
@@ -100,7 +104,11 @@ object Expectations {
       .select(keep.map(col) :+ explode(array(rows: _*)).as("_c"): _*)
       .select(keep.map(col) ++ Seq(col("_c.check_name"), col("_c.metric"),
         col("_c.lo"), col("_c.hi")): _*)
+      // an EMPTY table aggregates avg-based metrics to NULL, making the
+      // band test NULL — coalesce to false so a vanished ingest fails
+      // loudly instead of slipping past a `passed === false` filter
       .withColumn("passed",
-        col("metric") >= col("lo") && col("metric") <= col("hi"))
+        coalesce(col("metric") >= col("lo") && col("metric") <= col("hi"),
+          lit(false)))
   }
 }

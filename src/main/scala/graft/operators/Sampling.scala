@@ -114,9 +114,16 @@ object Sampling {
     * the driver-side merge, no global sort.
     *
     * u = (first 13 md5 hex chars + 1) / 2^52 — 52 uniform bits, exactly
-    * representable, never 0 (so ln(u) is finite). Null ids and
-    * non-positive weights are excluded up front (a weight of 0 can never
-    * win a slot; a negative one would invert the order).
+    * representable, never 0 (so ln(u) is finite). Null ids and weights
+    * below 1e-6 are excluded up front: a weight of 0 can never win a
+    * slot, a negative one would invert the order, and a weight under
+    * ~1e-9 overflows the ×1e9 fixed-point rank (max -ln(u) ≈ 36 →
+    * 3.6e19 > Long.Max), where Spark's non-ANSI cast saturates but a
+    * DuckDB replay of the same formula errors — the 1e-6 floor keeps
+    * the rank at least three decades inside the Long range. Rescale
+    * sub-1e-6 weights before calling (ranks are scale-invariant:
+    * multiplying every weight by c shifts every rank by the same
+    * 1/c factor, leaving the order unchanged).
     *
     * The order key is SNAPPED to a ×1e9 fixed-point long before the sort
     * (the bm25 `score_fx` posture): `ln` is transcendental and the two
@@ -134,7 +141,7 @@ object Sampling {
       16, 10).cast("long") + 1).cast("double") / lit(4503599627370496.0)
     val rankFx = floor(-log(u) / weightCol.cast("double") * 1e9 + 0.5)
       .cast("long")
-    df.filter(col(idCol).isNotNull && weightCol > 0)
+    df.filter(col(idCol).isNotNull && weightCol.cast("double") >= 1e-6)
       .orderBy(rankFx, col(idCol))
       .limit(k)
   }

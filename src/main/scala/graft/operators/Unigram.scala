@@ -142,6 +142,15 @@ object Unigram {
     * computed BEFORE each update from the model that produced it, so the
     * sequence is the EM objective trace and must be non-decreasing up to
     * the documented 1e-9-relative fixed-point perturbation).
+    *
+    * GRAIN-INDUCED PRUNING (deliberate): a multi-char piece whose snapped
+    * expected count floor(e·1e4 + 0.5)·cnt sums to 0 across the corpus
+    * drops from the vocabulary that iteration — the ×1e4 fixed-point grain
+    * doubles as SentencePiece's explicit low-expectation pruning threshold
+    * (pieces expected < 0.5/1e4 times per occurrence-weighted word carry
+    * no usable probability mass). Only single chars keep the 1-ppb floor,
+    * preserving character coverage; the LL-monotonicity contract's slack
+    * term absorbs the resulting sub-grain objective perturbation.
     */
   def train(words: DataFrame, seedSize: Int = 512, maxPieceLen: Int = 8,
       iters: Int = 3): (Model, Seq[Long]) = {

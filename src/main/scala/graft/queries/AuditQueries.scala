@@ -124,7 +124,11 @@ object AuditQueries {
     // the existing corr_covar is not. Two windows + one corr aggregate
     // per group.
     "spearman_corr" -> ((s, dir) => {
+      // rank over non-NULL pairs only: Spark windows order nulls FIRST,
+      // DuckDB's rank() orders them LAST — a NULL text/n_chars row would
+      // shift every non-null rank on exactly one engine
       val d = t(s, dir, "documents")
+        .filter(col("n_chars").isNotNull && col("text").isNotNull)
         .select(col("lang"), col("n_chars").cast("double").as("x"),
           size(split(trim(col("text")), "\\s+")).cast("double").as("y"))
       def avgRank(c: String) = {
@@ -305,7 +309,7 @@ object AuditQueries {
         |  UNION ALL SELECT 'text_nonempty',
         |    floor(t_ne*1e6+0.5)/1e6, 1.0, 1.0 FROM m)
         |SELECT check_name, metric, lo, hi,
-        |  metric >= lo AND metric <= hi AS passed
+        |  coalesce(metric >= lo AND metric <= hi, FALSE) AS passed
         |FROM rows_ ORDER BY check_name""".stripMargin,
 
     "quality_expectations_grouped" ->
@@ -326,7 +330,7 @@ object AuditQueries {
         |  UNION ALL SELECT lang, 'min_rows',
         |    floor(n_rows*1e6+0.5)/1e6, 10.0, 1e12 FROM m)
         |SELECT lang, check_name, metric, lo, hi,
-        |  metric >= lo AND metric <= hi AS passed
+        |  coalesce(metric >= lo AND metric <= hi, FALSE) AS passed
         |FROM rows_ ORDER BY lang, check_name""".stripMargin,
 
     "distribution_drift" ->
@@ -384,7 +388,8 @@ object AuditQueries {
     "spearman_corr" ->
       """WITH d AS (SELECT lang, n_chars::DOUBLE AS x,
         |    len(string_split_regex(trim(text), '\s+'))::DOUBLE AS y
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
         |r AS (SELECT lang,
         |  rank() OVER (PARTITION BY lang ORDER BY x)::DOUBLE
         |    + (count(*) OVER (PARTITION BY lang, x)::DOUBLE - 1) / 2

@@ -3961,7 +3961,7 @@ object PipelineQueries {
     "sample_weighted_aes" ->
       """SELECT doc_id, n_chars FROM (
         |  SELECT doc_id, n_chars FROM documents
-        |  WHERE doc_id IS NOT NULL AND n_chars > 0
+        |  WHERE doc_id IS NOT NULL AND n_chars::DOUBLE >= 1e-6
         |  ORDER BY CAST(floor(-ln((('0x' ||
         |      substr(md5(doc_id::VARCHAR || 'wrs'), 1, 13))::UBIGINT + 1)
         |      / 4503599627370496.0) / n_chars::DOUBLE * 1e9 + 0.5)

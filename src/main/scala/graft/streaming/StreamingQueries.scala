@@ -727,8 +727,12 @@ object StreamingQueries {
         |'min_rows', floor(CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6,
         |  CAST(10.0 AS DOUBLE), CAST(1e12 AS DOUBLE))
         |AS (check_name, metric, lo, hi)""".stripMargin)
+      // same NULL-verdict coalesce as Expectations.unpivot: an empty
+      // serve must fail loudly, and the bit-equal contract needs the
+      // identical verdict rule on both forms
       .withColumn("passed",
-        col("metric") >= col("lo") && col("metric") <= col("hi"))
+        coalesce(col("metric") >= col("lo") && col("metric") <= col("hi"),
+          lit(false)))
   }
 
   /** The batch form of the streaming suite (shared so the contract's

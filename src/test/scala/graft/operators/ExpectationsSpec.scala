@@ -87,6 +87,18 @@ class ExpectationsSpec extends SparkSpec {
     }
   }
 
+  test("an EMPTY table fails avg-based checks loudly (NULL metric -> " +
+      "passed=false, never NULL)") {
+    val df = Seq((1L, 2.0)).toDF("id", "v").filter(col("id") < 0)
+    val rows = Expectations.run(df, checks).collect()
+      .map(r => r.getString(0) -> (r.isNullAt(1), r.getBoolean(4))).toMap
+    // every avg/min-based metric is NULL on zero rows; the verdict must
+    // be a real false so `passed === false` consumers catch the vanish
+    assert(rows("complete_v") === ((true, false)))
+    assert(rows("min_v") === ((true, false)))
+    assert(rows.values.forall(!_._2))
+  }
+
   test("check names must be identifiers (SQL-injection guard on stack)") {
     intercept[IllegalArgumentException] {
       Expectations.Check("bad name', 1.0, 1.0, 1.0) --",

@@ -482,4 +482,14 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
+
+  test("weightedExactK: weights below the documented 1e-6 floor are " +
+      "excluded (the x1e9 fixed-point rank would overflow Long below " +
+      "~1e-9 — Spark saturates where a DuckDB replay errors)") {
+    val df = Seq((1L, 1e-10), (2L, 1e-7), (3L, 0.5), (4L, 2.0))
+      .toDF("id", "w")
+    val got = Sampling.weightedExactK(df, "id", col("w"), 10, "fl")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(3L, 4L), s"sub-floor weights must be excluded: $got")
+  }
 }

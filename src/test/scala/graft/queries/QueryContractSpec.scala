@@ -53,7 +53,7 @@ class QueryContractSpec extends SparkSpec {
   // (hybrid_rrf_topk: its vector arm IS sim_bruteforce_topk's bounded
   // quadratic — 5 query rows broadcast onto the corpus scan.
   // contrastive_triplets: same anchor-bounded broadcast candidate pass.)
-  // (distribution_drift: Drift.withProportion broadcasts a ONE-row total
+  // (distribution_drift: Drift.proportions broadcasts a ONE-row total
   // onto ≤ nBuckets histogram rows — the length_trim_stats shape twice.)
   // (embedding_jl_project: its CONTRACT verifies the JL lemma on all
   // pairs of 40 vectors — a bounded broadcast quadratic by design.)
