@@ -231,6 +231,78 @@ object AuditQueries {
         .orderBy(col("touch"))
     }),
 
+    // Multi-touch revenue attribution (linear + U-shaped credit splits
+    // beside last-touch): each purchase enumerates ALL its user's
+    // view/click touches in the prior 7 days — one user-key equi-join
+    // (fan-out bounded by per-user activity, the funnel shape) + one
+    // purchase-key window for position/count. Credit is ALL-INTEGER ppm
+    // arithmetic (linear: 1e6 div n with the remainder to the last touch;
+    // U-shaped: 40/20/40 with the middle remainder to the last touch) on
+    // cent-quantized values, so DuckDB replays every credited cent
+    // exactly. Touchless purchases credit 'none' in full under both
+    // models.
+    "attribution_multi_touch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("val_cents"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+          col("ts").as("t_ts"), col("event_type").as("ch"))
+      val matched = purchases.join(touches,
+        col("p_user") === col("t_user") &&
+          (col("t_ts") < col("p_ts") ||
+            (col("t_ts") === col("p_ts") && col("t_id") < col("p_id"))) &&
+          unix_micros(col("p_ts")) - unix_micros(col("t_ts")) <=
+            604800000000L)
+      val wCnt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_id"))
+      val wPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_id")).orderBy(col("t_ts"), col("t_id"))
+      val creditable = matched
+        .withColumn("n", count(lit(1)).over(wCnt))
+        .withColumn("pos", row_number().over(wPos))
+      // Spark `/` on longs is TRUE division — every div here goes through
+      // floor() (exact for these magnitudes, and identical to DuckDB's
+      // integer `//`), so the ppm splits stay all-integer on both engines
+      val linDiv = floor(lit(1000000.0) / col("n")).cast("long")
+      val linPpm = when(col("pos") < col("n"), linDiv)
+        .otherwise(lit(1000000L) - (col("n") - 1) * linDiv)
+      // greatest() keeps the divisor nonzero on rows the when-chain never
+      // routes here (n <= 2) — ANSI division must not see a 0 even in a
+      // dead branch of an interpreted fallback
+      val midPpm = floor(lit(200000.0) /
+        greatest(col("n") - 2, lit(1L))).cast("long")
+      val uPpm = when(col("n") === 1, lit(1000000L))
+        .when(col("n") === 2, lit(500000L))
+        .when(col("pos") === 1, lit(400000L))
+        .when(col("pos") === col("n"),
+          lit(400000L) + lit(200000L) - (col("n") - 2) * midPpm)
+        .otherwise(midPpm)
+      val both = creditable.select(col("p_id"), col("val_cents"),
+        col("ch"), linPpm.cast("long").as("lin"), uPpm.cast("long").as("u"))
+      val credited = both.select(col("p_id"), col("val_cents"), col("ch"),
+          lit("linear").as("model"), col("lin").as("ppm"))
+        .unionByName(both.select(col("p_id"), col("val_cents"), col("ch"),
+          lit("ushaped").as("model"), col("u").as("ppm")))
+      val none = purchases
+        .join(both.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+        .select(col("p_id"), col("val_cents"), lit("none").as("ch"),
+          explode(array(lit("linear"), lit("ushaped"))).as("model"),
+          lit(1000000L).as("ppm"))
+      credited.unionByName(
+          none.select(col("p_id"), col("val_cents"), col("ch"),
+            col("model"), col("ppm")))
+        .groupBy(col("model"), col("ch"))
+        .agg(count_distinct(col("p_id")).as("n_purchases"),
+          floor(sum(col("val_cents") * col("ppm")) / lit(1000000.0))
+            .cast("long").as("credit_cents"))
+        .select(col("model"), col("ch").as("touch"), col("n_purchases"),
+          col("credit_cents"))
+        .orderBy(col("model"), col("touch"))
+    }),
+
     // Corpus diversity audit: distinct-n (type/token ratio at n=1,2) per
     // language — the standard repetitiveness metric a pre-training mix
     // tracks (a collapsing generator or a boilerplate-heavy source shows
@@ -454,6 +526,44 @@ object AuditQueries {
         |  floor(sum(value)*100+0.5)/100 AS revenue
         |FROM w WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "attribution_multi_touch" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS t_id, ts AS t_ts,
+        |    event_type AS ch
+        |  FROM events WHERE event_type IN ('view','click')),
+        |m AS (SELECT p.p_id, p.val_cents, t.ch,
+        |    count(*) OVER (PARTITION BY p.p_id) AS n,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY t.t_ts, t.t_id) AS pos
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND (t.t_ts < p.p_ts
+        |      OR (t.t_ts = p.p_ts AND t.t_id < p.p_id))
+        |    AND epoch_us(p.p_ts) - epoch_us(t.t_ts) <= 604800000000),
+        |c AS (
+        |  SELECT p_id, val_cents, ch, 'linear' AS model,
+        |    CASE WHEN pos < n THEN 1000000 // n
+        |         ELSE 1000000 - (n - 1) * (1000000 // n) END AS ppm
+        |  FROM m
+        |  UNION ALL
+        |  SELECT p_id, val_cents, ch, 'ushaped',
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN pos = 1 THEN 400000
+        |         WHEN pos = n
+        |           THEN 400000 + 200000 - (n - 2) * (200000 // (n - 2))
+        |         ELSE 200000 // (n - 2) END
+        |  FROM m
+        |  UNION ALL
+        |  SELECT p.p_id, p.val_cents, 'none', mdl.model, 1000000
+        |  FROM p, (SELECT 'linear' AS model
+        |           UNION ALL SELECT 'ushaped') mdl
+        |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id))
+        |SELECT model, ch AS touch, count(DISTINCT p_id) AS n_purchases,
+        |  CAST(sum(val_cents * ppm) // 1000000 AS BIGINT) AS credit_cents
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "corpus_distinct_ngrams" ->
       """WITH d AS (SELECT lang,
