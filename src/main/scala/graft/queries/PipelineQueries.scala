@@ -1919,6 +1919,39 @@ object PipelineQueries {
     "quality_lm_score" -> ((s, dir) =>
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Calibration audit of the frozen-weight quality scorer (the
+    // reliability diagram as a table — the Platt-scaling input): scores
+    // are snapped to ppm LONGS at the scan, then every bin statistic is
+    // integer arithmetic (sum-of-ppm div n, positive-rate ppm, gap), so
+    // DuckDB replays the whole diagram exactly. Same literal-weights
+    // posture as streaming_quality_score: scoring is scan-side, zero
+    // shuffle before the 10-bin aggregate — at 100 TB calibration costs
+    // one pass, and a mis-calibrated bin (gap_ppm far from 0) tells the
+    // curation funnel its threshold no longer means what the weak label
+    // meant.
+    "quality_calibration" -> ((s, dir) => {
+      val w = Array(-0.5, 2.0, 1.5, -0.3, 0.4, 1.0)
+      val d = QualityModel.design(
+        QualityModel.featurize(t(s, dir, "documents"), "doc_id", "text"))
+      val z = (0 until QualityModel.nFeatures)
+        .map(j => col(s"x$j") * lit(w(j))).reduce(_ + _)
+      val scored = d.select(QualityModel.weakLabel.cast("long").as("y"),
+        floor((lit(1.0) / (lit(1.0) + exp(-z))) * 1e6 + 0.5)
+          .cast("long").as("score_ppm"))
+      scored
+        .withColumn("bin",
+          least(floor(col("score_ppm") / 100000.0).cast("long"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          floor(sum(col("score_ppm")) / count(lit(1)))
+            .cast("long").as("mean_score_ppm"),
+          floor(sum(col("y")) * 1000000.0 / count(lit(1)))
+            .cast("long").as("pos_rate_ppm"))
+        .withColumn("gap_ppm",
+          col("pos_rate_ppm") - col("mean_score_ppm"))
+        .orderBy(col("bin"))
+    }),
+
     // TF-IDF top-3 distinctive terms per doc. Integer-only ranking (tf desc,
     // df asc, term asc) keeps the order engine-exact; the score column uses
     // the floor-round trick shared with qualityScore.
@@ -3226,6 +3259,38 @@ object PipelineQueries {
         |  TRUE AS loss_strictly_decreases_ok, TRUE AS converged_ok,
         |  TRUE AS accuracy_floor_ok, TRUE AS scores_in_range_ok,
         |  TRUE AS fit_partition_invariant_ok""".stripMargin,
+
+    "quality_calibration" ->
+      """WITH f AS (
+        |  SELECT CAST(len(t) AS DOUBLE) AS n_tok,
+        |    nws / len(t) AS mean_wlen,
+        |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and',
+        |      'to','in','is','it','for','on'))) AS DOUBLE) / len(t)
+        |      AS stop_ratio,
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+        |      AS distinct_ratio
+        |  FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS t,
+        |      CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |        AS nws
+        |    FROM documents)),
+        |s AS (
+        |  SELECT CASE WHEN n_tok >= 40.0 AND mean_wlen >= 4.4
+        |      THEN 1 ELSE 0 END AS y,
+        |    CAST(floor(1.0 / (1.0 + exp(-(1.0 * (-0.5)
+        |      + ((n_tok - 50.0) / 25.0) * 2.0
+        |      + ((mean_wlen - 4.5) * 4.0) * 1.5
+        |      + (stop_ratio * 5.0) * (-0.3)
+        |      + ((distinct_ratio - 0.5) * 4.0) * 0.4
+        |      + (((n_tok - 50.0) / 25.0) * ((mean_wlen - 4.5) * 4.0))
+        |        * 1.0))) * 1e6 + 0.5) AS BIGINT) AS score_ppm
+        |  FROM f)
+        |SELECT CAST(least(score_ppm // 100000, 9) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm,
+        |  CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
+        |  CAST(sum(y) * 1000000 // count(*)
+        |    - sum(score_ppm) // count(*) AS BIGINT) AS gap_ppm
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "quality_rules" ->
       """WITH toks AS (
