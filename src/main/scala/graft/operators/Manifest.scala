@@ -885,4 +885,70 @@ object Manifest {
       .agg(hll_sketch_estimate(hll_union_agg(col("ndv_sketch"))).as("ndv"),
         count(lit(1)).as("n_files"))
   }
+
+  // ------------------------------------------------------------------
+  // Unified sidecar build — Bloom + NDV + KLL from ONE scan.
+  //
+  // Each per-family build above scans the table once; building all three
+  // sidecars for a table therefore costs three full passes over the same
+  // data. At 100 TB that is the difference between a nightly and a
+  // weekly index refresh. The per-file grouping is identical across the
+  // three (one row per `input_file_name`), so all three aggregators run
+  // in the SAME groupBy — one scan, one shuffle of (key, value) pairs,
+  // three listing-sized writes off a checkpointed files×sketches frame.
+  // ------------------------------------------------------------------
+
+  /** The combined per-file sketch rows:
+    * (file, bloom, ndv_sketch, kll) — built with the IDENTICAL per-family
+    * expressions ([[buildBloomIndex]]'s long cast, [[fileNdv]]'s raw key,
+    * [[fileKll]]'s double cast). The Bloom and HLL stores come out
+    * BYTE-equal to their per-family builds (both structures are
+    * deterministic functions of the per-file value set); the KLL store is
+    * equivalent only up to the sketch's documented rank envelope — KLL
+    * compaction is RANDOMIZED (unseeded coin flips choose compaction
+    * survivors once a file exceeds k items), so two builds over identical
+    * data legitimately differ in bytes; n stays exact. Exposed for the
+    * plan contract: this frame's physical plan must contain exactly ONE
+    * FileScan.
+    */
+  def fileIndexRows(spark: SparkSession, tablePath: String, keyCol: String,
+      valueCol: String, expectedPerFile: Long = 1000000L,
+      fpp: Double = 0.01, lgConfigK: Int = 12, kllK: Int = 200): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(tablePath)
+      .select(input_file_name().as("file"),
+        col(keyCol).cast("long").as("k_long"), col(keyCol).as("k"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy(col("file"))
+      .agg(
+        udaf(BloomBuild(expectedPerFile, fpp)).apply(col("k_long"))
+          .as("bloom"),
+        hll_sketch_agg(col("k"), lgConfigK).as("ndv_sketch"),
+        udaf(Sketches.KllBuild(kllK)).apply(col("v")).as("kll"))
+
+  /** Build all three per-file sidecar indexes in ONE scan: the Bloom
+    * store lands flat at `bloomPath` ([[buildBloomIndex]]'s layout), the
+    * NDV and KLL stores land as fresh `b0` segments
+    * ([[buildNdvIndex]]/[[buildQuantileIndex]]'s layout), so every
+    * existing serve/append/compact path works unchanged on the unified
+    * build's output.
+    */
+  def buildFileIndexes(spark: SparkSession, tablePath: String,
+      keyCol: String, valueCol: String, bloomPath: String, ndvPath: String,
+      kllPath: String, expectedPerFile: Long = 1000000L, fpp: Double = 0.01,
+      lgConfigK: Int = 12, kllK: Int = 200): Unit = {
+    val combined = fileIndexRows(spark, tablePath, keyCol, valueCol,
+      expectedPerFile, fpp, lgConfigK, kllK).localCheckpoint()
+    try {
+      combined.select(col("file"), col("bloom"))
+        .coalesce(1).write.mode("overwrite").parquet(bloomPath)
+      def freshSegment(path: String, rows: DataFrame): Unit = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true) // rebuild = fresh snapshot
+        rows.coalesce(1).write.mode("overwrite").parquet(s"$path/b0")
+      }
+      freshSegment(ndvPath, combined.select(col("file"), col("ndv_sketch")))
+      freshSegment(kllPath, combined.select(col("file"), col("kll")))
+    } finally combined.unpersist()
+  }
 }

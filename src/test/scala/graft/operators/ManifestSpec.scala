@@ -458,6 +458,52 @@ class ManifestSpec extends SparkSpec {
     assert(math.abs(rebEst.head._1 - est.head._2) <= 8.0)
   }
 
+  test("unified one-scan build: bloom + ndv stores byte-equal to their " +
+      "per-family builds, kll holds n-exact + rank envelope (its " +
+      "compaction is randomized), plan carries exactly one FileScan") {
+    val tbl = tmpDir("man-u-tbl-")
+    // 800 rows PER FILE — above the KLL k=200 so compaction (the
+    // randomized part) is actually exercised, not dodged
+    writeFiles((0L until 6400L).map(k => (k, k * 3 % 101)), s"$tbl/d0", 8)
+    val (bA, nA, kA) = (tmpDir("man-u-ba-"), tmpDir("man-u-na-"),
+      tmpDir("man-u-ka-"))
+    val (bB, nB, kB) = (tmpDir("man-u-bb-"), tmpDir("man-u-nb-"),
+      tmpDir("man-u-kb-"))
+    Manifest.buildBloomIndex(spark, s"$tbl/d0", "k", bA)
+    Manifest.buildNdvIndex(spark, s"$tbl/d0", "k", nA)
+    Manifest.buildQuantileIndex(spark, s"$tbl/d0", "v", kA)
+    Manifest.buildFileIndexes(spark, s"$tbl/d0", "k", "v", bB, nB, kB)
+    val plan = Manifest.fileIndexRows(spark, s"$tbl/d0", "k", "v")
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan.take(2000))
+    def byteEq(a: String, b: String, c: String): Unit = {
+      val va = spark.read.parquet(a).select(col("file"), col(c))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+        .toMap
+      val vb = spark.read.parquet(b).select(col("file"), col(c))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+        .toMap
+      assert(va.keySet == vb.keySet, s"$c: file sets differ")
+      assert(va.size == 8)
+      va.foreach { case (f, bytes) =>
+        assert(java.util.Arrays.equals(bytes, vb(f)), s"$c differs at $f")
+      }
+    }
+    byteEq(bA, bB, "bloom")
+    byteEq(s"$nA/b0", s"$nB/b0", "ndv_sketch")
+    // KLL: n exact and both stores' whole-table medians inside the rank
+    // envelope of the exact data (v is k*3%101 — near-uniform on [0,101))
+    val man = tmpDir("man-u-man-")
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("k"), man)
+    Seq(kA, kB).foreach { idx =>
+      val est = Manifest.quantileEstimateForRange(spark, idx, man,
+          "k", 0L, 6399L, Seq(0.5)).head()
+      assert(est.getLong(2) == 6400L, s"$idx: n not exact")
+      assert(math.abs(est.getDouble(1) - 50.0) <= 8.0,
+        s"$idx: median ${est.getDouble(1)} outside the envelope of 50")
+    }
+  }
+
   test("history: build/append/delete segments account exactly; " +
       "compaction collapses the view to one b-1 row") {
     val tbl = tmpDir("man-h-tbl-")
