@@ -698,6 +698,77 @@ object StreamingQueries {
     (segDir, batches.get())
   }
 
+  /** Streaming APPROXIMATE-uniqueness fold (r11 verdict item #5 — the
+    * member [[runExpectationsStream]] deliberately excludes): exact
+    * distinct is not additive across batches, but an HLL sketch IS
+    * mergeable, so each micro-batch lands (n, hll(doc_id)) as an
+    * idempotent batchId-keyed segment and the serve unions register blobs
+    * — O(batch) per batch, KB state per segment, the same replay-proof
+    * segment discipline. The uniqueness verdict it serves is honest about
+    * the estimator: the band is the lgK=12 3σ envelope around 1.0
+    * (~±4.9 %), never exact equality (the [[graft.operators.Sketches]]
+    * posture — HLL estimates are not even merge-tree-invariant).
+    * Returns (segDir, nBatches).
+    */
+  private def runExpectationsHllStream(s: SparkSession,
+      dir: String): (String, Long) = {
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val inDir = expectInCache.getOrElseUpdate(dir, {
+      val d = Files.createTempDirectory("graft-sexp-in-").toString
+      (0 until 3).foreach { i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.parquet(s"$d/f$i.parquet")
+      }
+      d
+    })
+    val stage = Files.createTempDirectory("graft-sexphll-").toString
+    val segDir = s"$stage/segments"
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet")
+        .writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            b.agg(count(lit(1)).as("n"),
+                hll_sketch_agg(col("doc_id"), lit(12)).as("hll"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$segDir/b$id")
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+    (segDir, batches.get())
+  }
+
+  /** 3σ relative envelope of an lgK=12 HLL estimate (RSE ≈ 1.04/√2^12). */
+  private val HllEnvelope = 3.0 * 1.04 / math.sqrt(4096.0)
+
+  /** The served approximate-uniqueness verdict row from the HLL segment
+    * store: (check_name, metric, lo, hi, passed) in the
+    * [[servedExpectations]] shape — metric = merged-HLL distinct estimate
+    * over the ADDITIVE exact row count, band = 1 ± the lgK envelope.
+    */
+  private def servedUniquenessHll(s: SparkSession,
+      segDir: String): DataFrame =
+    s.read.parquet(s"$segDir/b*")
+      .agg(sum(col("n")).as("n"),
+        hll_sketch_estimate(hll_union_agg(col("hll"))).as("dhat"))
+      .select(lit("uniqueness_doc_id_approx").as("check_name"),
+        (floor(col("dhat").cast("double") / col("n").cast("double")
+          * 1e6 + 0.5) / 1e6).as("metric"),
+        lit(1.0 - HllEnvelope).as("lo"), lit(1.0 + HllEnvelope).as("hi"))
+      .withColumn("passed",
+        coalesce(col("metric") >= col("lo") && col("metric") <= col("hi"),
+          lit(false)))
+
   /** The streaming-expectations suite's served metric rows from summed
     * segments: (check_name, metric, lo, hi, passed) — the identical
     * formulas, rounding, and verdict rule as the batch
@@ -804,6 +875,12 @@ object StreamingQueries {
     "streaming_expectations" -> ((s, dir) => {
       val (segDir, _) = runExpectationsStream(s, dir)
       servedExpectations(s, segDir)
+    }),
+    // fold + served verdict row — the exact-distinct baseline stays in
+    // Verify
+    "streaming_expectations_hll" -> ((s, dir) => {
+      val (segDir, _) = runExpectationsHllStream(s, dir)
+      servedUniquenessHll(s, segDir)
     }),
     // fold + one served PSI/JSD read — the batch-equality baselines stay
     // in Verify
@@ -1724,6 +1801,35 @@ object StreamingQueries {
             graft.queries.Contracts.checksum(batch)))
     }),
 
+    // Streaming approximate uniqueness via mergeable HLL (the member the
+    // additive-statistics suite deliberately excludes — exact distinct
+    // does not add across batches). Per batch one (n, hll) segment;
+    // serving unions register blobs and verdicts against the lgK=12 3σ
+    // envelope around 1.0. Contract: ≥3 batches, additive n exact, the
+    // merged estimate within the envelope of the exact distinct, and the
+    // served verdict passes on the key column.
+    "streaming_expectations_hll" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val (segDir, nb) = runExpectationsHllStream(s, dir)
+      val served = servedUniquenessHll(s, segDir).head()
+      val n = s.read.parquet(s"$segDir/b*")
+        .agg(sum(col("n"))).head().getLong(0)
+      val dhat = s.read.parquet(s"$segDir/b*")
+        .agg(hll_sketch_estimate(hll_union_agg(col("hll"))))
+        .head().getLong(0)
+      val nDocs = docs.count()
+      val exactDistinct = docs
+        .agg(count_distinct(col("doc_id"))).head().getLong(0)
+      graft.queries.Contracts.row(s,
+        "n_docs" -> nDocs,
+        "multi_batch_ok" -> (nb >= 3L),
+        "n_additive_exact_ok" -> (n == nDocs),
+        "estimate_within_envelope_ok" ->
+          (math.abs(dhat - exactDistinct).toDouble <=
+            HllEnvelope * exactDistinct),
+        "uniqueness_passed_ok" -> served.getBoolean(4))
+    }),
+
     // Streaming deterministic reservoir: exact-k (smallest salted-md5
     // ranks) maintained across 3 micro-batches with O(k) state. Contract:
     // the final snapshot is BIT-EQUAL to a from-scratch batch exactK over
@@ -2049,6 +2155,12 @@ object StreamingQueries {
       """SELECT (SELECT count(*) FROM documents) AS n_docs,
         |  TRUE AS multi_batch_ok, TRUE AS all_passed_ok,
         |  TRUE AS equals_batch_run_ok""".stripMargin,
+
+    "streaming_expectations_hll" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  TRUE AS multi_batch_ok, TRUE AS n_additive_exact_ok,
+        |  TRUE AS estimate_within_envelope_ok,
+        |  TRUE AS uniqueness_passed_ok""".stripMargin,
 
     "streaming_manifest" ->
       """SELECT (SELECT count(*) FROM documents) AS n_docs,
