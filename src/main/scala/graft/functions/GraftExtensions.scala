@@ -53,5 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "pq_score(array<double>, array<int>, ksub) - PQ ADC inner product"),
       (exprs: Seq[Expression]) =>
         PqScore(exprs.head, exprs(1), intArg(exprs(2)))))
+    ext.injectFunction((FunctionIdentifier("hilbert16"),
+      info("hilbert16",
+        "hilbert16(bigint, bigint) - 32-bit Hilbert curve index"),
+      (exprs: Seq[Expression]) => HilbertIndex(exprs.head, exprs(1))))
   }
 }

@@ -185,6 +185,37 @@ case class VecDot(left: Expression, right: Expression)
       l: Expression, r: Expression): VecDot = copy(left = l, right = r)
 }
 
+/** 32-bit Hilbert curve index of two long coordinates (16 bits each) —
+  * the layout key behind `hilbert_layout`. The xy→d conversion is a
+  * 16-step loop with data-dependent rotations, which has no bounded
+  * Catalyst column form (each unrolled step squares the expression tree),
+  * so it runs as a native kernel inside whole-stage codegen — the same
+  * justification as [[SimHash64]].
+  */
+case class HilbertIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"hilbert16 requires (bigint, bigint), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.hilbert16(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.NativeKernels.hilbert16($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HilbertIndex = copy(left = l, right = r)
+}
+
 /** PQ asymmetric-distance score — approximate inner product of a query
   * against a product-quantized vector: `left` is the query's flattened
   * m×`ksub` lookup table of subspace dot products, `right` the vector's m
@@ -237,7 +268,7 @@ object HashExpressions {
     // registration in a session where e.g. an older build bound everything
     // but pq_score).
     val names = Seq("simhash64", "winnow_fingerprint", "minhash_sig",
-      "word_shingles", "vec_dot", "ngram_gen", "pq_score")
+      "word_shingles", "vec_dot", "ngram_gen", "pq_score", "hilbert16")
     if (names.forall(n => reg.functionExists(FunctionIdentifier(n)))) return
     def intArg(e: Expression): Int =
       e.eval(InternalRow.empty).asInstanceOf[Number].intValue
@@ -256,5 +287,7 @@ object HashExpressions {
       exprs => NgramGenerate(exprs.head, intArg(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("pq_score",
       exprs => PqScore(exprs.head, exprs(1), intArg(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction("hilbert16",
+      exprs => HilbertIndex(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -165,6 +165,41 @@ object FormatQueries {
         "strictly_better_ok" -> (zTouched.sum < lTouched.sum))
     }),
 
+    // Hilbert-curve layout beside Morton: the Hilbert walk never jumps
+    // (consecutive indexes are grid neighbors — Morton teleports at
+    // quadrant boundaries), so equal-count curve segments bound TIGHTER
+    // (x, y) boxes on the same data. Graded with the zorder_layout
+    // geometry: Hilbert's touched-file count over the four probe boxes
+    // must be <= Morton's and strictly below the linear layout's; row
+    // totals from the assigned files prove the pass dropped nothing. The
+    // curve itself is bit-certified against an independent inverse-curve
+    // reference in LayoutSpec.
+    "hilbert_layout" -> ((s, dir) => {
+      val raw = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"))
+      val bounds = raw.agg(max(col("o_custkey")), max(col("o_orderkey")))
+        .head()
+      val (xMax, yMax) = (bounds.getLong(0), bounds.getLong(1))
+      val orders = raw.select(
+        (col("o_custkey") * 65535L / xMax).cast("long").as("x"),
+        (col("o_orderkey") * 65535L / yMax).cast("long").as("y"))
+      val nFiles = 16
+      val boxes = for (i <- Seq(0L, 3L, 5L, 7L)) yield (
+        i * 8192L, i * 8192L + 8191L, i * 8192L, i * 8192L + 8191L)
+      val hKey = Layout.hilbert16Key(orders, "x", "y")
+      val (hTouched, hRows) = Layout.boxesTouching(orders,
+        Seq(hKey, col("x"), col("y")), "x", "y", nFiles, boxes)
+      val (zTouched, _) = Layout.boxesTouching(orders,
+        Seq(Layout.morton16(col("x"), col("y")), col("x"), col("y")),
+        "x", "y", nFiles, boxes)
+      val (lTouched, _) = Layout.boxesTouching(orders,
+        Seq(col("x"), col("y")), "x", "y", nFiles, boxes)
+      Contracts.row(s,
+        "n_rows" -> hRows,
+        "not_worse_than_morton_ok" -> (hTouched.sum <= zTouched.sum),
+        "strictly_better_than_linear_ok" -> (hTouched.sum < lTouched.sum))
+    }),
+
     // Small-file compaction as a driver-checkable contract: fragment the
     // table into 40 files, compact toward the target size, and prove the
     // file count dropped while the data stayed multiset-identical
@@ -998,6 +1033,11 @@ object FormatQueries {
     "zorder_layout" ->
       """SELECT (SELECT count(*) FROM orders) AS n_rows,
         |  TRUE AS strictly_better_ok""".stripMargin,
+
+    "hilbert_layout" ->
+      """SELECT (SELECT count(*) FROM orders) AS n_rows,
+        |  TRUE AS not_worse_than_morton_ok,
+        |  TRUE AS strictly_better_than_linear_ok""".stripMargin,
 
     "compact_files" ->
       """SELECT (SELECT count(*) FROM orders) AS n_rows,

@@ -55,6 +55,85 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zdir).count() == (1 << 14).toLong)
   }
 
+  // Independent INVERSE curve (d -> (x, y), the classic d2xy walk): the
+  // kernel is certified by ROUNDTRIP against this, so agreement cannot
+  // come from sharing the forward implementation's bugs.
+  private def d2xy(d: Long): (Long, Long) = {
+    var t = d
+    var x = 0L
+    var y = 0L
+    var s = 1L
+    while (s < 65536L) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s *= 2
+    }
+    (x, y)
+  }
+
+  test("hilbert16: bit-exact roundtrip vs the independent inverse curve, " +
+      "consecutive indexes are grid NEIGHBORS (the anti-Morton property), " +
+      "expression equals kernel through a real plan") {
+    // continuity + roundtrip on the curve head, and roundtrip on seeded
+    // random indexes across the full 32-bit range
+    val rnd = new scala.util.Random(7)
+    val ds = (0L until 4096L) ++
+      Seq.fill(4096)(math.abs(rnd.nextLong()) % (1L << 32))
+    var prev: (Long, Long) = null
+    ds.take(4096).foreach { d =>
+      val (x, y) = d2xy(d)
+      if (prev != null)
+        assert(math.abs(x - prev._1) + math.abs(y - prev._2) == 1L,
+          s"curve jumps at d=$d")
+      prev = (x, y)
+    }
+    ds.foreach { d =>
+      val (x, y) = d2xy(d)
+      assert(graft.functions.NativeKernels.hilbert16(x, y) == d,
+        s"roundtrip failed at d=$d -> ($x, $y)")
+    }
+    // the expression (codegen path through a real scan) equals the kernel
+    val pts = Seq.fill(512)((rnd.nextLong() & 0xFFFFL,
+      rnd.nextLong() & 0xFFFFL))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbert16Key(pts.toDF("x", "y"), "x", "y").as("h"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) ==
+        graft.functions.NativeKernels.hilbert16(r.getLong(0), r.getLong(1)))
+    }
+    // origin anchors the curve
+    assert(graft.functions.NativeKernels.hilbert16(0L, 0L) == 0L)
+  }
+
+  test("hilbert layout: file opens on real parquet footers never exceed " +
+      "morton's for the same 2-D boxes") {
+    val df = spark.range(1 << 14).select(
+      (col("id") % 128).as("a"), (col("id") / 128).cast("long").as("b"))
+    val nFiles = 16
+    val hdir = tmpDir("hilbert")
+    val zdir = tmpDir("zorder-vs-h")
+    Layout.hilbertWriteExact(df, "a", "b", hdir, nFiles)
+    Layout.zorderWriteExact(df, "a", "b", zdir, nFiles)
+    val boxes = Seq((0L, 31L, 0L, 31L), (64L, 95L, 64L, 95L),
+      (32L, 63L, 96L, 127L), (96L, 127L, 0L, 31L))
+    val h = boxes.map { case (xl, xh, yl, yh) =>
+      filesTouching(hdir, "a", "b", xl, xh, yl, yh) }.sum
+    val z = boxes.map { case (xl, xh, yl, yh) =>
+      filesTouching(zdir, "a", "b", xl, xh, yl, yh) }.sum
+    assert(h <= z, s"hilbert opened $h files vs morton's $z")
+    // both layouts kept every row
+    assert(spark.read.parquet(hdir).count() == (1L << 14))
+  }
+
   test("morton21: bit-exact 3-D interleave vs a driver-side reference, " +
       "including the 21-bit boundary") {
     def ref(x: Long, y: Long, z: Long): Long = {
