@@ -152,6 +152,43 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val obs = new ObservedMetricsListener
     spark.listenerManager.register(obs)
+    // Candidate-floor observations per growth query (r11 verdict item #1):
+    // the work volume any correct plan must process at that scale —
+    // candidate pairs for the filter-verify joins, per-round proposals
+    // for NN-descent. Captured PER SCALE STEP below so the growth gate
+    // can machine-verify that a super-flag time step tracks the floor
+    // (time-ratio <= k x floor-ratio) instead of trusting a NOTES
+    // narrative. Missing observation names (e.g. a descent run with
+    // fewer rounds) just drop out of the sum.
+    val floorObsNames: Map[String, Seq[String]] = Map(
+      "jaccard_prefix_join" ->
+        Seq(graft.operators.Dedup.PrefixJoinRawObservation),
+      "winnow_containment_pairs" ->
+        Seq(graft.operators.Dedup.WinnowRawObservation),
+      "dedup_embedding_lsh" ->
+        Seq(graft.operators.Dedup.EmbeddingLshCandObservation),
+      "interval_join_binned" ->
+        Seq(graft.operators.TemporalJoins.RangeJoinCandObservation),
+      "sim_knn_graph" ->
+        (graft.operators.Similarity.KnnGraphCandObservation +:
+          (1 to 3).map(graft.operators.Similarity.knnDescentObservation)),
+      "sim_knn_graph_incremental" ->
+        (1 to 3).map(graft.operators.Similarity.knnDescentIncObservation))
+    def floorCand(name: String,
+        snap: Map[String, Seq[(String, Any)]]): Option[Long] =
+      floorObsNames.get(name).flatMap { names =>
+        val vals = names.flatMap(snap.get).flatMap(_.collectFirst {
+          case (_, v: Long) => v
+          case (_, v: Int) => v.toLong
+        })
+        if (vals.isEmpty) None else Some(vals.sum)
+      }
+    // main-suite observation accumulation (last completed query wins, as
+    // before) + per-query candidate floors at the bench sf: the global
+    // end-of-suite snapshot cannot attribute an observation to a query
+    // when several queries share an operator, so snapshot per query
+    val obsBig = scala.collection.mutable.Map[String, Seq[(String, Any)]]()
+    val bigFloorCand = scala.collection.mutable.Map[String, Long]()
     // per query: (median sec, rows, spread = max-min over the reps) — the
     // spread lands in the bench file so a noisy timing is distinguishable
     // from a real regression without re-running.
@@ -177,6 +214,9 @@ object Bench {
       // shuffle/spill across the `reps` timed reps (the inter-rep release
       // moves blocks, it does not shuffle) — exact counters, not wall-clock
       val usage = res.snapshot(spark)
+      val snap = obs.snapshotAndClear(spark)
+      obsBig ++= snap
+      floorCand(name, snap).foreach(v => bigFloorCand(name) = v)
       graft.operators.Caching.releaseAllRdds(spark)
       val secs = raw.sorted
       name -> ((secs(secs.size / 2), rows, secs.last - secs.head, raw,
@@ -232,7 +272,10 @@ object Bench {
         }.mkString(",")
         s"\"$name\":{$fs}"
       }.mkString("{", ",", "}")
-    val telemetryBig = telemetryJson(obs.snapshotAndClear(spark))
+    // per-query snapshots above + any spread-arbiter re-run residue:
+    // same last-wins semantics the single end-of-suite snapshot had
+    val telemetryBig =
+      telemetryJson((obsBig ++ obs.snapshotAndClear(spark)).toMap)
     val qs = results.map { case (k, (v, _, _, _, _)) =>
       s"\"" + k + "\":" + v
     }.mkString("{", ",", "}")
@@ -300,7 +343,8 @@ object Bench {
     // jitter in the denominator. (streaming_dlq_redrive generates its own
     // fixed 10-message queue, so its ratio hovers near 1 — included for
     // uniformity, read accordingly.)
-    val (scaleGrowth, scaleGrowthSteps, telemetrySmall) = if (args.isEmpty) {
+    val (scaleGrowth, scaleGrowthSteps, scaleGrowthFloors, telemetrySmall) =
+      if (args.isEmpty) {
       val smallDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
         "/root/testdata/sf0.01")
       val tinyDir = sys.env.getOrElse("SPARK_GRAFT_TINY_DIR",
@@ -332,8 +376,17 @@ object Bench {
           .flatMap(n => SparkEntry.benchQueries.get(n).map(n -> _)) ++
         graft.queries.PipelineQueries.timed ++
         graft.streaming.StreamingQueries.timed
-      def medianAt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-          dir: String): Double = {
+      // accumulate the small/tiny/sf1 observation snapshots for
+      // telemetry_small (last completed query wins, as before) — the
+      // per-measurement snapshotAndClear below is what attributes each
+      // candidate floor to its (query, scale point)
+      val obsSmallAcc =
+        scala.collection.mutable.Map[String, Seq[(String, Any)]]()
+      // (median sec, rows, candidate floor or -1) at one scale point
+      def measureAt(name: String,
+          fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+          dir: String): (Double, Long, Long) = {
+        var rows = -1L
         val secs = (1 to reps).map { _ =>
           graft.operators.Caching.releaseAllRdds(spark, blocking = true)
           // same pre-timer discipline as the big-sf loop: GC debt from the
@@ -341,11 +394,14 @@ object Bench {
           // or the fitted growth slope deflates toward a false green
           System.gc()
           val t0 = System.nanoTime()
-          try fn(spark, dir).count()
-          catch { case _: Throwable => }
+          rows = try fn(spark, dir).count()
+          catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        math.max(secs(secs.size / 2), 1e-3)
+        val snap = obs.snapshotAndClear(spark)
+        obsSmallAcc ++= snap
+        (math.max(secs(secs.size / 2), 1e-3), rows,
+          floorCand(name, snap).getOrElse(-1L))
       }
       val haveTiny = new java.io.File(tinyDir).isDirectory && tinyDir != sfDir
       // Fourth decade (r10 verdict item #7): self-generated deterministic
@@ -369,18 +425,23 @@ object Bench {
       // would then CONFIRM (it does the same cold rep) instead of clear.
       // For non-memoized forms run 2 is an ordinary rep, so the
       // discipline is uniform.
-      def onceAt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-          dir: String): Double = {
+      def onceAt(name: String,
+          fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+          dir: String): (Double, Long, Long) = {
         val warmOk = try { fn(spark, dir).count(); true }
           catch { case _: Throwable => false }
-        if (!warmOk) return -1.0 // never time a crash
+        if (!warmOk) return (-1.0, -1L, -1L) // never time a crash
         graft.operators.Caching.releaseAllRdds(spark, blocking = true)
         System.gc()
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, dir).count(); true }
-          catch { case _: Throwable => false }
+        val rows = try fn(spark, dir).count()
+          catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
-        if (ok) math.max(sec, 1e-3) else -1.0
+        val snap = obs.snapshotAndClear(spark)
+        obsSmallAcc ++= snap
+        if (rows >= 0)
+          (math.max(sec, 1e-3), rows, floorCand(name, snap).getOrElse(-1L))
+        else (-1.0, -1L, -1L)
       }
       if (new java.io.File(smallDir).isDirectory && smallDir != sfDir) {
         obs.snapshotAndClear(spark) // drop sweep/envelope noise before small
@@ -388,31 +449,57 @@ object Bench {
           .sortBy(_._1).flatMap { case (name, fn) =>
             // rows >= 0 = the query SUCCEEDED at sfDir (failures time the
             // crash, which would make the growth ratio nonsense)
-            resultMap.get(name).filter(_._2 >= 0).map { case (bigSec, _, _) =>
-              val small = medianAt(fn, smallDir)
-              val tiny = if (haveTiny) medianAt(fn, tinyDir) else -1.0
-              val huge =
-                if (haveSf1 &&
-                    graft.tools.ScaleFixtures.sf1Queries.contains(name))
-                  onceAt(fn, sf1Dir)
-                else -1.0
-              (name, bigSec, small, tiny, huge)
+            resultMap.get(name).filter(_._2 >= 0).map {
+              case (bigSec, bigRows, _) =>
+                val small = measureAt(name, fn, smallDir)
+                val tiny =
+                  if (haveTiny) measureAt(name, fn, tinyDir)
+                  else (-1.0, -1L, -1L)
+                val huge =
+                  if (haveSf1 &&
+                      graft.tools.ScaleFixtures.sf1Queries.contains(name))
+                    onceAt(name, fn, sf1Dir)
+                  else (-1.0, -1L, -1L)
+                (name, bigSec, bigRows, small, tiny, huge)
             }
           }
         graft.operators.Caching.releaseAllRdds(spark)
-        val ratios = measured.map { case (name, big, small, _, _) =>
-          s""""$name":${jnum(big / small, 2)}"""
+        val ratios = measured.map { case (name, big, _, small, _, _) =>
+          s""""$name":${jnum(big / small._1, 2)}"""
         }
-        val steps = measured.collect { case (name, big, small, tiny, huge)
-            if tiny > 0 =>
-          val base = Seq(jnum(small / tiny, 2), jnum(big / small, 2))
-          val all = if (huge > 0) base :+ jnum(huge / big, 2) else base
-          s""""$name":[${all.mkString(",")}]"""
+        val steps = measured.collect {
+          case (name, big, _, small, tiny, huge) if tiny._1 > 0 =>
+            val base = Seq(jnum(small._1 / tiny._1, 2),
+              jnum(big / small._1, 2))
+            val all =
+              if (huge._1 > 0) base :+ jnum(huge._1 / big, 2) else base
+            s""""$name":[${all.mkString(",")}]"""
+        }
+        // Per-point floor telemetry (r11 verdict item #1), arrays aligned
+        // with the scale points [tiny, small, big(, sf1)]: output rows for
+        // every growth query, plus the candidate/proposal volume for the
+        // floorObsNames families. The guard's worst-step arbitration reads
+        // these to verify a super-flag time step tracks the floor.
+        val floors = measured.map {
+          case (name, _, bigRows, small, tiny, huge) =>
+            val hasSf1 = huge._1 > 0
+            val rowsPts = Seq(tiny._2, small._2, bigRows) ++
+              (if (hasSf1) Seq(huge._2) else Nil)
+            val candField =
+              if (floorObsNames.contains(name)) {
+                val candPts =
+                  Seq(tiny._3, small._3,
+                    bigFloorCand.getOrElse(name, -1L)) ++
+                    (if (hasSf1) Seq(huge._3) else Nil)
+                s""","cand":[${candPts.mkString(",")}]"""
+              } else ""
+            s""""$name":{"rows":[${rowsPts.mkString(",")}]$candField}"""
         }
         (ratios.mkString("{", ",", "}"), steps.mkString("{", ",", "}"),
-          telemetryJson(obs.snapshotAndClear(spark)))
-      } else ("{}", "{}", "{}")
-    } else ("{}", "{}", "{}")
+          floors.mkString("{", ",", "}"),
+          telemetryJson((obsSmallAcc ++ obs.snapshotAndClear(spark)).toMap))
+      } else ("{}", "{}", "{}", "{}")
+    } else ("{}", "{}", "{}", "{}")
     // Last snapshot taken — drop the listener so the envelope pass below
     // (and anything after) runs without it; leaving it registered is
     // harmless in a one-shot main but wrong as a pattern to copy.
@@ -422,21 +509,39 @@ object Bench {
     // Lambda (BASELINE.md). Same work here: scan → to_json → ≤10-message
     // batches → send, measured through the observe() metrics; the discard
     // client isolates compute from queue memory.
+    // MEDIAN-OF-3 with per-rep arrays (r11 verdict item #2): the r11
+    // driver artifact shipped a single-shot 7.5 MB/s — a 5x drop from the
+    // builder's same-tree 51.9 — with no reps and no spread, the one
+    // headline number outside every guard's jurisdiction. Same discipline
+    // as the queries now: reps recorded, median reported, and
+    // tools/bench_guard.sh applies a spread rule + a 20 MB/s median floor
+    // with a fresh-JVM envelope arbiter.
     val envelope = if (args.isEmpty) {
-      val m = new graft.pipeline.PublishMetricsListener
-      spark.listenerManager.register(m)
-      try {
-        val t0 = System.nanoTime()
-        graft.pipeline.Publisher.publish(spark,
-          graft.pipeline.Publisher.PublishRequest(
-            Seq(s"$sfDir/lineitem.parquet"), idColumn = "l_orderkey"),
-          new graft.pipeline.DiscardQueueClient)
-        val sec = (System.nanoTime() - t0) / 1e9
-        val (prows, pbytes) = m.await()
-        val mbps = pbytes / 1e6 / sec
-        s"""{"rows":$prows,"bytes":$pbytes,"sec":${jnum(sec, 3)},""" +
-          s""""mb_per_sec":${jnum(mbps, 1)}}"""
-      } finally spark.listenerManager.unregister(m)
+      val envReps = (1 to reps).map { _ =>
+        graft.operators.Caching.releaseAllRdds(spark, blocking = true)
+        System.gc()
+        val m = new graft.pipeline.PublishMetricsListener
+        spark.listenerManager.register(m)
+        try {
+          val t0 = System.nanoTime()
+          graft.pipeline.Publisher.publish(spark,
+            graft.pipeline.Publisher.PublishRequest(
+              Seq(s"$sfDir/lineitem.parquet"), idColumn = "l_orderkey"),
+            new graft.pipeline.DiscardQueueClient)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val (prows, pbytes) = m.await()
+          (sec, prows, pbytes)
+        } finally spark.listenerManager.unregister(m)
+      }
+      val secs = envReps.map(_._1).sorted
+      val medSec = secs(secs.size / 2)
+      val (prows, pbytes) = (envReps.head._2, envReps.head._3)
+      val mbpsReps = envReps.map(r => r._3 / 1e6 / r._1)
+      s"""{"rows":$prows,"bytes":$pbytes,"sec":${jnum(medSec, 3)},""" +
+        s""""mb_per_sec":${jnum(pbytes / 1e6 / medSec, 1)},""" +
+        s""""reps_sec":[${envReps.map(r => jnum(r._1, 3)).mkString(",")}],""" +
+        s""""reps_mb_per_sec":[${mbpsReps.map(jnum(_, 1)).mkString(",")}],""" +
+        s""""spread_sec":${jnum(secs.last - secs.head, 3)}}"""
     } else "{}"
     // Full per-query detail goes to a stable file; stdout gets a COMPACT
     // final line only. The driver parses the last line of a bounded stdout
@@ -444,7 +549,7 @@ object Bench {
     // that window, so the parseable contract line must stay short.
     val envEnd = envFingerprint()
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"spread":$spreads,"reps":$repsJson,"suite_order":$suiteOrder,"spread_arbiter":$spreadArbiter,"resources":$resourcesJson,"env_start":$envStart,"env_end":$envEnd,"ivf_sweep":$sweep,"scale_growth":$scaleGrowth,"scale_growth_steps":$scaleGrowthSteps,"telemetry":$telemetryBig,"telemetry_small":$telemetrySmall,"publish_envelope":$envelope,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"spread":$spreads,"reps":$repsJson,"suite_order":$suiteOrder,"spread_arbiter":$spreadArbiter,"resources":$resourcesJson,"env_start":$envStart,"env_end":$envEnd,"ivf_sweep":$sweep,"scale_growth":$scaleGrowth,"scale_growth_steps":$scaleGrowthSteps,"scale_growth_floors":$scaleGrowthFloors,"telemetry":$telemetryBig,"telemetry_small":$telemetrySmall,"publish_envelope":$envelope,"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec",""" +
         s""""n_queries":$nQueries,"sf":"$sfDir"}"""

@@ -6,7 +6,8 @@ import org.apache.spark.sql.types._
 /** Deterministic sf1 fixtures for the fourth scale decade (r10 verdict
   * item #7): `documents` / `embeddings` / `events` at 10x their sf0.1
   * volumes, matching the driver testdata's schemas and marginal
-  * distributions (measured from /root/testdata/sf0.1: 31-word vocab,
+  * distributions (measured from /root/testdata/sf0.1: 31-word vocab —
+  * grown to 98 Zipf-drawn types at sf1 per Heaps' law, see [[vocab]] —
   * 10..98-token docs, lang mix ~.41/.15/.15/.15/.14, 20 sources, ~0.16%
   * exact dups; dim-64 ISOTROPIC embeddings — see writeEmbeddings; 30-day
   * event window, 15 users per 1k events — 1500 users / 100k events at
@@ -37,7 +38,7 @@ object ScaleFixtures {
     * the fingerprint lands only after every table committed.
     */
   private val Fingerprint =
-    "v2-isotropic docs=50000 vecs=20000x64 events=1000000 seed=421/422/423"
+    "v3-heaps-vocab docs=50000 vecs=20000x64 events=1000000 seed=421/422/423"
 
   /** The sf1-eligible growth queries: the headline dedup / ANN / text /
     * retrieval families (PipelineQueries.timed members that read only the
@@ -59,11 +60,49 @@ object ScaleFixtures {
     "graph_triangles", "unigram_train", "corpus_distinct_ngrams",
     "distribution_drift", "event_anomaly", "retrieval_ndcg")
 
-  private val vocab = Array(
+  /** The driver data's 31-word vocabulary — the head of the sf1 Zipf. */
+  private val baseVocab = Array(
     "batch", "part", "spark", "line", "column", "order", "small", "sort",
     "fast", "value", "scan", "a", "hash", "slow", "group", "query", "big",
     "filter", "key", "window", "row", "table", "stream", "merge", "data",
     "agg", "join", "read", "write", "shuffle", "plan")
+
+  /** sf1 vocabulary sized by Heaps' law (r11 verdict item #3): real
+    * corpora grow vocabulary V ≈ K·N^β with β ≈ 0.5, so a 10x-token
+    * corpus carries ~√10 ≈ 3.16x the types — the sf0.1 data's 31 words
+    * over ~270k tokens extrapolate to ~98 words over 2.7M. The previous
+    * fixture reused the 31-word vocab at sf1, which SATURATED every
+    * shingle bucket (any 3-gram over 31 words recurs thousands of times)
+    * and made the text family's fourth decade measure fixture degeneracy
+    * — a 16-21x jaccard step that was the candidate floor of a
+    * distribution no real corpus has, not the operator. The driver words
+    * keep the head ranks (cross-query semantics — blocklists, planted
+    * dups — still hit); synthetic types fill the tail.
+    */
+  private val vocab: Array[String] =
+    baseVocab ++ (baseVocab.length until 98).map(i => f"term$i%03d")
+
+  /** Zipf(s=1) cumulative mass over `vocab` ranks: token draws follow
+    * P(rank r) ∝ 1/r — the standard fit for word frequencies — so the
+    * head behaves like the sf0.1 data while the tail supplies the
+    * Heaps-law type growth.
+    */
+  private val zipfCum: Array[Double] = {
+    val w = Array.tabulate(vocab.length)(i => 1.0 / (i + 1))
+    val c = w.scanLeft(0.0)(_ + _).tail
+    c.map(_ / c.last)
+  }
+
+  private def zipfWord(rnd: java.util.Random): String = {
+    val u = rnd.nextDouble()
+    var lo = 0
+    var hi = zipfCum.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (zipfCum(mid) < u) lo = mid + 1 else hi = mid
+    }
+    vocab(lo)
+  }
 
   private val langs =
     Array(("en", 0.41), ("zh", 0.56), ("es", 0.71), ("fr", 0.86),
@@ -103,7 +142,7 @@ object ScaleFixtures {
         if (i > 0 && i % 625 == 624) prev // planted exact duplicate
         else {
           val n = 10 + rnd.nextInt(89)
-          Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+          Seq.fill(n)(zipfWord(rnd)).mkString(" ")
         }
       prev = text
       Row(i.toLong, text, lang(), s"src${i % 20}", text.length.toLong)
