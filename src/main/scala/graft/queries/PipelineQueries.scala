@@ -401,6 +401,56 @@ object PipelineQueries {
         "recall_ok" -> (Contracts.recall(srp, brute) >= 0.4))
     }),
 
+    // JL projection composed INTO the ANN ladder: corpus + queries are
+    // sign-matrix-projected 64 -> 32 dims (2x fewer stored/shuffled bytes
+    // — the compression move BEFORE indexing), the SRP shortlist runs
+    // entirely in the projected space (every hyperplane dot is 32-d), and
+    // the shortlist reranks by EXACT cosine in the original space — the
+    // standard compressed-domain serving shape: cheap wide recall, exact
+    // narrow precision. Swept (JlProbe): at dOut=32 the SRP shortlist
+    // recovers ~the projected-space brute CEILING (0.54 vs 0.56 at
+    // sf0.01, 0.66 vs 0.68 at sf0.1) — the residual loss IS the JL
+    // distortion, not the index; the gaussian worst-case geometry needs
+    // an n/10 shortlist (real clustered corpora need far less). The
+    // shortlist scales with the corpus (fixed k was the semantic_dedup
+    // lesson: a constant shortlist makes recall decay with n and the
+    // contract would measure the harness, not the operator). Contract:
+    // well-formed ranks, served scores match exact recomputation (rerank
+    // IS original-space), recall@5 vs original-space brute force >= 0.4
+    // (measured 0.50/0.54/0.66 at the three sfs).
+    "sim_jl_srp_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 10)
+      val shortK = math.max(50L, emb.count() / 10).toInt
+      val projC = Embeddings.jlProject(emb, "embedding", 64, 32)
+        .select(col("vec_id"), col("proj"))
+      val projQ = Embeddings.jlProject(q, "embedding", 64, 32)
+        .select(col("vec_id"), col("proj"))
+      val shortlist = Similarity.srpTopK(projC, projQ, "vec_id", "proj",
+        k = shortK, nBits = 4, nProbe = 10)
+      val v = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val pairs = shortlist.select(col("qid"), col("nid"))
+        .join(v.select(col("vec_id").as("qid"), col("v").as("v_q")), "qid")
+        .join(v.select(col("vec_id").as("nid"), col("v").as("v_n")), "nid")
+        .select(col("qid"), col("nid"),
+          round(Similarity.cosine(col("v_q"), col("v_n")), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      val served = pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nid"), col("cos"))
+        .localCheckpoint()
+      val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        k = 5).localCheckpoint()
+      Contracts.row(s,
+        "n_queries" -> q.count(),
+        "ranks_ok" -> Contracts.ranksWellFormed(served, "qid", "rank", 5),
+        "scores_exact_ok" -> scoresMatchExact(served, emb),
+        "recall_ok" -> (Contracts.recall(served, brute) >= 0.4))
+    }),
+
     // IVF coarse-quantizer ANN with Lloyd refinement. Same contract shape.
     // On structureless gaussian data IVF recall ≈ the probed corpus
     // fraction, so nProbe=6 of 16 (~37%) is what keeps the floor
@@ -2900,6 +2950,30 @@ object PipelineQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, nCentroids = 16, nProbe = 6, trainIters = 2)
     }),
+    "sim_jl_srp_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 10)
+      val shortK = math.max(50L, emb.count() / 10).toInt
+      val projC = Embeddings.jlProject(emb, "embedding", 64, 32)
+        .select(col("vec_id"), col("proj"))
+      val projQ = Embeddings.jlProject(q, "embedding", 64, 32)
+        .select(col("vec_id"), col("proj"))
+      val shortlist = Similarity.srpTopK(projC, projQ, "vec_id", "proj",
+        k = shortK, nBits = 4, nProbe = 10)
+      val v = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val pairs = shortlist.select(col("qid"), col("nid"))
+        .join(v.select(col("vec_id").as("qid"), col("v").as("v_q")), "qid")
+        .join(v.select(col("vec_id").as("nid"), col("v").as("v_n")), "nid")
+        .select(col("qid"), col("nid"),
+          round(Similarity.cosine(col("v_q"), col("v_n")), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nid"), col("cos"))
+    }),
     "sim_pq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
@@ -3106,6 +3180,12 @@ object PipelineQueries {
         |  TRUE AS wrapped_copies_recovered_ok""".stripMargin,
 
     "sim_srp_topk" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+        |    AS n_queries,
+        |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,
+        |  TRUE AS recall_ok""".stripMargin,
+
+    "sim_jl_srp_topk" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
         |    AS n_queries,
         |  TRUE AS ranks_ok, TRUE AS scores_exact_ok,
