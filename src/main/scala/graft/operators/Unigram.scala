@@ -247,4 +247,86 @@ object Unigram {
         }
       }.toDF("w", "cnt", "pieces")
   }
+
+  /** Deterministic k-best segmentations per word — the enumeration that
+    * backs subword-regularization sampling (Kudo 2018: training on
+    * sampled alternative segmentations regularizes the downstream model;
+    * the SAMPLING step is a weighted draw over exactly this list, so a
+    * deterministic k-best is the engine primitive and the draw stays a
+    * caller-side choice). Same lattice as [[encode]], DP cells carry the
+    * TOP-K candidate paths instead of one; candidate order is the total
+    * rule (score desc, fewer pieces, then piece-sequence lexicographic),
+    * so the output is a pure function of (word, model, k) and
+    * partition-invariant — no randomness in the engine, the repo-wide
+    * determinism posture. Scores land as ×1e4 fixed-point longs (the
+    * [[train]] LL grain) so downstream comparisons are engine-exact.
+    * Per-word cost is O(n · maxPieceLen · k log k) in the same typed
+    * mapPartitions as encode (no expression form exists — the multimodal
+    * justification). Returns (w, cnt, rank, pieces, score_fx).
+    */
+  def nBest(words: DataFrame, model: Model, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.logProb)
+    val maxLen = model.maxPieceLen
+    words.select(col("w"), col("cnt")).as[(String, Long)]
+      .mapPartitions { it =>
+        val lp = bc.value
+        val unk = math.log(1L / 1e9)
+        // Total candidate order: score desc, fewer pieces, then the
+        // REVERSED sequence (final piece first — paths are stored
+        // reversed) by piece length then string. The third key is chosen
+        // to REPRODUCE [[encode]]'s greedy backtrack on exact-score ties
+        // (shorter final piece at every cell, applied from the end), so
+        // rank 1 ≡ Viterbi even on permuted-multiset ties like
+        // "333" → [33,3] vs [3,33], whose float scores are identical.
+        val ord = new Ordering[(Double, List[String])] {
+          def compare(a: (Double, List[String]),
+              b: (Double, List[String])): Int = {
+            val c1 = java.lang.Double.compare(b._1, a._1)
+            if (c1 != 0) return c1
+            val c2 = Integer.compare(a._2.length, b._2.length)
+            if (c2 != 0) return c2
+            var (pa, pb) = (a._2, b._2)
+            while (pa.nonEmpty) {
+              val c3 = Integer.compare(pa.head.length, pb.head.length)
+              if (c3 != 0) return c3
+              val c4 = pa.head.compareTo(pb.head)
+              if (c4 != 0) return c4
+              pa = pa.tail; pb = pb.tail
+            }
+            0
+          }
+        }
+        it.flatMap { case (w, cnt) =>
+          val n = w.length
+          val best = Array.fill(n + 1)(List.empty[(Double, List[String])])
+          best(0) = List((0.0, Nil))
+          var j = 1
+          while (j <= n) {
+            val cands = List.newBuilder[(Double, List[String])]
+            var l = 1
+            while (l <= math.min(maxLen, j)) {
+              val p = w.substring(j - l, j)
+              val lpv =
+                if (lp.contains(p)) lp(p)
+                else if (l == 1) unk
+                else Double.NegativeInfinity
+              if (lpv != Double.NegativeInfinity)
+                best(j - l).foreach { case (s, path) =>
+                  cands += ((s + lpv, p :: path))
+                }
+              l += 1
+            }
+            best(j) = cands.result().sorted(ord).take(k)
+            j += 1
+          }
+          best(n).iterator.zipWithIndex.map { case ((s, path), i) =>
+            (w, cnt, i + 1, path.reverse,
+              math.floor(s * 1e4 + 0.5).toLong)
+          }
+        }
+      }.toDF("w", "cnt", "rank", "pieces", "score_fx")
+  }
 }

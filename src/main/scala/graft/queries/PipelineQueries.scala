@@ -1961,6 +1961,46 @@ object PipelineQueries {
           (Contracts.checksum(enc) == Contracts.checksum(again)))
     }),
 
+    // Deterministic k-best segmentations (the subword-regularization
+    // enumeration — Kudo 2018 samples training-time segmentations from
+    // exactly this list; the weighted draw stays caller-side so the
+    // ENGINE primitive is deterministic, the repo-wide posture). Same
+    // lattice as Viterbi with top-3 candidate paths per DP cell; the tie
+    // rule reproduces encode's greedy backtrack so rank 1 is Viterbi
+    // bit-for-bit, even on permuted-multiset float ties. Contracts:
+    // rank-1 ≡ encode on every word, every path roundtrips, per-word
+    // scores non-increasing in rank, paths distinct, partition-invariant.
+    "unigram_nbest" -> ((s, dir) => {
+      val words = graft.operators.Unigram
+        .wordTable(t(s, dir, "documents"), "text").localCheckpoint()
+      val (model, _) = graft.operators.Unigram.train(words,
+        seedSize = 512, iters = 2)
+      val nb = graft.operators.Unigram.nBest(words, model, k = 3)
+        .localCheckpoint()
+      val viterbi = graft.operators.Unigram.encode(words, model)
+      val r1 = nb.filter(col("rank") === 1)
+        .select(col("w"), col("cnt"), col("pieces"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w")).orderBy(col("rank"))
+      val again = graft.operators.Unigram
+        .nBest(words.repartition(7), model, k = 3)
+      Contracts.row(s,
+        "n_words" -> words.count(),
+        "rank1_equals_viterbi_ok" ->
+          (Contracts.checksum(r1) == Contracts.checksum(
+            viterbi.select(col("w"), col("cnt"), col("pieces")))),
+        "roundtrip_ok" -> Contracts.forAll(nb,
+          concat_ws("", col("pieces")) === col("w")),
+        "scores_monotone_ok" -> Contracts.forAll(
+          nb.withColumn("prev", lag(col("score_fx"), 1).over(wOrd)),
+          col("prev").isNull || col("score_fx") <= col("prev")),
+        "paths_distinct_ok" ->
+          (nb.select(col("w"), col("pieces")).distinct().count() ==
+            nb.count()),
+        "partition_invariant_ok" ->
+          (Contracts.checksum(nb) == Contracts.checksum(again)))
+    }),
+
     // Statistical quality scoring: per-doc mean log-probability under an
     // add-one-smoothed bigram LM trained on the corpus itself — two count
     // aggregates (the model) + two key-joins (the scoring). Full SQL
@@ -3435,6 +3475,16 @@ object PipelineQueries {
         |    FROM documents) WHERE length(w) > 0) AS n_words,
         |  TRUE AS roundtrip_ok,
         |  TRUE AS compression_ok,
+        |  TRUE AS partition_invariant_ok""".stripMargin,
+
+    "unigram_nbest" ->
+      """SELECT (SELECT count(DISTINCT w) FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents) WHERE length(w) > 0) AS n_words,
+        |  TRUE AS rank1_equals_viterbi_ok,
+        |  TRUE AS roundtrip_ok,
+        |  TRUE AS scores_monotone_ok,
+        |  TRUE AS paths_distinct_ok,
         |  TRUE AS partition_invariant_ok""".stripMargin,
 
     "quality_lm_score" ->

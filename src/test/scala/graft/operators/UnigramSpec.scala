@@ -71,4 +71,57 @@ class UnigramSpec extends SparkSpec {
       .select(col("pieces")).as[Seq[String]].head()
     assert(enc == Seq("z", "z", "q"))
   }
+  test("nBest: rank 1 equals Viterbi (incl. the permuted-multiset float " +
+      "tie), paths ordered, distinct, and roundtrip") {
+    // hand-built model where "fff" has the exact-tie pair [ff,f]/[f,ff]:
+    // both score logp(ff)+logp(f) bit-for-bit — rank 1 must match
+    // encode's shorter-final-piece greedy, i.e. [ff, f]
+    val model = Unigram.Model(
+      Map("f" -> 200000000L, "ff" -> 300000000L, "a" -> 250000000L,
+        "b" -> 250000000L), maxPieceLen = 4)
+    val words = Seq(("fff", 3L), ("ab", 2L), ("fab", 1L))
+      .toDF("w", "cnt")
+    val nb = Unigram.nBest(words, model, k = 3).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getSeq[String](3).toList,
+        r.getLong(4)))
+    val vit = Unigram.encode(words, model).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    // rank 1 == Viterbi for every word
+    nb.filter(_._2 == 1).foreach { case (w, _, pieces, _) =>
+      assert(pieces == vit(w), s"$w: rank1 $pieces != viterbi ${vit(w)}")
+    }
+    assert(vit("fff") == List("ff", "f")) // the tie, resolved greedily
+    // the tied pair occupies ranks 1 and 2 with EQUAL fixed-point scores
+    val fff = nb.filter(_._1 == "fff").sortBy(_._2)
+    assert(fff(0)._3 == List("ff", "f") && fff(1)._3 == List("f", "ff"))
+    assert(fff(0)._4 == fff(1)._4)
+    // scores non-increasing, paths distinct, roundtrip
+    nb.groupBy(_._1).foreach { case (w, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall(s =>
+        s.length < 2 || s(1) <= s(0)))
+      assert(rows.map(_._3).distinct.length == rows.length)
+      rows.foreach { case (_, _, pieces, _) =>
+        assert(pieces.mkString("") == w)
+      }
+    }
+  }
+
+  test("nBest is partition-invariant and k=1 degenerates to encode") {
+    val words = Unigram.wordTable(
+      corpus("the cat sat on the mat", "a cat and a rat ate the mat"),
+      "text")
+    val (model, _) = Unigram.train(words, seedSize = 64, iters = 2)
+    val a = Unigram.nBest(words, model, k = 3)
+    val b = Unigram.nBest(words.repartition(5), model, k = 3)
+    assert(graft.queries.Contracts.checksum(a) ==
+      graft.queries.Contracts.checksum(b))
+    val one = Unigram.nBest(words, model, k = 1)
+      .select(col("w"), col("cnt"), col("pieces"))
+    val vit = Unigram.encode(words, model)
+      .select(col("w"), col("cnt"), col("pieces"))
+    assert(graft.queries.Contracts.checksum(one) ==
+      graft.queries.Contracts.checksum(vit))
+  }
+
 }
