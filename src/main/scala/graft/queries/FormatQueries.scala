@@ -1415,7 +1415,47 @@ object FormatQueries {
       val st = dmlStores(s, dir)
       Manifest.quantileEstimateForRange(s, st.qIdx, st.qMan,
         "l_orderkey", 0L, st.ndvHi, Seq(0.5, 0.9))
+    }),
+    // timed: the ONE-SCAN unified build itself (three sidecar stores from
+    // one pass over a memoized table copy) — the build IS the operator;
+    // the per-family byte/serving-equivalence harness stays in Verify.
+    "manifest_index_unified" -> ((s, dir) => {
+      val tbl = uniTblCache.getOrElseUpdate(dir, {
+        val p = tmp("graft-manuni-bench-")
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+          .repartitionByRange(4, col("l_orderkey"))
+          .write.mode("overwrite").parquet(s"$p/d0")
+        p
+      })
+      Manifest.buildFileIndexes(s, s"$tbl/d0", "l_partkey", "l_quantity",
+        tmp("graft-ub-"), tmp("graft-un-"), tmp("graft-uk-"))
+      s.read.parquet(s"$tbl/d0").groupBy().count()
+    }),
+    // timed: the hilbert layout simulation only (one global-order ntile +
+    // per-file box aggregation over the hilbert key); the morton/linear
+    // comparison baselines stay in Verify.
+    "hilbert_layout" -> ((s, dir) => {
+      val raw = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"))
+      val bounds = raw.agg(max(col("o_custkey")), max(col("o_orderkey")))
+        .head()
+      val orders = raw.select(
+        (col("o_custkey") * 65535L / bounds.getLong(0)).cast("long")
+          .as("x"),
+        (col("o_orderkey") * 65535L / bounds.getLong(1)).cast("long")
+          .as("y"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(Layout.hilbert16Key(orders, "x", "y"), col("x"), col("y"))
+      orders.withColumn("__f", ntile(16).over(w))
+        .groupBy(col("__f"))
+        .agg(count(lit(1)).as("nrows"),
+          min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+          min(col("y")).as("ymin"), max(col("y")).as("ymax"))
     }))
+
+  private val uniTblCache =
+    new scala.collection.concurrent.TrieMap[String, String]
 
   /** Memoized fixtures for the DML/bloom/NDV/quantile timed forms above. */
   private case class DmlStores(delMan: String, lo: Long, hi: Long,

@@ -2707,6 +2707,10 @@ object PipelineQueries {
   private val bpeTimedMergeCache =
     new scala.collection.concurrent.TrieMap[String, Seq[graft.operators.Bpe.Merge]]
 
+  private val unigramTimedModelCache =
+    new scala.collection.concurrent.TrieMap[String,
+      graft.operators.Unigram.Model]
+
   /** Per-dir memo of the interval join's data-derived bin width (timed
     * form only — one approxQuantile per scale dir, outside the reps).
     */
@@ -2902,6 +2906,20 @@ object PipelineQueries {
       Bpe.encode(Bpe.wordTable(t(s, dir, "documents"), "text"),
         merges ++ (1 to 10000).map(i =>
           Bpe.Merge(merges.size + i, s" z$i", s" q$i", 1L)))
+    }),
+    // Timer covers the word-table scan + k-best lattice enumeration only
+    // (the operator); training is memoized per dir (unigram_train's
+    // number), and the contract form's double-run/checksum harness stays
+    // in Verify.
+    "unigram_nbest" -> ((s, dir) => {
+      val model = unigramTimedModelCache.getOrElseUpdate(dir, {
+        val wt = graft.operators.Unigram
+          .wordTable(t(s, dir, "documents"), "text").localCheckpoint()
+        graft.operators.Unigram.train(wt, seedSize = 512, iters = 2)._1
+      })
+      graft.operators.Unigram.nBest(
+        graft.operators.Unigram.wordTable(t(s, dir, "documents"), "text"),
+        model, k = 3)
     }),
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
