@@ -142,20 +142,31 @@ object Layout {
     * and can flip a strictly-fewer aggregate (observed once at sf0.1);
     * pruning over real parquet footers stays proven in LayoutSpec.
     */
+  /** One pass: ntile file assignment in `orderCols` order + per-file
+    * (x, y) min/max boxes + row counts — the shared core of
+    * [[boxesTouching]] and the timed layout forms (one implementation, so
+    * the timed number and the certified contract can never drift apart).
+    * `orderCols` must be a TOTAL order (append tie-break columns).
+    */
+  def fileBoxes(df: DataFrame, orderCols: Seq[Column], xCol: String,
+      yCol: String, nFiles: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*)
+    df.withColumn("__f", ntile(nFiles).over(w))
+      .groupBy(col("__f"))
+      .agg(count(lit(1)).as("nrows"),
+        min(col(xCol)).as("xmin"), max(col(xCol)).as("xmax"),
+        min(col(yCol)).as("ymin"), max(col(yCol)).as("ymax"))
+  }
+
   def boxesTouching(df: DataFrame, orderCols: Seq[Column], xCol: String,
       yCol: String, nFiles: Int,
       boxes: Seq[(Long, Long, Long, Long)]): (Seq[Long], Long) = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*)
     // withReleased: the checkpoint's blocks live in the block manager until
     // RDD GC, which Dataset.unpersist cannot reach — scope-release them so
     // library callers don't leak one checkpoint per invocation. Everything
     // the body returns is plain scalars, fully consumed before release.
     Caching.withReleased(df.sparkSession) {
-      val fb = df.withColumn("__f", ntile(nFiles).over(w))
-        .groupBy(col("__f"))
-        .agg(count(lit(1)).as("nrows"),
-          min(col(xCol)).as("xmin"), max(col(xCol)).as("xmax"),
-          min(col(yCol)).as("ymin"), max(col(yCol)).as("ymax"))
+      val fb = fileBoxes(df, orderCols, xCol, yCol, nFiles)
         .localCheckpoint() // one pass; probed once per box below
       val touched = boxes.map { case (xl, xh, yl, yh) =>
         fb.filter(col("xmax") >= xl && col("xmin") <= xh &&
