@@ -935,10 +935,15 @@ object Manifest {
   def buildFileIndexes(spark: SparkSession, tablePath: String,
       keyCol: String, valueCol: String, bloomPath: String, ndvPath: String,
       kllPath: String, expectedPerFile: Long = 1000000L, fpp: Double = 0.01,
-      lgConfigK: Int = 12, kllK: Int = 200): Unit = {
-    val combined = fileIndexRows(spark, tablePath, keyCol, valueCol,
-      expectedPerFile, fpp, lgConfigK, kllK).localCheckpoint()
-    try {
+      lgConfigK: Int = 12, kllK: Int = 200): Unit =
+    // withReleased, not Dataset.unpersist: local-checkpoint blocks live in
+    // the block manager until RDD GC and unpersist() cannot reach them
+    // (the Layout.boxesTouching lesson) — a nightly-refresh caller must
+    // not leak one checkpoint per run. All three writes complete inside
+    // the scope; nothing downstream re-reads the checkpoint.
+    Caching.withReleased(spark) {
+      val combined = fileIndexRows(spark, tablePath, keyCol, valueCol,
+        expectedPerFile, fpp, lgConfigK, kllK).localCheckpoint()
       combined.select(col("file"), col("bloom"))
         .coalesce(1).write.mode("overwrite").parquet(bloomPath)
       def freshSegment(path: String, rows: DataFrame): Unit = {
@@ -949,6 +954,5 @@ object Manifest {
       }
       freshSegment(ndvPath, combined.select(col("file"), col("ndv_sketch")))
       freshSegment(kllPath, combined.select(col("file"), col("kll")))
-    } finally combined.unpersist()
-  }
+    }
 }

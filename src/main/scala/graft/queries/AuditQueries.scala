@@ -296,10 +296,12 @@ object AuditQueries {
             col("model"), col("ppm")))
         .groupBy(col("model"), col("ch"))
         .agg(count_distinct(col("p_id")).as("n_purchases"),
-          floor(sum(col("val_cents") * col("ppm")) / lit(1000000.0))
-            .cast("long").as("credit_cents"))
+          sum(col("val_cents") * col("ppm")).as("credit_sum"))
+        // `div` is exact LONG division at any magnitude — a double-floor
+        // route would round once the group sum passes 2^53 (~3x the sf0.1
+        // headroom), silently diverging from DuckDB's exact `//`
         .select(col("model"), col("ch").as("touch"), col("n_purchases"),
-          col("credit_cents"))
+          expr("credit_sum div 1000000").as("credit_cents"))
         .orderBy(col("model"), col("touch"))
     }),
 

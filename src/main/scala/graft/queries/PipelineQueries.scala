@@ -422,26 +422,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val q = emb.filter(col("vec_id") < 10)
-      val shortK = math.max(50L, emb.count() / 10).toInt
-      val projC = Embeddings.jlProject(emb, "embedding", 64, 32)
-        .select(col("vec_id"), col("proj"))
-      val projQ = Embeddings.jlProject(q, "embedding", 64, 32)
-        .select(col("vec_id"), col("proj"))
-      val shortlist = Similarity.srpTopK(projC, projQ, "vec_id", "proj",
-        k = shortK, nBits = 4, nProbe = 10)
-      val v = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      val pairs = shortlist.select(col("qid"), col("nid"))
-        .join(v.select(col("vec_id").as("qid"), col("v").as("v_q")), "qid")
-        .join(v.select(col("vec_id").as("nid"), col("v").as("v_n")), "nid")
-        .select(col("qid"), col("nid"),
-          round(Similarity.cosine(col("v_q"), col("v_n")), 6).as("cos"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-      val served = pairs.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("rank"), col("nid"), col("cos"))
-        .localCheckpoint()
+      val served = jlSrpServed(s, dir).localCheckpoint()
       val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
         k = 5).localCheckpoint()
       Contracts.row(s,
@@ -2751,6 +2732,38 @@ object PipelineQueries {
     * the contract scalars; Verify still runs the full contract form, so
     * correctness coverage is unchanged.
     */
+  /** Shared JL→SRP→exact-rerank serving pipeline for `sim_jl_srp_topk`
+    * (contract + timed forms run ONE implementation — the
+    * `Layout.fileBoxes` discipline: the timed number and the certified
+    * contract can never drift apart). Projection 64→32, SRP shortlist in
+    * the projected space sized to the corpus, exact original-space
+    * cosine rerank to top-5.
+    */
+  private def jlSrpServed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 10)
+    val shortK = math.max(50L, emb.count() / 10).toInt
+    val projC = Embeddings.jlProject(emb, "embedding", 64, 32)
+      .select(col("vec_id"), col("proj"))
+    val projQ = Embeddings.jlProject(q, "embedding", 64, 32)
+      .select(col("vec_id"), col("proj"))
+    val shortlist = Similarity.srpTopK(projC, projQ, "vec_id", "proj",
+      k = shortK, nBits = 4, nProbe = 10)
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val pairs = shortlist.select(col("qid"), col("nid"))
+      .join(v.select(col("vec_id").as("qid"), col("v").as("v_q")), "qid")
+      .join(v.select(col("vec_id").as("nid"), col("v").as("v_n")), "nid")
+      .select(col("qid"), col("nid"),
+        round(Similarity.cosine(col("v_q"), col("v_n")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
   val timed: Map[String, Q] = Map(
     // The timer covers one Newton fit + the scoring projection (the
     // operator); the contract form retrains on a repartitioned corpus and
@@ -3008,30 +3021,7 @@ object PipelineQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, nCentroids = 16, nProbe = 6, trainIters = 2)
     }),
-    "sim_jl_srp_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val q = emb.filter(col("vec_id") < 10)
-      val shortK = math.max(50L, emb.count() / 10).toInt
-      val projC = Embeddings.jlProject(emb, "embedding", 64, 32)
-        .select(col("vec_id"), col("proj"))
-      val projQ = Embeddings.jlProject(q, "embedding", 64, 32)
-        .select(col("vec_id"), col("proj"))
-      val shortlist = Similarity.srpTopK(projC, projQ, "vec_id", "proj",
-        k = shortK, nBits = 4, nProbe = 10)
-      val v = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      val pairs = shortlist.select(col("qid"), col("nid"))
-        .join(v.select(col("vec_id").as("qid"), col("v").as("v_q")), "qid")
-        .join(v.select(col("vec_id").as("nid"), col("v").as("v_n")), "nid")
-        .select(col("qid"), col("nid"),
-          round(Similarity.cosine(col("v_q"), col("v_n")), 6).as("cos"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-      pairs.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("rank"), col("nid"), col("cos"))
-    }),
+    "sim_jl_srp_topk" -> ((s, dir) => jlSrpServed(s, dir)),
     "sim_pq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",

@@ -95,41 +95,46 @@ for q in sorted(set(steps) | set(growth)):
         # 10x — exactly the two-step design applied one decade higher.
         fit = rs[-2:] if len(rs) >= 3 else rs
         slope = math.exp(sum(math.log(r) for r in fit) / len(fit))
-        worst = max(rs)
+        # worst over the FITTED window only: a 3-step query's first step
+        # is rows-flat by the same rationale the fit excludes it — its
+        # ratio is fixed-overhead noise with a ~1.0 floor ratio, so
+        # flagging it would be an unarbitrable false red
+        worst = max(fit)
     else:
         slope = worst = growth.get(q, 0.0)
-        rs = None
+        rs = fit = None
     if slope <= flag and worst <= flag:
         continue
-    # floor arbitration: every offending step must track its floor ratio.
-    # Candidate/proposal volume is the floor where recorded (the work any
-    # correct plan must do); output rows otherwise. A missing/invalid
-    # floor point (-1) or a non-growing floor falls through to ISOLATE.
+    # Floor arbitration: every offending step must track its floor ratio.
+    # The CANDIDATE/proposal floor is authoritative when recorded (the
+    # work any correct plan must do): if the query carries a cand array,
+    # its verdict is FINAL — a cand-refuted or invalid-point (-1) step
+    # must ISOLATE, never fall through to the softer rows floor (output
+    # rows could grow 10x while the recorded work floor refutes the step).
     fl = floors.get(q, {})
     cleared = []
-    if rs:
+    if fit:
+        kind = "cand" if "cand" in fl else ("rows" if "rows" in fl else None)
         # floor arrays hold the scale POINTS [tiny, small, big(, sf1)];
-        # step i is points i -> i+1
-        for kind in ("cand", "rows"):
-            pts = fl.get(kind)
-            if not pts or len(pts) != len(rs) + 1:
-                continue
+        # fitted step i corresponds to points at the array TAIL
+        pts = fl.get(kind) if kind else None
+        if pts and len(pts) == len(rs) + 1:
+            tail = pts[-(len(fit) + 1):]
             ok = True
             detail = []
-            for i, r in enumerate(rs):
+            for i, r in enumerate(fit):
                 if r <= flag:
                     continue
-                if pts[i] <= 0 or pts[i + 1] <= 0:
+                if tail[i] <= 0 or tail[i + 1] <= 0:
                     ok = False
                     break
-                fr = pts[i + 1] / pts[i]
+                fr = tail[i + 1] / tail[i]
                 if r > floor_k * fr:
                     ok = False
                     break
                 detail.append(f"step{i}:time={r}x<=({floor_k}x)floor={fr:.1f}x")
             if ok and detail:
                 cleared = [kind] + detail
-                break
     if cleared:
         print(f"cleared {q} floor={cleared[0]} {' '.join(cleared[1:])}")
     else:
@@ -204,7 +209,9 @@ rs = d.get("steps", [])
 if len(rs) >= 2 and all(r > 0 for r in rs):
     fit = rs[-2:] if len(rs) >= 3 else rs
     slope = math.exp(sum(math.log(r) for r in fit) / len(fit))
-    worst = max(rs)
+    # same fitted-window worst as the in-suite flag: the excluded first
+    # step is rows-flat fixed overhead, not operator growth
+    worst = max(fit)
 else:
     slope = worst = d.get("growth", 1e9)
 print("RED" if slope > flag or worst > flag else "GREEN",
