@@ -627,6 +627,48 @@ object FormatQueries {
           (Contracts.checksum(box) == Contracts.checksum(full)))
     }),
 
+    // Hilbert × manifest composition (the manifest_zorder_box analog for
+    // the tighter curve): the table laid out in Hilbert order, the
+    // manifest's 2-D box prune turning the curve's locality into skipped
+    // file OPENS — and, built beside a Morton layout of the SAME data,
+    // the no-jumps advantage graded through the real store: hilbert's
+    // box-serving opens <= morton's. Real box aggregate replayed in
+    // DuckDB; served rows checksum-equal to the full-scan filter.
+    "manifest_hilbert_box" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val tbl = tmp("graft-manhb-tbl-")
+      val hMan = tmp("graft-manhb-h-")
+      val zMan = tmp("graft-manhb-z-")
+      Layout.hilbertWriteExact(li, "l_partkey", "l_suppkey",
+        s"$tbl/dh", 16)
+      Layout.zorderWriteExact(li, "l_partkey", "l_suppkey", s"$tbl/dz", 16)
+      Manifest.buildManifest(s, s"$tbl/dh",
+        Seq("l_partkey", "l_suppkey"), hMan)
+      Manifest.buildManifest(s, s"$tbl/dz",
+        Seq("l_partkey", "l_suppkey"), zMan)
+      val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      val (xLo, xHi) = (mx.getLong(0) / 4, mx.getLong(0) / 2)
+      val (yLo, yHi) = (mx.getLong(1) / 4, mx.getLong(1) / 2)
+      val (boxed, hRead, hTotal) = Manifest.prunedReadBox(s, hMan,
+        "l_partkey", xLo, xHi, "l_suppkey", yLo, yHi)
+      val (_, zRead, _) = Manifest.prunedReadBox(s, zMan,
+        "l_partkey", xLo, xHi, "l_suppkey", yLo, yHi)
+      val box = boxed.localCheckpoint()
+      val full = Manifest.fullRead(s, hMan)
+        .filter(col("l_partkey").between(xLo, xHi) &&
+          col("l_suppkey").between(yLo, yHi))
+      val agg = box.agg(count(lit(1)), round(sum(col("l_quantity")), 2))
+        .head()
+      Contracts.row(s,
+        "n_rows" -> agg.getLong(0),
+        "sum_qty" -> agg.getDouble(1),
+        "files_pruned_ok" -> (hRead < hTotal && hTotal == 16L),
+        "opens_leq_morton_ok" -> (hRead <= zRead),
+        "equals_full_scan_ok" ->
+          (Contracts.checksum(box) == Contracts.checksum(full)))
+    }),
+
     // Snapshot history audit (DESCRIBE HISTORY): per-segment files
     // added/tombstoned and rows added, derived from the immutable
     // segments themselves — exact and free. The build/append/delete
@@ -1097,6 +1139,18 @@ object FormatQueries {
         |    BETWEEN (SELECT max(l_suppkey) // 4 FROM lineitem)
         |        AND (SELECT max(l_suppkey) // 2 FROM lineitem)""".stripMargin,
 
+    "manifest_hilbert_box" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+        |  TRUE AS files_pruned_ok, TRUE AS opens_leq_morton_ok,
+        |  TRUE AS equals_full_scan_ok
+        |FROM lineitem
+        |WHERE l_partkey
+        |    BETWEEN (SELECT max(l_partkey) // 4 FROM lineitem)
+        |        AND (SELECT max(l_partkey) // 2 FROM lineitem)
+        |  AND l_suppkey
+        |    BETWEEN (SELECT max(l_suppkey) // 4 FROM lineitem)
+        |        AND (SELECT max(l_suppkey) // 2 FROM lineitem)""".stripMargin,
+
     "manifest_history" ->
       """SELECT
         |  (SELECT count(*) FROM lineitem
@@ -1340,6 +1394,28 @@ object FormatQueries {
       Manifest.prunedReadBox(s, st.zMan, "l_partkey", st.xLo, st.xHi,
         "l_suppkey", st.yLo, st.yHi)._1
     }),
+    // serving only: one hilbert-pruned box read — the layout/manifest
+    // build is memoized one-off ingest; the morton comparison and
+    // full-scan equality stay in Verify
+    "manifest_hilbert_box" -> ((s, dir) => {
+      val (man, xLo, xHi, yLo, yHi) =
+        hilbertBoxCache.getOrElseUpdate(dir, {
+          val li = t(s, dir, "lineitem")
+            .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+          val tbl = tmp("graft-manhb-bench-")
+          val man0 = tmp("graft-manhb-bman-")
+          Layout.hilbertWriteExact(li, "l_partkey", "l_suppkey",
+            s"$tbl/dh", 16)
+          Manifest.buildManifest(s, s"$tbl/dh",
+            Seq("l_partkey", "l_suppkey"), man0)
+          val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey")))
+            .head()
+          (man0, mx.getLong(0) / 4, mx.getLong(0) / 2,
+            mx.getLong(1) / 4, mx.getLong(1) / 2)
+        })
+      Manifest.prunedReadBox(s, man, "l_partkey", xLo, xHi,
+        "l_suppkey", yLo, yHi)._1
+    }),
     "manifest_count_only" -> ((s, dir) => {
       val st = stores(s, dir)
       Manifest.countOnly(s, st.cntMan, "pk")
@@ -1457,6 +1533,14 @@ object FormatQueries {
 
   private val uniTblCache =
     new scala.collection.concurrent.TrieMap[String, String]
+
+  /** (manifest path, xLo, xHi, yLo, yHi) for the timed hilbert-box
+    * serving form — the layout + manifest build is one-off ingest cost,
+    * memoized per dir like the other manifest stores.
+    */
+  private val hilbertBoxCache =
+    new scala.collection.concurrent.TrieMap[String,
+      (String, Long, Long, Long, Long)]
 
   /** Memoized fixtures for the DML/bloom/NDV/quantile timed forms above. */
   private case class DmlStores(delMan: String, lo: Long, hi: Long,
