@@ -658,16 +658,41 @@ object Manifest {
   /** Build the per-file Bloom index over `keyCol` (cast to long): one
     * distributed scan projecting only the key column, one serialized filter
     * per data file. At 100 TB / 200k files the index is a few hundred MB of
-    * parquet — file-listing-scale, like the manifest itself.
+    * parquet — file-listing-scale, like the manifest itself. Segment
+    * layout (`b0` + batchId-keyed appends) like the NDV/KLL stores —
+    * each row is one file's independent filter, so the store compacts
+    * with the generic [[Dedup.compactSegmentDirs]] too.
     */
   def buildBloomIndex(spark: SparkSession, tablePath: String, keyCol: String,
       indexPath: String, expectedPerFile: Long = 1000000L,
-      fpp: Double = 0.01): Unit =
-    spark.read.option("recursiveFileLookup", "true").parquet(tablePath)
+      fpp: Double = 0.01): Unit = {
+    val ip = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ip)) fs.delete(ip, true) // rebuild = fresh snapshot
+    fileBloom(spark, Seq(tablePath), keyCol, expectedPerFile, fpp)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/b0")
+  }
+
+  /** The [[appendToNdvIndex]] ingest shape for the Bloom index: filters
+    * for exactly the new files as one batchId-keyed overwrite segment.
+    */
+  def appendToBloomIndex(spark: SparkSession, newPaths: Seq[String],
+      keyCol: String, indexPath: String, expectedPerFile: Long = 1000000L,
+      fpp: Double = 0.01, batchId: Long = -1L): Unit = {
+    if (newPaths.isEmpty) return
+    val ip = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bid = if (batchId >= 0) batchId else nextBatchId(fs, ip)
+    fileBloom(spark, newPaths, keyCol, expectedPerFile, fpp)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/b$bid")
+  }
+
+  private def fileBloom(spark: SparkSession, paths: Seq[String],
+      keyCol: String, expectedPerFile: Long, fpp: Double): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
       .select(input_file_name().as("file"), col(keyCol).cast("long").as("k"))
       .groupBy(col("file"))
       .agg(udaf(BloomBuild(expectedPerFile, fpp)).apply(col("k")).as("bloom"))
-      .coalesce(1).write.mode("overwrite").parquet(indexPath)
 
   /** Serve `keyCol = value` through the Bloom index: probe every file's
     * filter DISTRIBUTED (the driver receives only surviving names — the
@@ -679,7 +704,7 @@ object Manifest {
   def bloomPrunedRead(spark: SparkSession, indexPath: String, keyCol: String,
       value: Long): (DataFrame, Long, Long) = {
     import spark.implicits._
-    val probed = spark.read.parquet(indexPath)
+    val probed = readSegmentStore(spark, indexPath, "bloom index")
       .select(col("file"), col("bloom")).as[(String, Array[Byte])]
       .map { case (f, b) =>
         (f, BloomFilter
@@ -911,10 +936,10 @@ object Manifest {
     * plan contract: this frame's physical plan must contain exactly ONE
     * FileScan.
     */
-  def fileIndexRows(spark: SparkSession, tablePath: String, keyCol: String,
+  def fileIndexRows(spark: SparkSession, paths: Seq[String], keyCol: String,
       valueCol: String, expectedPerFile: Long = 1000000L,
       fpp: Double = 0.01, lgConfigK: Int = 12, kllK: Int = 200): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(tablePath)
+    spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
       .select(input_file_name().as("file"),
         col(keyCol).cast("long").as("k_long"), col(keyCol).as("k"),
         col(valueCol).cast("double").as("v"))
@@ -925,34 +950,60 @@ object Manifest {
         hll_sketch_agg(col("k"), lgConfigK).as("ndv_sketch"),
         udaf(Sketches.KllBuild(kllK)).apply(col("v")).as("kll"))
 
-  /** Build all three per-file sidecar indexes in ONE scan: the Bloom
-    * store lands flat at `bloomPath` ([[buildBloomIndex]]'s layout), the
-    * NDV and KLL stores land as fresh `b0` segments
-    * ([[buildNdvIndex]]/[[buildQuantileIndex]]'s layout), so every
-    * existing serve/append/compact path works unchanged on the unified
-    * build's output.
+  /** Build all three per-file sidecar indexes in ONE scan: each store
+    * lands as a fresh `b0` segment in its per-family layout
+    * ([[buildBloomIndex]]/[[buildNdvIndex]]/[[buildQuantileIndex]]), so
+    * every existing serve/append/compact path works unchanged on the
+    * unified build's output.
     */
   def buildFileIndexes(spark: SparkSession, tablePath: String,
       keyCol: String, valueCol: String, bloomPath: String, ndvPath: String,
       kllPath: String, expectedPerFile: Long = 1000000L, fpp: Double = 0.01,
       lgConfigK: Int = 12, kllK: Int = 200): Unit =
+    writeIndexSegments(spark, Seq(tablePath), keyCol, valueCol, bloomPath,
+      ndvPath, kllPath, expectedPerFile, fpp, lgConfigK, kllK,
+      batchId = 0L, fresh = true)
+
+  /** The unified APPEND: sketches for exactly the newly landed files —
+    * ONE scan of the new batch feeding all three stores as batchId-keyed
+    * overwrite segments (idempotent under at-least-once replay), the
+    * [[appendToManifest]] O(new files) ingest shape. A streaming pipeline
+    * keeps the whole planner-cardinality sidecar set current at one scan
+    * per batch instead of three.
+    */
+  def appendToFileIndexes(spark: SparkSession, newPaths: Seq[String],
+      keyCol: String, valueCol: String, bloomPath: String, ndvPath: String,
+      kllPath: String, expectedPerFile: Long = 1000000L, fpp: Double = 0.01,
+      lgConfigK: Int = 12, kllK: Int = 200, batchId: Long = -1L): Unit = {
+    if (newPaths.isEmpty) return
+    val bp = new org.apache.hadoop.fs.Path(bloomPath)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bid = if (batchId >= 0) batchId else nextBatchId(fs, bp)
+    writeIndexSegments(spark, newPaths, keyCol, valueCol, bloomPath,
+      ndvPath, kllPath, expectedPerFile, fpp, lgConfigK, kllK,
+      batchId = bid, fresh = false)
+  }
+
+  private def writeIndexSegments(spark: SparkSession, paths: Seq[String],
+      keyCol: String, valueCol: String, bloomPath: String, ndvPath: String,
+      kllPath: String, expectedPerFile: Long, fpp: Double, lgConfigK: Int,
+      kllK: Int, batchId: Long, fresh: Boolean): Unit =
     // withReleased, not Dataset.unpersist: local-checkpoint blocks live in
     // the block manager until RDD GC and unpersist() cannot reach them
     // (the Layout.boxesTouching lesson) — a nightly-refresh caller must
     // not leak one checkpoint per run. All three writes complete inside
     // the scope; nothing downstream re-reads the checkpoint.
     Caching.withReleased(spark) {
-      val combined = fileIndexRows(spark, tablePath, keyCol, valueCol,
+      val combined = fileIndexRows(spark, paths, keyCol, valueCol,
         expectedPerFile, fpp, lgConfigK, kllK).localCheckpoint()
-      combined.select(col("file"), col("bloom"))
-        .coalesce(1).write.mode("overwrite").parquet(bloomPath)
-      def freshSegment(path: String, rows: DataFrame): Unit = {
+      def segment(path: String, rows: DataFrame): Unit = {
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true) // rebuild = fresh snapshot
-        rows.coalesce(1).write.mode("overwrite").parquet(s"$path/b0")
+        if (fresh && fs.exists(p)) fs.delete(p, true) // rebuild = fresh
+        rows.coalesce(1).write.mode("overwrite").parquet(s"$path/b$batchId")
       }
-      freshSegment(ndvPath, combined.select(col("file"), col("ndv_sketch")))
-      freshSegment(kllPath, combined.select(col("file"), col("kll")))
+      segment(bloomPath, combined.select(col("file"), col("bloom")))
+      segment(ndvPath, combined.select(col("file"), col("ndv_sketch")))
+      segment(kllPath, combined.select(col("file"), col("kll")))
     }
 }

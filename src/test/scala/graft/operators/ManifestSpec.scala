@@ -473,7 +473,7 @@ class ManifestSpec extends SparkSpec {
     Manifest.buildNdvIndex(spark, s"$tbl/d0", "k", nA)
     Manifest.buildQuantileIndex(spark, s"$tbl/d0", "v", kA)
     Manifest.buildFileIndexes(spark, s"$tbl/d0", "k", "v", bB, nB, kB)
-    val plan = Manifest.fileIndexRows(spark, s"$tbl/d0", "k", "v")
+    val plan = Manifest.fileIndexRows(spark, Seq(s"$tbl/d0"), "k", "v")
       .queryExecution.executedPlan.toString
     assert("FileScan parquet".r.findAllIn(plan).size == 1, plan.take(2000))
     def byteEq(a: String, b: String, c: String): Unit = {
@@ -489,7 +489,7 @@ class ManifestSpec extends SparkSpec {
         assert(java.util.Arrays.equals(bytes, vb(f)), s"$c differs at $f")
       }
     }
-    byteEq(bA, bB, "bloom")
+    byteEq(s"$bA/b0", s"$bB/b0", "bloom")
     byteEq(s"$nA/b0", s"$nB/b0", "ndv_sketch")
     // KLL: n exact and both stores' whole-table medians inside the rank
     // envelope of the exact data (v is k*3%101 — near-uniform on [0,101))
