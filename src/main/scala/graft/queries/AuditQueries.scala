@@ -305,6 +305,61 @@ object AuditQueries {
         .orderBy(col("model"), col("touch"))
     }),
 
+    // Time-decay revenue attribution (exponential half-life credit beside
+    // linear/U-shaped): each touch in the 7-day window weighs 2^-age_days
+    // (integer halving per whole day — 1e6 div 2^d stays exact through
+    // d=6), credit ppm = w·1e6 div W with the rounding remainder to the
+    // MOST RECENT touch. Same user-key join + purchase-key window shape
+    // as attribution_multi_touch; every credited cent replays in DuckDB.
+    "attribution_time_decay" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("val_cents"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+          col("ts").as("t_ts"), col("event_type").as("ch"))
+      val matched = purchases.join(touches,
+        col("p_user") === col("t_user") &&
+          (col("t_ts") < col("p_ts") ||
+            (col("t_ts") === col("p_ts") && col("t_id") < col("p_id"))) &&
+          unix_micros(col("p_ts")) - unix_micros(col("t_ts")) <=
+            604800000000L)
+        .withColumn("age_days",
+          floor((unix_micros(col("p_ts")) - unix_micros(col("t_ts"))) /
+            lit(86400000000.0)).cast("long"))
+        .withColumn("w",
+          expr("1000000 div shiftleft(1L, cast(age_days as int))"))
+      val wSum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_id"))
+      val wPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_id")).orderBy(col("t_ts"), col("t_id"))
+      val credited = matched
+        .withColumn("bigw", sum(col("w")).over(wSum))
+        .withColumn("n", count(lit(1)).over(wSum))
+        .withColumn("pos", row_number().over(wPos))
+        .withColumn("base", expr("(w * 1000000) div bigw"))
+        .withColumn("base_sum", sum(col("base")).over(wSum))
+        .withColumn("ppm",
+          when(col("pos") === col("n"),
+            col("base") + lit(1000000L) - col("base_sum"))
+            .otherwise(col("base")))
+        .select(col("p_id"), col("val_cents"), col("ch"), col("ppm"))
+      val none = purchases
+        .join(credited.select(col("p_id")).distinct(), Seq("p_id"),
+          "left_anti")
+        .select(col("p_id"), col("val_cents"), lit("none").as("ch"),
+          lit(1000000L).as("ppm"))
+      credited.unionByName(none)
+        .groupBy(col("ch"))
+        .agg(count_distinct(col("p_id")).as("n_purchases"),
+          sum(col("val_cents") * col("ppm")).as("credit_sum"))
+        .select(col("ch").as("touch"), col("n_purchases"),
+          expr("credit_sum div 1000000").as("credit_cents"))
+        .orderBy(col("touch"))
+    }),
+
     // Corpus diversity audit: distinct-n (type/token ratio at n=1,2) per
     // language — the standard repetitiveness metric a pre-training mix
     // tracks (a collapsing generator or a boilerplate-heavy source shows
@@ -528,6 +583,39 @@ object AuditQueries {
         |  floor(sum(value)*100+0.5)/100 AS revenue
         |FROM w WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "attribution_time_decay" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS t_id, ts AS t_ts,
+        |    event_type AS ch
+        |  FROM events WHERE event_type IN ('view','click')),
+        |m AS (SELECT p.p_id, p.val_cents, t.ch, t.t_ts, t.t_id,
+        |    1000000 // (1 << CAST(floor(
+        |      (epoch_us(p.p_ts) - epoch_us(t.t_ts)) / 86400000000.0)
+        |      AS BIGINT)) AS w
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND (t.t_ts < p.p_ts
+        |      OR (t.t_ts = p.p_ts AND t.t_id < p.p_id))
+        |    AND epoch_us(p.p_ts) - epoch_us(t.t_ts) <= 604800000000),
+        |c0 AS (SELECT p_id, val_cents, ch,
+        |    (w * 1000000) // sum(w) OVER (PARTITION BY p_id) AS base,
+        |    row_number() OVER (PARTITION BY p_id
+        |      ORDER BY t_ts, t_id) AS pos,
+        |    count(*) OVER (PARTITION BY p_id) AS n
+        |  FROM m),
+        |c AS (SELECT p_id, val_cents, ch,
+        |    CASE WHEN pos = n THEN base + 1000000
+        |      - sum(base) OVER (PARTITION BY p_id) ELSE base END AS ppm
+        |  FROM c0
+        |  UNION ALL
+        |  SELECT p.p_id, p.val_cents, 'none', 1000000
+        |  FROM p
+        |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id))
+        |SELECT ch AS touch, count(DISTINCT p_id) AS n_purchases,
+        |  CAST(sum(val_cents * ppm) // 1000000 AS BIGINT) AS credit_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "attribution_multi_touch" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts,
