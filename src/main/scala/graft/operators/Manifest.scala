@@ -976,9 +976,17 @@ object Manifest {
       kllPath: String, expectedPerFile: Long = 1000000L, fpp: Double = 0.01,
       lgConfigK: Int = 12, kllK: Int = 200, batchId: Long = -1L): Unit = {
     if (newPaths.isEmpty) return
-    val bp = new org.apache.hadoop.fs.Path(bloomPath)
-    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bid = if (batchId >= 0) batchId else nextBatchId(fs, bp)
+    // auto batchId = max of nextBatchId across ALL THREE stores: deriving
+    // it from the bloom store alone would, after any per-family append
+    // that touched only the NDV or KLL store, silently overwrite that
+    // store's existing b<id> segment with unrelated rows
+    val bid =
+      if (batchId >= 0) batchId
+      else Seq(bloomPath, ndvPath, kllPath).map { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        nextBatchId(
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+      }.max
     writeIndexSegments(spark, newPaths, keyCol, valueCol, bloomPath,
       ndvPath, kllPath, expectedPerFile, fpp, lgConfigK, kllK,
       batchId = bid, fresh = false)

@@ -133,15 +133,31 @@ object Sampling {
     * within ~1e-16 of a 1e-9 grid boundary. Ranks of real corpora are
     * O(1/w); collisions at the grid resolution fall to the id tie-break,
     * identically on both engines.
+    *
+    * A POSITIVE weight under the floor FAILS LOUDLY (scan-side
+    * `raise_error`) instead of being silently excluded: a positive weight
+    * is eligible by A-ES semantics, so dropping it would silently shrink
+    * the eligible set (and possibly the result below k) — the caller must
+    * rescale, and an exception says so where a missing row never would.
+    * Zero/negative weights and null ids stay silently excluded: they can
+    * never win a slot under any rescaling, so exclusion IS their
+    * semantics, not a fixed-point limitation.
     */
   def weightedExactK(df: DataFrame, idCol: String, weightCol: Column,
       k: Int, salt: String = ""): DataFrame = {
     val u = (conv(substring(
         md5(concat(col(idCol).cast("string"), lit(salt))), 1, 13),
       16, 10).cast("long") + 1).cast("double") / lit(4503599627370496.0)
-    val rankFx = floor(-log(u) / weightCol.cast("double") * 1e9 + 0.5)
+    val wd = weightCol.cast("double")
+    val rankFx = floor(-log(u) / wd * 1e9 + 0.5)
       .cast("long")
-    df.filter(col(idCol).isNotNull && weightCol.cast("double") >= 1e-6)
+    val eligible = when(wd > 0 && wd < 1e-6,
+      raise_error(format_string(
+        "weightedExactK: positive weight %s is below the 1e-6 floor " +
+          "(the x1e9 fixed-point rank overflows Long below ~1e-9) — " +
+          "rescale weights by a constant first; ranks are scale-invariant",
+        wd))).otherwise(wd >= 1e-6)
+    df.filter(col(idCol).isNotNull && eligible)
       .orderBy(rankFx, col(idCol))
       .limit(k)
   }

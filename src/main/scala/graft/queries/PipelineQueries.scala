@@ -2013,10 +2013,14 @@ object PipelineQueries {
         .withColumn("bin",
           least(floor(col("score_ppm") / 100000.0).cast("long"), lit(9L)))
         .groupBy(col("bin"))
+        // exact long `div`, NOT floor(double /): the double route rounds
+        // past 2^53 once a bin's ppm sum exceeds it — the exact failure
+        // mode the attribution_multi_touch comment documents; DuckDB's
+        // oracle `//` is integer division, so this matches it at any n
         .agg(count(lit(1)).as("n"),
-          floor(sum(col("score_ppm")) / count(lit(1)))
+          expr("sum(score_ppm) div count(1)")
             .cast("long").as("mean_score_ppm"),
-          floor(sum(col("y")) * 1000000.0 / count(lit(1)))
+          expr("(sum(y) * 1000000) div count(1)")
             .cast("long").as("pos_rate_ppm"))
         .withColumn("gap_ppm",
           col("pos_rate_ppm") - col("mean_score_ppm"))

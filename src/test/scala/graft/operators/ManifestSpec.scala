@@ -504,6 +504,37 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("unified append after a per-family append that drifted the " +
+      "segment sets: the auto batchId is the max across ALL THREE " +
+      "stores, so no store's existing segment is overwritten") {
+    val tbl = tmpDir("man-ud-tbl-")
+    writeFiles((0L until 400L).map(k => (k, k % 7)), s"$tbl/d0", 2)
+    writeFiles((400L until 800L).map(k => (k, k % 7)), s"$tbl/d1", 2)
+    writeFiles((800L until 1200L).map(k => (k, k % 7)), s"$tbl/d2", 2)
+    val (bp, np, kp) = (tmpDir("man-ud-b-"), tmpDir("man-ud-n-"),
+      tmpDir("man-ud-k-"))
+    Manifest.buildFileIndexes(spark, s"$tbl/d0", "k", "v", bp, np, kp)
+    // per-family append touches ONLY the NDV store → its b1 exists, the
+    // bloom/kll stores still end at b0
+    Manifest.appendToNdvIndex(spark, Seq(s"$tbl/d1"), "k", np)
+    val ndvB1Files = spark.read.parquet(s"$np/b1")
+      .select(col("file")).as[String].collect().toSet
+    assert(ndvB1Files.forall(_.contains("/d1/")))
+    // unified append with AUTO batchId must land at b2 everywhere (max
+    // nextBatchId across the three stores), never clobber ndv/b1
+    Manifest.appendToFileIndexes(spark, Seq(s"$tbl/d2"), "k", "v",
+      bp, np, kp)
+    val after = spark.read.parquet(s"$np/b1")
+      .select(col("file")).as[String].collect().toSet
+    assert(after == ndvB1Files, "unified append clobbered ndv/b1")
+    Seq(bp, np, kp).foreach { p =>
+      val seg = spark.read.parquet(s"$p/b2").select(col("file"))
+        .as[String].collect()
+      assert(seg.nonEmpty && seg.forall(_.contains("/d2/")),
+        s"$p/b2 should hold exactly the d2 batch")
+    }
+  }
+
   test("history: build/append/delete segments account exactly; " +
       "compaction collapses the view to one b-1 row") {
     val tbl = tmpDir("man-h-tbl-")

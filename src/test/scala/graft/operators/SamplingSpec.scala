@@ -483,13 +483,23 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
-  test("weightedExactK: weights below the documented 1e-6 floor are " +
-      "excluded (the x1e9 fixed-point rank would overflow Long below " +
-      "~1e-9 — Spark saturates where a DuckDB replay errors)") {
-    val df = Seq((1L, 1e-10), (2L, 1e-7), (3L, 0.5), (4L, 2.0))
+  test("weightedExactK: a positive weight below the documented 1e-6 " +
+      "floor fails loudly (silent exclusion would shrink the eligible " +
+      "set below the A-ES contract); at-floor weights stay eligible") {
+    val bad = Seq((1L, 1e-10), (2L, 1e-7), (3L, 0.5), (4L, 2.0))
       .toDF("id", "w")
-    val got = Sampling.weightedExactK(df, "id", col("w"), 10, "fl")
-      .select("id").as[Long].collect().toSet
-    assert(got == Set(3L, 4L), s"sub-floor weights must be excluded: $got")
+    val ex = intercept[Exception] {
+      Sampling.weightedExactK(bad, "id", col("w"), 10, "fl")
+        .select("id").as[Long].collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("below the 1e-6 floor")),
+      s"expected the loud floor message, got: $ex")
+    // exactly at the floor is eligible — the guard is strict-below
+    val ok = Seq((1L, 1e-6), (2L, 0.5)).toDF("id", "w")
+    assert(Sampling.weightedExactK(ok, "id", col("w"), 10, "fl")
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 }
