@@ -57,5 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hilbert16",
         "hilbert16(bigint, bigint) - 32-bit Hilbert curve index"),
       (exprs: Seq[Expression]) => HilbertIndex(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("hilbert21"),
+      info("hilbert21",
+        "hilbert21(bigint, bigint, bigint) - 63-bit 3-D Hilbert index"),
+      (exprs: Seq[Expression]) =>
+        Hilbert3Index(exprs.head, exprs(1), exprs(2))))
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -216,6 +216,40 @@ case class HilbertIndex(left: Expression, right: Expression)
       l: Expression, r: Expression): HilbertIndex = copy(left = l, right = r)
 }
 
+/** 63-bit Hilbert curve index of three long coordinates (21 bits each) —
+  * the 3-D layout key ([[HilbertIndex]]'s analog of
+  * [[graft.operators.Layout.morton21]]). Skilling's transpose-form
+  * conversion is a 21-step loop of data-dependent exchanges per axis —
+  * no bounded Catalyst column form — so it runs as a native kernel
+  * inside whole-stage codegen like the 2-D case.
+  */
+case class Hilbert3Index(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"hilbert21 requires (bigint, bigint, bigint), got " +
+          s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    NativeKernels.hilbert21(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.functions.NativeKernels.hilbert21($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): Hilbert3Index =
+    copy(first = a, second = b, third = c)
+}
+
 /** PQ asymmetric-distance score — approximate inner product of a query
   * against a product-quantized vector: `left` is the query's flattened
   * m×`ksub` lookup table of subspace dot products, `right` the vector's m
@@ -268,7 +302,8 @@ object HashExpressions {
     // registration in a session where e.g. an older build bound everything
     // but pq_score).
     val names = Seq("simhash64", "winnow_fingerprint", "minhash_sig",
-      "word_shingles", "vec_dot", "ngram_gen", "pq_score", "hilbert16")
+      "word_shingles", "vec_dot", "ngram_gen", "pq_score", "hilbert16",
+      "hilbert21")
     if (names.forall(n => reg.functionExists(FunctionIdentifier(n)))) return
     def intArg(e: Expression): Int =
       e.eval(InternalRow.empty).asInstanceOf[Number].intValue
@@ -289,5 +324,7 @@ object HashExpressions {
       exprs => PqScore(exprs.head, exprs(1), intArg(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction("hilbert16",
       exprs => HilbertIndex(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("hilbert21",
+      exprs => Hilbert3Index(exprs.head, exprs(1), exprs(2)), "built-in")
   }
 }

@@ -59,6 +59,58 @@ object NativeKernels {
     d
   }
 
+  /** 63-bit Hilbert curve index of (x, y, z) over the 21-bit-per-dimension
+    * grid — the 3-D analog of [[hilbert16]] and the locality-tighter twin
+    * of [[graft.operators.Layout.morton21]]. Uses the classic
+    * transpose-form conversion (Skilling, "Programming the Hilbert
+    * curve", AIP Conf. Proc. 707, 2004 — the standard public n-D
+    * formulation): fold the axes into the "transposed" Hilbert
+    * representation (inverse-undo + Gray encode), then interleave the
+    * transposed words MSB-first into one index. Like the 2-D kernel, the
+    * data-dependent exchange/invert loop has no bounded Catalyst column
+    * form, so it runs as a native kernel behind a codegen expression.
+    * Coordinates are masked to 21 bits, mirroring morton21 (values up to
+    * 2,097,151 per dimension; 63 bits total — the full non-negative
+    * long range).
+    */
+  def hilbert21(x0: Long, y0: Long, z0: Long): Long = {
+    val b = 21
+    var xa = x0 & 0x1FFFFFL
+    var xb = y0 & 0x1FFFFFL
+    var xc = z0 & 0x1FFFFFL
+    // axes -> transpose: inverse undo (high bit to low), then Gray encode
+    var q = 1L << (b - 1)
+    while (q > 1) {
+      val p = q - 1
+      if ((xa & q) != 0) xa ^= p // i = 0: the exchange branch is a no-op
+      if ((xb & q) != 0) xa ^= p
+      else { val t = (xa ^ xb) & p; xa ^= t; xb ^= t }
+      if ((xc & q) != 0) xa ^= p
+      else { val t = (xa ^ xc) & p; xa ^= t; xc ^= t }
+      q >>= 1
+    }
+    xb ^= xa
+    xc ^= xb
+    var t2 = 0L
+    q = 1L << (b - 1)
+    while (q > 1) {
+      if ((xc & q) != 0) t2 ^= q - 1
+      q >>= 1
+    }
+    xa ^= t2; xb ^= t2; xc ^= t2
+    // interleave the transposed words MSB-first: bit j of word i lands at
+    // index bit 3j + (2 - i)
+    var d = 0L
+    var j = b - 1
+    while (j >= 0) {
+      d = (d << 1) | ((xa >>> j) & 1L)
+      d = (d << 1) | ((xb >>> j) & 1L)
+      d = (d << 1) | ((xc >>> j) & 1L)
+      j -= 1
+    }
+    d
+  }
+
   /** SplitMix64 finalizer — cheap, well-mixed 64-bit hash of a long. */
   def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L

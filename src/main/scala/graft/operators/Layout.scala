@@ -122,6 +122,45 @@ object Layout {
     layoutWriteExact(df,
       Seq(hilbert16Key(df, xCol, yCol), col(xCol), col(yCol)), path, nFiles)
 
+  /** PRODUCTION Hilbert writer — [[zorderWrite]]'s range-shuffle form on
+    * the Hilbert key: range-partition by `hilbert16(x, y)` (contiguous
+    * curve segments per file, fully parallel, sampled boundaries) and
+    * sort within each partition. This is the form a 100 TB re-layout
+    * runs — [[hilbertWriteExact]]'s global-ntile window serializes
+    * through one task and exists only for deterministic pruning
+    * contracts on bounded tables.
+    */
+  def hilbertWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+      nFiles: Int): Unit = {
+    val keyed = df.withColumn("_hkey", hilbert16Key(df, xCol, yCol))
+    keyed.repartitionByRange(nFiles, col("_hkey"))
+      .sortWithinPartitions(col("_hkey"))
+      .drop("_hkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The 3-D Hilbert order key over (xCol, yCol, zCol) — [[morton21]]'s
+    * locality-tighter analog, running as the native `hilbert21` codegen
+    * expression (Skilling transpose-form; 21 bits per dimension).
+    */
+  def hilbert21Key(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): Column = {
+    graft.functions.HashExpressions.register(df.sparkSession)
+    expr(s"hilbert21(CAST($xCol AS BIGINT), CAST($yCol AS BIGINT), " +
+      s"CAST($zCol AS BIGINT))")
+  }
+
+  /** [[layoutWriteExact]] ordered by the 3-D Hilbert key — the
+    * [[zorder3WriteExact]] counterpart for the tighter curve: no curve
+    * jumps in any of the three axes, so equal-count segments box at most
+    * as loose as 3-D Morton's on the same data.
+    */
+  def hilbert3WriteExact(df: DataFrame, xCol: String, yCol: String,
+      zCol: String, path: String, nFiles: Int): Unit =
+    layoutWriteExact(df,
+      Seq(hilbert21Key(df, xCol, yCol, zCol),
+        col(xCol), col(yCol), col(zCol)), path, nFiles)
+
   /** [[layoutWriteExact]] ordered by the 3-D Morton key — every file's box
     * is tight in all THREE dimensions at once (a linear sort prunes one;
     * 2-D z-order two).

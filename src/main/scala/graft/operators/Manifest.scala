@@ -552,6 +552,43 @@ object Manifest {
   def optimizeZorder(spark: SparkSession, manifestPath: String,
       rewriteDir: String, xCol: String, yCol: String,
       statsCols: Seq[String], nFiles: Int,
+      batchId: Long = -1L): (Long, Long) =
+    optimizeLayout(spark, manifestPath, rewriteDir, xCol, yCol, statsCols,
+      nFiles, curve = "morton", batchId = batchId)
+
+  /** The curve-writer behind [[optimizeLayout]] — one registry so the
+    * full and incremental OPTIMIZE forms can never disagree on what a
+    * curve name means.
+    */
+  private def curveWriter(curve: String): (DataFrame, String, String,
+      String, Int) => Unit = curve match {
+    case "morton"  => Layout.zorderWriteExact
+    case "hilbert" => Layout.hilbertWriteExact
+    case other => throw new IllegalArgumentException(
+      s"unknown layout curve '$other' — expected 'morton' or 'hilbert'")
+  }
+
+  /** The 2-D curve key column for `curve` over (xCol, yCol) — shared by
+    * [[optimizeLayoutIncremental]]'s per-file range scan and any caller
+    * that needs the key the writers sort by.
+    */
+  private def curveKey(df: DataFrame, curve: String, xCol: String,
+      yCol: String): Column = curve match {
+    case "morton"  => Layout.morton16(col(xCol), col(yCol))
+    case "hilbert" => Layout.hilbert16Key(df, xCol, yCol)
+    case other => throw new IllegalArgumentException(
+      s"unknown layout curve '$other' — expected 'morton' or 'hilbert'")
+  }
+
+  /** [[optimizeZorder]] parameterized by curve (`"morton"` or
+    * `"hilbert"`): the identical copy-on-write segment swap, with the
+    * rewrite ordered by the chosen space-filling key — so OPTIMIZE can
+    * re-layout a table onto the jump-free Hilbert order through the same
+    * manifest bookkeeping, snapshots and vacuum rules as the Morton form.
+    */
+  def optimizeLayout(spark: SparkSession, manifestPath: String,
+      rewriteDir: String, xCol: String, yCol: String,
+      statsCols: Seq[String], nFiles: Int, curve: String = "morton",
       batchId: Long = -1L): (Long, Long) = {
     val mp = new org.apache.hadoop.fs.Path(manifestPath)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -561,7 +598,7 @@ object Manifest {
       s"manifest at $manifestPath names no files — nothing to optimize")
     val bid = if (batchId >= 0) batchId else nextBatchId(fs, mp)
     val out = s"$rewriteDir/b$bid"
-    Layout.zorderWriteExact(
+    curveWriter(curve)(
       spark.read.parquet(files.map(globEscape).toSeq: _*),
       xCol, yCol, out, nFiles)
     rewriteSegment(spark, manifestPath, bid, files.toSeq, Some(out),
@@ -577,6 +614,78 @@ object Manifest {
       n
     }
     (files.length.toLong, created)
+  }
+
+  /** INCREMENTAL re-layout: rewrite ONLY the live files whose curve-key
+    * ranges strictly overlap another file's — the Delta-style incremental
+    * clustering posture. [[optimizeLayout]] rewrites every live file per
+    * call, which at 100 TB makes OPTIMIZE a full-table sort every run;
+    * after an initial full layout, new data arrives as appended files
+    * whose key ranges overlap each other and a bounded slice of the
+    * sorted tail, so re-layouting just the overlapping cluster(s)
+    * restores pruning at O(new data), not O(table).
+    *
+    * Mechanics: one x/y-only scan over the live files computes each
+    * file's [min, max] on the curve key; the driver sweeps the
+    * listing-sized interval set into overlap clusters (files touching at
+    * a single key value count as disjoint — a point-touch cannot loosen
+    * a box); every cluster of ≥ 2 files is rewritten with the
+    * deterministic curve writer into its own `c<i>` subdir of one
+    * `b<id>` rewrite batch, and ONE appended segment tombstones the
+    * originals and adds the rewrites. Because an overlap cluster's
+    * interval union is contiguous, rewritten files stay inside the
+    * cluster's span and can never come to overlap a file that was
+    * disjoint before — the disjoint set is a fixed point. Returns
+    * (files rewritten, files created, clusters rewritten).
+    */
+  def optimizeLayoutIncremental(spark: SparkSession, manifestPath: String,
+      rewriteDir: String, xCol: String, yCol: String,
+      statsCols: Seq[String], curve: String = "morton",
+      batchId: Long = -1L): (Long, Long, Long) = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = readManifest(spark, manifestPath)
+      .select(col("file")).collect().map(_.getString(0)).sorted
+    require(live.nonEmpty,
+      s"manifest at $manifestPath names no files — nothing to optimize")
+    val scan = spark.read.parquet(live.map(globEscape).toSeq: _*)
+    val ranges = scan
+      .select(input_file_name().as("file"),
+        curveKey(scan, curve, xCol, yCol).as("k"))
+      .groupBy(col("file"))
+      .agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._3, r._1))
+    // sweep into strict-overlap clusters: extend the open cluster while
+    // the next interval starts BEFORE the running max end (equality =
+    // point-touch = disjoint for pruning purposes)
+    val clusters = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer(ranges.head))
+    var end = ranges.head._3
+    ranges.tail.foreach { r =>
+      if (r._2 < end) { clusters.last += r; end = math.max(end, r._3) }
+      else { clusters += scala.collection.mutable.ArrayBuffer(r); end = r._3 }
+    }
+    val rewrite = clusters.filter(_.length >= 2)
+    if (rewrite.isEmpty) return (0L, 0L, 0L)
+    val bid = if (batchId >= 0) batchId else nextBatchId(fs, mp)
+    val out = s"$rewriteDir/b$bid"
+    rewrite.zipWithIndex.foreach { case (cl, i) =>
+      curveWriter(curve)(
+        spark.read.parquet(cl.map(r => globEscape(r._1)).toSeq: _*),
+        xCol, yCol, s"$out/c$i", cl.length)
+    }
+    val removed = rewrite.flatMap(_.map(_._1)).toSeq
+    rewriteSegment(spark, manifestPath, bid, removed, Some(out), statsCols)
+    val created = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(out), true)
+      var n = 0L
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    (removed.length.toLong, created, rewrite.length.toLong)
   }
 
   /** Physically delete data files under `dataRoots` that the manifest no

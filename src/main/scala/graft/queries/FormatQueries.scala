@@ -867,6 +867,181 @@ object FormatQueries {
             nReadHist == nReadBefore))
     }),
 
+    // OPTIMIZE onto the HILBERT curve (optimizeLayout curve="hilbert"):
+    // identical copy-on-write segment swap as manifest_zorder_optimize,
+    // rewrite ordered by the jump-free curve — plus a Morton twin
+    // optimized from a COPY of the same scattered listing, so the
+    // no-jumps advantage is graded through the real DML path: hilbert's
+    // post-optimize box serving opens no more files than morton's.
+    "manifest_hilbert_optimize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val tbl = tmp("graft-manho-tbl-")
+      val hMan = tmp("graft-manho-hman-")
+      val zMan = s"${tmp("graft-manho-z-")}/man"
+      li.repartition(16, col("l_partkey").cast("string"))
+        .write.mode("overwrite").parquet(s"$tbl/d0")
+      Manifest.buildManifest(s, s"$tbl/d0",
+        Seq("l_partkey", "l_suppkey"), hMan)
+      copyDir(s, hMan, zMan)
+      val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      val (xLo, xHi) = (mx.getLong(0) / 4, mx.getLong(0) / 2)
+      val (yLo, yHi) = (mx.getLong(1) / 4, mx.getLong(1) / 2)
+      val (before, nReadBefore, nTotalBefore) = Manifest.prunedReadBox(s,
+        hMan, "l_partkey", xLo, xHi, "l_suppkey", yLo, yHi)
+      val beforeChk = Contracts.checksum(before.localCheckpoint())
+      val (rewritten, _) = Manifest.optimizeLayout(s, hMan, s"$tbl/rwh",
+        "l_partkey", "l_suppkey", Seq("l_partkey", "l_suppkey"), 16,
+        curve = "hilbert")
+      Manifest.optimizeLayout(s, zMan, s"$tbl/rwz",
+        "l_partkey", "l_suppkey", Seq("l_partkey", "l_suppkey"), 16,
+        curve = "morton")
+      val (after, nReadAfter, nTotalAfter) = Manifest.prunedReadBox(s,
+        hMan, "l_partkey", xLo, xHi, "l_suppkey", yLo, yHi)
+      val (_, zReadAfter, _) = Manifest.prunedReadBox(s, zMan,
+        "l_partkey", xLo, xHi, "l_suppkey", yLo, yHi)
+      val afterDf = after.localCheckpoint()
+      val agg = afterDf
+        .agg(count(lit(1)), round(sum(col("l_quantity")), 2)).head()
+      val (hist, nReadHist, _) = Manifest.prunedReadBox(s, hMan,
+        "l_partkey", xLo, xHi, "l_suppkey", yLo, yHi, asOf = 0)
+      Contracts.row(s,
+        "n_rows" -> agg.getLong(0),
+        "sum_qty" -> (if (agg.isNullAt(1)) 0.0 else agg.getDouble(1)),
+        "layout_pruned_ok" ->
+          (nReadAfter < nReadBefore && rewritten == nTotalBefore &&
+            nTotalAfter == 16L),
+        "opens_leq_morton_ok" -> (nReadAfter <= zReadAfter),
+        "equals_pre_optimize_ok" ->
+          (Contracts.checksum(afterDf) == beforeChk),
+        "time_travel_preserved_ok" ->
+          (Contracts.checksum(hist) == beforeChk &&
+            nReadHist == nReadBefore))
+    }),
+
+    // 3-D Hilbert × manifest composition (manifest_zorder_box3's analog
+    // for the jump-free curve, via the native hilbert21 kernel): every
+    // file's box tight in all THREE axes, plus a 3-D Morton twin of the
+    // SAME rows so the locality claim is graded through real file opens:
+    // hilbert's 3-D box serving opens <= morton21's.
+    "manifest_hilbert_box3" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+          col("l_quantity"))
+      val tbl = tmp("graft-manh3-tbl-")
+      val hMan = tmp("graft-manh3-h-")
+      val zMan = tmp("graft-manh3-z-")
+      Layout.hilbert3WriteExact(li, "l_partkey", "l_suppkey", "l_orderkey",
+        s"$tbl/dh", 16)
+      Layout.zorder3WriteExact(li, "l_partkey", "l_suppkey", "l_orderkey",
+        s"$tbl/dz", 16)
+      Manifest.buildManifest(s, s"$tbl/dh",
+        Seq("l_partkey", "l_suppkey", "l_orderkey"), hMan)
+      Manifest.buildManifest(s, s"$tbl/dz",
+        Seq("l_partkey", "l_suppkey", "l_orderkey"), zMan)
+      val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey")),
+        max(col("l_orderkey"))).head()
+      val (xLo, xHi) = (mx.getLong(0) / 4, mx.getLong(0) / 2)
+      val (yLo, yHi) = (mx.getLong(1) / 4, mx.getLong(1) / 2)
+      val (zLo, zHi) = (mx.getLong(2) / 4, mx.getLong(2) / 2)
+      val (boxed, hRead, hTotal) = Manifest.prunedReadBox3(s, hMan,
+        "l_partkey", xLo, xHi, "l_suppkey", yLo, yHi,
+        "l_orderkey", zLo, zHi)
+      val (_, zRead, _) = Manifest.prunedReadBox3(s, zMan,
+        "l_partkey", xLo, xHi, "l_suppkey", yLo, yHi,
+        "l_orderkey", zLo, zHi)
+      val box = boxed.localCheckpoint()
+      val full = Manifest.fullRead(s, hMan)
+        .filter(col("l_partkey").between(xLo, xHi) &&
+          col("l_suppkey").between(yLo, yHi) &&
+          col("l_orderkey").between(zLo, zHi))
+      val agg = box.agg(count(lit(1)), round(sum(col("l_quantity")), 2))
+        .head()
+      Contracts.row(s,
+        "n_rows" -> agg.getLong(0),
+        "sum_qty" -> (if (agg.isNullAt(1)) 0.0 else agg.getDouble(1)),
+        "files_pruned_ok" -> (hRead < hTotal && hTotal == 16L),
+        "opens_leq_morton_ok" -> (hRead <= zRead),
+        "equals_full_scan_ok" ->
+          (Contracts.checksum(box) == Contracts.checksum(full)))
+    }),
+
+    // INCREMENTAL re-layout (optimizeLayoutIncremental): after an initial
+    // hilbert layout, a localized unsorted append lands; the incremental
+    // OPTIMIZE rewrites ONLY the files whose curve-key ranges strictly
+    // overlap (the appended files + the sorted tail they intersect) and
+    // leaves every disjoint file untouched BY NAME — at 100 TB this is
+    // the difference between OPTIMIZE costing O(new data) and a
+    // full-table sort per run. Graded against a FULL re-layout twin from
+    // a copy of the same pre-optimize manifest: probe-box opens within
+    // 1.1x of the full rewrite's, served rows identical, and the result
+    // a fixed point (a second incremental run rewrites nothing).
+    "manifest_optimize_incremental" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      val (px, py) = (mx.getLong(0), mx.getLong(1))
+      // the append is confined to the top-corner box: a quadtree-aligned
+      // region is a near-contiguous run of the curve, so it overlaps a
+      // BOUNDED slice of the sorted files, not all of them
+      val boxCond = col("l_partkey") > px * 3 / 4 &&
+        col("l_suppkey") > py * 3 / 4
+      val tbl = tmp("graft-manoi-tbl-")
+      val incMan = tmp("graft-manoi-inc-")
+      val fullMan = s"${tmp("graft-manoi-f-")}/man"
+      Layout.hilbertWriteExact(li.filter(!boxCond),
+        "l_partkey", "l_suppkey", s"$tbl/d0", 12)
+      li.filter(boxCond).repartition(2, col("l_partkey"))
+        .write.mode("overwrite").parquet(s"$tbl/d1")
+      Manifest.buildManifest(s, s"$tbl/d0",
+        Seq("l_partkey", "l_suppkey"), incMan)
+      Manifest.appendToManifest(s, Seq(s"$tbl/d1"),
+        Seq("l_partkey", "l_suppkey"), incMan)
+      copyDir(s, incMan, fullMan)
+      val liveBefore = Manifest.readManifest(s, incMan)
+        .select(col("file")).collect().map(_.getString(0)).toSet
+      val preChk = Contracts.checksum(Manifest.fullRead(s, incMan)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("q")))
+      val (rewritten, _, clusters) = Manifest.optimizeLayoutIncremental(s,
+        incMan, s"$tbl/rwi", "l_partkey", "l_suppkey",
+        Seq("l_partkey", "l_suppkey"), curve = "hilbert")
+      Manifest.optimizeLayout(s, fullMan, s"$tbl/rwf",
+        "l_partkey", "l_suppkey", Seq("l_partkey", "l_suppkey"),
+        liveBefore.size, curve = "hilbert")
+      val boxes = Seq(
+        (0L, px / 4, 0L, py / 4), (px / 4, px / 2, py / 4, py / 2),
+        (px / 2, px * 3 / 4, py / 2, py * 3 / 4),
+        (px * 3 / 4, px, py * 3 / 4, py))
+      def opens(man: String): Long = boxes.map { case (xl, xh, yl, yh) =>
+        Manifest.prunedReadBox(s, man, "l_partkey", xl, xh,
+          "l_suppkey", yl, yh)._2
+      }.sum
+      val (incOpens, fullOpens) = (opens(incMan), opens(fullMan))
+      val liveAfter = Manifest.readManifest(s, incMan)
+        .select(col("file")).collect().map(_.getString(0)).toSet
+      val untouched = liveBefore.intersect(liveAfter)
+      val postChk = Contracts.checksum(Manifest.fullRead(s, incMan)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("q")))
+      val again = Manifest.optimizeLayoutIncremental(s, incMan,
+        s"$tbl/rwi2", "l_partkey", "l_suppkey",
+        Seq("l_partkey", "l_suppkey"), curve = "hilbert")
+      Contracts.row(s,
+        "n_rows" -> Manifest.fullRead(s, incMan).count(),
+        "partial_rewrite_ok" ->
+          (clusters >= 1L && rewritten < liveBefore.size &&
+            untouched.nonEmpty),
+        "untouched_by_name_ok" ->
+          (untouched.size.toLong == liveBefore.size - rewritten),
+        "equals_pre_optimize_ok" -> (postChk == preChk),
+        "opens_near_full_ok" ->
+          (incOpens <= math.ceil(1.1 * fullOpens).toLong),
+        "fixed_point_ok" -> (again == ((0L, 0L, 0L))))
+    }),
+
     // Copy-on-write DELETE through the manifest (Manifest.deleteRange):
     // zone maps pick the affected files, ONLY those are rewritten minus the
     // matching rows, and one appended segment tombstones the originals and
@@ -1219,6 +1394,41 @@ object FormatQueries {
         |    BETWEEN (SELECT max(l_suppkey) // 4 FROM lineitem)
         |        AND (SELECT max(l_suppkey) // 2 FROM lineitem)""".stripMargin,
 
+    "manifest_hilbert_optimize" ->
+      """SELECT count(*) AS n_rows,
+        |  coalesce(round(sum(l_quantity), 2), 0.0) AS sum_qty,
+        |  TRUE AS layout_pruned_ok, TRUE AS opens_leq_morton_ok,
+        |  TRUE AS equals_pre_optimize_ok, TRUE AS time_travel_preserved_ok
+        |FROM lineitem
+        |WHERE l_partkey
+        |    BETWEEN (SELECT max(l_partkey) // 4 FROM lineitem)
+        |        AND (SELECT max(l_partkey) // 2 FROM lineitem)
+        |  AND l_suppkey
+        |    BETWEEN (SELECT max(l_suppkey) // 4 FROM lineitem)
+        |        AND (SELECT max(l_suppkey) // 2 FROM lineitem)""".stripMargin,
+
+    "manifest_hilbert_box3" ->
+      """SELECT count(*) AS n_rows,
+        |  coalesce(round(sum(l_quantity), 2), 0.0) AS sum_qty,
+        |  TRUE AS files_pruned_ok, TRUE AS opens_leq_morton_ok,
+        |  TRUE AS equals_full_scan_ok
+        |FROM lineitem
+        |WHERE l_partkey
+        |    BETWEEN (SELECT max(l_partkey) // 4 FROM lineitem)
+        |        AND (SELECT max(l_partkey) // 2 FROM lineitem)
+        |  AND l_suppkey
+        |    BETWEEN (SELECT max(l_suppkey) // 4 FROM lineitem)
+        |        AND (SELECT max(l_suppkey) // 2 FROM lineitem)
+        |  AND l_orderkey
+        |    BETWEEN (SELECT max(l_orderkey) // 4 FROM lineitem)
+        |        AND (SELECT max(l_orderkey) // 2 FROM lineitem)""".stripMargin,
+
+    "manifest_optimize_incremental" ->
+      """SELECT count(*) AS n_rows, TRUE AS partial_rewrite_ok,
+        |  TRUE AS untouched_by_name_ok, TRUE AS equals_pre_optimize_ok,
+        |  TRUE AS opens_near_full_ok, TRUE AS fixed_point_ok
+        |FROM lineitem""".stripMargin,
+
     "manifest_count_only" ->
       """SELECT count(*) AS n_rows,
         |  count(CASE WHEN l_partkey % 7 = 0 THEN 1 END) AS n_nulls,
@@ -1462,6 +1672,69 @@ object FormatQueries {
         "l_partkey", "l_suppkey", Seq("l_partkey", "l_suppkey"), 16)
       Contracts.row(s, "files_rewritten" -> r, "files_created" -> c)
     }),
+    // same shape, hilbert curve: the timer sees the curve-parameterized
+    // COW rewrite; the morton-twin opens comparison stays in Verify
+    "manifest_hilbert_optimize" -> ((s, dir) => {
+      val st = stores(s, dir)
+      val base = tmp("graft-manho-run-")
+      val man = s"$base/man"
+      copyDir(s, st.zoMan, man)
+      val (r, c) = Manifest.optimizeLayout(s, man, s"$base/rw",
+        "l_partkey", "l_suppkey", Seq("l_partkey", "l_suppkey"), 16,
+        curve = "hilbert")
+      Contracts.row(s, "files_rewritten" -> r, "files_created" -> c)
+    }),
+    // serving only: one hilbert-3-D-pruned box read over the memoized
+    // store — the morton21 twin and full-scan equality stay in Verify
+    "manifest_hilbert_box3" -> ((s, dir) => {
+      val st = stores(s, dir)
+      val man = hilbert3Cache.getOrElseUpdate(dir, {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+            col("l_quantity"))
+        val tbl = tmp("graft-manh3-bench-")
+        val man0 = tmp("graft-manh3-bman-")
+        Layout.hilbert3WriteExact(li, "l_partkey", "l_suppkey",
+          "l_orderkey", s"$tbl/dh", 16)
+        Manifest.buildManifest(s, s"$tbl/dh",
+          Seq("l_partkey", "l_suppkey", "l_orderkey"), man0)
+        man0
+      })
+      Manifest.prunedReadBox3(s, man, "l_partkey", st.xLo, st.xHi,
+        "l_suppkey", st.yLo, st.yHi, "l_orderkey", st.zLo3, st.zHi3)._1
+    }),
+    // the INCREMENTAL rewrite is the operator: copy the pristine
+    // sorted+appended manifest, re-layout only the overlapping tail —
+    // the full-twin opens comparison and fixed-point check stay in Verify
+    "manifest_optimize_incremental" -> ((s, dir) => {
+      val pristine = incOptCache.getOrElseUpdate(dir, {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey")))
+          .head()
+        val boxCond = col("l_partkey") > mx.getLong(0) * 3 / 4 &&
+          col("l_suppkey") > mx.getLong(1) * 3 / 4
+        val tbl = tmp("graft-manoi-bench-")
+        val man0 = tmp("graft-manoi-bman-")
+        Layout.hilbertWriteExact(li.filter(!boxCond),
+          "l_partkey", "l_suppkey", s"$tbl/d0", 12)
+        li.filter(boxCond).repartition(2, col("l_partkey"))
+          .write.mode("overwrite").parquet(s"$tbl/d1")
+        Manifest.buildManifest(s, s"$tbl/d0",
+          Seq("l_partkey", "l_suppkey"), man0)
+        Manifest.appendToManifest(s, Seq(s"$tbl/d1"),
+          Seq("l_partkey", "l_suppkey"), man0)
+        man0
+      })
+      val base = tmp("graft-manoi-run-")
+      val man = s"$base/man"
+      copyDir(s, pristine, man)
+      val (r, c, k) = Manifest.optimizeLayoutIncremental(s, man,
+        s"$base/rw", "l_partkey", "l_suppkey",
+        Seq("l_partkey", "l_suppkey"), curve = "hilbert")
+      Contracts.row(s, "files_rewritten" -> r, "files_created" -> c,
+        "clusters" -> k)
+    }),
     // DML timed forms: the base table files and pristine manifests are
     // memoized; each call copies the TINY pristine manifest (a few KB) and
     // runs the operator against the shared immutable table files —
@@ -1551,6 +1824,17 @@ object FormatQueries {
     }))
 
   private val uniTblCache =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Memoized manifest over the hilbert-3-D layout (timed box3 serving). */
+  private val hilbert3Cache =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Memoized pristine sorted+appended manifest for the incremental
+    * OPTIMIZE timed form (the zoMan posture: copied per call, never
+    * mutated in place).
+    */
+  private val incOptCache =
     new scala.collection.concurrent.TrieMap[String, String]
 
   /** (manifest path, xLo, xHi, yLo, yHi) for the timed hilbert-box

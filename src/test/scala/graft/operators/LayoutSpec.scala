@@ -134,6 +134,132 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(hdir).count() == (1L << 14))
   }
 
+  // Independent 3-D INVERSE (d -> (x, y, z)): un-interleave the index into
+  // Skilling's transposed words, then TransposeToAxes (Gray decode + undo
+  // excess work) — the published inverse walk, so kernel agreement cannot
+  // come from sharing the forward implementation's bugs.
+  private def h3d2xyz(d: Long): (Long, Long, Long) = {
+    val b = 21
+    val x = new Array[Long](3)
+    var j = 0
+    while (j < b) {
+      var i = 0
+      while (i < 3) {
+        x(i) |= ((d >>> (3 * j + 2 - i)) & 1L) << j
+        i += 1
+      }
+      j += 1
+    }
+    val t0 = x(2) >>> 1
+    x(2) ^= x(1); x(1) ^= x(0); x(0) ^= t0
+    var q = 2L
+    while (q != (1L << b)) {
+      val p = q - 1
+      var i = 2
+      while (i >= 0) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i -= 1
+      }
+      q <<= 1
+    }
+    (x(0), x(1), x(2))
+  }
+
+  test("hilbert21: bit-exact roundtrip vs the independent inverse walk, " +
+      "consecutive indexes are 3-D grid NEIGHBORS, expression equals " +
+      "kernel through a real plan") {
+    val rnd = new scala.util.Random(11)
+    // continuity on the curve head + a window deep inside the range
+    val windows = Seq(0L, (1L << 40) + 12345L)
+    windows.foreach { base =>
+      var prev: (Long, Long, Long) = null
+      (base until base + 2048L).foreach { d =>
+        val (x, y, z) = h3d2xyz(d)
+        if (prev != null)
+          assert(math.abs(x - prev._1) + math.abs(y - prev._2) +
+            math.abs(z - prev._3) == 1L, s"curve jumps at d=$d")
+        prev = (x, y, z)
+      }
+    }
+    // roundtrip on the head and on seeded random indexes across the full
+    // 63-bit range
+    val ds = (0L until 2048L) ++
+      Seq.fill(4096)(math.abs(rnd.nextLong()) % (1L << 63))
+    ds.foreach { d =>
+      val (x, y, z) = h3d2xyz(d)
+      assert(graft.functions.NativeKernels.hilbert21(x, y, z) == d,
+        s"roundtrip failed at d=$d -> ($x, $y, $z)")
+    }
+    // corners anchor the orientation
+    assert(graft.functions.NativeKernels.hilbert21(0L, 0L, 0L) == 0L)
+    // the expression (codegen path through a real scan) equals the kernel
+    val pts = Seq.fill(512)((rnd.nextLong() & 0x1FFFFFL,
+      rnd.nextLong() & 0x1FFFFFL, rnd.nextLong() & 0x1FFFFFL))
+    val df = pts.toDF("x", "y", "z")
+    val got = df.select(col("x"), col("y"), col("z"),
+      Layout.hilbert21Key(df, "x", "y", "z").as("h")).collect()
+    got.foreach { r =>
+      assert(r.getLong(3) == graft.functions.NativeKernels.hilbert21(
+        r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+  }
+
+  test("hilbert3 layout: file opens on real parquet footers never " +
+      "exceed 3-D morton's for the same boxes") {
+    val df = spark.range(1 << 15).select(
+      (col("id") % 32).as("a"),
+      ((col("id") / 32) % 32).cast("long").as("b"),
+      (col("id") / 1024).cast("long").as("c"))
+    val nFiles = 16
+    val hdir = tmpDir("hilbert3")
+    val zdir = tmpDir("zorder3-vs-h")
+    Layout.hilbert3WriteExact(df, "a", "b", "c", hdir, nFiles)
+    Layout.zorder3WriteExact(df, "a", "b", "c", zdir, nFiles)
+    def touching(path: String, box: (Long, Long, Long, Long, Long, Long)) =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min(col("a")).as("axn"), max(col("a")).as("axx"),
+          min(col("b")).as("byn"), max(col("b")).as("byx"),
+          min(col("c")).as("czn"), max(col("c")).as("czx"))
+        .filter(col("axx") >= box._1 && col("axn") <= box._2 &&
+          col("byx") >= box._3 && col("byn") <= box._4 &&
+          col("czx") >= box._5 && col("czn") <= box._6)
+        .count()
+    val boxes = Seq((0L, 7L, 0L, 7L, 0L, 7L), (16L, 23L, 16L, 23L, 8L, 15L),
+      (24L, 31L, 0L, 7L, 24L, 31L), (8L, 15L, 24L, 31L, 16L, 23L))
+    val h = boxes.map(touching(hdir, _)).sum
+    val z = boxes.map(touching(zdir, _)).sum
+    assert(h <= z, s"hilbert3 opened $h files vs morton21's $z")
+    assert(spark.read.parquet(hdir).count() == (1L << 15))
+  }
+
+  test("hilbertWrite (production range-shuffle form): every row kept, " +
+      "per-file curve-key ranges never strictly overlap") {
+    val df = spark.range(1 << 14).select(
+      (col("id") % 128).as("a"), (col("id") / 128).cast("long").as("b"))
+    val dir = tmpDir("hilbert-prod")
+    Layout.hilbertWrite(df, "a", "b", dir, 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == (1L << 14))
+    assert(back.columns.toSeq == Seq("a", "b"), "key column must be dropped")
+    val ranges = back
+      .select(input_file_name().as("f"),
+        Layout.hilbert16Key(back, "a", "b").as("k"))
+      .groupBy(col("f"))
+      .agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(identity)
+    assert(ranges.length > 1, "range shuffle should produce several files")
+    ranges.sliding(2).foreach {
+      case Array(a, b2) =>
+        assert(a._2 <= b2._1,
+          s"file ranges strictly overlap: $a vs $b2 — range partitioning " +
+            "must keep curve segments disjoint")
+      case _ =>
+    }
+  }
+
   test("morton21: bit-exact 3-D interleave vs a driver-side reference, " +
       "including the 21-bit boundary") {
     def ref(x: Long, y: Long, z: Long): Long = {

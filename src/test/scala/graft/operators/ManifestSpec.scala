@@ -535,6 +535,64 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("incremental re-layout: only curve-overlapping files rewritten, " +
+      "disjoint files untouched by name, served rows identical, and the " +
+      "result is a fixed point (second run rewrites nothing)") {
+    val tbl = tmpDir("man-inc-tbl-")
+    val man = tmpDir("man-inc-man-")
+    // unique (x, y) grid → unique hilbert keys → ntile files point-touch
+    // at most, never strictly overlap
+    val base = spark.range(1L << 12).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    Layout.hilbertWriteExact(base, "x", "y", s"$tbl/d0", 8)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("x", "y"), man)
+    // an unsorted append confined to one quadrant: it overlaps the sorted
+    // files covering that quadrant's curve span, and nothing else
+    val extra = spark.range(1L << 12, (1L << 12) + 512L).select(
+      (col("id") % 16 + 48).as("x"),
+      ((col("id") / 16).cast("long") % 16 + 48).as("y"))
+    extra.repartition(2, col("x"))
+      .write.mode("overwrite").parquet(s"$tbl/d1")
+    Manifest.appendToManifest(spark, Seq(s"$tbl/d1"), Seq("x", "y"), man)
+    val liveBefore = Manifest.readManifest(spark, man)
+      .select(col("file")).as[String].collect().toSet
+    val allBefore = Manifest.fullRead(spark, man)
+    val chkBefore = Contracts.checksum(
+      allBefore.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n")))
+    val (rewritten, created, clusters) = Manifest.optimizeLayoutIncremental(
+      spark, man, s"$tbl/rw", "x", "y", Seq("x", "y"), curve = "hilbert")
+    assert(clusters >= 1L && rewritten >= 3L,
+      s"the appended files + overlapped tail must rewrite ($rewritten)")
+    assert(rewritten < liveBefore.size,
+      "incremental must NOT rewrite every live file")
+    assert(created > 0L)
+    val liveAfter = Manifest.readManifest(spark, man)
+      .select(col("file")).as[String].collect().toSet
+    val untouched = liveBefore.intersect(liveAfter)
+    assert(untouched.nonEmpty &&
+      untouched.size.toLong == liveBefore.size - rewritten,
+      "disjoint files must survive under their original names")
+    val chkAfter = Contracts.checksum(Manifest.fullRead(spark, man)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n")))
+    assert(chkAfter == chkBefore, "served rows must be identical")
+    // fixed point: rewritten cluster segments are disjoint again
+    val again = Manifest.optimizeLayoutIncremental(
+      spark, man, s"$tbl/rw2", "x", "y", Seq("x", "y"), curve = "hilbert")
+    assert(again == ((0L, 0L, 0L)),
+      s"second incremental run must be a no-op, got $again")
+  }
+
+  test("optimizeLayout curve registry rejects an unknown curve") {
+    val tbl = tmpDir("man-cv-tbl-")
+    val man = tmpDir("man-cv-man-")
+    writeFiles((0L until 100L).map(k => (k, k)), s"$tbl/d0", 2)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("k"), man)
+    intercept[IllegalArgumentException] {
+      Manifest.optimizeLayout(spark, man, s"$tbl/rw", "k", "v",
+        Seq("k"), 2, curve = "peano")
+    }
+  }
+
   test("history: build/append/delete segments account exactly; " +
       "compaction collapses the view to one b-1 row") {
     val tbl = tmpDir("man-h-tbl-")
