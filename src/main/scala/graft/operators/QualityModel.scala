@@ -189,6 +189,60 @@ object QualityModel {
     Fit(w, losses.toSeq, gradInf, n)
   }
 
+  /** Platt scaling fit on a BINNED reliability table — the classic
+    * sigmoid recalibration (Platt 1999): find (A, B) minimizing the
+    * soft-target NLL of p = σ(A·s + B) over the bins, where each bin
+    * contributes n examples at raw score s with n_pos positives. Platt's
+    * prior smoothing (positive target (N⁺+1)/(N⁺+2), negative
+    * 1/(N⁻+2)) keeps every target strictly interior, so the optimum is
+    * FINITE even when the bins are perfectly separated — the reason this
+    * is Newton-safe with no line search.
+    *
+    * Driver-side microsolve (the [[solve]] class of bounded driver
+    * work): the input is ≤ 10 rows — the ppm-integer reliability bins a
+    * single distributed pass produced — and each iteration is a 2×2
+    * Newton step with a ±`stepClamp` guard, run a FIXED `iters` times
+    * (no early exit: the DuckDB oracle replays the identical unrolled
+    * iteration, and a data-dependent exit would not be expressible as
+    * the same SQL). At convergence the iterate is a fixed point, so
+    * engine float-sum order differences decay instead of accumulating;
+    * callers snap the result to a 1e-6 grid before scoring (the
+    * `score_fx` posture). Bins must be passed in a DEFINED order
+    * (sort by bin id) — summation order is part of the contract.
+    */
+  def plattFit(bins: Seq[(Double, Long, Long)], iters: Int = 25,
+      stepClamp: Double = 5.0): (Double, Double) = {
+    require(bins.nonEmpty, "plattFit needs at least one bin")
+    val nPosTot = bins.map(_._3).sum.toDouble
+    val nNegTot = bins.map(b => b._2 - b._3).sum.toDouble
+    val tp = (nPosTot + 1.0) / (nPosTot + 2.0)
+    val tn = 1.0 / (nNegTot + 2.0)
+    var a = 0.0
+    var b = 0.0
+    for (_ <- 1 to iters) {
+      var ga = 0.0; var gb = 0.0
+      var haa = 0.0; var hab = 0.0; var hbb = 0.0
+      bins.foreach { case (s, n, np) =>
+        val t = np * tp + (n - np) * tn
+        val p = 1.0 / (1.0 + math.exp(-(a * s + b)))
+        val r = n * p - t
+        val c = n * p * (1.0 - p)
+        ga += r * s; gb += r
+        haa += c * s * s; hab += c * s; hbb += c
+      }
+      val det = haa * hbb - hab * hab
+      // a saturated transient (all bins at p ∈ {0,1}) zeroes the Hessian;
+      // skipping the step mirrors the oracle's CASE guard exactly
+      if (math.abs(det) > 1e-300) {
+        val da = (hbb * ga - hab * gb) / det
+        val db = (haa * gb - hab * ga) / det
+        a -= math.max(-stepClamp, math.min(stepClamp, da))
+        b -= math.max(-stepClamp, math.min(stepClamp, db))
+      }
+    }
+    (a, b)
+  }
+
   /** Per-document sigmoid score under fixed weights — a scan-side
     * projection (weights are plan literals, nothing broadcast or joined).
     */

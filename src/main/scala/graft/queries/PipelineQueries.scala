@@ -2027,6 +2027,67 @@ object PipelineQueries {
         .orderBy(col("bin"))
     }),
 
+    // Platt recalibration — the step AFTER quality_calibration: fit
+    // p = σ(A·s + B) on the reliability bins (driver-side 2×2 Newton,
+    // Platt prior smoothing, FIXED 25 iterations so the oracle can
+    // replay the fit as unrolled SQL CTEs), snap A/B to a 1e-6 grid
+    // (the score_fx posture: at convergence the iterate is a fixed
+    // point, so engine float-order noise decays instead of flipping the
+    // snap), then score EVERY document scan-side with the literal
+    // snapped A/B and re-bin. The output is the post-calibration
+    // reliability diagram: fit inputs (n, n_pos, mean_score_ppm),
+    // the fitted a_fx/b_fx, the calibrated mean per bin, and the
+    // calibrated gap — DuckDB replays fit AND scoring end to end. At
+    // 100 TB: one pass for the bins, a 10-row driver solve, one
+    // scan-side projection — zero shuffle beyond the 10-row aggs.
+    "quality_platt" -> ((s, dir) => {
+      val w = Array(-0.5, 2.0, 1.5, -0.3, 0.4, 1.0)
+      val d = QualityModel.design(
+        QualityModel.featurize(t(s, dir, "documents"), "doc_id", "text"))
+      val z = (0 until QualityModel.nFeatures)
+        .map(j => col(s"x$j") * lit(w(j))).reduce(_ + _)
+      val scored = d.select(QualityModel.weakLabel.cast("long").as("y"),
+        floor((lit(1.0) / (lit(1.0) + exp(-z))) * 1e6 + 0.5)
+          .cast("long").as("score_ppm"))
+        .withColumn("bin",
+          least(floor(col("score_ppm") / 100000.0).cast("long"), lit(9L)))
+        .localCheckpoint() // fit input AND scoring input — scanned twice
+      val bins = scored.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).cast("long").as("n_pos"),
+          expr("sum(score_ppm) div count(1)")
+            .cast("long").as("mean_score_ppm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1) // summation order is part of the fit contract
+      val (a, b) = QualityModel.plattFit(
+        bins.map { case (_, n, np, ms) => (ms.toDouble / 1e6, n, np) }
+          .toSeq)
+      val aFx = math.floor(a * 1e6 + 0.5).toLong
+      val bFx = math.floor(b * 1e6 + 0.5).toLong
+      val zc = lit(aFx / 1e6) * (col("score_ppm") / lit(1e6)) +
+        lit(bFx / 1e6)
+      scored
+        .withColumn("cal_ppm",
+          floor((lit(1.0) / (lit(1.0) + exp(-zc))) * 1e6 + 0.5)
+            .cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).cast("long").as("n_pos"),
+          expr("sum(score_ppm) div count(1)")
+            .cast("long").as("mean_score_ppm"),
+          expr("sum(cal_ppm) div count(1)")
+            .cast("long").as("mean_cal_ppm"),
+          expr("(sum(y) * 1000000) div count(1)")
+            .cast("long").as("pos_rate_ppm"))
+        .withColumn("a_fx", lit(aFx))
+        .withColumn("b_fx", lit(bFx))
+        .withColumn("cal_gap_ppm",
+          col("pos_rate_ppm") - col("mean_cal_ppm"))
+        .withColumn("monotone_ok", lit(aFx > 0))
+        .orderBy(col("bin"))
+    }),
+
     // TF-IDF top-3 distinctive terms per doc. Integer-only ranking (tf desc,
     // df asc, term asc) keeps the order engine-exact; the score column uses
     // the floor-round trick shared with qualityScore.
@@ -3423,6 +3484,95 @@ object PipelineQueries {
         |  CAST(sum(y) * 1000000 // count(*)
         |    - sum(score_ppm) // count(*) AS BIGINT) AS gap_ppm
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The Platt oracle replays the ENTIRE fit: the 25 Newton iterations
+    // are unrolled as chained CTEs (a fixed iteration count is the only
+    // form both engines can evaluate identically), with the same ±5 step
+    // clamp and singular-Hessian guard as QualityModel.plattFit, then the
+    // snapped a_fx/b_fx score every document exactly as the Spark side.
+    // Every iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // each step references its predecessor several times, so the inlined
+    // tree doubles per iteration — 2^25 planning blowup without the hint.
+    "quality_platt" -> {
+      val newton = (1 to 25).map { k =>
+        s"""it$k AS MATERIALIZED (
+           |  SELECT
+           |    a - CASE WHEN abs(det) > 1e-300
+           |      THEN greatest(least((hbb*ga - hab*gb)/det, 5.0), -5.0)
+           |      ELSE 0.0 END AS a,
+           |    b - CASE WHEN abs(det) > 1e-300
+           |      THEN greatest(least((haa*gb - hab*ga)/det, 5.0), -5.0)
+           |      ELSE 0.0 END AS b
+           |  FROM (
+           |    SELECT any_value(a) AS a, any_value(b) AS b,
+           |      sum((n*p - t)*sv) AS ga, sum(n*p - t) AS gb,
+           |      sum(n*p*(1.0-p)*sv*sv) AS haa, sum(n*p*(1.0-p)*sv) AS hab,
+           |      sum(n*p*(1.0-p)) AS hbb,
+           |      sum(n*p*(1.0-p)*sv*sv) * sum(n*p*(1.0-p))
+           |        - sum(n*p*(1.0-p)*sv) * sum(n*p*(1.0-p)*sv) AS det
+           |    FROM (
+           |      SELECT it${k - 1}.a, it${k - 1}.b, bins.n,
+           |        bins.mean_score_ppm/1000000.0 AS sv,
+           |        bins.n_pos*tgt.tp + (bins.n - bins.n_pos)*tgt.tn AS t,
+           |        1.0/(1.0 + exp(-(it${k - 1}.a
+           |          *(bins.mean_score_ppm/1000000.0) + it${k - 1}.b))) AS p
+           |      FROM bins, it${k - 1}, tgt)))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS (
+         |  SELECT CAST(len(t) AS DOUBLE) AS n_tok,
+         |    nws / len(t) AS mean_wlen,
+         |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and',
+         |      'to','in','is','it','for','on'))) AS DOUBLE) / len(t)
+         |      AS stop_ratio,
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+         |      AS distinct_ratio
+         |  FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS t,
+         |      CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |        AS nws
+         |    FROM documents)),
+         |sc AS (
+         |  SELECT CASE WHEN n_tok >= 40.0 AND mean_wlen >= 4.4
+         |      THEN 1 ELSE 0 END AS y,
+         |    CAST(floor(1.0 / (1.0 + exp(-(1.0 * (-0.5)
+         |      + ((n_tok - 50.0) / 25.0) * 2.0
+         |      + ((mean_wlen - 4.5) * 4.0) * 1.5
+         |      + (stop_ratio * 5.0) * (-0.3)
+         |      + ((distinct_ratio - 0.5) * 4.0) * 0.4
+         |      + (((n_tok - 50.0) / 25.0) * ((mean_wlen - 4.5) * 4.0))
+         |        * 1.0))) * 1e6 + 0.5) AS BIGINT) AS score_ppm
+         |  FROM f),
+         |bins AS MATERIALIZED (
+         |  SELECT CAST(least(score_ppm // 100000, 9) AS BIGINT) AS bin,
+         |    count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm
+         |  FROM sc GROUP BY 1),
+         |tgt AS MATERIALIZED (
+         |  SELECT (sum(n_pos) + 1.0) / (sum(n_pos) + 2.0) AS tp,
+         |    1.0 / (sum(n) - sum(n_pos) + 2.0) AS tn
+         |  FROM bins),
+         |it0 AS MATERIALIZED (SELECT 0.0 AS a, 0.0 AS b),
+         |$newton,
+         |fit AS MATERIALIZED (SELECT CAST(floor(a*1e6 + 0.5) AS BIGINT)
+         |  AS a_fx,
+         |  CAST(floor(b*1e6 + 0.5) AS BIGINT) AS b_fx FROM it25),
+         |cal AS (
+         |  SELECT sc.y, sc.score_ppm,
+         |    CAST(least(sc.score_ppm // 100000, 9) AS BIGINT) AS bin,
+         |    CAST(floor((1.0/(1.0 + exp(-((fit.a_fx/1000000.0)
+         |      *(sc.score_ppm/1000000.0) + fit.b_fx/1000000.0))))*1e6
+         |      + 0.5) AS BIGINT) AS cal_ppm,
+         |    fit.a_fx AS a_fx, fit.b_fx AS b_fx
+         |  FROM sc, fit)
+         |SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm,
+         |  CAST(sum(cal_ppm) // count(*) AS BIGINT) AS mean_cal_ppm,
+         |  CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
+         |  any_value(a_fx) AS a_fx, any_value(b_fx) AS b_fx,
+         |  CAST(sum(y) * 1000000 // count(*) - sum(cal_ppm) // count(*)
+         |    AS BIGINT) AS cal_gap_ppm,
+         |  (SELECT a_fx > 0 FROM fit) AS monotone_ok
+         |FROM cal GROUP BY bin ORDER BY bin""".stripMargin
+    },
 
     "quality_rules" ->
       """WITH toks AS (

@@ -19,6 +19,37 @@ class QualityModelSpec extends SparkSpec {
     got.zip(x).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
   }
 
+  test("plattFit: recovers sign and monotone calibration on hand-built " +
+      "bins, survives perfect separation (smoothed targets), converges " +
+      "to a fixed point, and is deterministic") {
+    // pos rate rises with score → A must come out positive
+    val bins = Seq(
+      (0.05, 100L, 2L), (0.25, 100L, 10L), (0.45, 100L, 40L),
+      (0.65, 100L, 75L), (0.85, 100L, 96L))
+    val (a, b) = QualityModel.plattFit(bins)
+    assert(a > 0.0, s"rising pos-rate must fit A > 0, got $a")
+    def cal(s: Double) = 1.0 / (1.0 + math.exp(-(a * s + b)))
+    // calibrated curve tracks the empirical rates to a few percent
+    bins.foreach { case (s, n, np) =>
+      assert(math.abs(cal(s) - np.toDouble / n) < 0.08,
+        s"calibration off at s=$s: ${cal(s)} vs ${np.toDouble / n}")
+    }
+    // fixed point: 25 and 40 iterations agree to double precision — the
+    // engine-replayability argument (float-order noise decays) holds
+    val (a40, b40) = QualityModel.plattFit(bins, iters = 40)
+    assert(math.abs(a - a40) < 1e-9 && math.abs(b - b40) < 1e-9,
+      s"not converged at 25 iters: ($a,$b) vs ($a40,$b40)")
+    // PERFECT separation: unsmoothed MLE diverges (A → ∞); Platt's prior
+    // smoothing must keep the fit finite
+    val sep = Seq((0.1, 50L, 0L), (0.3, 50L, 0L), (0.7, 50L, 50L),
+      (0.9, 50L, 50L))
+    val (as, bs) = QualityModel.plattFit(sep)
+    assert(!as.isNaN && !bs.isNaN && as > 0.0 && math.abs(as) < 200.0,
+      s"separated bins must fit finite A: ($as, $bs)")
+    // deterministic: same input, same bits
+    assert(QualityModel.plattFit(bins) == ((a, b)))
+  }
+
   test("featurize: exact values on a hand-built doc") {
     val df = Seq((1L, "The cat sat on the mat")).toDF("doc_id", "text")
     val r = QualityModel.featurize(df, "doc_id", "text").head()
