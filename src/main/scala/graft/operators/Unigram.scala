@@ -329,4 +329,59 @@ object Unigram {
         }
       }.toDF("w", "cnt", "rank", "pieces", "score_fx")
   }
+
+  /** Deterministic subword-regularization SAMPLING over [[nBest]] — Kudo
+    * 2018's training-time draw as an engine primitive. Each occurrence
+    * (an `occIdCol`-identified word instance) draws ONE segmentation
+    * from the k-best posterior p_r ∝ exp(α·(score_r − score_1)) using
+    * the md5-uniform idiom (the [[Sampling.weightedExactK]] posture) in
+    * place of an RNG: u is a pure function of (occurrence id, word,
+    * salt), so the draw is reproducible, partition-invariant and
+    * replayable — at-least-once reprocessing of a corpus shard re-draws
+    * identically, where SentencePiece's RNG would shred determinism.
+    *
+    * Mechanics: posterior mass is accumulated in RANK order (a window
+    * sum over the ≤ k rows of one word) and the occurrence takes the
+    * FIRST rank whose cumulative share reaches u; the word's last rank
+    * is the float-edge fallback (cum_last/Z is 1 only up to rounding,
+    * and u can be exactly 1.0 on the 52-bit grid). Cost at 100 TB: the
+    * lattice runs once per DISTINCT word ([[nBest]]); sampling is one
+    * vocabulary-keyed join fanning each occurrence to ≤ k posterior
+    * rows plus a per-occurrence top-1 — no per-occurrence lattice work,
+    * no RNG state, no shuffle beyond the one key join.
+    *
+    * Returns (occIdCol, w, rank, pieces, score_fx, p_ppm) — one row per
+    * occurrence; `p_ppm` is the drawn rank's posterior share snapped to
+    * ppm for inspection.
+    */
+  def sampleEncode(occs: DataFrame, occIdCol: String, wordCol: String,
+      model: Model, k: Int, alpha: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = occs.select(col(wordCol).as("w")).distinct()
+      .withColumn("cnt", lit(1L))
+    val byW = Window.partitionBy(col("w"))
+    val byWRank = Window.partitionBy(col("w")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val post = nBest(words, model, k)
+      .withColumn("wt", exp(lit(alpha) *
+        (col("score_fx") - max(col("score_fx")).over(byW)) / lit(1e4)))
+      .withColumn("z", sum(col("wt")).over(byW))
+      .withColumn("cum", sum(col("wt")).over(byWRank))
+      .withColumn("rmax", max(col("rank")).over(byW))
+    val u = (conv(substring(md5(concat(col(occIdCol).cast("string"),
+        lit(":"), col("w"), lit(salt))), 1, 13), 16, 10).cast("long") + 1)
+      .cast("double") / lit(4503599627370496.0)
+    val wOcc = Window.partitionBy(col(occIdCol), col("w"))
+      .orderBy(col("rank"))
+    occs.select(col(occIdCol), col(wordCol).as("w"))
+      .join(post.drop("cnt"), Seq("w"))
+      .withColumn("u", u)
+      .filter(col("cum") / col("z") >= col("u") || col("rank") === col("rmax"))
+      .withColumn("rn", row_number().over(wOcc))
+      .filter(col("rn") === 1)
+      .select(col(occIdCol), col("w"), col("rank"), col("pieces"),
+        col("score_fx"),
+        floor(col("wt") / col("z") * 1e6 + 0.5).cast("long").as("p_ppm"))
+  }
 }

@@ -1982,6 +1982,69 @@ object PipelineQueries {
           (Contracts.checksum(nb) == Contracts.checksum(again)))
     }),
 
+    // Deterministic subword-regularization sampling end-to-end (the draw
+    // OVER unigram_nbest — Kudo 2018's training-time sampling as an
+    // engine primitive): every token occurrence of every document draws
+    // one segmentation from the k-best posterior via the md5-uniform
+    // idiom. Contracts: exactly one draw per occurrence, every drawn
+    // path roundtrips, the per-(word, rank) draw frequencies sit inside
+    // a binomial envelope of the n-best posterior (the md5 uniform
+    // behaves as the iid draw it replaces), and the whole thing is
+    // partition-invariant — a re-run draws identically.
+    "unigram_sample_encode" -> ((s, dir) => {
+      val words = graft.operators.Unigram
+        .wordTable(t(s, dir, "documents"), "text").localCheckpoint()
+      val (model, _) = graft.operators.Unigram.train(words,
+        seedSize = 512, iters = 2)
+      val occs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+")))
+        .select(concat(col("doc_id"), lit("#"), col("pos")).as("occ_id"),
+          col("col").as("w"))
+        .filter(length(col("w")) > 0)
+        .localCheckpoint()
+      val nOccs = occs.count()
+      val draws = graft.operators.Unigram
+        .sampleEncode(occs, "occ_id", "w", model, k = 3)
+        .localCheckpoint()
+      // binomial envelope vs the n-best posterior, for words with >= 30
+      // occurrences: |m - n·p| <= 4.5·sqrt(n·p·(1-p)) + 3 (the +3 absorbs
+      // the sub-ppm posterior snap; 4.5 sigma over a deterministic
+      // fixture can only fail if the md5 uniform is NOT uniform)
+      val wCounts = occs.groupBy(col("w")).agg(count(lit(1)).as("n_occ"))
+      val byW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w"))
+      val post = graft.operators.Unigram
+        .nBest(wCounts.select(col("w")).withColumn("cnt", lit(1L)),
+          model, 3)
+        .withColumn("wt", exp(
+          (col("score_fx") - max(col("score_fx")).over(byW)) / lit(1e4)))
+        .withColumn("p", col("wt") / sum(col("wt")).over(byW))
+        .select(col("w"), col("rank"), col("p"))
+      val emp = draws.groupBy(col("w"), col("rank"))
+        .agg(count(lit(1)).as("m"))
+      val env = post.join(wCounts, Seq("w"))
+        .join(emp, Seq("w", "rank"), "left")
+        .withColumn("m", coalesce(col("m"), lit(0L)))
+        .filter(col("n_occ") >= 30)
+        .withColumn("dev", abs(col("m") - col("n_occ") * col("p")))
+        .withColumn("bound", lit(4.5) *
+          sqrt(col("n_occ") * col("p") * (lit(1.0) - col("p"))) + lit(3.0))
+      val again = graft.operators.Unigram
+        .sampleEncode(occs.repartition(7), "occ_id", "w", model, k = 3)
+      Contracts.row(s,
+        "n_draws" -> draws.count(),
+        "one_draw_per_occurrence_ok" ->
+          (draws.count() == nOccs &&
+            draws.select(col("occ_id")).distinct().count() == nOccs),
+        "roundtrip_ok" -> Contracts.forAll(draws,
+          concat_ws("", col("pieces")) === col("w")),
+        "envelope_ok" -> Contracts.forAll(env,
+          col("dev") <= col("bound")),
+        "partition_invariant_ok" ->
+          (Contracts.checksum(draws) == Contracts.checksum(again)))
+    }),
+
     // Statistical quality scoring: per-doc mean log-probability under an
     // add-one-smoothed bigram LM trained on the corpus itself — two count
     // aggregates (the model) + two key-joins (the scoring). Full SQL
@@ -3647,6 +3710,16 @@ object PipelineQueries {
         |  TRUE AS roundtrip_ok,
         |  TRUE AS scores_monotone_ok,
         |  TRUE AS paths_distinct_ok,
+        |  TRUE AS partition_invariant_ok""".stripMargin,
+
+    "unigram_sample_encode" ->
+      """SELECT (SELECT CAST(sum(len(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0))) AS BIGINT)
+        |    FROM documents) AS n_draws,
+        |  TRUE AS one_draw_per_occurrence_ok,
+        |  TRUE AS roundtrip_ok,
+        |  TRUE AS envelope_ok,
         |  TRUE AS partition_invariant_ok""".stripMargin,
 
     "quality_lm_score" ->

@@ -107,6 +107,44 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("sampleEncode: one draw per occurrence, draw shares track the " +
+      "exp-score posterior on a hand-built two-path model, deterministic " +
+      "and partition-invariant") {
+    // the fff tie model: [ff,f] and [f,ff] have EQUAL scores → posterior
+    // 50/50 between ranks 1 and 2 (rank 3, [f,f,f], is exp(Δ) lighter)
+    val model = Unigram.Model(
+      Map("f" -> 200000000L, "ff" -> 300000000L, "a" -> 250000000L,
+        "b" -> 250000000L), maxPieceLen = 4)
+    val occs = (0 until 2000).map(i => (s"o$i", "fff")).toDF("occ_id", "w")
+    val draws = Unigram.sampleEncode(occs, "occ_id", "w", model, k = 3)
+      .localCheckpoint()
+    assert(draws.count() == 2000L)
+    assert(draws.select(col("occ_id")).distinct().count() == 2000L)
+    val byRank = draws.groupBy(col("rank")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // posterior: p1 = p2 = w1/Z, p3 = w1·exp(Δ)/Z with Δ = score3−score1
+    val lp = model.logProb
+    val d = (3 * lp("f")) - (lp("ff") + lp("f"))
+    val w3 = math.exp(d)
+    val z = 2.0 + w3
+    val exp1 = 2000.0 / z
+    val exp3 = 2000.0 * w3 / z
+    Seq(1 -> exp1, 2 -> exp1, 3 -> exp3).foreach { case (r, e) =>
+      val got = byRank.getOrElse(r, 0L).toDouble
+      val sd = math.sqrt(2000.0 * (e / 2000.0) * (1 - e / 2000.0))
+      assert(math.abs(got - e) <= 4.5 * sd + 3.0,
+        s"rank $r drew $got, expected ~$e (sd $sd)")
+    }
+    // deterministic + partition-invariant
+    val again = Unigram.sampleEncode(occs.repartition(7), "occ_id", "w",
+      model, k = 3)
+    assert(graft.queries.Contracts.checksum(draws) ==
+      graft.queries.Contracts.checksum(again))
+    // every drawn path roundtrips
+    assert(graft.queries.Contracts.forAll(draws,
+      concat_ws("", col("pieces")) === col("w")))
+  }
+
   test("nBest is partition-invariant and k=1 degenerates to encode") {
     val words = Unigram.wordTable(
       corpus("the cat sat on the mat", "a cat and a rat ate the mat"),
