@@ -183,6 +183,20 @@ object Bench {
         })
         if (vals.isEmpty) None else Some(vals.sum)
       }
+    // The measured-noisy families (r12 verdict #3 root cause, see
+    // tools/CodegenChurnProbe): in-suite rep 1 inherits the position's
+    // JVM state — a codegen-cache eviction burst (the ~80 queries since
+    // the warm pass evict this query's classes from the bounded janino
+    // LRU; churn-60 probe: 72 recompiled classes on rep 1 vs 29 steady)
+    // plus block-manager/GC debt from whichever giant query ran before.
+    // These families get (a) a PRE-REP warm immediately before their
+    // timed reps, so the positional one-off lands outside the timer the
+    // same way the suite-level warm pass intends, and (b) median-of-3 at
+    // the sf1 decade (r12 verdict #1b: jaccard's 3x in-suite rep spread
+    // disproves single-rep-is-fine for them).
+    val noisyFamilies: Set[String] = floorObsNames.keySet + "dedup_simhash"
+    def nCompiles: Long = org.apache.spark.metrics.source
+      .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     // main-suite observation accumulation (last completed query wins, as
     // before) + per-query candidate floors at the bench sf: the global
     // end-of-suite snapshot cannot attribute an observation to a query
@@ -204,13 +218,21 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var rows = -1L
       res.reset(spark)
-      val raw = (1 to reps).map { _ =>
+      // pre-rep warm for the measured-noisy families: pays the positional
+      // one-off (codegen-cache refill + inherited GC/block debt) OUTSIDE
+      // the timer — rep_compiles below records what each timed rep still
+      // compiled, so the exemption is measured, not asserted
+      if (noisyFamilies.contains(name))
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
+      val rawC = (1 to reps).map { _ =>
         graft.operators.Caching.releaseAllRdds(spark, blocking = true)
         System.gc()
+        val c0 = nCompiles
         val t0 = System.nanoTime()
         rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, nCompiles - c0)
       }
+      val raw = rawC.map(_._1)
       // shuffle/spill across the `reps` timed reps (the inter-rep release
       // moves blocks, it does not shuffle) — exact counters, not wall-clock
       val usage = res.snapshot(spark)
@@ -220,7 +242,7 @@ object Bench {
       graft.operators.Caching.releaseAllRdds(spark)
       val secs = raw.sorted
       name -> ((secs(secs.size / 2), rows, secs.last - secs.head, raw,
-        usage))
+        usage, rawC.map(_._2)))
     }
     // Spread arbiter (r10 verdict item #1): the growth gate cannot see the
     // r9 failure class — ONE pathological rep in-suite (jaccard shipped a
@@ -232,7 +254,7 @@ object Bench {
     // evidence (original reps, suite position, recheck reps).
     val spreadArbiter = if (args.nonEmpty) "{}" else {
       val flagged = results.zipWithIndex.collect {
-        case ((name, (med, _, sp, raw, _)), pos)
+        case ((name, (med, _, sp, raw, _, _)), pos)
             if sp > math.max(2 * med, 2.0) =>
           (name, pos, med, sp, raw)
       }
@@ -257,7 +279,7 @@ object Bench {
     }
     spark.sparkContext.removeSparkListener(res)
     val resultMap =
-      results.map { case (n, (med, rows, sp, _, _)) =>
+      results.map { case (n, (med, rows, sp, _, _, _)) =>
         n -> ((med, rows, sp))
       }.toMap
     // Observed-metric telemetry for the timed pass at sfDir (the scale-
@@ -276,24 +298,31 @@ object Bench {
     // same last-wins semantics the single end-of-suite snapshot had
     val telemetryBig =
       telemetryJson((obsBig ++ obs.snapshotAndClear(spark)).toMap)
-    val qs = results.map { case (k, (v, _, _, _, _)) =>
+    val qs = results.map { case (k, (v, _, _, _, _, _)) =>
       s"\"" + k + "\":" + v
     }.mkString("{", ",", "}")
-    val rows = results.map { case (k, (_, r, _, _, _)) =>
+    val rows = results.map { case (k, (_, r, _, _, _, _)) =>
       s"\"" + k + "\":" + r
     }.mkString("{", ",", "}")
-    val spreads = results.map { case (k, (_, _, sp, _, _)) =>
+    val spreads = results.map { case (k, (_, _, sp, _, _, _)) =>
       s"\"" + k + "\":" + jnum(sp, 3)
     }.mkString("{", ",", "}")
     // raw per-rep wall times in RUN order (reps(0) ran first): with the
     // medians alone a blown rep is invisible; with these the spread
     // arbiter's "which rep blew up" question is answerable from the file
-    val repsJson = results.map { case (k, (_, _, _, raw, _)) =>
+    val repsJson = results.map { case (k, (_, _, _, raw, _, _)) =>
       s""""$k":[${raw.map(jnum(_, 3)).mkString(",")}]"""
     }.mkString("{", ",", "}")
-    val resourcesJson = results.map { case (k, (_, _, _, _, u)) =>
+    val resourcesJson = results.map { case (k, (_, _, _, _, u, _)) =>
       s""""$k":{"shuffle_write_b":${u._1},"shuffle_read_b":${u._2},""" +
         s""""spill_mem_b":${u._3},"spill_disk_b":${u._4}}"""
+    }.mkString("{", ",", "}")
+    // per-rep whole-stage-codegen compilation counts, run order (the r12
+    // verdict #3 attribution channel: a blown rep whose compile count
+    // dwarfs its siblings' is the janino-cache-eviction one-off the
+    // CodegenChurnProbe measured, not an operator regression)
+    val repCompilesJson = results.map { case (k, (_, _, _, _, _, cs)) =>
+      s""""$k":[${cs.mkString(",")}]"""
     }.mkString("{", ",", "}")
     // run order = sorted names; recorded so "suite position" in the
     // arbiter rows resolves to neighbors without re-deriving
@@ -343,7 +372,8 @@ object Bench {
     // jitter in the denominator. (streaming_dlq_redrive generates its own
     // fixed 10-message queue, so its ratio hovers near 1 — included for
     // uniformity, read accordingly.)
-    val (scaleGrowth, scaleGrowthSteps, scaleGrowthFloors, telemetrySmall) =
+    val (scaleGrowth, scaleGrowthSteps, scaleGrowthFloors, telemetrySmall,
+        guardJson) =
       if (args.isEmpty) {
       val smallDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
         "/root/testdata/sf0.01")
@@ -424,23 +454,33 @@ object Bench {
       // serve-only sfDir median — a false slope the fresh-JVM arbiter
       // would then CONFIRM (it does the same cold rep) instead of clear.
       // For non-memoized forms run 2 is an ordinary rep, so the
-      // discipline is uniform.
+      // discipline is uniform. The measured-noisy families get
+      // MEDIAN-OF-3 timed reps (r12 verdict #1b: single-rep at the sf1
+      // decade shipped an 18.1x jaccard step whose in-suite siblings
+      // spanned 3x — "multi-second walls drown jitter" is disproved for
+      // exactly these queries); everything else stays single-rep, the
+      // sf1 pass is already the suite's longest extra.
       def onceAt(name: String,
           fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
           dir: String): (Double, Long, Long) = {
         val warmOk = try { fn(spark, dir).count(); true }
           catch { case _: Throwable => false }
         if (!warmOk) return (-1.0, -1L, -1L) // never time a crash
-        graft.operators.Caching.releaseAllRdds(spark, blocking = true)
-        System.gc()
-        val t0 = System.nanoTime()
-        val rows = try fn(spark, dir).count()
-          catch { case _: Throwable => -1L }
-        val sec = (System.nanoTime() - t0) / 1e9
+        val nReps = if (noisyFamilies.contains(name)) reps else 1
+        var rows = -1L
+        val secs = (1 to nReps).map { _ =>
+          graft.operators.Caching.releaseAllRdds(spark, blocking = true)
+          System.gc()
+          val t0 = System.nanoTime()
+          rows = try fn(spark, dir).count()
+            catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
         val snap = obs.snapshotAndClear(spark)
         obsSmallAcc ++= snap
         if (rows >= 0)
-          (math.max(sec, 1e-3), rows, floorCand(name, snap).getOrElse(-1L))
+          (math.max(secs(secs.size / 2), 1e-3), rows,
+            floorCand(name, snap).getOrElse(-1L))
         else (-1.0, -1L, -1L)
       }
       if (new java.io.File(smallDir).isDirectory && smallDir != sfDir) {
@@ -495,11 +535,78 @@ object Bench {
               } else ""
             s""""$name":{"rows":[${rowsPts.mkString(",")}]$candField}"""
         }
+        // In-artifact guard (r12 verdict #1a): the SHIPPED bench file
+        // carries its own arbitration — r12's driver artifact held an
+        // 18.14x step its recorded floor refuted, and the guard's green
+        // hash predated the file, so the round shipped an unarbitrated
+        // flag. This mirrors tools/bench_guard.sh exactly (flag
+        // threshold, fitted window, FLOOR_K=2, cand-authoritative
+        // floors); any step the floor refuses is re-measured HERE at the
+        // end of the growth pass (different suite position, clean heap,
+        // median-of-reps per scale point) and the verdict row lands in
+        // the artifact. The guard script accepts an embedded GREEN as
+        // the arbitration; its fresh-JVM probe remains the fallback for
+        // absent or RED rows.
+        val flagLimit =
+          sys.env.getOrElse("SPARK_GRAFT_GROWTH_FLAG", "12").toDouble
+        val guardRows = measured.flatMap {
+          case (name, big, bigRows, small, tiny, huge) if tiny._1 > 0 =>
+            val stepsV = Seq(small._1 / tiny._1, big / small._1) ++
+              (if (huge._1 > 0) Seq(huge._1 / big) else Nil)
+            val fit = if (stepsV.size >= 3) stepsV.takeRight(2) else stepsV
+            val slope = math.exp(fit.map(math.log).sum / fit.size)
+            val worst = fit.max
+            if (slope <= flagLimit && worst <= flagLimit) None
+            else {
+              val hasSf1 = huge._1 > 0
+              val useCand = floorObsNames.contains(name)
+              val pts: Seq[Long] =
+                if (useCand)
+                  Seq(tiny._3, small._3,
+                    bigFloorCand.getOrElse(name, -1L)) ++
+                    (if (hasSf1) Seq(huge._3) else Nil)
+                else Seq(tiny._2, small._2, bigRows) ++
+                  (if (hasSf1) Seq(huge._2) else Nil)
+              val tail = pts.takeRight(fit.size + 1)
+              val offending = fit.zipWithIndex.filter(_._1 > flagLimit)
+              val floorOk = offending.forall { case (r, i) =>
+                tail(i) > 0 && tail(i + 1) > 0 &&
+                  r <= 2.0 * (tail(i + 1).toDouble / tail(i))
+              }
+              val head = s""""$name":{"slope":${jnum(slope, 2)},""" +
+                s""""worst":${jnum(worst, 2)},""" +
+                s""""floor":"${if (useCand) "cand" else "rows"}""""
+              if (floorOk) Some(s"""$head,"status":"floor_cleared"}""")
+              else {
+                val fn = growthQueries(name)
+                val dirs =
+                  if (hasSf1) Seq(smallDir, sfDir, sf1Dir)
+                  else Seq(tinyDir, smallDir, sfDir)
+                val re = dirs.map(d => measureAt(name, fn, d)._1)
+                val reSteps = re.sliding(2).map(w => w(1) / w(0)).toSeq
+                val reSlope =
+                  math.exp(reSteps.map(math.log).sum / reSteps.size)
+                val verdict =
+                  if (reSlope <= flagLimit && reSteps.max <= flagLimit)
+                    "GREEN" else "RED"
+                Some(s"""$head,"status":"arbitrated","isolated":{""" +
+                  s""""points_sec":[${re.map(jnum(_, 3))
+                    .mkString(",")}],""" +
+                  s""""steps":[${reSteps.map(jnum(_, 2))
+                    .mkString(",")}],""" +
+                  s""""verdict":"$verdict"}}""")
+              }
+            }
+          case _ => None
+        }
+        val guard = s"""{"flag":${jnum(flagLimit, 1)},"floor_k":2.0,""" +
+          s""""queries":{${guardRows.mkString(",")}}}"""
         (ratios.mkString("{", ",", "}"), steps.mkString("{", ",", "}"),
           floors.mkString("{", ",", "}"),
-          telemetryJson((obsSmallAcc ++ obs.snapshotAndClear(spark)).toMap))
-      } else ("{}", "{}", "{}", "{}")
-    } else ("{}", "{}", "{}", "{}")
+          telemetryJson((obsSmallAcc ++ obs.snapshotAndClear(spark)).toMap),
+          guard)
+      } else ("{}", "{}", "{}", "{}", "{}")
+    } else ("{}", "{}", "{}", "{}", "{}")
     // Last snapshot taken — drop the listener so the envelope pass below
     // (and anything after) runs without it; leaving it registered is
     // harmless in a one-shot main but wrong as a pattern to copy.
@@ -548,14 +655,42 @@ object Bench {
     // tail window — the full 87-query map is ~4 KB and lands mid-line in
     // that window, so the parseable contract line must stay short.
     val envEnd = envFingerprint()
+    // Run-id stamp (r12 verdict #8): a monotonic counter (persisted in
+    // .bench_run_seq) plus an env-fingerprint hash. The full artifact is
+    // written BOTH to the stable latest path (what sweep/guard/driver
+    // read) AND to an immutable bench_out.<run_id>.json sibling — a smoke
+    // run can overwrite the pointer but can never destroy a closing
+    // artifact again (the r12 single-copy clobber trap).
+    val runId = {
+      val seqFile = java.nio.file.Paths.get(".bench_run_seq")
+      val prev =
+        try new String(java.nio.file.Files.readAllBytes(seqFile))
+          .trim.toLong
+        catch { case _: Throwable => 0L }
+      val next = prev + 1
+      try java.nio.file.Files.writeString(seqFile, next.toString)
+      catch { case _: Throwable => }
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(envStart.getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString
+      s"$next-$h"
+    }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"spread":$spreads,"reps":$repsJson,"suite_order":$suiteOrder,"spread_arbiter":$spreadArbiter,"resources":$resourcesJson,"env_start":$envStart,"env_end":$envEnd,"ivf_sweep":$sweep,"scale_growth":$scaleGrowth,"scale_growth_steps":$scaleGrowthSteps,"scale_growth_floors":$scaleGrowthFloors,"telemetry":$telemetryBig,"telemetry_small":$telemetrySmall,"publish_envelope":$envelope,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","queries":$qs,"rows":$rows,"spread":$spreads,"reps":$repsJson,"rep_compiles":$repCompilesJson,"suite_order":$suiteOrder,"spread_arbiter":$spreadArbiter,"resources":$resourcesJson,"env_start":$envStart,"env_end":$envEnd,"ivf_sweep":$sweep,"scale_growth":$scaleGrowth,"scale_growth_steps":$scaleGrowthSteps,"scale_growth_floors":$scaleGrowthFloors,"guard":$guardJson,"telemetry":$telemetryBig,"telemetry_small":$telemetrySmall,"publish_envelope":$envelope,"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec",""" +
-        s""""n_queries":$nQueries,"sf":"$sfDir"}"""
+        s""""n_queries":$nQueries,"run_id":"$runId","sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full)
     catch { case _: Throwable => }
+    try {
+      val immutable =
+        if (outFile.endsWith(".json"))
+          outFile.stripSuffix(".json") + s".$runId.json"
+        else s"$outFile.$runId"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(immutable), full)
+    } catch { case _: Throwable => }
     // stop() is guarded so the contract line always prints, and printing
     // after stop() keeps it the LAST stdout line even if shutdown logs.
     try spark.stop() catch { case _: Throwable => }

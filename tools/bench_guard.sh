@@ -20,7 +20,14 @@
 #       output/candidate-bound operator (triangle counts, exact-join
 #       candidate volume) is thereby machine-exonerated instead of
 #       NOTES-exonerated.
-#    2. ISOLATED: otherwise the query is re-measured in a fresh JVM
+#    2. EMBEDDED (r12 verdict #1a): Bench now arbitrates floor-refused
+#       steps ITSELF at the end of the growth pass (clean heap,
+#       median-of-reps per scale point) and embeds the verdict row in
+#       the artifact's `guard` field — the artifact is self-certifying
+#       no matter which box produced it. An embedded GREEN clears the
+#       flag here; an embedded RED (or an artifact without the row)
+#       falls through to the fresh-JVM probe.
+#    3. ISOLATED: otherwise the query is re-measured in a fresh JVM
 #       (tools/run.sh graft.tools.IsolatedQueryProbe) at all scale
 #       points; red only if the isolated slope/worst step still exceeds
 #       the flag.
@@ -137,6 +144,14 @@ for q in sorted(set(steps) | set(growth)):
                 cleared = [kind] + detail
     if cleared:
         print(f"cleared {q} floor={cleared[0]} {' '.join(cleared[1:])}")
+        continue
+    # Embedded in-artifact arbitration (Bench's own end-of-growth
+    # re-measure): a GREEN verdict row makes the artifact self-certifying.
+    emb = (d.get("guard") or {}).get("queries", {}).get(q, {})
+    if emb.get("status") == "arbitrated" and \
+            (emb.get("isolated") or {}).get("verdict") == "GREEN":
+        iso = emb["isolated"]
+        print(f"cleared {q} embedded steps={iso.get('steps')}")
     else:
         print(f"isolate {q}")
 EOF
