@@ -568,6 +568,20 @@ object Manifest {
       s"unknown layout curve '$other' — expected 'morton' or 'hilbert'")
   }
 
+  /** The PRODUCTION writers for [[optimizeLayout]]'s
+    * `deterministic = false` form: `repartitionByRange` on the curve key
+    * (sampled boundaries, fully parallel — no global ntile window). The
+    * 100 TB OPTIMIZE runs this; the exact form exists for
+    * run-to-run-stable pruning contracts on bounded tables.
+    */
+  private def curveWriterProd(curve: String): (DataFrame, String, String,
+      String, Int) => Unit = curve match {
+    case "morton"  => Layout.zorderWrite
+    case "hilbert" => Layout.hilbertWrite
+    case other => throw new IllegalArgumentException(
+      s"unknown layout curve '$other' — expected 'morton' or 'hilbert'")
+  }
+
   /** The 2-D curve key column for `curve` over (xCol, yCol) — shared by
     * [[optimizeLayoutIncremental]]'s per-file range scan and any caller
     * that needs the key the writers sort by.
@@ -585,11 +599,17 @@ object Manifest {
     * rewrite ordered by the chosen space-filling key — so OPTIMIZE can
     * re-layout a table onto the jump-free Hilbert order through the same
     * manifest bookkeeping, snapshots and vacuum rules as the Morton form.
+    * `deterministic = true` (default) uses the exact ntile writers whose
+    * file boxes are identical run to run — the pruning-contract form for
+    * bounded tables; `deterministic = false` uses the PRODUCTION
+    * range-shuffle writers ([[Layout.zorderWrite]]/[[Layout.hilbertWrite]]
+    * — sampled boundaries, fully parallel, the form a 100 TB re-layout
+    * actually runs). The manifest bookkeeping is identical either way.
     */
   def optimizeLayout(spark: SparkSession, manifestPath: String,
       rewriteDir: String, xCol: String, yCol: String,
       statsCols: Seq[String], nFiles: Int, curve: String = "morton",
-      batchId: Long = -1L): (Long, Long) = {
+      batchId: Long = -1L, deterministic: Boolean = true): (Long, Long) = {
     val mp = new org.apache.hadoop.fs.Path(manifestPath)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = readManifest(spark, manifestPath)
@@ -598,7 +618,9 @@ object Manifest {
       s"manifest at $manifestPath names no files — nothing to optimize")
     val bid = if (batchId >= 0) batchId else nextBatchId(fs, mp)
     val out = s"$rewriteDir/b$bid"
-    curveWriter(curve)(
+    val writer =
+      if (deterministic) curveWriter(curve) else curveWriterProd(curve)
+    writer(
       spark.read.parquet(files.map(globEscape).toSeq: _*),
       xCol, yCol, out, nFiles)
     rewriteSegment(spark, manifestPath, bid, files.toSeq, Some(out),

@@ -3062,6 +3062,26 @@ object PipelineQueries {
         graft.operators.Unigram.wordTable(t(s, dir, "documents"), "text"),
         model, k = 3)
     }),
+    // Timer covers ONE sampled-encode pass (occurrence explode + the
+    // per-distinct-word lattice + posterior join + per-occurrence
+    // top-1): training is memoized per dir, and the contract form's
+    // envelope/partition-invariance harness (three further nBest
+    // passes) stays in Verify.
+    "unigram_sample_encode" -> ((s, dir) => {
+      val model = unigramTimedModelCache.getOrElseUpdate(dir, {
+        val wt = graft.operators.Unigram
+          .wordTable(t(s, dir, "documents"), "text").localCheckpoint()
+        graft.operators.Unigram.train(wt, seedSize = 512, iters = 2)._1
+      })
+      val occs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+")))
+        .select(concat(col("doc_id"), lit("#"), col("pos")).as("occ_id"),
+          col("col").as("w"))
+        .filter(length(col("w")) > 0)
+      graft.operators.Unigram.sampleEncode(occs, "occ_id", "w", model,
+        k = 3)
+    }),
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.3)),

@@ -129,14 +129,17 @@ object IsolatedQueryProbe {
       // fourth decade, mirroring Bench's onceAt: one UNTIMED warm run
       // first (a memoized serving form pays its per-dir store build on
       // the first call at a fresh dir — timing it would manufacture the
-      // very slope this arbiter exists to check), then one timed rep
+      // very slope this arbiter exists to check), then MEDIAN-of-reps
+      // like every other decade (r12 verdict #1b: a single sf1 rep is
+      // exactly how the 18.1x phantom step shipped — the arbiter must
+      // not be noisier than the suite it arbitrates)
       val huge =
         if (ScaleFixtures.sf1Queries.contains(name) &&
             sys.env.get("SPARK_GRAFT_SKIP_SF1").isEmpty &&
             (try { ScaleFixtures.ensure(spark, sf1Dir); true }
              catch { case _: Throwable => false })) {
           try fn(spark, sf1Dir).count() catch { case _: Throwable => }
-          math.max(rep(sf1Dir), 1e-3)
+          median(sf1Dir, reps)
         } else -1.0
       val steps = Seq(j(small / tiny), j(big / small)) ++
         (if (huge > 0) Seq(j(huge / big)) else Nil)

@@ -582,6 +582,34 @@ class ManifestSpec extends SparkSpec {
       s"second incremental run must be a no-op, got $again")
   }
 
+  test("optimizeLayout production form (deterministic = false): the " +
+      "range-shuffle rewrite serves identical rows, still prunes the " +
+      "box read, and the manifest lifecycle is unchanged") {
+    val tbl = tmpDir("man-pr-tbl-")
+    val man = tmpDir("man-pr-man-")
+    val df = spark.range(1L << 13).select(
+      (col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+    df.repartition(8, col("x").cast("string"))
+      .write.mode("overwrite").parquet(s"$tbl/d0")
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("x", "y"), man)
+    val (_, opensBefore, _) = Manifest.prunedReadBox(spark, man,
+      "x", 0L, 31L, "y", 0L, 15L)
+    val preChk = Contracts.checksum(Manifest.fullRead(spark, man)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n")))
+    val (rewritten, created) = Manifest.optimizeLayout(spark, man,
+      s"$tbl/rw", "x", "y", Seq("x", "y"), 8, curve = "hilbert",
+      deterministic = false)
+    assert(rewritten == 8L && created > 1L)
+    val (_, opensAfter, totalAfter) = Manifest.prunedReadBox(spark, man,
+      "x", 0L, 31L, "y", 0L, 15L)
+    assert(opensAfter < opensBefore,
+      s"production re-layout must prune: $opensAfter vs $opensBefore")
+    assert(totalAfter == created)
+    val postChk = Contracts.checksum(Manifest.fullRead(spark, man)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n")))
+    assert(postChk == preChk)
+  }
+
   test("optimizeLayout curve registry rejects an unknown curve") {
     val tbl = tmpDir("man-cv-tbl-")
     val man = tmpDir("man-cv-man-")
