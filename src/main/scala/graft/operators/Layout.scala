@@ -171,6 +171,33 @@ object Layout {
       Seq(morton21(col(xCol), col(yCol), col(zCol)),
         col(xCol), col(yCol), col(zCol)), path, nFiles)
 
+  /** PRODUCTION 3-D Morton writer — [[zorderWrite]]'s range-shuffle form
+    * on the [[morton21]] key (sampled boundaries, fully parallel); the
+    * exact ntile form stays the determinism tool for bounded tables.
+    */
+  def zorder3Write(df: DataFrame, xCol: String, yCol: String, zCol: String,
+      path: String, nFiles: Int): Unit = {
+    val keyed = df.withColumn("_zkey",
+      morton21(col(xCol), col(yCol), col(zCol)))
+    keyed.repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** PRODUCTION 3-D Hilbert writer — the range-shuffle form on the
+    * native `hilbert21` key, completing the writer matrix (each curve ×
+    * each dimensionality in both exact and production form).
+    */
+  def hilbert3Write(df: DataFrame, xCol: String, yCol: String,
+      zCol: String, path: String, nFiles: Int): Unit = {
+    val keyed = df.withColumn("_hkey", hilbert21Key(df, xCol, yCol, zCol))
+    keyed.repartitionByRange(nFiles, col("_hkey"))
+      .sortWithinPartitions(col("_hkey"))
+      .drop("_hkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Deterministic layout simulation: assign rows to `nFiles` equal-count
     * files in `orderCols` order (ntile — no sampling), compute each file's
     * (x, y) min/max box, and count boxes intersecting each query box.

@@ -556,41 +556,52 @@ object Manifest {
     optimizeLayout(spark, manifestPath, rewriteDir, xCol, yCol, statsCols,
       nFiles, curve = "morton", batchId = batchId)
 
-  /** The curve-writer behind [[optimizeLayout]] — one registry so the
-    * full and incremental OPTIMIZE forms can never disagree on what a
-    * curve name means.
+  /** The writer matrix behind [[optimizeLayout]] — ONE registry (curve ×
+    * dimensionality × exact/production) so the full and incremental
+    * OPTIMIZE forms can never disagree on what a curve name means.
+    * `zCol` empty = 2-D; `deterministic = false` = the range-shuffle
+    * production writers (sampled boundaries, fully parallel — the form a
+    * 100 TB re-layout runs), `true` = the global-ntile exact writers
+    * whose file boxes are identical run to run (the pruning-contract
+    * form for bounded tables).
     */
-  private def curveWriter(curve: String): (DataFrame, String, String,
-      String, Int) => Unit = curve match {
-    case "morton"  => Layout.zorderWriteExact
-    case "hilbert" => Layout.hilbertWriteExact
-    case other => throw new IllegalArgumentException(
-      s"unknown layout curve '$other' — expected 'morton' or 'hilbert'")
-  }
+  private def layoutWriter(curve: String, xCol: String, yCol: String,
+      zCol: String, nFiles: Int,
+      deterministic: Boolean): (DataFrame, String) => Unit =
+    (df: DataFrame, path: String) =>
+      (curve, zCol.isEmpty, deterministic) match {
+        case ("morton", true, true) =>
+          Layout.zorderWriteExact(df, xCol, yCol, path, nFiles)
+        case ("morton", true, false) =>
+          Layout.zorderWrite(df, xCol, yCol, path, nFiles)
+        case ("hilbert", true, true) =>
+          Layout.hilbertWriteExact(df, xCol, yCol, path, nFiles)
+        case ("hilbert", true, false) =>
+          Layout.hilbertWrite(df, xCol, yCol, path, nFiles)
+        case ("morton", false, true) =>
+          Layout.zorder3WriteExact(df, xCol, yCol, zCol, path, nFiles)
+        case ("morton", false, false) =>
+          Layout.zorder3Write(df, xCol, yCol, zCol, path, nFiles)
+        case ("hilbert", false, true) =>
+          Layout.hilbert3WriteExact(df, xCol, yCol, zCol, path, nFiles)
+        case ("hilbert", false, false) =>
+          Layout.hilbert3Write(df, xCol, yCol, zCol, path, nFiles)
+        case (other, _, _) => throw new IllegalArgumentException(
+          s"unknown layout curve '$other' — expected 'morton' or 'hilbert'")
+      }
 
-  /** The PRODUCTION writers for [[optimizeLayout]]'s
-    * `deterministic = false` form: `repartitionByRange` on the curve key
-    * (sampled boundaries, fully parallel — no global ntile window). The
-    * 100 TB OPTIMIZE runs this; the exact form exists for
-    * run-to-run-stable pruning contracts on bounded tables.
-    */
-  private def curveWriterProd(curve: String): (DataFrame, String, String,
-      String, Int) => Unit = curve match {
-    case "morton"  => Layout.zorderWrite
-    case "hilbert" => Layout.hilbertWrite
-    case other => throw new IllegalArgumentException(
-      s"unknown layout curve '$other' — expected 'morton' or 'hilbert'")
-  }
-
-  /** The 2-D curve key column for `curve` over (xCol, yCol) — shared by
-    * [[optimizeLayoutIncremental]]'s per-file range scan and any caller
-    * that needs the key the writers sort by.
+  /** The curve key column for `curve` over (xCol, yCol(, zCol)) — shared
+    * by [[optimizeLayoutIncremental]]'s per-file range scan and any
+    * caller that needs the key the writers sort by.
     */
   private def curveKey(df: DataFrame, curve: String, xCol: String,
-      yCol: String): Column = curve match {
-    case "morton"  => Layout.morton16(col(xCol), col(yCol))
-    case "hilbert" => Layout.hilbert16Key(df, xCol, yCol)
-    case other => throw new IllegalArgumentException(
+      yCol: String, zCol: String = ""): Column = (curve, zCol.isEmpty) match {
+    case ("morton", true)   => Layout.morton16(col(xCol), col(yCol))
+    case ("hilbert", true)  => Layout.hilbert16Key(df, xCol, yCol)
+    case ("morton", false)  =>
+      Layout.morton21(col(xCol), col(yCol), col(zCol))
+    case ("hilbert", false) => Layout.hilbert21Key(df, xCol, yCol, zCol)
+    case (other, _) => throw new IllegalArgumentException(
       s"unknown layout curve '$other' — expected 'morton' or 'hilbert'")
   }
 
@@ -609,7 +620,8 @@ object Manifest {
   def optimizeLayout(spark: SparkSession, manifestPath: String,
       rewriteDir: String, xCol: String, yCol: String,
       statsCols: Seq[String], nFiles: Int, curve: String = "morton",
-      batchId: Long = -1L, deterministic: Boolean = true): (Long, Long) = {
+      batchId: Long = -1L, deterministic: Boolean = true,
+      zCol: String = ""): (Long, Long) = {
     val mp = new org.apache.hadoop.fs.Path(manifestPath)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = readManifest(spark, manifestPath)
@@ -618,11 +630,8 @@ object Manifest {
       s"manifest at $manifestPath names no files — nothing to optimize")
     val bid = if (batchId >= 0) batchId else nextBatchId(fs, mp)
     val out = s"$rewriteDir/b$bid"
-    val writer =
-      if (deterministic) curveWriter(curve) else curveWriterProd(curve)
-    writer(
-      spark.read.parquet(files.map(globEscape).toSeq: _*),
-      xCol, yCol, out, nFiles)
+    layoutWriter(curve, xCol, yCol, zCol, nFiles, deterministic)(
+      spark.read.parquet(files.map(globEscape).toSeq: _*), out)
     rewriteSegment(spark, manifestPath, bid, files.toSeq, Some(out),
       statsCols)
     // report the files the rewrite ACTUALLY produced (ntile writes fewer
@@ -663,7 +672,7 @@ object Manifest {
   def optimizeLayoutIncremental(spark: SparkSession, manifestPath: String,
       rewriteDir: String, xCol: String, yCol: String,
       statsCols: Seq[String], curve: String = "morton",
-      batchId: Long = -1L): (Long, Long, Long) = {
+      batchId: Long = -1L, zCol: String = ""): (Long, Long, Long) = {
     val mp = new org.apache.hadoop.fs.Path(manifestPath)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = readManifest(spark, manifestPath)
@@ -673,7 +682,7 @@ object Manifest {
     val scan = spark.read.parquet(live.map(globEscape).toSeq: _*)
     val ranges = scan
       .select(input_file_name().as("file"),
-        curveKey(scan, curve, xCol, yCol).as("k"))
+        curveKey(scan, curve, xCol, yCol, zCol).as("k"))
       .groupBy(col("file"))
       .agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
       .collect()
@@ -694,9 +703,10 @@ object Manifest {
     val bid = if (batchId >= 0) batchId else nextBatchId(fs, mp)
     val out = s"$rewriteDir/b$bid"
     rewrite.zipWithIndex.foreach { case (cl, i) =>
-      curveWriter(curve)(
+      layoutWriter(curve, xCol, yCol, zCol, cl.length,
+        deterministic = true)(
         spark.read.parquet(cl.map(r => globEscape(r._1)).toSeq: _*),
-        xCol, yCol, s"$out/c$i", cl.length)
+        s"$out/c$i")
     }
     val removed = rewrite.flatMap(_.map(_._1)).toSeq
     rewriteSegment(spark, manifestPath, bid, removed, Some(out), statsCols)

@@ -260,6 +260,43 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("production 3-D writers (zorder3Write / hilbert3Write): every " +
+      "row kept, key column dropped, per-file curve-key ranges never " +
+      "strictly overlap") {
+    val df = spark.range(1 << 14).select(
+      (col("id") % 64).as("a"),
+      ((col("id") / 64) % 16).cast("long").as("b"),
+      (col("id") / 1024).cast("long").as("c"))
+    Seq(
+      ("zorder3-prod", (d: org.apache.spark.sql.DataFrame, p: String) =>
+        Layout.zorder3Write(d, "a", "b", "c", p, 8),
+        (d: org.apache.spark.sql.DataFrame) =>
+          Layout.morton21(col("a"), col("b"), col("c"))),
+      ("hilbert3-prod", (d: org.apache.spark.sql.DataFrame, p: String) =>
+        Layout.hilbert3Write(d, "a", "b", "c", p, 8),
+        (d: org.apache.spark.sql.DataFrame) =>
+          Layout.hilbert21Key(d, "a", "b", "c"))
+    ).foreach { case (tag, write, key) =>
+      val dir = tmpDir(tag)
+      write(df, dir)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == (1L << 14), tag)
+      assert(back.columns.toSeq == Seq("a", "b", "c"), tag)
+      val ranges = back
+        .select(input_file_name().as("f"), key(back).as("k"))
+        .groupBy(col("f"))
+        .agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+        .sortBy(identity)
+      assert(ranges.length > 1, tag)
+      ranges.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x._2 <= y._1, s"$tag: ranges strictly overlap: $x vs $y")
+        case _ =>
+      }
+    }
+  }
+
   test("morton21: bit-exact 3-D interleave vs a driver-side reference, " +
       "including the 21-bit boundary") {
     def ref(x: Long, y: Long, z: Long): Long = {

@@ -582,6 +582,40 @@ class ManifestSpec extends SparkSpec {
       s"second incremental run must be a no-op, got $again")
   }
 
+  test("incremental re-layout in 3-D (zCol set): only the appended " +
+      "corner's overlap cluster rewrites, serving identical, fixed point") {
+    val tbl = tmpDir("man-inc3-tbl-")
+    val man = tmpDir("man-inc3-man-")
+    val base = spark.range(1L << 12).select(
+      (col("id") % 16).as("x"), ((col("id") / 16) % 16).cast("long").as("y"),
+      (col("id") / 256).cast("long").as("z"))
+    Layout.hilbert3WriteExact(base, "x", "y", "z", s"$tbl/d0", 8)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("x", "y", "z"), man)
+    // append confined to the top corner octant — a bounded curve span
+    val extra = spark.range(1L << 12, (1L << 12) + 256L).select(
+      (col("id") % 8 + 8).as("x"),
+      ((col("id") / 8).cast("long") % 8 + 8).as("y"),
+      ((col("id") / 64).cast("long") % 8 + 8).as("z"))
+    extra.repartition(2, col("x"))
+      .write.mode("overwrite").parquet(s"$tbl/d1")
+    Manifest.appendToManifest(spark, Seq(s"$tbl/d1"), Seq("x", "y", "z"),
+      man)
+    val liveBefore = Manifest.readManifest(spark, man)
+      .select(col("file")).as[String].collect().toSet
+    val chkBefore = Contracts.checksum(Manifest.fullRead(spark, man)
+      .groupBy(col("x"), col("y"), col("z")).agg(count(lit(1)).as("n")))
+    val (rewritten, _, clusters) = Manifest.optimizeLayoutIncremental(
+      spark, man, s"$tbl/rw", "x", "y", Seq("x", "y", "z"),
+      curve = "hilbert", zCol = "z")
+    assert(clusters >= 1L && rewritten < liveBefore.size)
+    val chkAfter = Contracts.checksum(Manifest.fullRead(spark, man)
+      .groupBy(col("x"), col("y"), col("z")).agg(count(lit(1)).as("n")))
+    assert(chkAfter == chkBefore)
+    assert(Manifest.optimizeLayoutIncremental(spark, man, s"$tbl/rw2",
+      "x", "y", Seq("x", "y", "z"), curve = "hilbert",
+      zCol = "z") == ((0L, 0L, 0L)))
+  }
+
   test("optimizeLayout production form (deterministic = false): the " +
       "range-shuffle rewrite serves identical rows, still prunes the " +
       "box read, and the manifest lifecycle is unchanged") {
