@@ -668,11 +668,49 @@ object Manifest {
     * cluster's span and can never come to overlap a file that was
     * disjoint before — the disjoint set is a fixed point. Returns
     * (files rewritten, files created, clusters rewritten).
+    *
+    * `deterministic = false` routes every cluster rewrite through the
+    * PRODUCTION range-shuffle writers ([[layoutWriter]]'s sampled-
+    * boundary, fully-parallel forms — the form a 100 TB cluster actually
+    * rewrites with); `true` keeps the exact ntile writers for bounded
+    * pruning contracts. Either form keeps the fixed point: both write
+    * key-disjoint files inside the cluster's span (the range partitioner
+    * routes equal keys to one partition, ntile splits a total order).
+    *
+    * `maxClusterFiles` bounds the rewrite work PER CLUSTER PER CALL — the
+    * guard against the pathological interleave where one overlap cluster
+    * covers the whole table and "incremental" OPTIMIZE degenerates into a
+    * full-table sort in one call. An oversized cluster is PREFIX-PEELED:
+    * the `maxClusterFiles` lowest-kmin files are read, rows below the
+    * cutoff (the kmin of the first unselected file) are laid out as FINAL
+    * files — nothing else in the table can reach below the cutoff, so
+    * they can never be rewritten again — and rows at/above it land in one
+    * spill file that rejoins the residual cluster next call. Each call
+    * removes `maxClusterFiles` files and adds at most one still-
+    * overlapping spill, so the cluster's live file count strictly shrinks
+    * by `maxClusterFiles - 1` per call and a giant cluster drains in
+    * ⌈(n-1)/(maxClusterFiles-1)⌉ budgeted calls, the table serving
+    * correctly between them (every pass is one COW tombstone+add
+    * segment). The budget is a FILE count: spilled bytes are bounded by
+    * the peeled slice per call, but a byte-sized budget (defer rows, not
+    * just files) is the production dial on top of this mechanism.
+    *
+    * Null handling (both forms): a live file whose curve-key min/max are
+    * null (every row null on a layout column) has no range — it cannot
+    * strictly overlap anything, so it is left in place like any disjoint
+    * file. Rows with null keys inside a ranged file rewrite with their
+    * cluster (the writers order nulls first); during a peel they follow
+    * the spill side until the residual cluster rewrites whole.
     */
   def optimizeLayoutIncremental(spark: SparkSession, manifestPath: String,
       rewriteDir: String, xCol: String, yCol: String,
       statsCols: Seq[String], curve: String = "morton",
-      batchId: Long = -1L, zCol: String = ""): (Long, Long, Long) = {
+      batchId: Long = -1L, zCol: String = "",
+      deterministic: Boolean = true,
+      maxClusterFiles: Int = Int.MaxValue): (Long, Long, Long) = {
+    require(maxClusterFiles >= 2,
+      s"maxClusterFiles must be >= 2 (a cluster is >= 2 files), " +
+        s"got $maxClusterFiles")
     val mp = new org.apache.hadoop.fs.Path(manifestPath)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = readManifest(spark, manifestPath)
@@ -686,8 +724,13 @@ object Manifest {
       .groupBy(col("file"))
       .agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // min/max ignore nulls, so null kmin/kmax = every row null on a
+      // layout column: rangeless, treated as disjoint (see scaladoc)
+      .collect { case r if !r.isNullAt(1) && !r.isNullAt(2) =>
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      }
       .sortBy(r => (r._2, r._3, r._1))
+    if (ranges.isEmpty) return (0L, 0L, 0L)
     // sweep into strict-overlap clusters: extend the open cluster while
     // the next interval starts BEFORE the running max end (equality =
     // point-touch = disjoint for pruning purposes)
@@ -702,14 +745,40 @@ object Manifest {
     if (rewrite.isEmpty) return (0L, 0L, 0L)
     val bid = if (batchId >= 0) batchId else nextBatchId(fs, mp)
     val out = s"$rewriteDir/b$bid"
+    val removed = scala.collection.mutable.ArrayBuffer[String]()
     rewrite.zipWithIndex.foreach { case (cl, i) =>
-      layoutWriter(curve, xCol, yCol, zCol, cl.length,
-        deterministic = true)(
-        spark.read.parquet(cl.map(r => globEscape(r._1)).toSeq: _*),
-        s"$out/c$i")
+      if (cl.length <= maxClusterFiles) {
+        layoutWriter(curve, xCol, yCol, zCol, cl.length, deterministic)(
+          spark.read.parquet(cl.map(r => globEscape(r._1)).toSeq: _*),
+          s"$out/c$i")
+        removed ++= cl.map(_._1)
+      } else {
+        // budgeted prefix-peel (see scaladoc): finalize [., cutoff),
+        // spill [cutoff, .] back into the residual cluster
+        val sel = cl.take(maxClusterFiles)
+        val cutoff = cl(maxClusterFiles)._2
+        val df = spark.read
+          .parquet(sel.map(r => globEscape(r._1)).toSeq: _*)
+        val key = curveKey(df, curve, xCol, yCol, zCol)
+        val cnt = df.agg(
+          sum(when(key < cutoff, 1L).otherwise(0L)),
+          count(lit(1))).head()
+        val nFinal = if (cnt.isNullAt(0)) 0L else cnt.getLong(0)
+        val nSpill = cnt.getLong(1) - nFinal
+        if (nFinal > 0)
+          layoutWriter(curve, xCol, yCol, zCol, sel.length, deterministic)(
+            df.filter(key < cutoff), s"$out/c$i")
+        if (nSpill > 0)
+          // coalesce: a null key makes `key < cutoff` null, and a bare
+          // negation would drop the row from BOTH sides — null-key rows
+          // follow the spill (see scaladoc)
+          layoutWriter(curve, xCol, yCol, zCol, 1, deterministic)(
+            df.filter(!coalesce(key < cutoff, lit(false))), s"$out/c${i}s")
+        removed ++= sel.map(_._1)
+      }
     }
-    val removed = rewrite.flatMap(_.map(_._1)).toSeq
-    rewriteSegment(spark, manifestPath, bid, removed, Some(out), statsCols)
+    rewriteSegment(spark, manifestPath, bid, removed.toSeq, Some(out),
+      statsCols)
     val created = {
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(out), true)
       var n = 0L

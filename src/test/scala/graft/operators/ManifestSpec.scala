@@ -616,6 +616,124 @@ class ManifestSpec extends SparkSpec {
       zCol = "z") == ((0L, 0L, 0L)))
   }
 
+  test("incremental re-layout production form (deterministic = false): " +
+      "cluster rewrites through the range-shuffle writer, partial " +
+      "rewrite, identical serving, fixed point") {
+    val tbl = tmpDir("man-incp-tbl-")
+    val man = tmpDir("man-incp-man-")
+    val base = spark.range(1L << 12).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    Layout.hilbertWriteExact(base, "x", "y", s"$tbl/d0", 8)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("x", "y"), man)
+    val extra = spark.range(1L << 12, (1L << 12) + 512L).select(
+      (col("id") % 16 + 48).as("x"),
+      ((col("id") / 16).cast("long") % 16 + 48).as("y"))
+    extra.repartition(2, col("x"))
+      .write.mode("overwrite").parquet(s"$tbl/d1")
+    Manifest.appendToManifest(spark, Seq(s"$tbl/d1"), Seq("x", "y"), man)
+    val liveBefore = Manifest.readManifest(spark, man)
+      .select(col("file")).as[String].collect().toSet
+    val chkBefore = Contracts.checksum(Manifest.fullRead(spark, man)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n")))
+    val (rewritten, created, clusters) = Manifest.optimizeLayoutIncremental(
+      spark, man, s"$tbl/rw", "x", "y", Seq("x", "y"), curve = "hilbert",
+      deterministic = false)
+    assert(clusters >= 1L && rewritten < liveBefore.size && created > 0L)
+    val liveAfter = Manifest.readManifest(spark, man)
+      .select(col("file")).as[String].collect().toSet
+    assert(liveBefore.intersect(liveAfter).nonEmpty,
+      "disjoint files must survive under their original names")
+    assert(Contracts.checksum(Manifest.fullRead(spark, man)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))) == chkBefore)
+    // the range partitioner routes equal keys to one partition, so the
+    // production rewrite's files are key-disjoint — still a fixed point
+    assert(Manifest.optimizeLayoutIncremental(spark, man, s"$tbl/rw2",
+      "x", "y", Seq("x", "y"), curve = "hilbert",
+      deterministic = false) == ((0L, 0L, 0L)))
+  }
+
+  test("budgeted incremental re-layout: a planted whole-table overlap " +
+      "cluster drains across >= 2 calls of <= maxClusterFiles rewrites, " +
+      "serving identical between every call, terminal fixed point") {
+    val tbl = tmpDir("man-bud-tbl-")
+    val man = tmpDir("man-bud-man-")
+    // hash-scattered write: every file spans ~the full curve range →
+    // ONE overlap cluster covering the whole 6-file table
+    val df = spark.range(1L << 12).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    df.repartition(6, col("x") * 31 + col("y"))
+      .write.mode("overwrite").parquet(s"$tbl/d0")
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("x", "y"), man)
+    val chk0 = Contracts.checksum(Manifest.fullRead(spark, man)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n")))
+    var passes = 0
+    var done = false
+    while (!done && passes < 12) {
+      val (rw, _, cls) = Manifest.optimizeLayoutIncremental(spark, man,
+        s"$tbl/rw$passes", "x", "y", Seq("x", "y"), curve = "hilbert",
+        deterministic = false, maxClusterFiles = 3)
+      if (rw == 0L) done = true
+      else {
+        passes += 1
+        assert(rw <= 3L * cls,
+          s"pass $passes rewrote $rw files across $cls clusters — " +
+            "the per-cluster budget of 3 was exceeded")
+        assert(Contracts.checksum(Manifest.fullRead(spark, man)
+          .groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("n"))) == chk0,
+          s"serving diverged after budgeted pass $passes")
+      }
+    }
+    assert(done, "budgeted OPTIMIZE failed to reach a fixed point in 12 " +
+      "passes — the peel is not making progress")
+    assert(passes >= 2,
+      s"a 6-file whole-table cluster under budget 3 must take >= 2 " +
+        s"calls, took $passes")
+  }
+
+  test("incremental re-layout tolerates null layout keys: an all-null " +
+      "file is rangeless (left in place like a disjoint file), mixed " +
+      "null rows rewrite with their cluster and are never dropped") {
+    val tbl = tmpDir("man-null-tbl-")
+    val man = tmpDir("man-null-man-")
+    val base = spark.range(1L << 10).select(
+      (col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
+    Layout.hilbertWriteExact(base, "x", "y", s"$tbl/d0", 4)
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("x", "y"), man)
+    // d1: an overlapping append that carries some NULL-x rows; d2: a
+    // file where EVERY row is null on x (null kmin/kmax — the r13
+    // ADVICE NPE shape)
+    val mixed = spark.range(64).select(
+      when(col("id") % 4 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 32).as("x"),
+      (col("id") % 32).as("y"))
+    mixed.coalesce(1).write.mode("overwrite").parquet(s"$tbl/d1")
+    spark.range(16).select(lit(null).cast("long").as("x"),
+        col("id").as("y"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tbl/d2")
+    Manifest.appendToManifest(spark, Seq(s"$tbl/d1", s"$tbl/d2"),
+      Seq("x", "y"), man)
+    val allNullFile = Manifest.readManifest(spark, man)
+      .select(col("file")).as[String].collect()
+      .filter(_.contains("/d2/")).toSet
+    assert(allNullFile.size == 1)
+    val nBefore = Manifest.fullRead(spark, man).count()
+    val nullXBefore = Manifest.fullRead(spark, man)
+      .filter(col("x").isNull).count()
+    val (rewritten, _, clusters) = Manifest.optimizeLayoutIncremental(
+      spark, man, s"$tbl/rw", "x", "y", Seq("x", "y"), curve = "hilbert")
+    assert(clusters >= 1L && rewritten >= 2L)
+    val liveAfter = Manifest.readManifest(spark, man)
+      .select(col("file")).as[String].collect().toSet
+    assert(allNullFile.subsetOf(liveAfter),
+      "the all-null file must be left in place by name")
+    assert(Manifest.fullRead(spark, man).count() == nBefore,
+      "rows dropped by the null-tolerant rewrite")
+    assert(Manifest.fullRead(spark, man)
+      .filter(col("x").isNull).count() == nullXBefore,
+      "null-key rows dropped by the cluster rewrite")
+  }
+
   test("optimizeLayout production form (deterministic = false): the " +
       "range-shuffle rewrite serves identical rows, still prunes the " +
       "box read, and the manifest lifecycle is unchanged") {
