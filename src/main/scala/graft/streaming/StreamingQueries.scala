@@ -748,6 +748,148 @@ object StreamingQueries {
     (segDir, batches.get())
   }
 
+  /** ppm scores + weak labels of a documents frame under the FROZEN
+    * serving weights — the exact quality_calibration / quality_platt
+    * formulas (QualityModel featurize → fixed design → literal weights →
+    * floor-rounded ppm sigmoid), with doc_id retained so the drift-gate
+    * plant can be keyed on DATA rather than batch position.
+    */
+  private def plattScored(docs: DataFrame): DataFrame = {
+    val Q = graft.operators.QualityModel
+    val w = Array(-0.5, 2.0, 1.5, -0.3, 0.4, 1.0)
+    val d = Q.design(Q.featurize(docs, "doc_id", "text"))
+    val z = (0 until Q.nFeatures).map(j => col(s"x$j") * lit(w(j)))
+      .reduce(_ + _)
+    d.select(col("doc_id"), Q.weakLabel.cast("long").as("y"),
+      floor((lit(1.0) / (lit(1.0) + exp(-z))) * 1e6 + 0.5)
+        .cast("long").as("score_ppm"))
+  }
+
+  /** Drift envelope on the snapped Platt coefficients, in 1e-6 fx
+    * units: a cumulative re-fit whose |ΔA| OR |ΔB| vs the frozen serving
+    * fit exceeds this trips the gate. Width MEASURED at
+    * sf0.001/0.01/0.1: undrifted prefix fits (the 1/3- and 2/3-corpus
+    * cumulative bins) deviate at most ΔA = 668,178 from the full-corpus
+    * fit (sf0.1 batch 0; 655,210 at sf0.001, 446,718 at sf0.01), while
+    * the planted inversion of the doc_id%3==2 third moves A by at least
+    * 6,579,043 (and B by ≥ 2,780,119) at every sf — 1.5M sits between
+    * with ≥ 2.2x margin below and ≥ 4.3x above.
+    */
+  private val PlattDriftEnvelopeFx = 1500000L
+
+  /** Streaming Platt drift gate (the r13 verdict's model-layer ST3
+    * posture — "detect the poison data" at the calibration level): each
+    * micro-batch lands ONE segment of additive reliability-bin
+    * statistics (bin, n, n_pos, sum_ppm) — for the served scores AND for
+    * a planted-drift variant that inverts the doc_id%3==2 third — then
+    * re-fits Platt (A, B) driver-side on the CUMULATIVE bins (prior
+    * segments strictly below the batch id + this batch's stats, the
+    * replay-safe read) and verdicts each variant against the frozen
+    * serving fit under [[PlattDriftEnvelopeFx]]. The fit is the same
+    * fixed-25-Newton [[graft.operators.QualityModel.plattFit]] pure
+    * function of the bins, so the final cumulative fit is BIT-EQUAL to
+    * the batch quality_platt fit (bins are additive longs) and DuckDB
+    * replays it on the summed bins. At 100 TB: O(batch) per batch for
+    * the bins, a ≤ 20-row driver microsolve per trigger, KB segments.
+    * Returns (stageDir, nBatches); verdicts land under
+    * `<stage>/verdicts/b<id>` keyed by batchId (idempotent replay).
+    */
+  private def runPlattDriftStream(s: SparkSession, dir: String,
+      aFrozenFx: Long, bFrozenFx: Long): (String, Long) = {
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val inDir = expectInCache.getOrElseUpdate(dir, {
+      val d = Files.createTempDirectory("graft-sexp-in-").toString
+      (0 until 3).foreach { i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.parquet(s"$d/f$i.parquet")
+      }
+      d
+    })
+    val stage = Files.createTempDirectory("graft-splatt-").toString
+    val segDir = s"$stage/segments"
+    val verDir = s"$stage/verdicts"
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet")
+        .writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            val scored = plattScored(b)
+            // both variants in one pass; the drift plant re-bins on the
+            // perturbed score, exactly what a poisoned scorer would emit
+            val both = scored.select(col("y"), explode(array(
+                struct(lit("base").as("variant"),
+                  col("score_ppm").as("sp")),
+                struct(lit("drift").as("variant"),
+                  when(col("doc_id") % 3 === 2,
+                    lit(1000000L) - col("score_ppm"))
+                    .otherwise(col("score_ppm")).as("sp")))).as("e"))
+              .select(col("y"), col("e.variant").as("variant"),
+                col("e.sp").as("score_ppm"))
+            val seg = both.withColumn("bin",
+                least(floor(col("score_ppm") / 100000.0).cast("long"),
+                  lit(9L)))
+              .groupBy(col("variant"), col("bin"))
+              .agg(count(lit(1)).as("n"),
+                sum(col("y")).cast("long").as("n_pos"),
+                sum(col("score_ppm")).cast("long").as("sum_ppm"))
+              .localCheckpoint()
+            seg.coalesce(1).write.mode("overwrite")
+              .parquet(s"$segDir/b$id")
+            // cumulative bins: prior segments STRICTLY below id + this
+            // batch's stats from memory — a replayed batch never reads
+            // its own half-written segment as prior
+            val fs = new org.apache.hadoop.fs.Path(segDir)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            val sp = new org.apache.hadoop.fs.Path(segDir)
+            val priorDirs =
+              if (!fs.exists(sp)) Array.empty[String]
+              else fs.listStatus(sp).map(_.getPath)
+                .filter(d => graft.operators.Segments.id(d.getName)
+                  .exists(_ < id))
+                .map(_.toString)
+            val cum = (if (priorDirs.isEmpty) seg
+              else seg.unionByName(s.read.parquet(priorDirs.toSeq: _*)))
+              .groupBy(col("variant"), col("bin"))
+              .agg(sum(col("n")).as("n"),
+                sum(col("n_pos")).as("n_pos"),
+                sum(col("sum_ppm")).as("sum_ppm"))
+              .collect()
+            val verdicts = Seq("base", "drift").map { variant =>
+              val bins = cum.filter(_.getString(0) == variant)
+                .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+                  r.getLong(4)))
+                .sortBy(_._1) // summation order is part of the contract
+              val (a, bb) = graft.operators.QualityModel.plattFit(
+                bins.map { case (_, n, np, sp2) =>
+                  ((sp2 / n).toDouble / 1e6, n, np)
+                }.toSeq)
+              val aFx = math.floor(a * 1e6 + 0.5).toLong
+              val bFx = math.floor(bb * 1e6 + 0.5).toLong
+              (variant, id, aFx, bFx,
+                math.abs(aFx - aFrozenFx) > PlattDriftEnvelopeFx ||
+                  math.abs(bFx - bFrozenFx) > PlattDriftEnvelopeFx)
+            }
+            import s.implicits._
+            verdicts.toDF("variant", "batch_id", "a_fx", "b_fx",
+                "tripped")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$verDir/b$id")
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+    (stage, batches.get())
+  }
+
   /** 3σ relative envelope of an lgK=12 HLL estimate (RSE ≈ 1.04/√2^12). */
   private val HllEnvelope = 3.0 * 1.04 / math.sqrt(4096.0)
 
@@ -1801,6 +1943,60 @@ object StreamingQueries {
             graft.queries.Contracts.checksum(batch)))
     }),
 
+    // Streaming Platt drift gate: the quality_calibration → plattFit
+    // lifecycle composed as a streaming expectation. Per micro-batch one
+    // additive reliability-bin segment (served scores + a planted
+    // inversion of the doc_id%3==2 third), a driver-side cumulative
+    // re-fit, and a verdict vs the frozen serving fit under a fixed
+    // |ΔA|/|ΔB| envelope. Contract: ≥3 batches; the undrifted stream's
+    // final cumulative fit is BIT-EQUAL to the batch quality_platt fit
+    // (additive bins) and never trips; the planted drift trips the gate
+    // and its final fit — replayed end to end in DuckDB as the unrolled
+    // 25-iteration Newton on the perturbed bins — lands outside the
+    // envelope.
+    "streaming_platt_drift" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val fullBins = plattScored(docs)
+        .withColumn("bin",
+          least(floor(col("score_ppm") / 100000.0).cast("long"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"),
+          expr("sum(score_ppm) div count(1)").cast("long").as("ms"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val (a0, b0) = graft.operators.QualityModel.plattFit(
+        fullBins.map { case (_, n, np, ms) =>
+          (ms.toDouble / 1e6, n, np)
+        }.toSeq)
+      val a0Fx = math.floor(a0 * 1e6 + 0.5).toLong
+      val b0Fx = math.floor(b0 * 1e6 + 0.5).toLong
+      val (stage, nb) = runPlattDriftStream(s, dir, a0Fx, b0Fx)
+      val v = s.read.parquet(s"$stage/verdicts/b*").localCheckpoint()
+      val maxId = v.agg(max(col("batch_id"))).head().getLong(0)
+      def fin(variant: String) = v.filter(col("variant") === variant &&
+        col("batch_id") === maxId).head()
+      val fb = fin("base")
+      val fd = fin("drift")
+      val baseTrips = v.filter(col("variant") === "base" &&
+        col("tripped")).count()
+      val driftTrips = v.filter(col("variant") === "drift" &&
+        col("tripped")).count()
+      graft.queries.Contracts.row(s,
+        "n_docs" -> docs.count(),
+        "multi_batch_ok" -> (nb >= 3L),
+        "a_frozen_fx" -> a0Fx,
+        "b_frozen_fx" -> b0Fx,
+        "a_drift_fx" -> fd.getAs[Long]("a_fx"),
+        "b_drift_fx" -> fd.getAs[Long]("b_fx"),
+        "final_fit_matches_frozen_ok" ->
+          (fb.getAs[Long]("a_fx") == a0Fx &&
+            fb.getAs[Long]("b_fx") == b0Fx),
+        "undrifted_green_ok" -> (baseTrips == 0L),
+        "drift_tripped_ok" ->
+          (driftTrips >= 1L && fd.getAs[Boolean]("tripped")))
+    }),
+
     // Streaming approximate uniqueness via mergeable HLL (the member the
     // additive-statistics suite deliberately excludes — exact distinct
     // does not add across batches). Per batch one (n, hll) segment;
@@ -2161,6 +2357,109 @@ object StreamingQueries {
         |  TRUE AS multi_batch_ok, TRUE AS n_additive_exact_ok,
         |  TRUE AS estimate_within_envelope_ok,
         |  TRUE AS uniqueness_passed_ok""".stripMargin,
+
+    // The drift-gate oracle replays BOTH fits end to end (the
+    // quality_platt posture, twice): the frozen serving fit on the
+    // unperturbed reliability bins and the drifted final cumulative fit
+    // on bins whose doc_id%3==2 third is score-inverted — each as the
+    // same unrolled fixed-25 Newton with the ±5 clamp and singular-
+    // Hessian guard, every iteration MATERIALIZED (DuckDB inlines plain
+    // CTEs and the tree doubles per step). Cumulative summed segments ≡
+    // these bins exactly because every statistic is an additive long.
+    "streaming_platt_drift" -> {
+      def newton(bins: String, tgt: String, p: String): String =
+        (1 to 25).map { k =>
+          s"""${p}it$k AS MATERIALIZED (
+             |  SELECT
+             |    a - CASE WHEN abs(det) > 1e-300
+             |      THEN greatest(least((hbb*ga - hab*gb)/det, 5.0), -5.0)
+             |      ELSE 0.0 END AS a,
+             |    b - CASE WHEN abs(det) > 1e-300
+             |      THEN greatest(least((haa*gb - hab*ga)/det, 5.0), -5.0)
+             |      ELSE 0.0 END AS b
+             |  FROM (
+             |    SELECT any_value(a) AS a, any_value(b) AS b,
+             |      sum((n*p - t)*sv) AS ga, sum(n*p - t) AS gb,
+             |      sum(n*p*(1.0-p)*sv*sv) AS haa,
+             |      sum(n*p*(1.0-p)*sv) AS hab,
+             |      sum(n*p*(1.0-p)) AS hbb,
+             |      sum(n*p*(1.0-p)*sv*sv) * sum(n*p*(1.0-p))
+             |        - sum(n*p*(1.0-p)*sv) * sum(n*p*(1.0-p)*sv) AS det
+             |    FROM (
+             |      SELECT ${p}it${k - 1}.a, ${p}it${k - 1}.b, $bins.n,
+             |        $bins.mean_score_ppm/1000000.0 AS sv,
+             |        $bins.n_pos*$tgt.tp
+             |          + ($bins.n - $bins.n_pos)*$tgt.tn AS t,
+             |        1.0/(1.0 + exp(-(${p}it${k - 1}.a
+             |          *($bins.mean_score_ppm/1000000.0)
+             |          + ${p}it${k - 1}.b))) AS p
+             |      FROM $bins, ${p}it${k - 1}, $tgt)))""".stripMargin
+        }.mkString(",\n")
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS n_tok,
+         |    nws / len(t) AS mean_wlen,
+         |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and',
+         |      'to','in','is','it','for','on'))) AS DOUBLE) / len(t)
+         |      AS stop_ratio,
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+         |      AS distinct_ratio
+         |  FROM (SELECT doc_id,
+         |      string_split_regex(trim(lower(text)), '\\s+') AS t,
+         |      CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |        AS nws
+         |    FROM documents)),
+         |sc AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN n_tok >= 40.0 AND mean_wlen >= 4.4
+         |      THEN 1 ELSE 0 END AS y,
+         |    CAST(floor(1.0 / (1.0 + exp(-(1.0 * (-0.5)
+         |      + ((n_tok - 50.0) / 25.0) * 2.0
+         |      + ((mean_wlen - 4.5) * 4.0) * 1.5
+         |      + (stop_ratio * 5.0) * (-0.3)
+         |      + ((distinct_ratio - 0.5) * 4.0) * 0.4
+         |      + (((n_tok - 50.0) / 25.0) * ((mean_wlen - 4.5) * 4.0))
+         |        * 1.0))) * 1e6 + 0.5) AS BIGINT) AS score_ppm
+         |  FROM f),
+         |scd AS (
+         |  SELECT y, CASE WHEN doc_id % 3 = 2 THEN 1000000 - score_ppm
+         |    ELSE score_ppm END AS score_ppm FROM sc),
+         |bins AS MATERIALIZED (
+         |  SELECT CAST(least(score_ppm // 100000, 9) AS BIGINT) AS bin,
+         |    count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm
+         |  FROM sc GROUP BY 1),
+         |dbins AS MATERIALIZED (
+         |  SELECT CAST(least(score_ppm // 100000, 9) AS BIGINT) AS bin,
+         |    count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm
+         |  FROM scd GROUP BY 1),
+         |tgt AS MATERIALIZED (
+         |  SELECT (sum(n_pos) + 1.0) / (sum(n_pos) + 2.0) AS tp,
+         |    1.0 / (sum(n) - sum(n_pos) + 2.0) AS tn
+         |  FROM bins),
+         |dtgt AS MATERIALIZED (
+         |  SELECT (sum(n_pos) + 1.0) / (sum(n_pos) + 2.0) AS tp,
+         |    1.0 / (sum(n) - sum(n_pos) + 2.0) AS tn
+         |  FROM dbins),
+         |it0 AS MATERIALIZED (SELECT 0.0 AS a, 0.0 AS b),
+         |${newton("bins", "tgt", "")},
+         |dit0 AS MATERIALIZED (SELECT 0.0 AS a, 0.0 AS b),
+         |${newton("dbins", "dtgt", "d")},
+         |fit AS MATERIALIZED (
+         |  SELECT CAST(floor(a*1e6 + 0.5) AS BIGINT) AS a_fx,
+         |    CAST(floor(b*1e6 + 0.5) AS BIGINT) AS b_fx FROM it25),
+         |dfit AS MATERIALIZED (
+         |  SELECT CAST(floor(a*1e6 + 0.5) AS BIGINT) AS a_fx,
+         |    CAST(floor(b*1e6 + 0.5) AS BIGINT) AS b_fx FROM dit25)
+         |SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |  TRUE AS multi_batch_ok,
+         |  (SELECT a_fx FROM fit) AS a_frozen_fx,
+         |  (SELECT b_fx FROM fit) AS b_frozen_fx,
+         |  (SELECT a_fx FROM dfit) AS a_drift_fx,
+         |  (SELECT b_fx FROM dfit) AS b_drift_fx,
+         |  TRUE AS final_fit_matches_frozen_ok,
+         |  TRUE AS undrifted_green_ok,
+         |  TRUE AS drift_tripped_ok""".stripMargin
+    },
 
     "streaming_manifest" ->
       """SELECT (SELECT count(*) FROM documents) AS n_docs,

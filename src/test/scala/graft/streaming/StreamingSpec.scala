@@ -199,4 +199,21 @@ class StreamingSpec extends SparkSpec {
     seen.forEach { case (_, n) => total += n }
     assert(total === 25L)
   }
+
+  test("streaming Platt drift gate: undrifted cumulative fits stay in " +
+      "the envelope and converge bit-equal to the batch fit; the planted " +
+      "inversion trips") {
+    val row = StreamingQueries.queries("streaming_platt_drift")(
+      spark, sfDir).head()
+    assert(row.getAs[Boolean]("multi_batch_ok"), "needs >= 3 batches")
+    assert(row.getAs[Boolean]("final_fit_matches_frozen_ok"),
+      "additive bins must make streamed == batch fit bit-equal")
+    assert(row.getAs[Boolean]("undrifted_green_ok"),
+      "undrifted stream tripped the gate")
+    assert(row.getAs[Boolean]("drift_tripped_ok"),
+      "planted score drift did not trip the gate")
+    // the plant is a REAL calibration break, not an envelope graze
+    assert(math.abs(row.getAs[Long]("a_drift_fx") -
+      row.getAs[Long]("a_frozen_fx")) > 3000000L)
+  }
 }
