@@ -1,0 +1,214 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pipeline.InMemoryQueue
+
+/** Kafka-API shim over the partitioned topic source — the thin
+  * `format("graft-kafka")` alias that makes the engine's streaming entry
+  * point drop-in against Kafka-spec jobs:
+  *
+  *   spark.readStream.format("graft-kafka")
+  *     .option("subscribe", topic).option("partitions", "4")
+  *     .option("startingOffsets", """{"t":{"0":5,"1":-2}}""").load()
+  *
+  * [[TopicDataSource]] is already Kafka-SHAPED (per-partition offset map,
+  * one task per partition, per-key publish-order logs); this shim adds the
+  * Kafka-SPEC surface on top of the same logs:
+  *
+  *  - the Kafka source SCHEMA: (key BINARY, value BINARY, topic,
+  *    partition, offset, timestamp, timestampType) — a job written against
+  *    the real connector selects `CAST(value AS STRING)` unchanged;
+  *  - `startingOffsets` / `endingOffsets` JSON semantics: `"earliest"`,
+  *    `"latest"`, or `{"<topic>":{"<p>":<off>}}` with Kafka's sentinels
+  *    -2 = earliest and -1 = latest; partitions absent from the JSON take
+  *    the surface's default (streaming start: latest; batch start:
+  *    earliest; batch end: latest — the connector's own fallbacks).
+  *    Streaming reads ignore `endingOffsets`, exactly like Kafka;
+  *  - `maxOffsetsPerTrigger` as the admission-cap name (the topic
+  *    source's `maxMessagesPerTrigger` under its Kafka-spec alias).
+  *
+  * The `timestamp` column is a DETERMINISTIC synthetic stamp (offset
+  * milliseconds since epoch; the local registry stores no broker time)
+  * with timestampType = 0 (CreateTime) — documented so nobody windows on
+  * it expecting wall-clock. Local scope: same single-JVM caveat as the
+  * topic source; a cluster swaps in the real Kafka connector with an
+  * IDENTICAL query shape — that swap being a one-line format change is
+  * the point of this shim.
+  */
+class KafkaShimDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kafka"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaShim.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    def req(k: String): String = Option(properties.get(k)).getOrElse(
+      throw new IllegalArgumentException(s"option '$k' is required"))
+    new KafkaShimTable(req("subscribe"), req("partitions").toInt)
+  }
+}
+
+object KafkaShim {
+  /** The Kafka source's own column set, verbatim. */
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = false),
+    StructField("value", BinaryType, nullable = false),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("timestampType", IntegerType, nullable = false)))
+
+  /** Parse a Kafka offsets JSON (`{"topic":{"0":23,"1":-1}}`) into
+    * topic → partition → offset, sentinels passed through raw.
+    */
+  def parseOffsetsJson(s: String): Map[String, Map[Int, Long]] = {
+    val block = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
+    val pair = """"(\d+)"\s*:\s*(-?\d+)""".r
+    block.findAllMatchIn(s).map { m =>
+      m.group(1) -> pair.findAllMatchIn(m.group(2))
+        .map(x => x.group(1).toInt -> x.group(2).toLong).toMap
+    }.toMap
+  }
+
+  /** Per-partition positions → the Kafka offsets JSON shape (the
+    * round-trip partner of [[parseOffsetsJson]]).
+    */
+  def offsetsJson(topic: String, offsets: Map[Int, Long]): String =
+    offsets.toSeq.sortBy(_._1)
+      .map { case (p, n) => s""""$p":$n""" }
+      .mkString(s"""{"$topic":{""", ",", "}}")
+
+  /** Resolve a `startingOffsets`/`endingOffsets` spec against the live
+    * logs: `"earliest"`, `"latest"`, or per-partition JSON with -2/-1
+    * sentinels; partitions absent from the JSON take `default`.
+    * A concrete offset must lie within [0, latest] — Kafka fails the
+    * batch on an out-of-range request rather than clamping silently.
+    */
+  private[v2] def resolveOffsets(spec: String, topic: String,
+      nPartitions: Int, latest: Int => Long,
+      default: String): TopicOffset = {
+    def resolve(p: Int, v: Long): Long = v match {
+      case -2L => 0L
+      case -1L => latest(p)
+      case off =>
+        require(off >= 0 && off <= latest(p),
+          s"offset $off out of range [0, ${latest(p)}] for " +
+            s"$topic partition $p")
+        off
+    }
+    spec.trim match {
+      case "earliest" => TopicOffset.zero(nPartitions)
+      case "latest" =>
+        TopicOffset((0 until nPartitions).map(p => p -> latest(p)).toMap)
+      case json =>
+        val m = parseOffsetsJson(json).getOrElse(topic,
+          throw new IllegalArgumentException(
+            s"offsets JSON $json names no topic '$topic'"))
+        val dflt = if (default == "latest") -1L else -2L
+        TopicOffset((0 until nPartitions).map { p =>
+          p -> resolve(p, m.getOrElse(p, dflt))
+        }.toMap)
+    }
+  }
+}
+
+private[v2] class KafkaShimTable(topic: String, nPartitions: Int)
+    extends Table with SupportsRead {
+  require(nPartitions > 0, "partitions must be positive")
+  override def name(): String = s"graft_kafka($topic[$nPartitions])"
+  override def schema(): StructType = KafkaShim.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new KafkaShimScan(topic, nPartitions,
+        Option(options.get("startingOffsets")),
+        Option(options.get("endingOffsets")),
+        Option(options.get("maxOffsetsPerTrigger")).map(_.toLong))
+    }
+}
+
+private[v2] class KafkaShimScan(topic: String, nPartitions: Int,
+    starting: Option[String], ending: Option[String],
+    maxPerTrigger: Option[Long]) extends Scan {
+  override def readSchema(): StructType = KafkaShim.schema
+  override def description(): String =
+    s"graft-kafka topic=$topic partitions=$nPartitions"
+  private def latest(p: Int): Long =
+    InMemoryQueue.size(TopicDataSource.queueName(topic, p)).toLong
+
+  /** The micro-batch stream IS the topic source's (same offset map, same
+    * per-partition slices, same admission allocation) with the initial
+    * position resolved from `startingOffsets` (default latest, the Kafka
+    * streaming default) and rows rendered in the Kafka schema.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val start = KafkaShim.resolveOffsets(starting.getOrElse("latest"),
+      topic, nPartitions, latest, "latest")
+    new TopicMicroBatchStream(topic, nPartitions, maxPerTrigger) {
+      override def initialOffset(): Offset = start
+      override def createReaderFactory(): PartitionReaderFactory =
+        new KafkaShimReaderFactory
+    }
+  }
+
+  /** Batch read over [startingOffsets (default earliest),
+    * endingOffsets (default latest)] — one task per partition slice.
+    */
+  override def toBatch: Batch = new Batch {
+    private val s0 = KafkaShim.resolveOffsets(
+      starting.getOrElse("earliest"), topic, nPartitions, latest,
+      "earliest")
+    private val e0 = KafkaShim.resolveOffsets(ending.getOrElse("latest"),
+      topic, nPartitions, latest, "latest")
+    override def planInputPartitions(): Array[InputPartition] =
+      (0 until nPartitions).flatMap { p =>
+        val (from, to) = (s0.offsets(p), e0.offsets(p))
+        if (to > from) Some(TopicSlice(topic, p, from, to): InputPartition)
+        else None
+      }.toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new KafkaShimReaderFactory
+  }
+}
+
+private[v2] class KafkaShimReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val slice = partition.asInstanceOf[TopicSlice]
+    val msgs = InMemoryQueue.slice(
+      TopicDataSource.queueName(slice.topic, slice.partition),
+      slice.start, slice.end)
+    new PartitionReader[InternalRow] {
+      private val it = msgs.iterator
+      private var pos = slice.start - 1
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val m = it.next()
+          pos += 1
+          cur = new GenericInternalRow(Array[Any](
+            m.id.getBytes("UTF-8"), m.body.getBytes("UTF-8"),
+            UTF8String.fromString(slice.topic), slice.partition, pos,
+            pos * 1000L, // offset ms since epoch, in micros (see scaladoc)
+            0))
+          true
+        } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -2138,6 +2138,48 @@ object StreamingQueries {
       result
     }),
 
+    // Kafka-shim entry point (format "graft-kafka", r13 verdict #7): the
+    // SAME sharded logs as streaming_topic_source consumed through the
+    // Kafka-spec surface — Kafka's column set (binary key/value, topic,
+    // partition, offset, timestamp), startingOffsets JSON with the -2
+    // sentinel (partition 0 starts at offset 10, the rest at earliest),
+    // and maxOffsetsPerTrigger admission. Partition 0's log is ascending
+    // event_id (ordered publish, shard = event_id % 4), so "skip its
+    // first 10 records" is SQL-expressible and the oracle replays the
+    // whole read: per-partition counts and value sums over exactly the
+    // unskipped records — proving offset semantics, not just transport.
+    "streaming_kafka_shim" -> ((s, dir) => {
+      val topic = s"kshim-${java.util.UUID.randomUUID()}"
+      val nParts = 4
+      val staged = Tables.t(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"), col("value")))
+            .as("body"))
+        .orderBy(col("event_id"))
+        .collect()
+      graft.sources.v2.TopicDataSource.publish(topic, nParts,
+        staged.iterator.map(r => (r.getLong(0).toString, r.getString(1))),
+        _.toLong.toInt)
+      val sch = org.apache.spark.sql.types.StructType
+        .fromDDL("event_id BIGINT, event_type STRING, value DOUBLE")
+      val parsed = s.readStream.format("graft-kafka")
+        .option("subscribe", topic).option("partitions", nParts.toString)
+        .option("startingOffsets",
+          s"""{"$topic":{"0":10,"1":-2,"2":-2,"3":-2}}""")
+        .option("maxOffsetsPerTrigger", "700")
+        .load()
+        .select(col("partition"),
+          from_json(col("value").cast("string"), sch).as("r"))
+        .select(col("partition"), col("r.value").as("value"))
+      val agg = parsed.groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("value")), 2) + 0.0).as("sum_v"))
+      val result = runToTable(agg, "complete", s).orderBy(col("partition"))
+      graft.sources.v2.TopicDataSource.clear(topic, nParts)
+      result
+    }),
+
     // Source-level redrive policy (the reference's SQS maxReceiveCount: 5 +
     // DLQ, here maxReceiveCount=3): a poison message fails its handler every
     // time; each restart re-receives it (the visibility-timeout redelivery
@@ -2522,6 +2564,19 @@ object StreamingQueries {
       """SELECT (event_id % 4)::INT AS partition, count(*) AS n,
         |  round(sum(value), 2) AS sum_v
         |FROM events WHERE event_id < 2000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // partition p's log holds events with event_id%4 = p in ascending
+    // event_id order (ordered publish), so startingOffsets {"0":10} =
+    // drop partition 0's 10 smallest event_ids — replayed with a window
+    "streaming_kafka_shim" ->
+      """WITH e AS (
+        |  SELECT (event_id % 4)::INT AS partition, value,
+        |    row_number() OVER (PARTITION BY event_id % 4
+        |      ORDER BY event_id) AS rn
+        |  FROM events WHERE event_id < 2000)
+        |SELECT partition, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM e WHERE NOT (partition = 0 AND rn <= 10)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "streaming_queue_window" ->
