@@ -102,6 +102,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Cross-box wall anchor (r13 verdict #6): r13's 15% driver-vs-builder
+    // wall gap was diagnosed BY HAND from sibling artifacts. This is a
+    // fixed CPU+shuffle calibration — constant work (8.4M generated rows
+    // hashed and shuffled into a 4096-group aggregate), zero file I/O,
+    // independent of the scale factor — timed FIRST and stamped into the
+    // artifact as anchor_sec, so two runs' walls can be compared
+    // anchor-normalized (tools/bench_guard.sh's cross-run mode divides
+    // both sides by their anchors before calling anything a regression).
+    // One untimed run warms the anchor's own codegen; median of 3.
+    val anchorSec = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // xxhash64 + pmod: branch-free codegen work with no ANSI
+        // overflow (a raw LCG multiply raises under ANSI mode); the
+        // bounded summand keeps the 8.4M-row sum far inside a long
+        spark.range(1L << 23)
+          .select(xxhash64(col("id")).as("h"))
+          .groupBy(pmod(col("h"), lit(4096L)).as("b"))
+          .agg(count(lit(1)).as("n"),
+            sum(pmod(col("h"), lit(1000000L))).as("s"))
+          .agg(sum(col("n"))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val xs = (1 to 3).map(_ => once()).sorted
+      xs(1)
+    }
     // Optional args restrict the run to the named queries (local iteration).
     // benchQueries = queries with contract forms swapped for plain operator
     // output: the contract's verification baselines (exact quadratic forms,
@@ -215,22 +243,33 @@ object Bench {
     // next rep's timer (see Caching.releaseAllRdds).
     val res = new ResourceListener
     spark.sparkContext.addSparkListener(res)
+    // cumulative stop-the-world GC time across all collectors — per-rep
+    // deltas feed the spread arbiter's attribution field
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var rows = -1L
-      res.reset(spark)
       // pre-rep warm for the measured-noisy families: pays the positional
       // one-off (codegen-cache refill + inherited GC/block debt) OUTSIDE
       // the timer — rep_compiles below records what each timed rep still
       // compiled, so the exemption is measured, not asserted
       if (noisyFamilies.contains(name))
         try fn(spark, sfDir).count() catch { case _: Throwable => }
+      // reset AFTER the warm (r13 ADVICE): the warm run's shuffle/spill
+      // must not land in the usage snapshot, which the comment at the
+      // snapshot promises covers only the timed reps
+      res.reset(spark)
       val rawC = (1 to reps).map { _ =>
         graft.operators.Caching.releaseAllRdds(spark, blocking = true)
         System.gc()
         val c0 = nCompiles
+        val g0 = gcMillis
         val t0 = System.nanoTime()
         rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        ((System.nanoTime() - t0) / 1e9, nCompiles - c0)
+        ((System.nanoTime() - t0) / 1e9, nCompiles - c0, gcMillis - g0)
       }
       val raw = rawC.map(_._1)
       // shuffle/spill across the `reps` timed reps (the inter-rep release
@@ -242,7 +281,7 @@ object Bench {
       graft.operators.Caching.releaseAllRdds(spark)
       val secs = raw.sorted
       name -> ((secs(secs.size / 2), rows, secs.last - secs.head, raw,
-        usage, rawC.map(_._2)))
+        usage, rawC.map(_._2), rawC.map(_._3)))
     }
     // Spread arbiter (r10 verdict item #1): the growth gate cannot see the
     // r9 failure class — ONE pathological rep in-suite (jaccard shipped a
@@ -254,11 +293,32 @@ object Bench {
     // evidence (original reps, suite position, recheck reps).
     val spreadArbiter = if (args.nonEmpty) "{}" else {
       val flagged = results.zipWithIndex.collect {
-        case ((name, (med, _, sp, raw, _, _)), pos)
+        case ((name, (med, _, sp, raw, _, compiles, gcms)), pos)
             if sp > math.max(2 * med, 2.0) =>
-          (name, pos, med, sp, raw)
+          (name, pos, med, sp, raw, compiles, gcms)
       }
-      flagged.map { case (name, pos, med, sp, raw) =>
+      flagged.map { case (name, pos, med, sp, raw, compiles, gcms) =>
+        // Attribution (r13 verdict #2): the arbiter re-measures but the
+        // artifact never NAMED a cause — rep_compiles sat beside the row
+        // unconsulted. Judge the blown rep against its siblings on the
+        // two channels measured per rep: whole-stage-codegen compile
+        // count (the janino-cache-eviction one-off) and stop-the-world
+        // GC time (inherited heap debt). Neither → the honest verdict is
+        // unattributed-environment.
+        val worst = raw.indexOf(raw.max)
+        val others = raw.indices.filterNot(_ == worst)
+        val extraSec = raw(worst) - others.map(raw).min
+        val cOthers = others.map(compiles).sorted
+        val cMed = cOthers(cOthers.size / 2)
+        val gOthers = others.map(gcms).sorted
+        val gMed = gOthers(gOthers.size / 2)
+        val attribution =
+          if (compiles(worst) >= math.max(2 * cMed, 10L))
+            "codegen-recompile"
+          else if (gcms(worst) - gMed >= (0.5 * extraSec * 1000).toLong &&
+              gcms(worst) - gMed > 200L)
+            "gc-pressure"
+          else "unattributed-environment"
         val fn = selected(name)
         val re = (1 to reps).map { _ =>
           graft.operators.Caching.releaseAllRdds(spark, blocking = true)
@@ -272,6 +332,10 @@ object Bench {
         s""""$name":{"position":$pos,"median":${jnum(med, 3)},""" +
           s""""spread":${jnum(sp, 3)},""" +
           s""""original":[${raw.map(jnum(_, 3)).mkString(",")}],""" +
+          s""""worst_rep":$worst,""" +
+          s""""worst_rep_compiles":${compiles(worst)},""" +
+          s""""worst_rep_gc_ms":${gcms(worst)},""" +
+          s""""attribution":"$attribution",""" +
           s""""recheck":[${re.map(jnum(_, 3)).mkString(",")}],""" +
           s""""recheck_median":${jnum(rs(rs.size / 2), 3)},""" +
           s""""recheck_spread":${jnum(rs.last - rs.head, 3)}}"""
@@ -279,7 +343,7 @@ object Bench {
     }
     spark.sparkContext.removeSparkListener(res)
     val resultMap =
-      results.map { case (n, (med, rows, sp, _, _, _)) =>
+      results.map { case (n, (med, rows, sp, _, _, _, _)) =>
         n -> ((med, rows, sp))
       }.toMap
     // Observed-metric telemetry for the timed pass at sfDir (the scale-
@@ -298,22 +362,22 @@ object Bench {
     // same last-wins semantics the single end-of-suite snapshot had
     val telemetryBig =
       telemetryJson((obsBig ++ obs.snapshotAndClear(spark)).toMap)
-    val qs = results.map { case (k, (v, _, _, _, _, _)) =>
+    val qs = results.map { case (k, (v, _, _, _, _, _, _)) =>
       s"\"" + k + "\":" + v
     }.mkString("{", ",", "}")
-    val rows = results.map { case (k, (_, r, _, _, _, _)) =>
+    val rows = results.map { case (k, (_, r, _, _, _, _, _)) =>
       s"\"" + k + "\":" + r
     }.mkString("{", ",", "}")
-    val spreads = results.map { case (k, (_, _, sp, _, _, _)) =>
+    val spreads = results.map { case (k, (_, _, sp, _, _, _, _)) =>
       s"\"" + k + "\":" + jnum(sp, 3)
     }.mkString("{", ",", "}")
     // raw per-rep wall times in RUN order (reps(0) ran first): with the
     // medians alone a blown rep is invisible; with these the spread
     // arbiter's "which rep blew up" question is answerable from the file
-    val repsJson = results.map { case (k, (_, _, _, raw, _, _)) =>
+    val repsJson = results.map { case (k, (_, _, _, raw, _, _, _)) =>
       s""""$k":[${raw.map(jnum(_, 3)).mkString(",")}]"""
     }.mkString("{", ",", "}")
-    val resourcesJson = results.map { case (k, (_, _, _, _, u, _)) =>
+    val resourcesJson = results.map { case (k, (_, _, _, _, u, _, _)) =>
       s""""$k":{"shuffle_write_b":${u._1},"shuffle_read_b":${u._2},""" +
         s""""spill_mem_b":${u._3},"spill_disk_b":${u._4}}"""
     }.mkString("{", ",", "}")
@@ -321,8 +385,13 @@ object Bench {
     // verdict #3 attribution channel: a blown rep whose compile count
     // dwarfs its siblings' is the janino-cache-eviction one-off the
     // CodegenChurnProbe measured, not an operator regression)
-    val repCompilesJson = results.map { case (k, (_, _, _, _, _, cs)) =>
+    val repCompilesJson = results.map { case (k, (_, _, _, _, _, cs, _)) =>
       s""""$k":[${cs.mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    // per-rep stop-the-world GC milliseconds, run order — the second
+    // attribution channel the spread arbiter consults
+    val repGcJson = results.map { case (k, (_, _, _, _, _, _, gs)) =>
+      s""""$k":[${gs.mkString(",")}]"""
     }.mkString("{", ",", "}")
     // run order = sorted names; recorded so "suite position" in the
     // arbiter rows resolves to neighbors without re-deriving
@@ -351,6 +420,42 @@ object Bench {
         val recall = graft.queries.Contracts.recall(ivf, brute)
         s"""{"nCentroids":$nc,"nProbe":$np,"sec":${jnum(sec, 3)},""" +
           s""""recall":${jnum(recall, 3)}}"""
+      }
+      graft.operators.Caching.releaseAllRdds(spark)
+      entries.mkString("[", ",", "]")
+    } else "[]"
+    // PQ/OPQ arm of the recorded recall/latency sweep (r13 verdict #5):
+    // the ivf_sweep records the nProbe trade-off; this records the code-
+    // size one (m × ksub, plus the OPQ rotation arm) so the 100 TB
+    // serving-tier choice is data-driven from the artifact. Each row
+    // asserts its recall floor ("ok") — recall here is DETERMINISTIC
+    // (seeded codebooks, fixed sample), so tools/bench_guard.sh goes red
+    // on a false row with no wall-jitter arbiter needed. Floors measured
+    // at sf0.01/sf0.1 with margin (the sim_pq_topk contract's 0.6 posture
+    // for the 16-byte arms; m=8's 8 subspaces quantize 64-d coarser).
+    val pqSweep = if (args.isEmpty) {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.t(spark, sfDir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = graft.operators.Similarity
+        .bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .localCheckpoint()
+      val grid = Seq(("pq", 8, 16, 0.4), ("pq", 16, 16, 0.6),
+        ("pq", 16, 64, 0.6), ("pq", 32, 16, 0.6), ("opq", 16, 16, 0.6))
+      val entries = grid.map { case (arm, m, ksub, floor) =>
+        val t0 = System.nanoTime()
+        val served = (if (arm == "opq")
+          graft.operators.Similarity.opqTopK(emb, q, "vec_id",
+            "embedding", k = 5, m = m, ksub = ksub, shortlistFactor = 8)
+        else
+          graft.operators.Similarity.pqTopK(emb, q, "vec_id",
+            "embedding", k = 5, m = m, ksub = ksub, shortlistFactor = 8))
+          .localCheckpoint()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = graft.queries.Contracts.recall(served, brute)
+        s"""{"arm":"$arm","m":$m,"ksub":$ksub,"sec":${jnum(sec, 3)},""" +
+          s""""recall":${jnum(recall, 3)},"floor":${jnum(floor, 2)},""" +
+          s""""ok":${recall >= floor}}"""
       }
       graft.operators.Caching.releaseAllRdds(spark)
       entries.mkString("[", ",", "]")
@@ -667,7 +772,27 @@ object Bench {
         try new String(java.nio.file.Files.readAllBytes(seqFile))
           .trim.toLong
         catch { case _: Throwable => 0L }
-      val next = prev + 1
+      // Atomic claim (r13 ADVICE): the bare read-modify-write let two
+      // concurrent benches claim the same id and clobber each other's
+      // immutable sibling — the exact failure the sibling exists to
+      // prevent. CREATE_NEW on a per-id claim file is the atomic
+      // primitive: the first process to create `.bench_run_claims/<id>`
+      // owns it; a loser walks forward to the next free id. The pointer
+      // file stays best-effort (it only seeds the next scan's start).
+      val claims = java.nio.file.Paths.get(".bench_run_claims")
+      try java.nio.file.Files.createDirectories(claims)
+      catch { case _: Throwable => }
+      var next = prev + 1
+      var claimed = false
+      while (!claimed && next < prev + 10000) {
+        try {
+          java.nio.file.Files.createFile(claims.resolve(next.toString))
+          claimed = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => next += 1
+          case _: Throwable => claimed = true // unwritable fs: best effort
+        }
+      }
       try java.nio.file.Files.writeString(seqFile, next.toString)
       catch { case _: Throwable => }
       val h = java.security.MessageDigest.getInstance("MD5")
@@ -676,10 +801,11 @@ object Bench {
       s"$next-$h"
     }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","queries":$qs,"rows":$rows,"spread":$spreads,"reps":$repsJson,"rep_compiles":$repCompilesJson,"suite_order":$suiteOrder,"spread_arbiter":$spreadArbiter,"resources":$resourcesJson,"env_start":$envStart,"env_end":$envEnd,"ivf_sweep":$sweep,"scale_growth":$scaleGrowth,"scale_growth_steps":$scaleGrowthSteps,"scale_growth_floors":$scaleGrowthFloors,"guard":$guardJson,"telemetry":$telemetryBig,"telemetry_small":$telemetrySmall,"publish_envelope":$envelope,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","anchor_sec":${jnum(anchorSec, 3)},"queries":$qs,"rows":$rows,"spread":$spreads,"reps":$repsJson,"rep_compiles":$repCompilesJson,"rep_gc_ms":$repGcJson,"suite_order":$suiteOrder,"spread_arbiter":$spreadArbiter,"resources":$resourcesJson,"env_start":$envStart,"env_end":$envEnd,"ivf_sweep":$sweep,"pq_sweep":$pqSweep,"scale_growth":$scaleGrowth,"scale_growth_steps":$scaleGrowthSteps,"scale_growth_floors":$scaleGrowthFloors,"guard":$guardJson,"telemetry":$telemetryBig,"telemetry_small":$telemetrySmall,"publish_envelope":$envelope,"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec",""" +
-        s""""n_queries":$nQueries,"run_id":"$runId","sf":"$sfDir"}"""
+        s""""n_queries":$nQueries,"run_id":"$runId",""" +
+        s""""anchor_sec":${jnum(anchorSec, 3)},"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full)
     catch { case _: Throwable => }

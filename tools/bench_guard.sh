@@ -176,9 +176,14 @@ for q in sorted(sp):
         continue
     a = arb.get(q)
     # Bench's own end-of-suite recheck clears a positional outlier: the
-    # query re-ran tight at a different suite position in the same JVM
+    # query re-ran tight at a different suite position in the same JVM.
+    # Since r14 the row also NAMES its cause (attribution from the
+    # per-rep compile/GC channels) — print it so the clearance is
+    # attributed on the guard's own record, not just in the artifact.
     if a and a.get("recheck_spread", 1e9) <= \
             max(2 * a.get("recheck_median", 0.0), 2.0):
+        print(f"# cleared {q} attribution="
+              f"{a.get('attribution', 'unrecorded')}", file=sys.stderr)
         continue
     out.append(q)
 print(" ".join(out))
@@ -202,6 +207,61 @@ bad = mbps < 20.0 or (sp is not None and sp > max(2 * med, 2.0))
 print("publish_envelope" if bad else "")
 EOF
 )
+
+# PQ-sweep floor gate (r14): each pq_sweep row asserts its recall floor.
+# Recall here is DETERMINISTIC (seeded codebooks, fixed training sample),
+# so a false row is a real quality regression — direct red, no wall-jitter
+# arbiter applies. Old artifacts without the field pass vacuously.
+pq_flagged=$(python3 - "$BENCH" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+bad = [f"{r.get('arm')}:m{r.get('m')}x{r.get('ksub')}"
+       f"(recall={r.get('recall')}<floor={r.get('floor')})"
+       for r in d.get("pq_sweep", []) if r.get("ok") is False]
+print(" ".join(bad))
+EOF
+)
+if [ -n "$pq_flagged" ]; then
+  echo "BENCH GUARD RED: pq_sweep recall floor violated: $pq_flagged" >&2
+  exit 1
+fi
+
+# Cross-run anchor-normalized comparison (r14, informational): when
+# BENCH_BASELINE names a previous artifact, divide both runs' walls by
+# their anchor_sec (the fixed CPU+shuffle calibration timed first) before
+# comparing — r13's 15% driver-vs-builder gap was pure box speed, which
+# the anchors absorb. Reports shared-query normalized regressions > 2x;
+# informational (cross-round deltas include legitimate operator changes),
+# the in-run gates above remain the shipping verdict.
+if [ -n "${BENCH_BASELINE:-}" ] && [ -f "${BENCH_BASELINE}" ]; then
+  python3 - "$BENCH" "$BENCH_BASELINE" <<'EOF'
+import json, sys
+cur = json.load(open(sys.argv[1]))
+base = json.load(open(sys.argv[2]))
+ac, ab = cur.get("anchor_sec"), base.get("anchor_sec")
+if not ac or not ab:
+    print("BENCH GUARD: anchor missing on one side — raw comparison only")
+    ac = ab = 1.0
+qc, qb = cur.get("queries", {}), base.get("queries", {})
+shared = sorted(set(qc) & set(qb))
+regs = []
+for q in shared:
+    if qb[q] <= 0.05:
+        continue  # sub-noise baselines normalize meaninglessly
+    r = (qc[q] / ac) / (qb[q] / ab)
+    if r > 2.0:
+        regs.append(f"{q}={r:.2f}x")
+tc = sum(qc[q] for q in shared) / ac
+tb = sum(qb[q] for q in shared) / ab
+print(f"BENCH GUARD anchor-normalized vs baseline: anchors "
+      f"{ac:.3f}s/{ab:.3f}s, shared-total ratio {tc/tb:.3f} "
+      f"({len(shared)} shared queries)")
+if regs:
+    print("BENCH GUARD: anchor-normalized >2x on: " + " ".join(regs))
+else:
+    print("BENCH GUARD: no shared query regressed >2x anchor-normalized")
+EOF
+fi
 
 if [ -z "$growth_flagged" ] && [ -z "$spread_flagged" ] && [ -z "$env_flagged" ]; then
   echo "BENCH GUARD GREEN: no growth above ${FLAG}x (worst step incl.), no unarbitrated spread, envelope above floor"
