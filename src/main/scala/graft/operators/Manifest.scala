@@ -691,9 +691,19 @@ object Manifest {
     * by `maxClusterFiles - 1` per call and a giant cluster drains in
     * ⌈(n-1)/(maxClusterFiles-1)⌉ budgeted calls, the table serving
     * correctly between them (every pass is one COW tombstone+add
-    * segment). The budget is a FILE count: spilled bytes are bounded by
-    * the peeled slice per call, but a byte-sized budget (defer rows, not
-    * just files) is the production dial on top of this mechanism.
+    * segment).
+    *
+    * `maxClusterBytes` is the same dial in BYTES — the unit a production
+    * maintenance window is actually budgeted in, and the guard against
+    * file-count budgets meaning nothing once spill files grow: a cluster
+    * whose file sizes sum past it is peeled at the longest kmin-prefix
+    * under BOTH budgets. The peel unit floor is 2 files (a 1-file
+    * rewrite is a no-op), so when even two files exceed the byte budget
+    * the call still makes progress and the byte bound is best-effort for
+    * exactly that pass; a 2-file cluster over the byte budget rewrites
+    * whole (there is no smaller rewrite). File sizes come from one
+    * `getFileStatus` per cluster member — listing-sized metadata, no
+    * data read.
     *
     * Null handling (both forms): a live file whose curve-key min/max are
     * null (every row null on a layout column) has no range — it cannot
@@ -707,10 +717,13 @@ object Manifest {
       statsCols: Seq[String], curve: String = "morton",
       batchId: Long = -1L, zCol: String = "",
       deterministic: Boolean = true,
-      maxClusterFiles: Int = Int.MaxValue): (Long, Long, Long) = {
+      maxClusterFiles: Int = Int.MaxValue,
+      maxClusterBytes: Long = Long.MaxValue): (Long, Long, Long) = {
     require(maxClusterFiles >= 2,
       s"maxClusterFiles must be >= 2 (a cluster is >= 2 files), " +
         s"got $maxClusterFiles")
+    require(maxClusterBytes > 0,
+      s"maxClusterBytes must be positive, got $maxClusterBytes")
     val mp = new org.apache.hadoop.fs.Path(manifestPath)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = readManifest(spark, manifestPath)
@@ -746,8 +759,37 @@ object Manifest {
     val bid = if (batchId >= 0) batchId else nextBatchId(fs, mp)
     val out = s"$rewriteDir/b$bid"
     val removed = scala.collection.mutable.ArrayBuffer[String]()
+    // one getFileStatus per cluster member, only when a byte budget is
+    // set — listing-sized metadata (decode: the manifest stores
+    // input_file_name()'s percent-encoded URI, the fs wants a raw path)
+    def memberSizes(cl: Seq[(String, Long, Long)]): Array[Long] =
+      if (maxClusterBytes == Long.MaxValue) null
+      else cl.map { r =>
+        val p = new org.apache.hadoop.fs.Path(
+          new java.net.URI(r._1).getPath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+      }.toArray
     rewrite.zipWithIndex.foreach { case (cl, i) =>
-      if (cl.length <= maxClusterFiles) {
+      val sz = memberSizes(cl.toSeq)
+      val overBytes = sz != null && sz.sum > maxClusterBytes
+      // peel length: the longest kmin-prefix under BOTH budgets, floored
+      // at the 2-file peel unit and capped so >= 1 file stays unselected
+      // (the cutoff source); k == cl.length means "rewrite whole" — which
+      // a 2-file over-bytes cluster does, there being no smaller rewrite
+      val k =
+        if (cl.length <= maxClusterFiles && !overBytes) cl.length
+        else {
+          var n = 2
+          var acc = if (sz == null) 0L else sz(0) + sz(1)
+          while (n < cl.length - 1 && n < maxClusterFiles &&
+              (sz == null || acc + sz(n) <= maxClusterBytes)) {
+            if (sz != null) acc += sz(n)
+            n += 1
+          }
+          math.min(n, cl.length)
+        }
+      if (k >= cl.length) {
         layoutWriter(curve, xCol, yCol, zCol, cl.length, deterministic)(
           spark.read.parquet(cl.map(r => globEscape(r._1)).toSeq: _*),
           s"$out/c$i")
@@ -755,8 +797,8 @@ object Manifest {
       } else {
         // budgeted prefix-peel (see scaladoc): finalize [., cutoff),
         // spill [cutoff, .] back into the residual cluster
-        val sel = cl.take(maxClusterFiles)
-        val cutoff = cl(maxClusterFiles)._2
+        val sel = cl.take(k)
+        val cutoff = cl(k)._2
         val df = spark.read
           .parquet(sel.map(r => globEscape(r._1)).toSeq: _*)
         val key = curveKey(df, curve, xCol, yCol, zCol)

@@ -1205,6 +1205,31 @@ object FormatQueries {
           servedOk &&= Contracts.checksum(served(budMan)) == budChk0
         }
       }
+      // ---- leg 3: BYTE-budget drain over a fresh manifest of the SAME
+      // scattered files (copy-on-write never mutates them): budget ~40%
+      // of the table in bytes, file budget unlimited — the unit a
+      // production maintenance window is actually sized in ----
+      val bbMan = tmp("graft-manob-bb-")
+      Manifest.buildManifest(s, s"$tbl/dbud", cols, bbMan)
+      val bbBudget = {
+        val fs = new java.io.File(s"$tbl/dbud").listFiles()
+        (fs.filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+          * 2) / 5
+      }
+      var bPasses = 0L
+      var bServed = true
+      var bDone = false
+      while (!bDone && bPasses < 16) {
+        val (rw, _, _) = Manifest.optimizeLayoutIncremental(s, bbMan,
+          s"$tbl/rwc$bPasses", "l_partkey", "l_suppkey", cols,
+          curve = "hilbert", deterministic = false,
+          maxClusterBytes = bbBudget)
+        if (rw == 0L) bDone = true
+        else {
+          bPasses += 1
+          bServed &&= Contracts.checksum(served(bbMan)) == budChk0
+        }
+      }
       Contracts.row(s,
         "n_rows" -> Manifest.fullRead(s, incMan).count(),
         "prod_partial_rewrite_ok" ->
@@ -1218,7 +1243,9 @@ object FormatQueries {
         "prod_fixed_point_ok" -> (prodAgain == ((0L, 0L, 0L))),
         "budget_multi_pass_ok" -> (fixedPoint && passes >= 2L),
         "budget_respected_ok" -> budgetOk,
-        "budget_served_every_pass_ok" -> servedOk)
+        "budget_served_every_pass_ok" -> servedOk,
+        "bytes_budget_multi_pass_ok" -> (bDone && bPasses >= 2L),
+        "bytes_budget_served_ok" -> bServed)
     }),
 
     // Copy-on-write DELETE through the manifest (Manifest.deleteRange):
@@ -1620,7 +1647,9 @@ object FormatQueries {
         |  TRUE AS prod_equals_pre_optimize_ok,
         |  TRUE AS prod_opens_near_full_ok, TRUE AS prod_fixed_point_ok,
         |  TRUE AS budget_multi_pass_ok, TRUE AS budget_respected_ok,
-        |  TRUE AS budget_served_every_pass_ok
+        |  TRUE AS budget_served_every_pass_ok,
+        |  TRUE AS bytes_budget_multi_pass_ok,
+        |  TRUE AS bytes_budget_served_ok
         |FROM lineitem""".stripMargin,
 
     "manifest_count_only" ->

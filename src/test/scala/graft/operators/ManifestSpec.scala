@@ -691,6 +691,44 @@ class ManifestSpec extends SparkSpec {
         s"calls, took $passes")
   }
 
+  test("byte-budgeted incremental re-layout: the peel prefix respects " +
+      "maxClusterBytes (2-file floor), drains multi-pass, serving " +
+      "identical, terminal fixed point") {
+    val tbl = tmpDir("man-bb-tbl-")
+    val man = tmpDir("man-bb-man-")
+    val df = spark.range(1L << 12).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    df.repartition(6, col("x") * 31 + col("y"))
+      .write.mode("overwrite").parquet(s"$tbl/d0")
+    Manifest.buildManifest(spark, s"$tbl/d0", Seq("x", "y"), man)
+    // budget ~ 40% of the table: a whole-table cluster must peel in
+    // roughly 2-file slices even though the FILE budget is unlimited
+    val total = new java.io.File(s"$tbl/d0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val budget = (total * 2) / 5
+    val chk0 = Contracts.checksum(Manifest.fullRead(spark, man)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n")))
+    var passes = 0
+    var done = false
+    while (!done && passes < 16) {
+      val (rw, _, _) = Manifest.optimizeLayoutIncremental(spark, man,
+        s"$tbl/rw$passes", "x", "y", Seq("x", "y"), curve = "hilbert",
+        deterministic = false, maxClusterBytes = budget)
+      if (rw == 0L) done = true
+      else {
+        passes += 1
+        assert(Contracts.checksum(Manifest.fullRead(spark, man)
+          .groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("n"))) == chk0,
+          s"serving diverged after byte-budgeted pass $passes")
+      }
+    }
+    assert(done, "byte-budgeted OPTIMIZE failed to converge in 16 passes")
+    assert(passes >= 2,
+      s"a whole-table cluster over a 40% byte budget must take >= 2 " +
+        s"calls, took $passes")
+  }
+
   test("incremental re-layout tolerates null layout keys: an all-null " +
       "file is rangeless (left in place like a disjoint file), mixed " +
       "null rows rewrite with their cluster and are never dropped") {
