@@ -409,8 +409,14 @@ object Bench {
       val q = emb.filter(col("vec_id") < 10)
       val brute = graft.operators.Similarity
         .bruteForceTopK(emb, q, "vec_id", "embedding", k = 5).localCheckpoint()
-      val grid = Seq((8, 1), (8, 2), (16, 1), (16, 4), (32, 4), (32, 8))
-      val entries = grid.map { case (nc, np) =>
+      // floors (r14, pq_sweep parity): IVF recall on this gaussian data
+      // tracks the probed fraction nProbe/nCentroids; measured
+      // 0.16–0.68 across sf0.01/0.1, floors sit at ~half the measured
+      // minimum per point. Deterministic (hash-ordered sample + Lloyd),
+      // so a false row is a direct guard red like pq_sweep's.
+      val grid = Seq((8, 1, 0.08), (8, 2, 0.2), (16, 1, 0.08),
+        (16, 4, 0.25), (32, 4, 0.22), (32, 8, 0.33))
+      val entries = grid.map { case (nc, np, floor) =>
         val t0 = System.nanoTime()
         // consumed exactly once (by the recall join) — no checkpoint needed,
         // and Dataset.unpersist would not release checkpoint blocks anyway
@@ -419,7 +425,8 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         val recall = graft.queries.Contracts.recall(ivf, brute)
         s"""{"nCentroids":$nc,"nProbe":$np,"sec":${jnum(sec, 3)},""" +
-          s""""recall":${jnum(recall, 3)}}"""
+          s""""recall":${jnum(recall, 3)},"floor":${jnum(floor, 2)},""" +
+          s""""ok":${recall >= floor}}"""
       }
       graft.operators.Caching.releaseAllRdds(spark)
       entries.mkString("[", ",", "]")

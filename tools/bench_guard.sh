@@ -208,7 +208,7 @@ print("publish_envelope" if bad else "")
 EOF
 )
 
-# PQ-sweep floor gate (r14): each pq_sweep row asserts its recall floor.
+# PQ/IVF-sweep floor gate (r14): each sweep row asserts its recall floor.
 # Recall here is DETERMINISTIC (seeded codebooks, fixed training sample),
 # so a false row is a real quality regression — direct red, no wall-jitter
 # arbiter applies. Old artifacts without the field pass vacuously.
@@ -218,11 +218,14 @@ d = json.load(open(sys.argv[1]))
 bad = [f"{r.get('arm')}:m{r.get('m')}x{r.get('ksub')}"
        f"(recall={r.get('recall')}<floor={r.get('floor')})"
        for r in d.get("pq_sweep", []) if r.get("ok") is False]
+bad += [f"ivf:c{r.get('nCentroids')}p{r.get('nProbe')}"
+        f"(recall={r.get('recall')}<floor={r.get('floor')})"
+        for r in d.get("ivf_sweep", []) if r.get("ok") is False]
 print(" ".join(bad))
 EOF
 )
 if [ -n "$pq_flagged" ]; then
-  echo "BENCH GUARD RED: pq_sweep recall floor violated: $pq_flagged" >&2
+  echo "BENCH GUARD RED: sweep recall floor violated: $pq_flagged" >&2
   exit 1
 fi
 
