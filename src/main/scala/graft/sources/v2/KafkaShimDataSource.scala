@@ -199,7 +199,8 @@ private[v2] class KafkaShimTable(topic: String, nPartitions: Int,
       override def build(): Scan = new KafkaShimScan(topic, nPartitions,
         Option(options.get("startingOffsets")),
         Option(options.get("endingOffsets")),
-        Option(options.get("maxOffsetsPerTrigger")).map(_.toLong))
+        Option(options.get("maxOffsetsPerTrigger")).map(_.toLong),
+        Option(options.get("minPartitions")).map(_.toInt).getOrElse(0))
     }
 
   /** The Kafka SINK surface: rows with a `value` column (string or
@@ -278,30 +279,62 @@ private[v2] class KafkaShimWriterFactory(topic: String, nPartitions: Int,
 
 private[v2] class KafkaShimScan(topic: String, nPartitions: Int,
     starting: Option[String], ending: Option[String],
-    maxPerTrigger: Option[Long]) extends Scan {
+    maxPerTrigger: Option[Long], minPartitions: Int) extends Scan {
   override def readSchema(): StructType = KafkaShim.schema
   override def description(): String =
     s"graft-kafka topic=$topic partitions=$nPartitions"
   private def latest(p: Int): Long =
     InMemoryQueue.size(TopicDataSource.queueName(topic, p)).toLong
 
+  /** Kafka's `minPartitions` semantics: when the natural one-slice-per-
+    * topic-partition plan yields fewer read tasks than requested, slices
+    * split into contiguous offset sub-ranges until the task count
+    * reaches the floor — read parallelism beyond partition count, the
+    * hot-partition relief a 100 TB backfill actually needs (a 3-broker-
+    * partition topic can still fan across 32 cores). Splits are
+    * proportional to slice depth (each slice gets ⌈share⌉ chunks of its
+    * record range), deterministic, and row-preserving: a sub-range
+    * [f, m) ∪ [m, t) is exactly [f, t) on an append log.
+    */
+  private def splitToMin(slices: Seq[TopicSlice]): Seq[TopicSlice] =
+    if (minPartitions <= slices.length || slices.isEmpty) slices
+    else {
+      val total = slices.map(s => s.end - s.start).sum.toDouble
+      slices.flatMap { s =>
+        val depth = s.end - s.start
+        val share = if (total <= 0) 1
+          else math.max(1, math.ceil(minPartitions * depth / total).toInt)
+        val chunk = math.max(1L, (depth + share - 1) / share)
+        (s.start until s.end by chunk).map { f =>
+          TopicSlice(s.topic, s.partition, f, math.min(f + chunk, s.end))
+        }
+      }
+    }
+
   /** The micro-batch stream IS the topic source's (same offset map, same
     * per-partition slices, same admission allocation) with the initial
     * position resolved from `startingOffsets` (default latest, the Kafka
-    * streaming default) and rows rendered in the Kafka schema.
+    * streaming default), slices split to `minPartitions`, and rows
+    * rendered in the Kafka schema.
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     val start = KafkaShim.resolveOffsets(starting.getOrElse("latest"),
       topic, nPartitions, latest, "latest")
     new TopicMicroBatchStream(topic, nPartitions, maxPerTrigger) {
       override def initialOffset(): Offset = start
+      override def planInputPartitions(startOff: Offset,
+          endOff: Offset): Array[InputPartition] =
+        splitToMin(super.planInputPartitions(startOff, endOff)
+          .map(_.asInstanceOf[TopicSlice]).toSeq)
+          .map(s => s: InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new KafkaShimReaderFactory
     }
   }
 
   /** Batch read over [startingOffsets (default earliest),
-    * endingOffsets (default latest)] — one task per partition slice.
+    * endingOffsets (default latest)] — one task per (possibly split)
+    * partition slice.
     */
   override def toBatch: Batch = new Batch {
     private val s0 = KafkaShim.resolveOffsets(
@@ -310,11 +343,10 @@ private[v2] class KafkaShimScan(topic: String, nPartitions: Int,
     private val e0 = KafkaShim.resolveOffsets(ending.getOrElse("latest"),
       topic, nPartitions, latest, "latest")
     override def planInputPartitions(): Array[InputPartition] =
-      (0 until nPartitions).flatMap { p =>
+      splitToMin((0 until nPartitions).flatMap { p =>
         val (from, to) = (s0.offsets(p), e0.offsets(p))
-        if (to > from) Some(TopicSlice(topic, p, from, to): InputPartition)
-        else None
-      }.toArray
+        if (to > from) Some(TopicSlice(topic, p, from, to)) else None
+      }).map(s => s: InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new KafkaShimReaderFactory
   }

@@ -2168,6 +2168,11 @@ object StreamingQueries {
         .option("startingOffsets",
           s"""{"$topic":{"0":10,"1":-2,"2":-2,"3":-2}}""")
         .option("maxOffsetsPerTrigger", "700")
+        // read parallelism beyond partition count (Kafka minPartitions:
+        // slices split into contiguous offset sub-ranges) — transparent
+        // to the result, which is exactly what the unchanged oracle
+        // certifies
+        .option("minPartitions", "12")
         .load()
         .select(col("partition"),
           from_json(col("value").cast("string"), sch).as("r"))

@@ -116,6 +116,45 @@ class KafkaShimSpec extends SparkSpec {
     TopicDataSource.clear(topic, 2)
   }
 
+  test("minPartitions splits log slices into contiguous offset " +
+      "sub-ranges: read tasks reach the floor, rows and offsets intact") {
+    val topic = topicName
+    publishInts(topic, 2, 0 until 40) // 20 per partition
+    val df = spark.read.format("graft-kafka")
+      .option("subscribe", topic).option("partitions", "2")
+      .option("minPartitions", "6")
+      .load()
+    assert(df.rdd.getNumPartitions >= 6,
+      s"expected >= 6 read tasks, got ${df.rdd.getNumPartitions}")
+    val rows = df.select(col("partition"), col("offset"))
+      .as[(Int, Long)].collect()
+    assert(rows.length == 40)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (0L until 20L).toSeq,
+        "splitting must preserve every offset exactly once")
+    }
+    // fewer requested than natural -> plan unchanged
+    val plain = spark.read.format("graft-kafka")
+      .option("subscribe", topic).option("partitions", "2")
+      .option("minPartitions", "1").load()
+    assert(plain.rdd.getNumPartitions == 2)
+    // streaming path splits too, totals intact
+    val out = tmpDir("kshim-minp-out-")
+    val q = spark.readStream.format("graft-kafka")
+      .option("subscribe", topic).option("partitions", "2")
+      .option("startingOffsets", "earliest")
+      .option("minPartitions", "8")
+      .load()
+      .select(col("partition"), col("offset"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("kshim-minp-ckpt-"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 40)
+    TopicDataSource.clear(topic, 2)
+  }
+
   test("murmur2 default partitioner: deterministic, tail-length-correct " +
       "(pinned values guard refactors), non-negative routing, and keys " +
       "spread across partitions") {
