@@ -100,6 +100,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // r14 (guide §1/§4 measure-first): the default 100-entry whole-stage
+      // codegen cache (spark.sql.codegen.cache.maxEntries) thrashes on a
+      // 264-query suite — sim_knn_graph_incremental alone holds ~200
+      // distinct generated classes, so EVERY timed rep recompiled ~190
+      // classes (measured: rep_compiles 190/190/190, ~2 s/rep of janino
+      // wall) despite the suite- and pre-rep warm passes existing exactly
+      // to absorb compilation. 4096 entries (~100–200 MB metaspace) makes
+      // the warm pass effective as designed: rep_compiles → 0. Not a
+      // local-only win: executors at 100 TB run the same distinct plan
+      // fragments through the same 100-entry default. Parameterized for
+      // deployments that want a different bound.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Cross-box wall anchor (r13 verdict #6): r13's 15% driver-vs-builder

@@ -898,6 +898,22 @@ object Similarity {
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 6, seed: Long = 11L,
       trainIters: Int = 2): DataFrame = {
+    val (out, toRelease) = knnGraphLazy(corpus, idCol, vecCol, k, nCentroids,
+      nProbe, seed, trainIters)
+    Caching.materializeThenRelease(out, toRelease: _*)
+  }
+
+  /** [[knnGraph]] without the output materialization: returns the LAZY
+    * ranked-edge frame plus the internal persisted frames the caller must
+    * release after its own materializing action. Lets [[knnGraphDescent]]
+    * fold the seed graph into the refinement rounds' single final job
+    * instead of paying a synchronous seed-materialization job first —
+    * byte-identical output, one fewer action (r14 measurement: the descent
+    * family's wall is job-count-bound, flat across scale decades).
+    */
+  private def knnGraphLazy(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int, nProbe: Int, seed: Long,
+      trainIters: Int): (DataFrame, Seq[DataFrame]) = {
     HashExpressions.register(corpus.sparkSession)
     val nc =
       if (nCentroids > 0) nCentroids
@@ -939,7 +955,7 @@ object Similarity {
     val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("src"), col("rank"), col("dst"), col("cos"))
-    Caching.materializeThenRelease(out, corpusNormed, assigned)
+    (out, Seq(corpusNormed, assigned))
   }
 
   /** kNN graph with NN-descent refinement (Dong et al., WWW'11) — the
@@ -1022,20 +1038,34 @@ object Similarity {
     // exchanges), so the full build keeps the flat all-pivot shape and
     // takes its win from the fresh-pair FILTER alone; the incremental
     // fold, whose frontier genuinely is a small fraction, restricts.
-    var g = knnGraph(corpus, idCol, vecCol, kk, nCentroids = nc,
-      nProbe = math.min(nc, seedProbe), seed = seed,
+    // Single-action fold (r14): the seed graph and every refinement round
+    // are LAZY local checkpoints (plan truncated to a leaf immediately,
+    // data computed on first downstream action), so the whole
+    // seed → rounds → trim chain executes as ONE job instead of paying a
+    // synchronous materialization job per round. Wall here is job-count-
+    // bound, not data-bound (growth steps ~1.6–2.1× per 10× rows), so the
+    // removed actions are the cost. Intermediate round frames are all
+    // released after the final materialization — they are n·kk edge rows
+    // each (KBs per million nodes), so holding `rounds` of them to the end
+    // is noise next to the corpus-sized frames already managed here.
+    val (seedG, seedRel) = knnGraphLazy(corpus, idCol, vecCol, kk,
+      nCentroids = nc, nProbe = math.min(nc, seedProbe), seed = seed,
       trainIters = trainIters)
-      .withColumn("fresh", lit(true))
+    var g = seedG.withColumn("fresh", lit(true)).localCheckpoint(false)
+    val toRelease = scala.collection.mutable.ListBuffer[DataFrame]()
+    toRelease ++= seedRel
     for (r <- 1 to rounds) {
-      val prev = g
-      g = descentRoundFlagged(g, normed, kk, seed, knnDescentObservation(r),
-        restrict = false)
-      prev.unpersist(blocking = false)
+      toRelease += g
+      val (g2, rel) = descentRoundLazy(g, normed, kk, seed,
+        knnDescentObservation(r), restrict = false)
+      toRelease ++= rel
+      g = g2
     }
-    normed.unpersist(blocking = false)
+    toRelease += normed
     // Trim the internal kk-wide lists to the requested k (ranks are
     // already 1..kk in final order, so a filter suffices).
-    g.filter(col("rank") <= k).drop("fresh")
+    Caching.materializeThenRelease(
+      g.filter(col("rank") <= k).drop("fresh"), toRelease.toSeq: _*)
   }
 
   /** One NN-descent refinement round over a FLAGGED edge table
@@ -1068,6 +1098,25 @@ object Similarity {
     */
   private[graft] def descentRoundFlagged(g0: DataFrame, normed: DataFrame,
       kk: Int, seed: Long, obsName: String, restrict: Boolean): DataFrame = {
+    val (out, toRelease) =
+      descentRoundLazy(g0, normed, kk, seed, obsName, restrict)
+    // Eager form (spec harness / standalone use): materialize the round and
+    // release its internals immediately — the original per-round contract.
+    val mat = out.localCheckpoint()
+    toRelease.foreach(_.unpersist(blocking = false))
+    mat
+  }
+
+  /** Lazy form of [[descentRoundFlagged]]: the round's output is a lazily
+    * local-checkpointed frame (plan already truncated to a leaf; computed
+    * by the caller's next action) plus the internal persisted frames to
+    * release AFTER that action. [[knnGraphDescent]] / [[knnGraphIncremental]]
+    * chain rounds through this so the whole refinement runs as one job —
+    * identical arithmetic, no per-round materialization barrier.
+    */
+  private def descentRoundLazy(g0: DataFrame, normed: DataFrame,
+      kk: Int, seed: Long, obsName: String,
+      restrict: Boolean): (DataFrame, Seq[DataFrame]) = {
     val hasher = xxhash64(col("node"), lit(seed))
     // No distinct: aff is only ever the RIGHT side of semi-joins, which
     // tolerate duplicate keys — a dedup exchange would buy nothing.
@@ -1128,9 +1177,7 @@ object Similarity {
           col("fresh"))
       keep.union(reranked)
     } else reranked
-    val out = out0.localCheckpoint()
-    if (restrict) nbhdP.unpersist(blocking = false)
-    out
+    (out0.localCheckpoint(false), if (restrict) Seq(nbhdP) else Nil)
   }
 
   /** All pairs within each collected B(v) with at least one FRESH member
@@ -1248,16 +1295,23 @@ object Similarity {
       graph.join(seedChanged, Seq("src"), "left_semi")
         .select(col("src"), col("dst"), col("cos")),
       seedEdges, kk)
-    var g = keep0.union(rerank0).localCheckpoint()
-    seedEdges.unpersist(blocking = false)
+    // Single-action fold (r14, same shape as knnGraphDescent): seed fold-in
+    // and every restricted round are LAZY local checkpoints, so the whole
+    // maintenance pass runs as one job; internals released after the final
+    // materialization. The incremental wall was measured flat across scale
+    // decades (growth steps 1.04/1.2) — pure job-count overhead.
+    var g = keep0.union(rerank0).localCheckpoint(false)
+    val toRelease = scala.collection.mutable.ListBuffer[DataFrame](seedEdges)
     for (r <- 1 to rounds) {
-      val prev = g
-      g = descentRoundFlagged(g, normed, kk, seed,
+      toRelease += g
+      val (g2, rel) = descentRoundLazy(g, normed, kk, seed,
         knnDescentIncObservation(r), restrict = true)
-      prev.unpersist(blocking = false)
+      toRelease ++= rel
+      g = g2
     }
-    normed.unpersist(blocking = false)
-    g.filter(col("rank") <= k).drop("fresh")
+    toRelease += normed
+    Caching.materializeThenRelease(
+      g.filter(col("rank") <= k).drop("fresh"), toRelease.toSeq: _*)
   }
 
   /** Mutual-kNN edge set of a [[knnGraph]] result: (a, b) with a < b kept

@@ -21,10 +21,20 @@ object KnnIncProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    def nCompiles: Long = org.apache.spark.metrics.source
+      .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    def compileMs: Long = {
+      val h = org.apache.spark.metrics.source
+        .CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot
+      // histogram holds per-compile ms; mean*count approximates total
+      (h.getMean * nCompiles).toLong
+    }
     def time[T](label: String)(f: => T): T = {
+      val c0 = nCompiles
       val t0 = System.nanoTime()
       val r = f
-      println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+        f"  compiles=${nCompiles - c0}")
       r
     }
 
