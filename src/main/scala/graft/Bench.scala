@@ -113,6 +113,17 @@ object Bench {
       // deployments that want a different bound.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // r14: session artifact isolation (on by default in Spark 4) keys
+      // executor classloaders by a per-STREAMING-RUN artifact uuid, and the
+      // codegen cache is classloader-keyed — so every streaming query run
+      // recompiled its full plan even with byte-identical sources
+      // (StreamCodegenProbe: stream rerun = 7 recompiles with isolation,
+      // 0 without; batch reruns always 0). This engine registers no
+      // session artifacts, so isolation buys nothing and costs ~10-20
+      // janino compiles per micro-batch fold. Same effect on a cluster:
+      // every ingest-job restart recompiles on all executors.
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISOLATION", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Cross-box wall anchor (r13 verdict #6): r13's 15% driver-vs-builder

@@ -20,6 +20,10 @@ object Verify {
       // classes, and the default cache thrashes.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // See Bench: per-streaming-run artifact isolation defeats the
+      // classloader-keyed codegen cache; no session artifacts here.
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISOLATION", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
