@@ -957,12 +957,18 @@ object Dedup {
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val cand = crossCand.union(newCand).distinct()
+    // persist (lazy): cand is referenced by BOTH candOldIds union branches
+    // AND the final pair join — unpersisted, the bucket-join + self-join +
+    // distinct subtree re-executed once per reference (r14 profile: the
+    // incremental op spent most of its wall re-running this subtree).
+    val cand = crossCand.union(newCand).distinct().persist()
     // only candidate corpus vectors are re-read (semi-join prunes the scan)
     val newIds = newBatch.select(col(idCol).as("id"))
     val candOldIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
       .join(newIds, Seq("id"), "left_anti")
+    // persist (lazy) for the same reason: the id_a and id_b attach joins
+    // would otherwise each re-run the pruned corpus re-read.
     val vecs = newBatch.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .unionByName(
@@ -971,6 +977,7 @@ object Dedup {
           .select(col(idCol).as("id"),
             col(vecCol).cast("array<double>").as("v")))
       .withColumn("n", sqrt(call_function("vec_dot", col("v"), col("v"))))
+      .persist()
     val pairs = cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"),
         col("n").as("n_a")), "id_a")
@@ -980,8 +987,10 @@ object Dedup {
         round(call_function("vec_dot", col("v_a"), col("v_b")) /
           (col("n_a") * col("n_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
-    Caching.materializeThenRelease(pairs, bandedNew)
+    // no orderBy: the result is materialized right here, so a global sort
+    // would pay a range-sampling pass + exchange per call; every consumer
+    // (contracts, segment writes, the driver compare) is row-set-based.
+    Caching.materializeThenRelease(pairs, bandedNew, cand, vecs)
   }
 
   /** Merge `b*` segment subdirs of DISJOINT rows — the streaming
