@@ -121,7 +121,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
+    // No materialized orderBy (r14): a global sort right before the
+    // eager checkpoint pays a range-sampling pass that RE-EXECUTES the
+    // pair-verify subtree (and double-fires any observe() counters);
+    // every consumer — contracts, segment writes, the driver compare —
+    // is row-set-based.
     Caching.materializeThenRelease(pairs, sh)
   }
 
@@ -260,7 +264,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
     val pairs = expandDupGroups(verifiedRep, members,
         Seq("jaccard"), Seq(lit(1.0)))
-      .orderBy(col("id_a"), col("id_b"))
     Caching.materializeThenRelease(pairs, grouped, reps, prefix)
   }
 
@@ -322,7 +325,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
     Caching.materializeThenRelease(pairs, sh, sig, banded)
   }
 
@@ -422,7 +424,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
     Caching.materializeThenRelease(pairs, shNew, bandedNew)
   }
 
@@ -456,7 +457,6 @@ object Dedup {
     // identical fingerprints are Hamming-0 pairs by definition
     val pairs = expandDupGroups(candRep, members,
         Seq("hamming"), Seq(lit(0)))
-      .orderBy(col("id_a"), col("id_b"))
     Caching.materializeThenRelease(pairs, fp)
   }
 
@@ -542,7 +542,6 @@ object Dedup {
       .select(col("id").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("n_tokens"),
         col("n_windows"))
-      .orderBy(col(idCol), col("span_start"))
     Caching.materializeThenRelease(spans, win)
   }
 
@@ -791,7 +790,6 @@ object Dedup {
         round(col("shared").cast("double") /
           least(col("nfp_a"), col("nfp_b")), 6).as("containment"))
       .filter(col("containment") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
     Caching.materializeThenRelease(pairs, fp, exRare)
   }
 

@@ -512,7 +512,8 @@ object TextAnalysis {
         // floor-round, not round() — see qualityScore
         (floor(avg(col("lp")) * 1e4 + 0.5) / 1e4).as("lm_score"))
       .select(col("doc").as(idCol), col("n_bigrams"), col("lm_score"))
-      .orderBy(col(idCol))
+    // no materialized orderBy — see Dedup.jaccardPairs (r14): the sort's
+    // range-sampling pass would re-execute the scoring subtree per call
     Caching.materializeThenRelease(scored, uni)
   }
 
