@@ -251,10 +251,13 @@ object Similarity {
           .as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
+    // no orderBy here: callers materialize this frame, and a global sort
+    // under the checkpoint would re-execute the whole shortlist/rerank
+    // subtree for range sampling (r14); the materialize sites re-apply
+    // the (tiny, lazy) ordering on the checkpointed rows instead.
     reranked.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
-      .orderBy(col("qid"), col("rank"))
   }
 
   /** ADC shortlist: top `shortlistFactor·k` candidates per query by native
@@ -329,6 +332,7 @@ object Similarity {
       Seq.empty, ksub, k, shortlistFactor)
     val topk = exactRerankTopK(shortlist, c, q, k)
     Caching.materializeThenRelease(topk, c, q)
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** Scalar-quantization (SQ8) top-k: every corpus vector stored as `dim`
@@ -383,6 +387,7 @@ object Similarity {
       .select(col("qid"), col("nid"))
     val topk = exactRerankTopK(shortlist, c, q, k)
     Caching.materializeThenRelease(topk, c, q)
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** OPQ-style rotated PQ: rotate the space onto the corpus's principal
@@ -515,6 +520,7 @@ object Similarity {
       shortlistFactor)
     val topk = exactRerankTopK(shortlist, c, q, k)
     Caching.materializeThenRelease(topk, (q +: alsoRelease): _*)
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** `allowed` mirrors [[queryIvfPqIndex]]'s filtered serving on the
@@ -846,9 +852,11 @@ object Similarity {
     val topk = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
-      .orderBy(col("qid"), col("rank"))
-    if (trainIters > 0) Caching.materializeThenRelease(topk, corpusNormed)
-    else topk
+    // sort applied OUTSIDE the materialized branch (see exactRerankTopK)
+    if (trainIters > 0)
+      Caching.materializeThenRelease(topk, corpusNormed)
+        .orderBy(col("qid"), col("rank"))
+    else topk.orderBy(col("qid"), col("rank"))
   }
 
   /** All-pairs kNN similarity graph — every corpus vector's top-k cosine
