@@ -21,9 +21,16 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val only = args.drop(1).toSet
+    // SPARK_GRAFT_EXPLAIN_TIMED=1 explains the BENCHED forms (timed
+    // overrides applied) instead of the contract forms — the view the
+    // r14 plan audit captures, since the bench times these plans.
+    val base =
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN_TIMED").contains("1"))
+        SparkEntry.benchQueries
+      else SparkEntry.queries
     val selected =
-      if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(only).toMap
+      if (only.isEmpty) base
+      else base.view.filterKeys(only).toMap
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       println(s"\n========== $name ==========")
       try fn(spark, sfDir).explain("formatted")

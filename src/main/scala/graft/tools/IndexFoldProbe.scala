@@ -69,6 +69,15 @@ object IndexFoldProbe {
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$stage/d/batch=9")
     }
+    time("postings write (repart bucket)") {
+      tf.repartition(col("bucket")).write.mode("overwrite")
+        .partitionBy("bucket").parquet(s"$stage/p2/batch=9")
+    }
+    time("df agg+write (repart bucket)") {
+      tf.groupBy(col("bucket"), col("term")).agg(count(lit(1)).as("df"))
+        .repartition(col("bucket")).write.mode("overwrite")
+        .partitionBy("bucket").parquet(s"$stage/d2/batch=9")
+    }
     val norms = time("norms agg localCheckpoint") {
       tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl")).localCheckpoint()
     }
