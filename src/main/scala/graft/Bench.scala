@@ -836,10 +836,20 @@ object Bench {
     }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","anchor_sec":${jnum(anchorSec, 3)},"queries":$qs,"rows":$rows,"spread":$spreads,"reps":$repsJson,"rep_compiles":$repCompilesJson,"rep_gc_ms":$repGcJson,"suite_order":$suiteOrder,"spread_arbiter":$spreadArbiter,"resources":$resourcesJson,"env_start":$envStart,"env_end":$envEnd,"ivf_sweep":$sweep,"pq_sweep":$pqSweep,"scale_growth":$scaleGrowth,"scale_growth_steps":$scaleGrowthSteps,"scale_growth_floors":$scaleGrowthFloors,"guard":$guardJson,"telemetry":$telemetryBig,"telemetry_small":$telemetrySmall,"publish_envelope":$envelope,"sf":"$sfDir"}"""
+    // r15 (r14 verdict #2): the total-only contract line left the driver's
+    // PERF with no per-query table, no geomean and no per-query scaling —
+    // everything it needed sat one line up in the full artifact. Additions
+    // only: per-query median walls (3 decimals — the full-precision map
+    // stays in the artifact) and the per-rep codegen-compile counts, so a
+    // regressed-looking query is attributable from the contract line alone.
+    val qsCompact = results.map { case (k, (v, _, _, _, _, _, _)) =>
+      s""""$k":${jnum(v, 3)}"""
+    }.mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec",""" +
         s""""n_queries":$nQueries,"run_id":"$runId",""" +
-        s""""anchor_sec":${jnum(anchorSec, 3)},"sf":"$sfDir"}"""
+        s""""anchor_sec":${jnum(anchorSec, 3)},"queries":$qsCompact,""" +
+        s""""rep_compiles":$repCompilesJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full)
     catch { case _: Throwable => }

@@ -2275,7 +2275,7 @@ object PipelineQueries {
         "query_id", "text", k = 5)
       val plan = TextAnalysis.queryTextIndex(qs, "query_id", "text", path,
         "doc_id", k = 5).queryExecution.executedPlan.toString
-      val segments = new java.io.File(s"$path/postings").listFiles()
+      val segments = new java.io.File(s"$path/seg").listFiles()
         .count(f => f.isDirectory && f.getName.startsWith("batch="))
       Contracts.row(s,
         "n_queries" -> qs.count(),

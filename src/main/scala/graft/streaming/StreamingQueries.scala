@@ -2158,7 +2158,7 @@ object StreamingQueries {
         "query_id", "text", idxPath, "doc_id", k = 5).localCheckpoint()
       val scratch = graft.operators.TextAnalysis.bm25TopK(docs, qs,
         "doc_id", "text", "query_id", "text", k = 5)
-      val segs = new java.io.File(s"$idxPath/postings").listFiles()
+      val segs = new java.io.File(s"$idxPath/seg").listFiles()
         .count(f => f.isDirectory && f.getName.startsWith("batch="))
       graft.queries.Contracts.row(s,
         "n_docs" -> docs.count(),

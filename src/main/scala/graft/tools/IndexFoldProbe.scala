@@ -88,6 +88,34 @@ object IndexFoldProbe {
       norms.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
         .coalesce(1).write.mode("overwrite").parquet(s"$stage/s/batch=9")
     }
+    // r15 single-pass form: all four stores as one null-padded union,
+    // one partitioned write (store=/bucket= dirs derived at read)
+    time("unified 4-store write (r15 form)") {
+      val nullL = lit(null).cast("long")
+      val nullDoc = lit(null).cast(tf.schema("doc").dataType)
+      val nullTerm = lit(null).cast("string")
+      val postings = tf.select(lit("postings").as("store"), col("bucket"),
+        col("doc"), col("term"), col("tf"), nullL.as("df"), nullL.as("dl"),
+        nullL.as("n_docs"), nullL.as("total_dl"))
+      val dfreq = tf.groupBy(col("bucket"), col("term"))
+        .agg(count(lit(1)).as("df"))
+        .select(lit("df").as("store"), col("bucket"), nullDoc.as("doc"),
+          col("term"), nullL.as("tf"), col("df"), nullL.as("dl"),
+          nullL.as("n_docs"), nullL.as("total_dl"))
+      val nm = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+      val normsRows = nm.select(lit("norms").as("store"),
+        lit(-1).as("bucket"), col("doc"), nullTerm.as("term"),
+        nullL.as("tf"), nullL.as("df"), col("dl"), nullL.as("n_docs"),
+        nullL.as("total_dl"))
+      val stats = nm
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+        .select(lit("stats").as("store"), lit(-1).as("bucket"),
+          nullDoc.as("doc"), nullTerm.as("term"), nullL.as("tf"),
+          nullL.as("df"), nullL.as("dl"), col("n_docs"), col("total_dl"))
+      postings.unionByName(dfreq).unionByName(normsRows).unionByName(stats)
+        .write.mode("overwrite").partitionBy("store", "bucket")
+        .parquet(s"$stage/u/batch=9")
+    }
 
     println("== embedding index: batch 3 of 3")
     val eStage = s"$stage/emb"

@@ -122,7 +122,7 @@ class Bm25Spec extends SparkSpec {
     val after = TextAnalysis.queryTextIndex(q, "query_id", "text", path,
       "doc_id", k = 5).collect().toSeq.sortBy(_.getLong(1))
     assert(after == before)
-    val segs = new java.io.File(s"$path/postings").listFiles()
+    val segs = new java.io.File(s"$path/seg").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("batch="))
     assert(segs == 1, "compaction must leave exactly one segment")
     // the index stays appendable after a compaction
