@@ -917,7 +917,8 @@ object Dedup {
     */
   def embeddingPairsLshIncremental(newBatch: DataFrame, corpus: DataFrame,
       index: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      nBits: Int = 4, nTables: Int = 4, seed: Long = 19L): DataFrame = {
+      nBits: Int = 4, nTables: Int = 4, seed: Long = 19L,
+      cacheCand: Boolean = false, cacheVecs: Boolean = true): DataFrame = {
     val batchDim = newBatch.select(size(col(vecCol))).head(1).headOption
       .map(_.getInt(0)).getOrElse(0)
     index.schema.find(_.name == "bucket").map(_.metadata)
@@ -955,11 +956,15 @@ object Dedup {
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    // persist (lazy): cand is referenced by BOTH candOldIds union branches
-    // AND the final pair join — unpersisted, the bucket-join + self-join +
-    // distinct subtree re-executed once per reference (r14 profile: the
-    // incremental op spent most of its wall re-running this subtree).
-    val cand = crossCand.union(newCand).distinct().persist()
+    // cand is referenced by both candOldIds union branches AND the final
+    // pair join, but a persist here LOSES (r15 EmbIncAbProbe, median-of-5:
+    // cand+vecs 3.51 s, none 2.57, cand-only 3.09, vecs-only 1.86): within
+    // the one materializing action Spark's exchange reuse already dedups
+    // the identical cand subtrees, so the r14 persist only added block
+    // materialization and a job barrier. Default off; toggleable so the
+    // probe can keep measuring both shapes.
+    val cand0 = crossCand.union(newCand).distinct()
+    val cand = if (cacheCand) cand0.persist() else cand0
     // only candidate corpus vectors are re-read (semi-join prunes the scan)
     val newIds = newBatch.select(col(idCol).as("id"))
     val candOldIds = cand.select(col("id_a").as("id"))
@@ -967,7 +972,7 @@ object Dedup {
       .join(newIds, Seq("id"), "left_anti")
     // persist (lazy) for the same reason: the id_a and id_b attach joins
     // would otherwise each re-run the pruned corpus re-read.
-    val vecs = newBatch.select(col(idCol).as("id"),
+    val vecs0 = newBatch.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .unionByName(
         corpus.join(candOldIds, corpus(idCol) === candOldIds("id"),
@@ -975,7 +980,7 @@ object Dedup {
           .select(col(idCol).as("id"),
             col(vecCol).cast("array<double>").as("v")))
       .withColumn("n", sqrt(call_function("vec_dot", col("v"), col("v"))))
-      .persist()
+    val vecs = if (cacheVecs) vecs0.persist() else vecs0
     val pairs = cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"),
         col("n").as("n_a")), "id_a")

@@ -180,12 +180,22 @@ object TextAnalysis {
     */
   private def bm25Contrib(n: Double, avgdl: Double, k1: Double,
       b: Double): Column =
+    bm25ContribCols(lit(n), lit(avgdl), k1, b)
+
+  /** Column form of the contribution: the indexed serving path feeds the
+    * corpus stats in as a broadcast one-row join instead of driver-side
+    * literals (one action fewer per serving call); the runtime doubles —
+    * and therefore the snapped longs — are identical either way, which is
+    * what keeps the stored-index ranking bit-equal to the in-memory one.
+    */
+  private def bm25ContribCols(n: Column, avgdl: Column, k1: Double,
+      b: Double): Column =
     floor(
-      log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      log((n - col("df") + lit(0.5)) / (col("df") + lit(0.5))
           + lit(1.0)) *
         (col("tf") * lit(k1 + 1.0)) /
         (col("tf") + lit(k1) *
-          (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))) *
+          (lit(1.0 - b) + lit(b) * col("dl") / avgdl)) *
         lit(1e6) + lit(0.5))
 
   /** Shared scoring tail: associative long-sum per (query, doc), dense
@@ -513,18 +523,24 @@ object TextAnalysis {
       allowed: DataFrame = null): DataFrame = {
     val spark = queries.sparkSession
     val nBuckets = bucketCount(spark, path)
+    // no checkpoint: qterms is the tokenized (tiny) query batch — the
+    // bucket collect below and the broadcast build both recompute it
+    // cheaply, and skipping the checkpoint is one driver action fewer
+    // per serving call
     val qterms = bm25QueryTerms(queries, queryIdCol, queryTextCol, queryTerms)
-      .localCheckpoint()
     val buckets = qterms
       .select(pmod(hash(col("term")), lit(nBuckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     // one unified segment read; store= and bucket= are partition columns,
     // so each per-store view below prunes to its directories at planning
     val seg = readSegments(spark, path)
-    val st = seg.filter(col("store") === "stats")
-      .agg(sum(col("n_docs")), sum(col("total_dl"))).head()
-    val n = st.getLong(0).toDouble
-    val avgdl = st.getLong(1).toDouble / n
+    // corpus stats ride the main plan as a broadcast one-row join instead
+    // of a separate head() action; the same longs go through the same
+    // double division, so every snapped contribution is bit-identical
+    val stat = seg.filter(col("store") === "stats")
+      .agg(sum(col("n_docs")).cast("double").as("__n"),
+        (sum(col("total_dl")).cast("double") /
+          sum(col("n_docs")).cast("double")).as("__avgdl"))
     val dfreq = seg.filter(col("store") === "df" &&
         col("bucket").isin(buckets: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
@@ -542,7 +558,8 @@ object TextAnalysis {
     val norms = seg.filter(col("store") === "norms")
       .select(col("doc"), col("dl"))
     val contrib = postings.join(broadcast(qstats), "term").join(norms, "doc")
-      .withColumn("c", bm25Contrib(n, avgdl, k1, b))
+      .crossJoin(broadcast(stat))
+      .withColumn("c", bm25ContribCols(col("__n"), col("__avgdl"), k1, b))
     bm25Rank(contrib, k, queryIdCol, idCol)
   }
 
