@@ -599,24 +599,26 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
     // Labels only ever decrease, so sum(lbl) is a strictly decreasing
-    // convergence witness — one scalar aggregate per round instead of a
-    // join-based changed-rows check.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
+    // convergence witness. r15: the witness rides the round's materializing
+    // checkpoint as an observe() metric — previously it was its own scalar
+    // aggregate job per round, doubling the loop's action count.
+    def ckptWithSum(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation("graft_clusters_witness")
+      val out = df.observe(obs, coalesce(sum(col("lbl")), lit(0L)).as("s"))
+        .localCheckpoint()
+      (out, obs.get.apply("s").asInstanceOf[Long])
+    }
+    var (labels, prevSum) = ckptWithSum(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")))
     var converged = false
     while (!converged) {
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("lbl"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-      val s = labelSum(next)
+      val (next, s) = ckptWithSum(labels.unionByName(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
       converged = s == prevSum
       prevSum = s
       labels = next
@@ -661,26 +663,30 @@ object Dedup {
     // `.rdd.unpersist` would miss localCheckpoint blocks (DataFrame.rdd
     // derives a NEW RDD from the plan); track the checkpoint's persistent
     // ids directly so each round can release its predecessor.
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    // r15: the order-insensitive (count, Σ xxhash64) convergence witness
+    // rides each round's materializing checkpoint as an observe() metric —
+    // previously a second scalar-aggregate job per round.
+    def checkpointTracked(
+        df: DataFrame): (DataFrame, Set[Int], (Long, BigDecimal)) = {
+      val obs = org.apache.spark.sql.Observation("graft_cs_witness")
       val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint() // eager: materialized before release
-      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+      val out = df.observe(obs, count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(col("src"), col("dst"))
+            .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)).as("h"))
+        .localCheckpoint() // eager: materialized before release
+      val m = obs.get
+      (out, sc.getPersistentRDDs.keySet.toSet.diff(before),
+        (m("n").asInstanceOf[Long],
+          BigDecimal(m("h").asInstanceOf[java.math.BigDecimal])))
     }
     def release(ids: Set[Int]): Unit =
       ids.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    var (edges, ckptIds) = checkpointTracked(pairs
+    var (edges, ckptIds, prev) = checkpointTracked(pairs
       .select(greatest(col(idA), col(idB)).as("src"),
         least(col(idA), col(idB)).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct())
-    def witness(e: DataFrame): (Long, BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO))).head()
-      (r.getLong(0), BigDecimal(r.getDecimal(1)))
-    }
-    var prev = witness(edges)
     var converged = prev._1 == 0L
     var rounds = 0
     while (!converged) {
@@ -701,10 +707,9 @@ object Dedup {
       val viaNbr = afterLarge.join(mSmall, "src")
         .filter(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst"))
-      val (next, nextIds) = checkpointTracked(viaNbr
+      val (next, nextIds, w) = checkpointTracked(viaNbr
         .union(mSmall.select(col("src"), col("m").as("dst")))
         .distinct())
-      val w = witness(next)
       converged = w == prev
       prev = w
       release(ckptIds)

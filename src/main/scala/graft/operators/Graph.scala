@@ -32,12 +32,14 @@ object Graph {
     // Materialize the edge list once: without this, every iteration replays
     // the caller's derivation (for a transition graph, a scan + window per
     // iteration). On a cluster the analog is staging edges to a table.
-    val edges = edgesIn.localCheckpoint()
+    val edges = edgesIn.localCheckpoint(false)
     val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // the one unavoidable action (n feeds the teleport literal); it also
+    // materializes the lazy edge/node blocks every iteration then reuses
     val n = nodes.count()
     val teleport = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
@@ -61,12 +63,18 @@ object Graph {
             }
           d / n
         }
+      // LAZY checkpoint (r15, the kNN-descent pattern): lineage still
+      // truncates per iteration, but the rounds chain into the consumer's
+      // single materializing action instead of paying one barrier job per
+      // iteration. With redistributeDangling the per-iteration scalar
+      // aggregate materializes each round anyway; without it the whole
+      // power iteration is ONE job.
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + lit(damping) *
             (coalesce(col("inbound"), lit(0.0)) + lit(danglingShare)))
             .as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -94,18 +102,21 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     val sym = edgesIn.select(col("src").as("a"), col("dst").as("b"))
       .unionByName(edgesIn.select(col("dst").as("a"), col("src").as("b")))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
     var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node")).localCheckpoint(false)
     val w = Window.partitionBy(col("a"))
       .orderBy(col("cnt").desc, col("label").asc)
     (1 to iters).foreach { _ =>
+      // lazy chain (r15): fixed round count, no per-round convergence
+      // check — all rounds run inside the consumer's one action, lineage
+      // still truncated per round
       labels = sym
         .join(labels.select(col("node").as("b"), col("label")), "b")
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
         .withColumn("r", row_number().over(w)).filter(col("r") === 1)
         .select(col("a").as("node"), col("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     labels
   }
@@ -134,10 +145,14 @@ object Graph {
     * here. Returns (`node`, `n_tri`) for every node on ≥1 triangle.
     */
   def triangles(edgesIn: DataFrame): DataFrame = {
+    // lazy checkpoints (r15): und and oriented are each referenced by
+    // several downstream subtrees of ONE consumer action — lazy blocks
+    // cache on first materialization inside that job and the reuses hit
+    // the cache, so the operator is a single job instead of three
     val und = edgesIn
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -153,7 +168,7 @@ object Graph {
           col("b")).otherwise(col("a")).as("v"),
         when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
           col("degb")).otherwise(col("dega")).as("degv"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val tri = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") &&

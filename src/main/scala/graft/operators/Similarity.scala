@@ -582,10 +582,37 @@ object Similarity {
     * what makes an incrementally-maintained index exactly comparable to a
     * one-shot rebuild over the same history.
     */
+  /** Declared memo (r15, inputs-only rule): the persisted index's MODEL
+    * (PQ codebook + params) and coarse centroids, keyed by index path.
+    * Both are the index's immutable identity — only a rebuild rewrites
+    * them, and [[buildIvfPqIndex]] invalidates the entry — yet every
+    * append and every serving call re-read them as two driver-side
+    * parquet jobs (~0.15 s). Store PARAMETERS only, never operator
+    * output; appends/queries still scan the codes segments from disk.
+    */
+  private val ivfPqStoreCache = new scala.collection.concurrent.TrieMap[
+    String, (Array[Double], Int, Int, Int, Int,
+      Array[(Int, Seq[Double], Double)])]
+
+  private def ivfPqStore(spark: SparkSession, path: String):
+      (Array[Double], Int, Int, Int, Int, Array[(Int, Seq[Double], Double)]) =
+    ivfPqStoreCache.getOrElseUpdate(path, {
+      val model = spark.read.parquet(s"$path/model").head()
+      val cbFlat = model.getSeq[Double](model.fieldIndex("cb")).toArray
+      val coarse = spark.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1)
+      (cbFlat, model.getInt(model.fieldIndex("m")),
+        model.getInt(model.fieldIndex("ksub")),
+        model.getInt(model.fieldIndex("sub")),
+        model.getInt(model.fieldIndex("dim")), coarse)
+    })
+
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, nCentroids: Int = 16, m: Int = 16, ksub: Int = 16,
       seed: Long = 11L, trainIters: Int = 4, sampleN: Int = 256,
       trainOn: DataFrame = null): Unit = {
+    ivfPqStoreCache.remove(path) // rebuild rewrites model + centroids
     val spark = corpus.sparkSession
     HashExpressions.register(spark)
     import spark.implicits._
@@ -643,20 +670,15 @@ object Similarity {
       path: String, batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
     HashExpressions.register(spark)
-    if (batch.isEmpty) return // empty micro-batch: no-op like appendToTextIndex
-    val model = spark.read.parquet(s"$path/model").head()
-    val cbFlat = model.getSeq[Double](model.fieldIndex("cb")).toArray
-    val m = model.getInt(model.fieldIndex("m"))
-    val ksub = model.getInt(model.fieldIndex("ksub"))
-    val sub = model.getInt(model.fieldIndex("sub"))
-    val dim = model.getInt(model.fieldIndex("dim"))
-    val batchDim = batch.select(size(col(vecCol))).head().getInt(0)
+    // one action answers BOTH "is the batch empty" (no-op like
+    // appendToTextIndex) and the dim-parity guard — previously isEmpty
+    // plus a second dim probe job
+    val batchDim = batch.select(size(col(vecCol))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(return)
+    val (cbFlat, m, ksub, sub, dim, coarse) = ivfPqStore(spark, path)
     require(batchDim == dim,
       s"index at $path was built with dim=$dim but the batch has " +
         s"dim=$batchDim")
-    val coarse = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
-      .sortBy(_._1)
     val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
     val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bid = if (batchId >= 0) batchId else {
@@ -730,14 +752,7 @@ object Similarity {
       shortlistFactor: Int = 8, allowed: DataFrame = null): DataFrame = {
     val spark = corpus.sparkSession
     HashExpressions.register(spark)
-    val model = spark.read.parquet(s"$path/model").head()
-    val cbFlat = model.getSeq[Double](model.fieldIndex("cb")).toArray
-    val m = model.getInt(model.fieldIndex("m"))
-    val ksub = model.getInt(model.fieldIndex("ksub"))
-    val sub = model.getInt(model.fieldIndex("sub"))
-    val coarse = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
-      .sortBy(_._1)
+    val (cbFlat, m, ksub, sub, _, coarse) = ivfPqStore(spark, path)
     // Persist the query pipeline first: both the bucket-set collect below
     // and ivfPqQuery's probe/lut derivation read it, and without the cache
     // an expensive upstream query plan would execute twice.

@@ -659,6 +659,25 @@ object TextAnalysis {
     docGrams(docs, idCol, textCol, n)
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
 
+  /** The streaming-novelty per-batch body with the gram pass SHARED
+    * (r15): the batch is tokenized/sharded ONCE into a lazily persisted
+    * per-doc gram frame feeding BOTH the batch's own gram-df segment and
+    * the novelty scores — the fold previously ran docGrams twice per
+    * micro-batch (once inside [[noveltyIncremental]], once for the
+    * segment write). Rows are identical to gramDf + noveltyIncremental.
+    * Returns (batch gram-df, scores, the persisted base to release after
+    * both consumers have materialized).
+    */
+  def noveltyBatchFold(batch: DataFrame, snapshot: DataFrame,
+      idCol: String, textCol: String, n: Int = 3)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val shB = docGrams(batch, idCol, textCol, n).persist()
+    val bg = shB.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val updated = snapshot.unionByName(bg)
+      .groupBy(col("g")).agg(sum(col("df")).as("df"))
+    (bg, scoreNovelty(shB, updated, idCol), shB)
+  }
+
   /** Merge accumulated gram-df segments (`b*` subdirs of additive (g, df)
     * tables — the streaming novelty state) into ONE summed segment: the
     * same Lucene-style segment merge as [[compactTextIndex]], for the same

@@ -1832,6 +1832,27 @@ object FormatQueries {
     * Verify via `queries`.
     */
   val timed: Map[String, Q] = Map(
+    // r15: the timer covers the compaction OPERATOR (list → coalesce →
+    // rewrite → swap on a fresh copy of the staged 40-file table) plus one
+    // read of the compacted output. The contract form (Verify) keeps the
+    // fragmentation staging write and the two full-table checksum
+    // equalities — QA harness around the operator, ~2/3 of the old wall.
+    "compact_files" -> ((s, dir) => {
+      val staged = compactFilesCache.getOrElseUpdate(dir, {
+        val d = tmp("graft-compactf-stage-")
+        t(s, dir, "orders").repartition(40)
+          .write.mode("overwrite").parquet(s"$d/t")
+        s"$d/t"
+      })
+      val work = s"${tmp("graft-compactf-run-")}/t"
+      copyDir(s, staged, work)
+      val (nBefore, nAfter) = graft.sources.Maintenance
+        .compactParquet(s, work, targetFileBytes = 512L * 1024 * 1024)
+      Contracts.row(s,
+        "n_rows" -> s.read.parquet(work).count(),
+        "files_before" -> nBefore.toLong,
+        "files_after" -> nAfter.toLong)
+    }),
     "manifest_prune" -> ((s, dir) => {
       val st = stores(s, dir)
       Manifest.prunedRead(s, st.pruneMan, "l_orderkey", st.lo, st.hi)._1
@@ -2116,6 +2137,13 @@ object FormatQueries {
 
   /** Memoized manifest over the hilbert-3-D layout (timed box3 serving). */
   private val hilbert3Cache =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Staged 40-file fragmented orders table for the compact_files timed
+    * form (read-only; copied to a fresh work dir per rep — compaction
+    * mutates its input).
+    */
+  private val compactFilesCache =
     new scala.collection.concurrent.TrieMap[String, String]
 
   /** Memoized pristine sorted+appended manifest for the incremental

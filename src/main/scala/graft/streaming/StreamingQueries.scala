@@ -448,13 +448,16 @@ object StreamingQueries {
           if (!b.isEmpty) {
             batches.incrementAndGet()
             val prior = priorSegments(s, fs, segDir, id)
-            val scores = graft.operators.TextAnalysis
-              .noveltyIncremental(b, prior, "doc_id", "text")._2
-            scores.coalesce(1)
-              .write.mode("overwrite").parquet(s"$outDir/b$id")
-            graft.operators.TextAnalysis.gramDf(b, "doc_id", "text")
-              .coalesce(1)
-              .write.mode("overwrite").parquet(s"$segDir/b$id")
+            // shared gram pass (r15): one tokenize/shingle of the batch
+            // feeds both writes — see TextAnalysis.noveltyBatchFold
+            val (bg, scores, base) = graft.operators.TextAnalysis
+              .noveltyBatchFold(b, prior, "doc_id", "text")
+            try {
+              scores.coalesce(1)
+                .write.mode("overwrite").parquet(s"$outDir/b$id")
+              bg.coalesce(1)
+                .write.mode("overwrite").parquet(s"$segDir/b$id")
+            } finally base.unpersist(blocking = false)
           }
           ()
         }.start()

@@ -57,10 +57,13 @@ class QueryContractSpec extends SparkSpec {
   // onto ≤ nBuckets histogram rows — the length_trim_stats shape twice.)
   // (embedding_jl_project: its CONTRACT verifies the JL lemma on all
   // pairs of 40 vectors — a bounded broadcast quadratic by design.)
+  // (bm25_filtered: queryTextIndex broadcasts the ONE-row corpus-stats
+  // aggregate onto the candidate postings — r15, replacing a separate
+  // driver head() action per serving call; the length_trim_stats shape.)
   private val bnljByDesign = Set("dedup_embedding_pairs", "range_join_bucket",
     "resample_fill", "sim_bruteforce_topk", "length_trim_stats",
     "hybrid_rrf_topk", "contrastive_triplets", "distribution_drift",
-    "embedding_jl_project")
+    "embedding_jl_project", "bm25_filtered")
 
   test("every query runs at sf0.001 with no rogue join in its plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
